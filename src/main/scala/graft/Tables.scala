@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * Tables: region nation customer supplier part orders lineitem events
+  * documents embeddings — one parquet file (or directory) per table under
+  * the scale-factor dir passed to each catalog query.
+  *
+  * At cluster scale the same call reads a partitioned directory; nothing
+  * here assumes single-file input. Column pruning / predicate pushdown are
+  * left to Catalyst — loaders never cache or materialize.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") return events(spark, sfDir)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read it as raw nanos (legacy conf) and convert
+    * to a proper TimestampType via integer division — NOT float division:
+    * 2024 epoch-nanos (~1.7e18) exceeds a double's 53-bit mantissa, so
+    * `(ts/1000).cast(long)` would corrupt timestamps. `DIV` stays integral.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Register every table as a temp view (for the spark.sql query surface). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
