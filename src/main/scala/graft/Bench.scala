@@ -1,24 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.Catalog
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "errors":{...}}
+  *
+  * Hygiene (round-1 verdict): queries run in the FIXED Catalog.all order
+  * (not Map iteration order), after a full warmup pass at sf0.001 so
+  * JVM/codegen warmup is not charged to whichever query happens to run
+  * first; per-query failures are recorded in "errors" and fail the run
+  * (non-zero exit) instead of being silently swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val ordered = Catalog.all.map(e => e.name -> e.build)
+
+    // Warmup: run everything once at the smallest sf; ignore failures here
+    // (they will be reported from the timed pass).
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -17,7 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One-time session preparation, applied at every library entry point so a
+    * driver-supplied SparkSession behaves identically to our own mains:
+    *  - session timezone pinned to UTC (hour()/dayofyear() in the catalog
+    *    must match the DuckDB oracle's naive-UTC timestamps);
+    *  - legacy nanos-as-long parquet read (events.ts is INT64
+    *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects).
+    * Both sets are idempotent (same value always) — guarded so repeated
+    * query builds never re-write session state.
+    */
+  def ensureSessionConfs(spark: SparkSession): Unit = {
+    if (spark.conf.getOption("spark.sql.session.timeZone") != Some("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureSessionConfs(spark)
     if (name == "events") return events(spark, sfDir)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -36,7 +53,7 @@ object Tables {
     * `(ts/1000).cast(long)` would corrupt timestamps. `DIV` stays integral.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureSessionConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }

@@ -44,17 +44,28 @@ object Geo {
   def distanceNauticalMiles(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     distanceMiles(lat1, lon1, lat2, lon2) * 0.8684
 
-  /** Flat-earth euclidean distance used by GeoUtils.getEuclideanDistance. */
-  def euclideanDistanceKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
-    sqrt(pow(lon1 - lon2, 2.0) + pow(lat1 - lat2, 2.0)) * 111.0
+  /** Flat-earth euclidean distance, reference-exact
+    * (GeoUtils.getEuclideanDistance, util/GeoUtils.java:196-200):
+    * `DEG_LEN * sqrt((lat1-lat2)^2 + ((lon1-lon2)*cos(lat2))^2)` with
+    * DEG_LEN=110.25 and — reference quirk preserved — `cos` applied to the
+    * latitude in DEGREES (no radians conversion).
+    */
+  def euclideanDistanceKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val x = lat1 - lat2
+    val y = (lon1 - lon2) * cos(lat2) // sic: degrees fed to cos, as in the reference
+    sqrt(x * x + y * y) * 110.25
+  }
 
   /** True iff the point is inside the NYC bounding box (GeoUtils.isInNYC). */
   def isInNYC(lon: Column, lat: Column): Column =
     lon.between(lit(LonWest), lit(LonEast)) && lat.between(lit(LatSouth), lit(LatNorth))
 
-  /** Map lon/lat to a grid cell id (GeoUtils.mapToGridCell). */
+  /** Map lon/lat to a grid cell id (GeoUtils.mapToGridCell, :58-63).
+    * Uses the reference's `abs(LON_WEST) - abs(lon)` form (equivalent to
+    * `lon - LON_WEST` only for western-hemisphere lons — kept reference-exact).
+    */
   def mapToGridCell(lon: Column, lat: Column): Column = {
-    val xIndex = floor((lon - lit(LonWest)) / lit(DeltaLon)).cast("int")
+    val xIndex = floor((abs(lit(LonWest)) - abs(lon)) / lit(DeltaLon)).cast("int")
     val yIndex = floor((lit(LatNorth) - lat) / lit(DeltaLat)).cast("int")
     xIndex + yIndex * lit(GridCellsX)
   }

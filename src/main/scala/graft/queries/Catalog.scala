@@ -1,8 +1,9 @@
 package graft.queries
 
-/** The full query surface exposed through SparkEntry: the reference
-  * engine's catalog (SURVEY §2) plus the large-scale training-data pipeline
-  * operators (dedup / similarity / text analysis / multimodal).
+/** The full query surface exposed through SparkEntry, in fixed order (Bench
+  * and Verify iterate this order): currently the reference engine's catalog
+  * (SURVEY §2). Pipeline catalogs (dedup / similarity / text analysis /
+  * multimodal) append here as they land.
   */
 object Catalog {
   def all: Seq[CatalogEntry] = ReferenceCatalog.all

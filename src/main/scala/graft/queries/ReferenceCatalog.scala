@@ -204,12 +204,17 @@ object ReferenceCatalog {
          cos(radians(start_lat)) * cos(radians(end_lat)) * cos(radians(start_lon - end_lon)),
         -1.0), 1.0))) * 60.0 * 1.1515 * 1.609344)"""
 
+  /** Distances are rounded to 6 decimals (cross-engine libm drift guard),
+    * then averaged through Exact.davg (decimal-exact, partition-order
+    * independent) — a raw AVG(double) would be summation-order dependent,
+    * contradicting the Exact determinism contract.
+    */
   val avgDistanceGlobal: CatalogEntry = CatalogEntry(
     "avg_distance_global",
     (s, d) => withSynthCoords(events(s, d))
-      .select(Geo.distanceKm(col("start_lat"), col("start_lon"), col("end_lat"), col("end_lon")).as("dist"))
-      .agg(round(avg(col("dist")), 4).as("avg_distance_km")),
-    Some(s"""SELECT ROUND(AVG($distanceKmSql), 4) AS avg_distance_km
+      .select(round(Geo.distanceKm(col("start_lat"), col("start_lon"), col("end_lat"), col("end_lon")), 6).as("dist"))
+      .agg(round(davg(col("dist"), 20, 6), 4).as("avg_distance_km")),
+    Some(s"""SELECT ROUND(${sqlAvg(s"ROUND($distanceKmSql, 6)", 20, 6)}, 4) AS avg_distance_km
              FROM $synthCoordsSql"""))
 
   /** TaxiRideDistanceTopNPreAggregate: top 5 distances per (user_id % 10)

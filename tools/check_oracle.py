@@ -6,7 +6,9 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (Spark output) and runs the
 corresponding SQL from oracle_sql.json in DuckDB over the sfDir tables,
 then compares: column names (sorted), row counts, and values (sorted rows,
-exact for ints/strings, exact-or-1e-12-relative report for floats).
+bit-exact for every dtype including floats — mirroring the driver's hash
+compare; the reported maxabs on float mismatch is diagnostic only, never
+a tolerance).
 """
 import json
 import sys
