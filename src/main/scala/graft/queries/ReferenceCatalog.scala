@@ -155,22 +155,30 @@ object ReferenceCatalog {
              ORDER BY total_value DESC, driver_id LIMIT 10"""))
 
   /** TopNPreAggregate (dead code, ref TopNPreAggregate.java:143-160): true
-    * per-key top-N values. key ≙ event_type, top 5 values per key via a
-    * ranked window — Spark's idiomatic form of the reference's bounded
-    * Double[topN] accumulator. Deterministic tie-break on event_id.
+    * per-key top-N values. key ≙ event_type, top 5 values per key via the
+    * bounded-heap combine aggregator (graft.combine.TopNAgg — the
+    * reference's own Double[topN] insert-if-greater design,
+    * TopNPreAggregate.java:214-253). Partial aggregation ships ≤5 entries
+    * per key per map partition — scale-safe where the round-1 ranked-window
+    * plan shuffled and sorted every row. Deterministic tie-break on
+    * event_id.
     */
+  private def topNOf(df: DataFrame, keyCol: Column, n: Int): DataFrame = {
+    val topn = udaf(new graft.combine.TopNAgg(n))
+    df.groupBy(keyCol.as("k"))
+      .agg(topn(col("value"), col("event_id")).as("top"))
+      .select(col("k"), posexplode(col("top.entries")))
+      .select(
+        col("k"), col("col.event_id"), col("col.value").as("value"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   val topNPerKey: CatalogEntry = CatalogEntry(
     "topn_per_key",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(desc("value"), asc("event_id"))
-      events(s, d)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("event_type"), col("event_id"), col("value"), col("rn").cast("long").as("rn"))
-    },
+    (s, d) => topNOf(
+      events(s, d).select(col("event_type"), col("value"), col("event_id")),
+      col("event_type"), 5)
+      .withColumnRenamed("k", "event_type"),
     Some("""SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
               SELECT event_type, event_id, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
@@ -218,24 +226,23 @@ object ReferenceCatalog {
              FROM $synthCoordsSql"""))
 
   /** TaxiRideDistanceTopNPreAggregate: top 5 distances per (user_id % 10)
-    * key. Distances rounded to 6 decimals before ranking so cross-engine
-    * libm 1-ulp drift cannot flip the order; event_id breaks ties.
+    * key, via the same bounded-heap aggregator — critical here because the
+    * key space is exactly 10 values: the old ranked-window plan sorted the
+    * whole table in 10 partitions, while partial aggregation reduces each
+    * map partition to ≤5 entries per key before the shuffle. Distances
+    * rounded to 6 decimals before ranking so cross-engine libm 1-ulp drift
+    * cannot flip the order; event_id breaks ties.
     */
   val distanceTopNPerKey: CatalogEntry = CatalogEntry(
     "distance_topn_per_key",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("k")).orderBy(desc("distance_km"), asc("event_id"))
-      withSynthCoords(events(s, d))
-        .select(
-          (col("user_id") % 10).cast("long").as("k"),
-          col("event_id"),
-          round(Geo.distanceKm(col("start_lat"), col("start_lon"), col("end_lat"), col("end_lon")), 6)
-            .as("distance_km"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("k"), col("event_id"), col("distance_km"), col("rn").cast("long").as("rn"))
-    },
+    (s, d) => topNOf(
+      withSynthCoords(events(s, d)).select(
+        (col("user_id") % 10).cast("long").as("kk"),
+        col("event_id"),
+        round(Geo.distanceKm(col("start_lat"), col("start_lon"), col("end_lat"), col("end_lon")), 6)
+          .as("value")),
+      col("kk"), 5)
+      .select(col("k"), col("event_id"), col("value").as("distance_km"), col("rn")),
     Some(s"""SELECT k, event_id, distance_km, CAST(rn AS BIGINT) AS rn FROM (
                SELECT CAST(user_id % 10 AS BIGINT) AS k, event_id,
                       ROUND($distanceKmSql, 6) AS distance_km,

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+
+/** End-to-end checks for every catalog entry at sf0.001 — structural
+  * invariants hand-derivable from the input tables (the driver's DuckDB
+  * oracle covers exact value equality at sf0.01; these make `sbt test`
+  * meaningful standalone).
+  */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  private lazy val nEvents = Tables.events(spark, sf0001).count()
+  private lazy val nDrivers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+
+  test("every catalog entry returns rows and has an oracle or a documented reason") {
+    Catalog.all.foreach { e =>
+      val df = e.build(spark, sf0001)
+      assert(df.count() > 0, s"${e.name} returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("taxi_ride_count: counts partition the events table") {
+    val df = run("taxi_ride_count")
+    assert(df.agg(sum("cnt")).as[Long].head() == nEvents)
+    assert(df.count() == nDrivers)
+  }
+
+  test("taxi_ride_max / avg agree with direct per-driver computation for one driver") {
+    val d0 = Tables.events(spark, sf0001)
+      .select("user_id").as[Long].head()
+    val direct = Tables.events(spark, sf0001).filter(col("user_id") === d0)
+      .agg(max("value"), avg("value")).as[(Double, Double)].head()
+    val gotMax = run("taxi_ride_max").filter(col("driver_id") === d0)
+      .select("max_value").as[Double].head()
+    val gotAvg = run("taxi_ride_avg").filter(col("driver_id") === d0)
+      .select("avg_value").as[Double].head()
+    assert(gotMax == direct._1)
+    assert(math.abs(gotAvg - direct._2) < 1e-6)
+  }
+
+  test("taxi_ride_avg3: one row per driver, 4 columns") {
+    val df = run("taxi_ride_avg3")
+    assert(df.count() == nDrivers)
+    assert(df.columns.toSeq == Seq("driver_id", "avg_value", "avg_props_len", "avg_hour"))
+  }
+
+  test("taxi_ride_count_day: per-day counts partition the table; count-distinct bounded by it") {
+    val day = run("taxi_ride_count_day")
+    assert(day.agg(sum("cnt")).as[Long].head() == nEvents)
+    val joined = day.join(run("taxi_ride_count_distinct_day"), "day")
+    assert(joined.filter(col("n_drivers") > col("cnt")).count() == 0)
+  }
+
+  test("taxi_ride_topn: exactly 10, sorted desc by total_value") {
+    val rows = run("taxi_ride_topn").select("total_value").as[Double].collect()
+    assert(rows.length == 10)
+    assert(rows.sameElements(rows.sortBy(-_)))
+  }
+
+  test("topn_per_key: rn in 1..5, one group per event_type") {
+    val df = run("topn_per_key")
+    assert(df.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+    val types = Tables.events(spark, sf0001).select("event_type").distinct().count()
+    assert(df.select("event_type").distinct().count() == types)
+  }
+
+  test("distance_topn_per_key: keys 0..9, rn 1..5, distances positive") {
+    val df = run("distance_topn_per_key")
+    assert(df.filter(col("k") < 0 || col("k") > 9).count() == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+    assert(df.filter(col("distance_km") <= 0).count() == 0)
+  }
+
+  test("avg_distance_global / global_avg_value: single positive row") {
+    assert(run("avg_distance_global").as[Double].head() > 0)
+    val got = run("global_avg_value").as[Double].head()
+    val want = Tables.events(spark, sf0001).agg(avg("value")).as[Double].head()
+    assert(math.abs(got - want) < 1e-3)
+  }
+
+  test("word_count: counts sum to the token count of the corpus") {
+    val direct = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "\\W+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(run("word_count").agg(sum("cnt")).as[Long].head() == direct)
+  }
+
+  test("windowed_count: window counts partition the table") {
+    assert(run("windowed_count").agg(sum("cnt")).as[Long].head() == nEvents)
+  }
+
+  test("tpch_q1: count_order partitions lineitem; q1_full is a subset") {
+    val n = Tables.lineitem(spark, sf0001).count()
+    assert(run("tpch_q1").agg(sum("count_order")).as[Long].head() == n)
+    val full = run("tpch_q1_full").agg(sum("count_order")).as[Long].head()
+    assert(full <= n && full > 0)
+  }
+
+  test("tpch_q6: one positive revenue row") {
+    assert(run("tpch_q6").as[Double].head() > 0)
+  }
+}
