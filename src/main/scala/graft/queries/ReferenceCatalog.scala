@@ -68,20 +68,17 @@ object ReferenceCatalog {
 
   /** TaxiRideCountPreAggregate (ref TaxiRideCountPreAggregate.java:53-70):
     * per-driver ride count. combine(sum) → keyBy → reduce(sum) ≡ count.
+    * Transform shared with the streaming update-mode form (Transforms).
     */
   val taxiRideCount: CatalogEntry = CatalogEntry(
     "taxi_ride_count",
-    (s, d) => events(s, d)
-      .groupBy(col("user_id").as("driver_id"))
-      .agg(count(lit(1)).as("cnt")),
+    (s, d) => Transforms.countByDriver(events(s, d)),
     Some("SELECT user_id AS driver_id, COUNT(*) AS cnt FROM events GROUP BY user_id"))
 
   /** TaxiRideMaxPassengerPreAggregate (ref :52-66): rolling max per driver. */
   val taxiRideMax: CatalogEntry = CatalogEntry(
     "taxi_ride_max",
-    (s, d) => events(s, d)
-      .groupBy(col("user_id").as("driver_id"))
-      .agg(max(col("value")).as("max_value")),
+    (s, d) => Transforms.maxByDriver(events(s, d)),
     Some("SELECT user_id AS driver_id, MAX(value) AS max_value FROM events GROUP BY user_id"))
 
   /** TaxiRideAvgPassengerPreAggregate (ref :64-82): per-driver average.
@@ -90,9 +87,7 @@ object ReferenceCatalog {
     */
   val taxiRideAvg: CatalogEntry = CatalogEntry(
     "taxi_ride_avg",
-    (s, d) => events(s, d)
-      .groupBy(col("user_id").as("driver_id"))
-      .agg(davg(col("value")).as("avg_value")),
+    (s, d) => Transforms.avgByDriver(events(s, d)),
     Some(s"SELECT user_id AS driver_id, ${sqlAvg("value")} AS avg_value FROM events GROUP BY user_id"))
 
   /** TaxiRideAveragePreAggregate (ref :46-64): 3-metric per-key average
@@ -100,12 +95,7 @@ object ReferenceCatalog {
     */
   val taxiRideAvg3: CatalogEntry = CatalogEntry(
     "taxi_ride_avg3",
-    (s, d) => events(s, d)
-      .groupBy(col("user_id").as("driver_id"))
-      .agg(
-        davg(col("value")).as("avg_value"),
-        avg(length(col("props")).cast("long")).as("avg_props_len"),
-        avg(hour(col("ts")).cast("long")).as("avg_hour")),
+    (s, d) => Transforms.avg3ByDriver(events(s, d)),
     Some(s"""SELECT user_id AS driver_id,
              ${sqlAvg("value")} AS avg_value,
              AVG(CAST(length(props) AS BIGINT)) AS avg_props_len,
@@ -118,9 +108,7 @@ object ReferenceCatalog {
     */
   val taxiRideCountDay: CatalogEntry = CatalogEntry(
     "taxi_ride_count_day",
-    (s, d) => events(s, d)
-      .groupBy(dayofyear(col("ts")).cast("long").as("day"))
-      .agg(count(lit(1)).as("cnt")),
+    (s, d) => Transforms.countByDay(events(s, d)),
     Some("SELECT CAST(dayofyear(ts) AS BIGINT) AS day, COUNT(*) AS cnt FROM events GROUP BY 1"))
 
   /** TaxiRideCountDistinctTablePreAggregate (ref :68-70): true SQL

@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+
+/** Streaming update-mode parity + the AdCom adaptive controller. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** (event_id, ts, user_id, event_type, value, props) — the events schema. */
+  private type Ev = (Long, Timestamp, Long, String, Double, String)
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private val burst1: Seq[Ev] = (1L to 40L).map(i =>
+    (i, ts(s"2024-03-0${1 + (i % 3).toInt} 1${i % 10}:00:00"), i % 5, s"t${i % 2}", (i % 7).toDouble, s"p$i"))
+  private val burst2: Seq[Ev] = (41L to 90L).map(i =>
+    (i, ts(s"2024-03-0${1 + (i % 5).toInt} 0${i % 10}:30:00"), i % 8, s"t${i % 3}", (i % 11).toDouble, s"pp$i"))
+
+  private def runStreaming(name: String, keyCols: Int = 1): Map[String, Seq[Any]] = {
+    val sinkId = s"test-$name-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, keyCols)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(name, input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(burst1: _*)
+      q.processAllAvailable()
+      input.addData(burst2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = Sinks.registry(sinkId).asScala.toMap.map { case (k, row) =>
+      k -> row.toSeq.toList
+    }
+    Sinks.clear(sinkId)
+    out
+  }
+
+  private def batchAnswer(name: String): Map[String, Seq[Any]] = {
+    val df = (burst1 ++ burst2).toDF(eventCols: _*)
+    StreamingQueries.updating(name)(df).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.toSeq.toList).toMap
+  }
+
+  test("streaming taxi_ride_count converges to the batch answer") {
+    assert(runStreaming("taxi_ride_count") == batchAnswer("taxi_ride_count"))
+  }
+
+  test("streaming taxi_ride_max converges to the batch answer") {
+    assert(runStreaming("taxi_ride_max") == batchAnswer("taxi_ride_max"))
+  }
+
+  test("streaming taxi_ride_avg (non-monotonic upserts) converges to the batch answer") {
+    assert(runStreaming("taxi_ride_avg") == batchAnswer("taxi_ride_avg"))
+  }
+
+  test("streaming taxi_ride_avg3 converges to the batch answer") {
+    assert(runStreaming("taxi_ride_avg3") == batchAnswer("taxi_ride_avg3"))
+  }
+
+  test("streaming taxi_ride_count_day converges to the batch answer") {
+    assert(runStreaming("taxi_ride_count_day") == batchAnswer("taxi_ride_count_day"))
+  }
+
+  test("AdaptivePolicy walks the band exactly like the reference controller") {
+    import AdaptivePolicy.next
+    // Overloaded (≥100 %): +200 regardless of band position.
+    assert(next(500, 120.0, overloaded = true) == Some(700L))
+    // Above hard band (≥85): +200; above soft band (>65): +100.
+    assert(next(500, 90.0, overloaded = false) == Some(700L))
+    assert(next(500, 70.0, overloaded = false) == Some(600L))
+    // Below soft band (<40): −100; below hard band (≤30): −200.
+    assert(next(500, 35.0, overloaded = false) == Some(400L))
+    assert(next(500, 20.0, overloaded = false) == Some(300L))
+    // Floor at 50 ms (MIN_INTERVAL_MS).
+    assert(next(100, 5.0, overloaded = false) == Some(50L))
+    assert(next(60, 35.0, overloaded = false) == Some(50L))
+    // Inside band: no correction.
+    assert(next(500, 50.0, overloaded = false).isEmpty)
+  }
+
+  test("controller walks the interval through a bursty utilization profile") {
+    val c = new AdaptiveTriggerController("synthetic", initialIntervalMs = 500L)
+    // Quiet stream: utilization far below band → interval decays to floor.
+    var batch = 0L
+    def feed(durMs: Long, n: Int): Unit = (1 to n).foreach { _ =>
+      batch += 1; c.observe(batch, durMs, 1000.0, 1000.0)
+    }
+    feed(durMs = 20, n = 5) // util ≤30% of current → −200 steps to the floor
+    assert(c.currentIntervalMs == 50L)
+    // Burst: 200ms batches → 400% of 50ms (overload, +200) → 80% of 250ms
+    // (soft backpressure, +100) → 57% of 350ms (in band, hold).
+    feed(durMs = 200, n = 3)
+    assert(c.currentIntervalMs == 350L)
+    // Inside the band (150/350 ≈ 43%): no correction.
+    feed(durMs = 150, n = 2)
+    assert(c.currentIntervalMs == 350L)
+    // Load drops: 60/350 ≈ 17% (≤30, −200) → 60/150 = 40% (in band, hold).
+    feed(durMs = 60, n = 2)
+    assert(c.currentIntervalMs == 150L)
+    val log = c.decisions
+    assert(log.size == batch.toInt)
+    assert(log.exists(_.utilizationPct >= 100.0) && log.exists(_.utilizationPct < 40.0))
+  }
+
+  test("controller receives live StreamingQueryProgress signals (adCombine wiring)") {
+    val sinkId = s"test-ctl-${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val ctl = StreamingQueries.withController(spark, "ctl_query", initialIntervalMs = 500L)
+    val q = StreamingQueries.updating("taxi_ride_count")(input.toDF().toDF(eventCols: _*))
+      .writeStream.queryName("ctl_query").outputMode("update")
+      .foreach(new UpsertSink(sinkId)).start()
+    try {
+      input.addData(burst1: _*)
+      q.processAllAvailable()
+      input.addData(burst2: _*)
+      q.processAllAvailable()
+      // Listener delivery is async; give the bus a moment.
+      val deadline = System.currentTimeMillis() + 10000
+      while (ctl.decisions.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ctl)
+      Sinks.clear(sinkId)
+    }
+    assert(ctl.decisions.nonEmpty, "controller never saw a progress event")
+    assert(ctl.decisions.forall(_.batchDurationMs >= 0))
+  }
+}
