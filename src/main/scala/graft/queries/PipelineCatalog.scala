@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Large-scale training-data pipeline operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars): dedup, text analysis, language
+  * ID, fingerprinting. Everything here is either a per-row projection
+  * (embarrassingly parallel, whole-stage codegen'd, no shuffle) or a
+  * single hash-shuffle on a high-cardinality key — the shapes that survive
+  * 100 TB unchanged.
+  *
+  * Cross-engine determinism: all text ops are exact (string/integer); all
+  * ratios are rounded to 6 decimals on both sides before comparison.
+  */
+object PipelineCatalog {
+
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
+  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val normSql = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+  /** Whitespace tokens of the trimmed text (no empty tokens). */
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val toksSql = raw"string_split_regex(trim(text), '\s+')"
+
+  // -------------------------------------------------------------------
+  // Exact deduplication
+  // -------------------------------------------------------------------
+
+  /** Exact dedup by content hash of the normalized text: one row per
+    * distinct content, canonical doc = min doc_id, plus the duplicate
+    * count. One shuffle keyed on a 128-bit hash — uniform by construction,
+    * no skew, no all-pairs anything; at 100 TB this is a single
+    * hash-aggregate over the corpus.
+    */
+  val exactDedup: CatalogEntry = CatalogEntry(
+    "doc_exact_dedup",
+    (s, d) => documents(s, d)
+      .select(expr(s"md5($normExpr)").as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
+    Some(s"""SELECT md5($normSql) AS content_hash,
+             MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+             FROM documents GROUP BY 1"""))
+
+  // -------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document quality statistics: token count, punctuation count,
+    * stopword ratio, average token length, and a composite quality score —
+    * the length/punct/stopword heuristics of a C4/Gopher-style quality
+    * filter. Pure per-row projection: no shuffle at any scale.
+    */
+  val textStats: CatalogEntry = CatalogEntry(
+    "doc_text_stats",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      expr(s"size($toksExpr)").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
+        .cast("long").as("punct_cnt"),
+      expr(s"size(filter($toksExpr, t -> t IN ($stopListSql)))").cast("long").as("stop_cnt"))
+      .withColumn("stop_ratio", round(col("stop_cnt") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round((col("n_chars_m") - col("punct_cnt")) / col("n_tokens"), 6))
+      .withColumn("quality_score", round(
+        least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+        col("stop_cnt") / col("n_tokens") * 0.3 +
+        (lit(1.0) - col("punct_cnt") / col("n_chars_m")) * 0.2, 6)),
+    Some(s"""SELECT doc_id,
+             CAST(len($toksSql) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+             CAST(len(list_filter($toksSql, t -> t IN ($stopListSql))) AS BIGINT) AS stop_cnt,
+             ROUND(stop_cnt / n_tokens, 6) AS stop_ratio,
+             ROUND((n_chars_m - punct_cnt) / n_tokens, 6) AS avg_token_len,
+             ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                   + stop_cnt / n_tokens * 0.3
+                   + (1.0 - punct_cnt / n_chars_m) * 0.2, 6) AS quality_score
+             FROM documents"""))
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * pre-tokenization (letter runs | digit runs | single other-symbol
+    * runs — the GPT-2-style split shape). Per-row, no shuffle.
+    */
+  private val bpePat = raw"\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+  val tokenCount: CatalogEntry = CatalogEntry(
+    "doc_token_count",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      expr(s"size($toksExpr)").cast("long").as("ws_tokens"),
+      expr(s"size(regexp_extract_all(text, '$bpePat', 0))").cast("long").as("bpe_tokens")),
+    Some(raw"""SELECT doc_id,
+             CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe_tokens
+             FROM documents"""))
+
+  // -------------------------------------------------------------------
+  // Language identification (stopword-profile heuristic)
+  // -------------------------------------------------------------------
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
+
+  /** Language ID via per-language stopword hit counts; argmax with a fixed
+    * priority tie-break (profile order). Per-row projection. Documents
+    * with no hits in any profile are labeled 'und'.
+    */
+  val langId: CatalogEntry = CatalogEntry(
+    "doc_lang_id",
+    (s, d) => {
+      val base = documents(s, d)
+      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t IN ($list)))").cast("long"))
+      }
+      val best = langProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
+      val pred = langProfiles.foldRight(lit("und")) { case ((lang, _), els) =>
+        when(col(s"score_$lang") === col("best_score") && col("best_score") > 0, lit(lang)).otherwise(els)
+      }
+      scored.withColumn("best_score", best)
+        .withColumn("pred_lang", pred)
+        .select(col("doc_id"), col("pred_lang"), col("best_score"))
+    },
+    Some {
+      val scoreSelects = langProfiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        raw"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ($list))) AS BIGINT) AS score_$lang"
+      }
+      val bestExpr = langProfiles.map(p => s"score_${p._1}").reduce((a, b) => s"GREATEST($a, $b)")
+      val predExpr = langProfiles.foldRight("'und'") { case ((lang, _), els) =>
+        s"CASE WHEN score_$lang = best_score AND best_score > 0 THEN '$lang' ELSE $els END"
+      }
+      s"""SELECT doc_id, $predExpr AS pred_lang, best_score FROM (
+            SELECT *, $bestExpr AS best_score FROM (
+              SELECT doc_id, text,
+             ${scoreSelects.mkString(",\n             ")}
+              FROM documents))"""
+    })
+
+  // -------------------------------------------------------------------
+  // Document fingerprinting
+  // -------------------------------------------------------------------
+
+  /** Two content fingerprints per document: a set fingerprint (md5 of the
+    * sorted distinct token set — order-insensitive) and a rolling
+    * polynomial hash over characters (order-sensitive, mod 1e9+7). Both
+    * per-row, exact, engine-portable.
+    */
+  val fingerprint: CatalogEntry = CatalogEntry(
+    "doc_fingerprint",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      expr(s"md5(array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' '))")
+        .as("set_fp"),
+      expr("aggregate(filter(split(lower(trim(text)), ''), c -> c != ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+        .as("roll_fp")),
+    Some(raw"""SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS set_fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
+             FROM documents"""))
+
+  val all: Seq[CatalogEntry] = Seq(exactDedup, textStats, tokenCount, langId, fingerprint)
+}

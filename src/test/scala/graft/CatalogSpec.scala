@@ -111,4 +111,34 @@ class CatalogSpec extends AnyFunSuite {
   test("tpch_q6: one positive revenue row") {
     assert(run("tpch_q6").as[Double].head() > 0)
   }
+
+  test("doc_exact_dedup: copies partition the corpus; canonical ids unique") {
+    val df = run("doc_exact_dedup")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.agg(sum("n_copies")).as[Long].head() == nDocs)
+    assert(df.select("canonical_id").distinct().count() == df.count())
+  }
+
+  test("doc_text_stats: ratios well-formed") {
+    val df = run("doc_text_stats")
+    assert(df.filter(col("n_tokens") <= 0).count() == 0)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+
+  test("doc_token_count: BPE-ish tokens refine whitespace tokens") {
+    assert(run("doc_token_count").filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("doc_lang_id: predictions from the known label set") {
+    val langs = Set("en", "de", "es", "fr", "und")
+    val preds = run("doc_lang_id").select("pred_lang").distinct().as[String].collect()
+    assert(preds.forall(langs.contains))
+  }
+
+  test("doc_fingerprint: md5 set-fp and bounded rolling fp") {
+    val df = run("doc_fingerprint")
+    assert(df.filter(not(col("set_fp").rlike("^[0-9a-f]{32}$"))).count() == 0)
+    assert(df.filter(col("roll_fp") < 0 || col("roll_fp") >= 1000000007L).count() == 0)
+  }
 }
