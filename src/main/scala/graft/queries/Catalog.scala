@@ -7,5 +7,5 @@ package graft.queries
   * land).
   */
 object Catalog {
-  def all: Seq[CatalogEntry] = ReferenceCatalog.all ++ PipelineCatalog.all
+  def all: Seq[CatalogEntry] = ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection over `documents` — the LSH family. The cardinal
+  * scale rule: NO all-pairs join anywhere. Candidate generation is always
+  * bucketed (LSH band buckets, or source blocks for the n-gram variant);
+  * exact similarity is computed only on candidates.
+  *
+  * Engine-portable hashing: MinHash uses lexicographic MIN over
+  * `md5(seed || '|' || shingle)` hex strings — deterministic and identical
+  * in Spark and DuckDB, so the oracle runs the whole LSH pipeline in SQL
+  * and must match bit-for-bit.
+  */
+object NearDupCatalog {
+
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val K = 12 // minhash signature length
+  private val Bands = 4 // LSH bands (rows per band = K / Bands = 3)
+  private val Rows = K / Bands
+  private val JaccardThreshold = 0.5
+
+  /** Per-doc distinct word-3-gram shingles (whole normalized text when the
+    * doc has <3 tokens).
+    */
+  private def shinglesDF(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 3 THEN array(array_join(t, ' '))
+           ELSE transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"""))
+        .as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    raw"""SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS sh
+            FROM (SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                  FROM documents))"""
+
+  /** MinHash + LSH near-duplicate pairs: shingle → K-hash MinHash signature
+    * → band buckets → candidate pairs from bucket collisions only → exact
+    * Jaccard verification on candidates → pairs ≥ threshold.
+    *
+    * At 100 TB: shingling and signatures are per-row; the band join keys on
+    * (band_idx, 128-bit band hash) — collision buckets are tiny by
+    * construction, so the candidate join is sparse; exact verification
+    * touches only candidate pairs. This is the standard scalable MinHash
+    * dedup (Broder 1997; Leskovec et al., Mining of Massive Datasets ch.3).
+    */
+  val nearDupLsh: CatalogEntry = CatalogEntry(
+    "doc_near_dup_lsh",
+    (s, d) => {
+      val sh = shinglesDF(s, d).cache()
+      val minCols = (0 until K).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"s$i"))
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until Bands).map { b =>
+        val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val ni = cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("da"))
+        .join(sh.as("sb"), col("sb.doc_id") === col("db") && col("sb.sh") === col("sa.sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_inter"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      ni.join(sz.as("za"), col("za.doc_id") === col("da"))
+        .join(sz.as("zb"), col("zb.doc_id") === col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    },
+    Some {
+      val mins = (0 until K).map(i => s"MIN(md5(concat('$i', '|', sh))) AS s$i").mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val parts = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat($parts)) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS ($shinglesSql),
+            sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+            bands AS ($bandSelects),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
+                     JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+            ni AS (SELECT c.da, c.db, count(*) AS n_inter FROM cand c
+                   JOIN sh sa ON sa.doc_id = c.da
+                   JOIN sh sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+                   GROUP BY c.da, c.db),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+          SELECT ni.da AS doc_a, ni.db AS doc_b,
+                 ROUND(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+          FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
+          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= $JaccardThreshold"""
+    })
+
+  /** 32-bit SimHash over distinct tokens: bit j votes by the parity of hex
+    * digit j of md5(token); the per-doc sum of ±1 votes thresholds at 0.
+    * Per-row tokenize + one hash-aggregate per doc — no joins at all; at
+    * scale, Hamming-distance bucketing on the signature gives the
+    * candidate stage (Charikar 2002, Manku et al. 2007).
+    */
+  val simHash: CatalogEntry = CatalogEntry(
+    "doc_simhash",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("array_distinct(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '))")).as("tok"))
+        .withColumn("hx", md5(col("tok")))
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      val voteCols = (0 until 32).map(j =>
+        sum(when(substring(col("hx"), j + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v$j"))
+      val bits = (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    },
+    Some {
+      val votes = (0 until 32).map(j =>
+        s"SUM(CASE WHEN substr(hx, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      raw"""WITH toks AS (
+              SELECT DISTINCT doc_id, md5(tok) AS hx FROM (
+                SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS tok
+                FROM documents)),
+            votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
+    })
+
+  /** Word-bigram Jaccard similarity, blocked by `source` (the crawl-
+    * snapshot analogue): pairs are generated only within a block and only
+    * through shared bigrams — never all-pairs. Emits pairs ≥ 0.3.
+    */
+  val ngramJaccard: CatalogEntry = CatalogEntry(
+    "doc_ngram_jaccard",
+    (s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """CASE WHEN size(t) < 2 THEN array(array_join(t, ' '))
+             ELSE transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) END"""))
+          .as("bg"))
+        .distinct()
+      val ni = bg.as("a").join(bg.as("b"),
+          col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      ni.join(sz.as("za"), col("za.doc_id") === col("da"))
+        .join(sz.as("zb"), col("zb.doc_id") === col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    },
+    Some(
+      raw"""WITH bg AS (
+              SELECT DISTINCT doc_id, source, bg FROM (
+                SELECT doc_id, source, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS bg
+                FROM (SELECT doc_id, source, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                      FROM documents))),
+            ni AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+                   FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id)
+          SELECT ni.da AS doc_a, ni.db AS doc_b,
+                 ROUND(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+          FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
+          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= 0.3"""))
+
+  val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, ngramJaccard)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH family: recall vs brute force at test scale, structural invariants. */
+class NearDupSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("doc_near_dup_lsh finds exactly the brute-force pairs >= 0.5 at sf0.001") {
+    // Brute-force ground truth: all pairs sharing >= 1 shingle, exact Jaccard.
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) < 3 THEN array(array_join(t, ' '))
+           ELSE transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"""))
+        .as("sh"))
+      .distinct()
+    val ni = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = ni.join(sz.as("za"), col("za.doc_id") === col("da"))
+      .join(sz.as("zb"), col("zb.doc_id") === col("db"))
+      .select(col("da"), col("db"),
+        (col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+
+    val got = run("doc_near_dup_lsh").select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"LSH pairs != brute force (got ${got.size}, want ${truth.size})")
+    assert(run("doc_near_dup_lsh").filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("doc_simhash: one 32-bit signature per doc") {
+    val df = run("doc_simhash")
+    assert(df.count() == Tables.documents(spark, sf0001).count())
+    assert(df.filter(col("simhash") < 0 || col("simhash") >= (1L << 32)).count() == 0)
+  }
+
+  test("doc_ngram_jaccard: pairs only within a source block, ordered ids") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source")
+    val pairs = run("doc_ngram_jaccard")
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    val crossSource = pairs
+      .join(docs.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(docs.as("y"), col("y.doc_id") === col("doc_b"))
+      .filter(col("x.source") =!= col("y.source"))
+    assert(crossSource.count() == 0)
+  }
+}
