@@ -7,5 +7,6 @@ package graft.queries
   * land).
   */
 object Catalog {
-  def all: Seq[CatalogEntry] = ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all
+  def all: Seq[CatalogEntry] =
+    ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all ++ EmbeddingCatalog.all
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * FLOAT[64], label): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane-LSH bucketed variant as the scale path, and bucketed
+  * cosine near-dup pairs.
+  *
+  * Determinism across engines: dot products are explicit LEFT folds over
+  * per-element double products (same order in Spark `aggregate` and DuckDB
+  * `list_reduce`); scores are rounded to 6 decimals before ranking;
+  * vec_id breaks ties. The LSH hyperplanes are a fixed ±1 matrix derived
+  * from md5 parities at build time and embedded as literals in BOTH the
+  * Spark expressions and the oracle SQL.
+  */
+object EmbeddingCatalog {
+
+  private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private val Dim = 64
+  private val K = 5 // top-k neighbours
+  private val NQueries = 8 // vec_id < NQueries are the query vectors
+  private val Planes = 4 // LSH hyperplanes -> 16 buckets
+  private val NearDupThreshold = 0.3
+
+  /** Deterministic ±1 hyperplane matrix: sign = parity of the first hex
+    * digit of md5("p_i"). Same constants are inlined into the oracle SQL.
+    */
+  private[graft] val planeSigns: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { p =>
+      (0 until Dim).map { i =>
+        val hex = md.digest(s"${p}_$i".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        if ("13579bdf".contains(hex.charAt(0))) 1 else -1
+      }
+    }
+  }
+
+  /** Spark SQL expr: left-fold dot product of two double-cast float arrays. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB: same left fold via list_reduce over a product comprehension. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+
+  /** Signed projection of `v` onto plane `p` — a literal ±-sum, 0-based
+    * (Spark) / 1-based (DuckDB) element access.
+    */
+  private def projExpr(v: String, p: Int, oneBased: Boolean): String =
+    planeSigns(p).zipWithIndex.map { case (s, i) =>
+      val idx = if (oneBased) i + 1 else i
+      val op = if (s > 0) "+" else "-"
+      s"$op CAST($v[$idx] AS DOUBLE)"
+    }.mkString(" ")
+
+  /** LSH bucket id = Σ_p (proj_p > 0) * 2^p. */
+  private def bucketExpr(v: String, oneBased: Boolean): String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN (${projExpr(v, p, oneBased)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val cosineExpr =
+    s"ROUND(${dotExpr("qe", "ce")} / (SQRT(${dotExpr("qe", "qe")}) * SQRT(${dotExpr("ce", "ce")})), 6)"
+  private val cosineSql =
+    s"ROUND(${dotSql("q.embedding", "c.embedding")} / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+
+  /** Shared tail: bounded-heap top-K per query (graft.combine.TopNAgg —
+    * partial aggregation ships ≤K candidates per map partition).
+    */
+  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    val topk = udaf(new graft.combine.TopNAgg(K))
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top.entries")))
+      .select(col("query_id"), col("col.event_id").as("vec_id"),
+        col("col.value").as("score"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** Brute-force exact cosine top-K: the small query set broadcasts against
+    * the corpus — one linear scan, no shuffle of the corpus, map-side
+    * bounded top-K then a K-row-per-query merge. At 100 TB this IS the
+    * correct exact-KNN plan (scan dominates; broadcast keeps it
+    * shuffle-free).
+    */
+  val knnBrute: CatalogEntry = CatalogEntry(
+    "emb_knn_brute",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+      topKPerQuery(scored)
+    },
+    Some(s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+               FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+               WHERE q.vec_id < $NQueries) WHERE rn <= $K"""))
+
+  /** LSH-bucketed approximate top-K: both sides hash to a
+    * random-hyperplane bucket; candidates are corpus vectors in the
+    * query's bucket only (1/2^planes of the corpus in expectation), then
+    * exact cosine + bounded top-K. The scale path when the query set is
+    * itself large: the join keys on the bucket id, so it hash-partitions
+    * instead of broadcasting a scan.
+    */
+  val knnLsh: CatalogEntry = CatalogEntry(
+    "emb_knn_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("bucket").as("cbucket"))
+      val scored = corpus.join(broadcast(queries),
+          col("cbucket") === col("bucket") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+      topKPerQuery(scored)
+    },
+    Some {
+      val qb = bucketExpr("q.embedding", oneBased = true)
+      val cb = bucketExpr("c.embedding", oneBased = true)
+      s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON ($cb) = ($qb) AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
+    })
+
+  /** Embedding-cosine near-duplicate pairs, bucketed: only pairs that
+    * collide in the hyperplane bucket are scored (never all-pairs), kept
+    * when rounded cosine ≥ threshold.
+    */
+  val nearDupCosine: CatalogEntry = CatalogEntry(
+    "emb_near_dup",
+    (s, d) => {
+      val emb = embeddings(s, d)
+        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ce"),
+        col("bucket").as("cbucket"))
+      a.join(b, col("bucket") === col("cbucket") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), expr(cosineExpr).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
+    },
+    Some {
+      val qb = bucketExpr("q.embedding", oneBased = true)
+      val cb = bucketExpr("c.embedding", oneBased = true)
+      s"""SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, $cosineSql AS cosine
+          FROM embeddings q JOIN embeddings c
+            ON ($qb) = ($cb) AND q.vec_id < c.vec_id
+          WHERE $cosineSql >= $NearDupThreshold"""
+    })
+
+  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, nearDupCosine)
+}

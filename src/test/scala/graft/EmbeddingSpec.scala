@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search operators over embeddings. */
+class EmbeddingSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("emb_knn_brute: 5 ranked neighbours per query, matches a window-ranked recomputation") {
+    val got = run("emb_knn_brute")
+    val queries = got.select("query_id").distinct().count()
+    assert(got.count() == queries * 5)
+    // Scores non-increasing within each query.
+    val w = Window.partitionBy("query_id").orderBy("rn")
+    assert(got.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev") < col("score")).count() == 0)
+    // No self-matches.
+    assert(got.filter(col("query_id") === col("vec_id")).count() == 0)
+  }
+
+  test("emb_knn_lsh: candidates restricted to the query's hyperplane bucket") {
+    import graft.queries.EmbeddingCatalog
+    val bucketOf = EmbeddingCatalog.planeSigns.zipWithIndex.map { case (signs, p) =>
+      val proj = signs.zipWithIndex.map { case (s, i) =>
+        (if (s > 0) "+" else "-") + s" CAST(embedding[$i] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val buckets = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), expr(bucketOf).as("bucket"))
+    val got = run("emb_knn_lsh")
+    val joined = got
+      .join(buckets.as("q"), col("q.vec_id") === col("query_id"))
+      .join(buckets.as("c"), col("c.vec_id") === got("vec_id"))
+    assert(joined.filter(col("q.bucket") =!= col("c.bucket")).count() == 0)
+    assert(got.filter(col("rn") > 5).count() == 0)
+  }
+
+  test("emb_near_dup: ordered pairs above threshold, bucket-restricted") {
+    val got = run("emb_near_dup")
+    assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(got.filter(col("cosine") < 0.3).count() == 0)
+  }
+}
