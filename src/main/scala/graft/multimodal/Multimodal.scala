@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal (image/audio/video) column plumbing: media as opaque
+  * `binary` columns with typed metadata, processed by batched
+  * per-partition operators — the Scala analogue of a Pandas-batch UDF
+  * pipeline (`mapInPandas`): a narrow `mapPartitions` over a typed
+  * Dataset, decoding in fixed-size batches so a real codec would amortize
+  * setup per batch, not per row.
+  *
+  * >>> STUB BOUNDARY: this container ships no image/audio codecs, so
+  * `FakeCodec` below is a clearly-marked deterministic stand-in — it
+  * derives "decoded" dimensions and features purely from the bytes. The
+  * Spark-side plumbing (schema, batching, partitioning, one-to-many frame
+  * explode) is real and tested; swapping `FakeCodec` for a JNI/javacpp
+  * codec changes no plan shape. <<<
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + typed metadata (the parquet schema
+    * a real media lake would carry).
+    */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      data: Array[Byte],
+      width: Int, // images/video: pixels; audio: 0
+      height: Int,
+      sample_rate: Int, // audio: Hz; else 0
+      duration_ms: Long) // audio/video; images: 0
+
+  final case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      dec_width: Int,
+      dec_height: Int)
+
+  final case class MediaFeatures(media_id: Long, histogram: Array[Double])
+
+  final case class Frame(media_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long)
+
+  /** Deterministic fake decode — see STUB BOUNDARY note above. */
+  private[multimodal] object FakeCodec {
+    def md5hex(bytes: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+    /** "Decode": dimensions derived from payload length (a real codec
+      * parses the header here — the `???` of this pipeline).
+      */
+    def decode(r: MediaRow): DecodedMedia = DecodedMedia(
+      r.media_id, r.kind, r.data.length.toLong, md5hex(r.data),
+      if (r.width > 0) r.width else 16 + (r.data.length % 64).toInt,
+      if (r.height > 0) r.height else 16 + (r.data.length % 48).toInt)
+
+    /** "Features": 16-bin byte histogram, L1-normalized. */
+    def features(r: MediaRow): MediaFeatures = {
+      val h = new Array[Double](16)
+      r.data.foreach(b => h((b & 0xff) / 16) += 1.0)
+      val n = math.max(1.0, r.data.length.toDouble)
+      MediaFeatures(r.media_id, h.map(_ / n))
+    }
+  }
+
+  /** The media "lake" synthesized deterministically from `documents`
+    * (testdata carries no binary table): payload = utf-8 bytes of the
+    * text, kind/metadata derived from doc_id. Demonstrates binary-column
+    * ingestion end to end.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      expr("element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1)").as("kind"),
+      col("text").cast("binary").as("data"),
+      when(col("doc_id") % 3 === 0, (col("doc_id") % 512 + 64).cast("int")).otherwise(0).as("width"),
+      when(col("doc_id") % 3 === 0, (col("doc_id") % 384 + 48).cast("int")).otherwise(0).as("height"),
+      when(col("doc_id") % 3 === 1, lit(16000)).otherwise(0).as("sample_rate"),
+      when(col("doc_id") % 3 =!= 0, col("n_chars") * 10).otherwise(0L).as("duration_ms"))
+
+  private val BatchSize = 64
+
+  /** Batched decode: partition iterator → fixed-size batches → codec.
+    * Narrow (no shuffle); batches keep a real codec's per-batch setup
+    * amortized exactly like a Pandas-batch UDF.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch => batch.map(FakeCodec.decode) }
+    }
+  }
+
+  /** Batched feature extraction (fake histogram features). */
+  def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(FakeCodec.features)))
+  }
+
+  /** Frame sampling: one-to-many explode of video payloads into one frame
+    * per 500 ms of duration; frame bytes are a deterministic slice (a real
+    * decoder seeks/decodes here). flatMap keeps it narrow.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameEveryMs: Long = 500L): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val nFrames = math.max(1L, r.duration_ms / frameEveryMs)
+      val len = r.data.length.toLong
+      (0L until nFrames).map { i =>
+        val off = if (nFrames == 0) 0L else (i * len) / nFrames
+        Frame(r.media_id, i, off, math.min(len - off, math.max(1L, len / nFrames)))
+      }
+    }
+  }
+
+  def mediaDataset(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow]
+  }
+}

@@ -8,5 +8,6 @@ package graft.queries
   */
 object Catalog {
   def all: Seq[CatalogEntry] =
-    ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all ++ EmbeddingCatalog.all
+    ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all ++
+      EmbeddingCatalog.all ++ MultimodalCatalog.all
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+
+/** Catalog surface for the multimodal plumbing (graft.multimodal): the
+  * decode and frame-sample paths have exact SQL oracles (the fake codec is
+  * deliberately SQL-derivable from the payload bytes); the feature path
+  * has no SQL form (per-byte histogram over a blob) and records the
+  * weaker rows-only check.
+  */
+object MultimodalCatalog {
+
+  /** Batched "decode" of every media payload. */
+  val mediaDecode: CatalogEntry = CatalogEntry(
+    "media_decode",
+    (s, d) => Multimodal.decode(Multimodal.mediaDataset(s, d)).toDF(),
+    Some("""SELECT media_id, kind, n_bytes, md5(text) AS checksum, dec_width, dec_height FROM (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     text,
+                     CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 512 + 64 AS INT)
+                          ELSE CAST(16 + octet_length(encode(text)) % 64 AS INT) END AS dec_width,
+                     CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 384 + 48 AS INT)
+                          ELSE CAST(16 + octet_length(encode(text)) % 48 AS INT) END AS dec_height
+              FROM documents)"""))
+
+  /** One-to-many frame sampling of the video payloads (every 500 ms). */
+  val mediaFrames: CatalogEntry = CatalogEntry(
+    "media_frame_sample",
+    (s, d) => Multimodal.sampleFrames(Multimodal.mediaDataset(s, d)).toDF(),
+    Some("""WITH v AS (
+              SELECT doc_id AS media_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                     GREATEST(1, (n_chars * 10) // 500) AS n_frames
+              FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id, i AS frame_idx,
+                   (i * len) // n_frames AS frame_off,
+                   LEAST(len - (i * len) // n_frames, GREATEST(1, len // n_frames)) AS frame_len
+            FROM (SELECT media_id, len, n_frames, unnest(range(0, n_frames)) AS i FROM v)"""))
+
+  /** Byte-histogram features — not SQL-expressible; rows-only check. */
+  val mediaFeatures: CatalogEntry = CatalogEntry(
+    "media_features",
+    (s, d) => Multimodal.features(Multimodal.mediaDataset(s, d)).toDF(),
+    None)
+
+  val all: Seq[CatalogEntry] = Seq(mediaDecode, mediaFrames, mediaFeatures)
+}
