@@ -68,10 +68,17 @@ object EmbeddingCatalog {
       s"(CASE WHEN (${projExpr(v, p, oneBased)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Pair-time cosine: only the cross dot product is evaluated per pair —
+    * each side's norm (`qn`/`cn`) is computed ONCE per row before the
+    * join (3× fewer higher-order-function folds in the hot pair loop).
+    * The oracle recomputes norms inline — arithmetically identical.
+    */
   private val cosineExpr =
-    s"ROUND(${dotExpr("qe", "ce")} / (SQRT(${dotExpr("qe", "qe")}) * SQRT(${dotExpr("ce", "ce")})), 6)"
+    s"ROUND(${dotExpr("qe", "ce")} / (qn * cn), 6)"
   private val cosineSql =
     s"ROUND(${dotSql("q.embedding", "c.embedding")} / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+
+  private def normExpr(v: String): String = s"SQRT(${dotExpr(v, v)})"
 
   /** Shared tail: bounded-heap top-K per query (graft.combine.TopNAgg —
     * partial aggregation ships ≤K candidates per map partition).
@@ -97,7 +104,9 @@ object EmbeddingCatalog {
       val emb = embeddings(s, d)
       val queries = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", expr(normExpr("qe")))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", expr(normExpr("ce")))
       val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
       topKPerQuery(scored)
@@ -122,8 +131,10 @@ object EmbeddingCatalog {
         .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
       val queries = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+        .withColumn("qn", expr(normExpr("qe")))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("bucket").as("cbucket"))
+        .withColumn("cn", expr(normExpr("ce")))
       val scored = corpus.join(broadcast(queries),
           col("cbucket") === col("bucket") && col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
@@ -150,8 +161,10 @@ object EmbeddingCatalog {
       val emb = embeddings(s, d)
         .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
       val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
+        .withColumn("qn", expr(normExpr("qe")))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ce"),
         col("bucket").as("cbucket"))
+        .withColumn("cn", expr(normExpr("ce")))
       a.join(b, col("bucket") === col("cbucket") && col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), expr(cosineExpr).as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)

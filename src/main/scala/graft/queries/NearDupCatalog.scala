@@ -140,7 +140,17 @@ object NearDupCatalog {
 
   /** Word-bigram Jaccard similarity, blocked by `source` (the crawl-
     * snapshot analogue): pairs are generated only within a block and only
-    * through shared bigrams — never all-pairs. Emits pairs ≥ 0.3.
+    * through shared bigrams (an inverted-index join) — never all-pairs.
+    * Emits pairs ≥ 0.3.
+    *
+    * Scale note: the index join's fan-out is Σ df² per (block, gram). On
+    * natural zipfian text the standard mitigation is df/prefix filtering
+    * of candidate-generating grams; it is deliberately NOT applied here
+    * because (a) exact Jaccard then still needs the full-set intersection
+    * for candidates (measured slower on this corpus's dense 30-word
+    * vocabulary, where df-filtering prunes almost nothing), and (b) block
+    * size caps the worst case at |block|² regardless. For unbounded
+    * blocks, doc_near_dup_lsh is the scale path.
     */
   val ngramJaccard: CatalogEntry = CatalogEntry(
     "doc_ngram_jaccard",
