@@ -47,6 +47,26 @@ object StreamingQueries {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreach(sink)
 
+  /** Streaming tumbling-window count per event_type with an event-time
+    * watermark (the WordCountPreAggregate windowed variant,
+    * WordCountPreAggregate.java:178-185, on event time; SURVEY §2.9
+    * streaming windows + late-data bound). Update mode emits window
+    * upserts; state for windows older than the watermark is dropped.
+    */
+  def windowedCountByType(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"))
+  }
+
   /** Register an AdaptiveTriggerController for `queryName` on this session;
     * caller owns removal. This is `adCombine` (DataStream.java:1424-1436):
     * same pipeline, controller-driven interval.

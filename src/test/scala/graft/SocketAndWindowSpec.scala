@@ -1,0 +1,102 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Formatters
+import graft.sources.SocketLineSource
+import graft.streaming.{Sinks, StreamingQueries, UpsertSink}
+
+/** Socket source (broker-source analogue), streaming windows, formatters. */
+class SocketAndWindowSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("socket source streams lines from a live server; poison pill separable") {
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      Seq("alpha", "beta", "gamma", SocketLineSource.PoisonPill, "delta").foreach(out.println)
+      out.flush()
+      Thread.sleep(3000)
+      sock.close(); server.close()
+    })
+    writer.setDaemon(true); writer.start()
+
+    val sinkId = s"socket-${System.nanoTime()}"
+    val q = SocketLineSource.lines(spark, "localhost", port, ingestionTime = false)
+      .writeStream.outputMode("append")
+      .foreach(new UpsertSink(sinkId)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (Sinks.registry(sinkId).size() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val lines = Sinks.registry(sinkId).asScala.keySet
+    Sinks.clear(sinkId)
+    assert(lines == Set("alpha", "beta", "gamma", "delta", SocketLineSource.PoisonPill))
+    // The data path drops the pill; raw retains it for the shutdown harness.
+    assert(!lines.filter(_ != SocketLineSource.PoisonPill).contains(SocketLineSource.PoisonPill))
+  }
+
+  private type Ev = (Long, Timestamp, Long, String, Double, String)
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private lazy val windowEvs: Seq[Ev] = (1L to 60L).map(i =>
+    (i, ts(f"2024-03-01 ${i % 6}%02d:15:00"), i % 4, s"t${i % 3}", i.toDouble, ""))
+
+  private def runWindowed(watermark: String): Map[String, Seq[Any]] = {
+    val input = MemoryStream[Ev](spark)
+    val sinkId = s"win-${System.nanoTime()}"
+    val q = StreamingQueries.windowedCountByType(
+        input.toDF().toDF(cols: _*), watermarkDelay = watermark)
+      .writeStream.outputMode("update")
+      .foreach(new UpsertSink(sinkId, keyCols = 2)).start()
+    try {
+      input.addData(windowEvs.take(30): _*)
+      q.processAllAvailable()
+      input.addData(windowEvs.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k -> r.toSeq.toList }
+    Sinks.clear(sinkId)
+    got
+  }
+
+  test("streaming windowed count (wide watermark) converges to the batch answer") {
+    val got = runWindowed("12 hours")
+    val want = StreamingQueries.windowedCountByType(windowEvs.toDF(cols: _*))
+      .collect().map(r => s"${r.get(0)}|${r.get(1)}" -> r.toSeq.toList).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("tight watermark drops late rows (bounded state, late-data semantics)") {
+    val got = runWindowed("2 hours")
+    // Burst 2's rows for hours 00-02 arrive > 2h behind the max event time
+    // of burst 1 (05:15) and must be dropped: those windows keep burst-1
+    // counts (5) while in-watermark windows reach the full count (10).
+    assert(got.values.map(_.last).toSet == Set(5L, 10L))
+  }
+
+  test("formatters emit the reference wire formats") {
+    val df = Seq((7L, 42L)).toDF("driver_id", "cnt")
+    assert(Formatters.lines(df, Formatters.flat2).as[String].head() == "7 - 42")
+    assert(Formatters.lines(df, Formatters.retract2).as[String].head() == "(true) 7 - 42")
+    val f3 = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+      .select(Formatters.flat3(col("a"), col("b"), col("c"))).as[String].head()
+    assert(f3 == "1 - 2 - 3")
+    val li = Formatters.lineItemResult(Seq(("A", "F", 100L)).toDF("f", "s", "q")).as[String].head()
+    assert(li == "A|F|100")
+  }
+}
