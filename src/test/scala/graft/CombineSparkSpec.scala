@@ -60,6 +60,28 @@ class CombineSparkSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("Combine.combine runs on a streaming Dataset in update mode (the reference's operator mode)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Sinks, UpsertSink}
+    val input = MemoryStream[(Long, Long)](spark)
+    val counted = Combine.combine(input.toDS(), new CountPreAgg[Long])
+    val sinkId = s"combine-stream-${System.nanoTime()}"
+    val q = counted.toDF("k", "cnt").writeStream.outputMode("update")
+      .foreach(new UpsertSink(sinkId)).start()
+    val data = (1L to 200L).map(i => (i % 9, 1L))
+    try {
+      input.addData(data.take(120): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k.toLong -> r.getLong(1) }
+    Sinks.clear(sinkId)
+    val want = data.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("TopNAgg plan has a partial ObjectHashAggregate before the exchange") {
     val topn = udaf(new TopNAgg(5))
     val plan = events.groupBy("event_type")

@@ -67,6 +67,25 @@ class ModelSpec extends AnyFunSuite {
     assert(LineItem.fromString(line, 3).rowNumber == 3)
   }
 
+  test("TaxiRideRichValues enrichment: distance km + reference elapsed-time quirk") {
+    import TestSpark.spark
+    import spark.implicits._
+    import graft.model.TaxiRideRichValues
+    val ride = TaxiRide.fromString(
+      "1,START,2013-01-01 00:00:00,2013-01-01 00:10:00,-73.99,40.75,-73.98,40.76,2,7,1001")
+    val ds = Seq(ride).toDS()
+    val df = TaxiRideRichValues.enrich(ds).collect().head
+    val typed = TaxiRideRichValues.enrichTyped(ds).collect().head
+    // Column and typed paths agree.
+    assert(math.abs(df.getAs[Double]("euclideanDistance") - typed.euclideanDistance) < 1e-9)
+    assert(df.getAs[Double]("elapsedTime") == typed.elapsedTime)
+    // The reference multiplies ms by 1000*60 (TaxiRideRichValues.java:62-66):
+    // 10 minutes = 600000 ms -> 3.6e10, not 10.
+    assert(typed.elapsedTime == 600000.0 * 1000 * 60)
+    assert(TaxiRideRichValues.elapsedMinutes(0, 600000) == 10.0)
+    assert(typed.euclideanDistance > 0.9 && typed.euclideanDistance < 3.0) // ~1.4 km
+  }
+
   test("TaxiRide.readCsv is a distributed text->Dataset codec") {
     import TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("rides").toFile
