@@ -130,4 +130,30 @@ object Sources {
 
   def defaultRatePath: Path = Paths.get(
     sys.props.getOrElse("graft.datarate.path", "/tmp/graft-datarate.txt"))
+
+  /** Test-data producer (util/MqttDataProducer.java analogue): pushes
+    * lines to a socket client with a controllable inter-line delay, then
+    * the poison pill. Serves the SocketLineSource tests/harness the way
+    * MqttDataProducer feeds the reference's MQTT topics.
+    */
+  final class SocketLineProducer(
+      server: java.net.ServerSocket,
+      lines: Seq[String],
+      delayMs: Long = 0L,
+      sendPoison: Boolean = true) {
+    def start(): Thread = {
+      val t = new Thread(() => {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach { l => out.println(l); if (delayMs > 0) Thread.sleep(delayMs) }
+        if (sendPoison) out.println(graft.sources.SocketLineSource.PoisonPill)
+        out.flush()
+        Thread.sleep(3000) // let the socket source drain before close
+        sock.close(); server.close()
+      }, "socket-line-producer")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+  }
 }

@@ -49,7 +49,22 @@ final case class TriggerDecision(
     processedRowsPerSec: Double,
     batchDurationMs: Long,
     intervalMsBefore: Long,
-    intervalMsAfter: Long)
+    intervalMsAfter: Long) {
+
+  /** The reference's `|`-delimited signal wire format
+    * (PreAggregateProcTimeSignalsMonitor.updateSignals, :132-153:
+    * subtask|outPoolUsage stats×8|recs-in/s|recs-out/s|intervalMs).
+    * Spark has one driver-side signal stream, so the subtask index is 0
+    * and the eight outPoolUsage histogram slots all carry the batch
+    * utilization (Spark's scalar analogue of the gauge).
+    */
+  def asSignalString: String = {
+    val u = f"$utilizationPct%.2f"
+    (Seq("0") ++ Seq.fill(8)(u) ++
+      Seq(f"$inputRowsPerSec%.2f", f"$processedRowsPerSec%.2f", intervalMsBefore.toString))
+      .mkString("|")
+  }
+}
 
 /** Driver-side AdCom controller (SURVEY §2.4 Spark mapping): a
   * `StreamingQueryListener` standing in for the reference's

@@ -22,15 +22,8 @@ class SocketAndWindowSpec extends AnyFunSuite {
   test("socket source streams lines from a live server; poison pill separable") {
     val server = new ServerSocket(0)
     val port = server.getLocalPort
-    val writer = new Thread(() => {
-      val sock = server.accept()
-      val out = new PrintWriter(sock.getOutputStream, true)
-      Seq("alpha", "beta", "gamma", SocketLineSource.PoisonPill, "delta").foreach(out.println)
-      out.flush()
-      Thread.sleep(3000)
-      sock.close(); server.close()
-    })
-    writer.setDaemon(true); writer.start()
+    new graft.sources.Sources.SocketLineProducer(
+      server, Seq("alpha", "beta", "gamma", "delta"), sendPoison = true).start()
 
     val sinkId = s"socket-${System.nanoTime()}"
     val q = SocketLineSource.lines(spark, "localhost", port, ingestionTime = false)

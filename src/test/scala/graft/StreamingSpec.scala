@@ -108,6 +108,8 @@ class StreamingSpec extends AnyFunSuite {
     val log = c.decisions
     assert(log.size == batch.toInt)
     assert(log.exists(_.utilizationPct >= 100.0) && log.exists(_.utilizationPct < 40.0))
+    // Signal wire format: 12 |-delimited fields (monitor analogue).
+    assert(log.head.asSignalString.split("\\|").length == 12)
   }
 
   test("controller receives live StreamingQueryProgress signals (adCombine wiring)") {
