@@ -131,6 +131,32 @@ object Sources {
   def defaultRatePath: Path = Paths.get(
     sys.props.getOrElse("graft.datarate.path", "/tmp/graft-datarate.txt"))
 
+  /** File-replay streaming source: the driver parquet tables replayed as a
+    * micro-batched stream (`maxFilesPerTrigger` caps ingest per trigger) —
+    * the production-shaped counterpart of [[RateLimitedReplay]] for data
+    * already on storage (TaxiRideSource replays a file the same way;
+    * SURVEY §2.1 maps it to exactly this).
+    */
+  def fileReplay(
+      spark: SparkSession,
+      sfDir: String,
+      table: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    graft.Tables.ensureSessionConfs(spark)
+    val path = s"$sfDir/$table.parquet"
+    // Physical file schema (events.ts is INT64 nanos on disk; the batch
+    // loader's converted schema would not match the files).
+    // FileStreamSource needs a directory/glob, not a literal file path —
+    // glob the table file so the sf dir becomes the base.
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$sfDir/{$table}.parquet")
+    if (table == "events")
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+
   /** Test-data producer (util/MqttDataProducer.java analogue): pushes
     * lines to a socket client with a controllable inter-line delay, then
     * the poison pill. Serves the SocketLineSource tests/harness the way

@@ -43,6 +43,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fileReplay streams the events parquet to the batch rolling-aggregate state") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.{Sinks, StreamingQueries, UpsertSink}
+    val stream = Sources.fileReplay(spark, TestSpark.sf0001, "events")
+    assert(stream.isStreaming)
+    val sinkId = s"filereplay-${System.nanoTime()}"
+    val q = StreamingQueries.updating("taxi_ride_count")(stream)
+      .writeStream.outputMode("update").foreach(new UpsertSink(sinkId)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k.toLong -> r.getLong(1) }
+    Sinks.clear(sinkId)
+    val want = graft.queries.Transforms.countByDriver(Tables.events(spark, TestSpark.sf0001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("word rate sources are streaming DataFrames with the word schema") {
     val w = Sources.wordRateSource(spark, Seq("a", "b", "c"), rowsPerSecond = 10)
     assert(w.isStreaming && w.columns.toSeq == Seq("word", "ts"))
