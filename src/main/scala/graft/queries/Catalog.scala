@@ -9,5 +9,6 @@ package graft.queries
 object Catalog {
   def all: Seq[CatalogEntry] =
     ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all ++
-      EmbeddingCatalog.all ++ MultimodalCatalog.all ++ SensorCatalog.all ++ SqlCatalog.all
+      EmbeddingCatalog.all ++ MultimodalCatalog.all ++ SensorCatalog.all ++
+      SqlCatalog.all ++ JoinCatalog.all
 }

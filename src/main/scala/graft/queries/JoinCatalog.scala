@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Multi-table join queries over the TPC-H star schema. The reference
+  * engine has NO joins (SURVEY §2: verified absent) — these extend the
+  * engine to the join surface a complete analytics library needs, shaped
+  * for 100 TB:
+  *
+  *  - fact table (lineitem) is never broadcast and never re-partitioned
+  *    beyond its join key;
+  *  - dimensions (region/nation/customer at filtered selectivity) are
+  *    broadcast explicitly — no shuffle of the big side for them;
+  *  - date/segment predicates are plain column comparisons → pushed to
+  *    the parquet scans;
+  *  - revenue aggregates go through Exact decimals (oracle hash-stable).
+  */
+object JoinCatalog {
+  import Exact._
+
+  private def t(name: String)(s: SparkSession, d: String): DataFrame = Tables.load(s, d, name)
+
+  private val revenue = "l_extendedprice*(1-l_discount)"
+  private def revCol: org.apache.spark.sql.Column =
+    (col("l_extendedprice").cast(DecimalType(12, 4)) *
+      (lit(1) - col("l_discount").cast(DecimalType(6, 4))))
+  private val revSqlSum =
+    sqlToDouble(s"SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))))")
+
+  /** TPC-H Q3 (shipping priority): BUILDING customers' pre-1995-03-15
+    * orders, revenue of late-shipped items, top 10. customer is filtered
+    * then BROADCAST into orders; that join output (still dimension-sized)
+    * broadcasts into lineitem — the fact table never shuffles for a join,
+    * only for the final small-key aggregation.
+    */
+  val tpchQ3: CatalogEntry = CatalogEntry(
+    "tpch_q3",
+    (s, d) => {
+      val cust = t("customer")(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t("lineitem")(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revCol).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             $revSqlSum AS revenue
+             FROM customer, orders, lineitem
+             WHERE c_mktsegment = 'BUILDING'
+               AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+               AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+             GROUP BY l_orderkey, o_orderdate
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5-shaped (local supplier volume): revenue per nation for one
+    * region and year, where the supplying nation is the customer nation.
+    * region→nation is a broadcast chain; supplier and customer broadcast
+    * into the fact flow (dimension sizes); lineitem joins orders on its
+    * own key. Note testdata carries no p/ps tables' columns needed for
+    * exact Q5 semantics beyond this shape.
+    */
+  val tpchQ5: CatalogEntry = CatalogEntry(
+    "tpch_q5",
+    (s, d) => {
+      val nat = t("nation")(s, d).join(
+        broadcast(t("region")(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t("customer")(s, d).join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name").as("cn_name"))
+      val supp = t("supplier")(s, d).select("s_suppkey", "s_nationkey")
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t("lineitem")(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
+        .groupBy(col("cn_name").as("n_name"))
+        .agg(sum(revCol).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some(s"""SELECT n_name, $revSqlSum AS revenue
+             FROM customer, orders, lineitem, supplier, nation, region
+             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND l_suppkey = s_suppkey
+               AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+               AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q10-shaped (returned-item reporting): top 20 customers by lost
+    * revenue on returned items in a quarter. Fact-side filter prunes at
+    * the scan; customer×nation broadcast.
+    */
+  val tpchQ10: CatalogEntry = CatalogEntry(
+    "tpch_q10",
+    (s, d) => {
+      val cust = t("customer")(s, d)
+        .join(broadcast(t("nation")(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal")
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t("lineitem")(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revCol).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name, $revSqlSum AS revenue
+             FROM customer, orders, lineitem, nation
+             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             GROUP BY c_custkey, c_name, n_name
+             ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Shuffle-join path: orders ⋈ customer as a plain (non-broadcast)
+    * sort-merge/shuffle-hash join — order counts per market segment. At
+    * 100 TB both sides can be large; this exercises the co-partitioned
+    * join path (and AQE's runtime choice).
+    */
+  val segmentOrders: CatalogEntry = CatalogEntry(
+    "segment_order_stats",
+    (s, d) => t("orders")(s, d).select("o_custkey", "o_totalprice")
+      .join(t("customer")(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 18, 4).as("total_price")),
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ${sqlSum("o_totalprice", 18, 4)} AS total_price
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment"""))
+
+  val all: Seq[CatalogEntry] = Seq(tpchQ3, tpchQ5, tpchQ10, segmentOrders)
+}

@@ -112,6 +112,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(run("tpch_q6").as[Double].head() > 0)
   }
 
+  test("tpch_q3/q10: ranked join results, revenue descending, broadcast joins in plan") {
+    Seq("tpch_q3" -> 10, "tpch_q10" -> 20).foreach { case (name, n) =>
+      val df = run(name)
+      val rev = df.select("revenue").as[Double].collect()
+      assert(rev.length <= n && rev.nonEmpty)
+      assert(rev.sameElements(rev.sortBy(-_)), s"$name not sorted")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name plan lacks broadcast join")
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+  }
+
+  test("segment_order_stats: every order counted once across segments") {
+    val df = run("segment_order_stats")
+    val n = Tables.orders(spark, sf0001).count()
+    assert(df.agg(sum("n_orders")).as[Long].head() == n)
+  }
+
   test("doc_exact_dedup: copies partition the corpus; canonical ids unique") {
     val df = run("doc_exact_dedup")
     val nDocs = Tables.documents(spark, sf0001).count()
