@@ -67,6 +67,29 @@ object StreamingQueries {
         col("event_type"), col("cnt"))
   }
 
+  /** Rolling per-key count via EXPLICIT keyed state
+    * (`mapGroupsWithState`) — the closest Spark analogue of the
+    * reference's rolling `KeyedStream.reduce` emission model (emit the
+    * updated aggregate for every key touched in the micro-batch;
+    * unbounded keyed state, SURVEY §2.9). The declarative
+    * `groupBy().count()` form is preferred (Catalyst plans partial
+    * aggregation); this path exists for custom state logic the built-in
+    * aggregates can't express.
+    */
+  def rollingCountCustomState(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey((k: Long) => k)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (key, next)
+      }
+  }
+
   /** Register an AdaptiveTriggerController for `queryName` on this session;
     * caller owns removal. This is `adCombine` (DataStream.java:1424-1436):
     * same pipeline, controller-driven interval.

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(runStreaming("taxi_ride_count_day") == batchAnswer("taxi_ride_count_day"))
   }
 
+  test("mapGroupsWithState rolling count converges to the batch answer (custom keyed state)") {
+    val input = MemoryStream[Ev](spark)
+    val sinkId = s"mgws-${System.nanoTime()}"
+    val q = StreamingQueries.rollingCountCustomState(input.toDF().toDF(eventCols: _*))
+      .toDF("driver_id", "cnt")
+      .writeStream.outputMode("update").foreach(new UpsertSink(sinkId)).start()
+    try {
+      input.addData(burst1: _*)
+      q.processAllAvailable()
+      input.addData(burst2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k.toLong -> r.getLong(1) }
+    Sinks.clear(sinkId)
+    val want = (burst1 ++ burst2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("AdaptivePolicy walks the band exactly like the reference controller") {
     import AdaptivePolicy.next
     // Overloaded (≥100 %): +200 regardless of band position.
