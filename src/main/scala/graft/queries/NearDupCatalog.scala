@@ -54,13 +54,28 @@ object NearDupCatalog {
     * touches only candidate pairs. This is the standard scalable MinHash
     * dedup (Broder 1997; Leskovec et al., Mining of Massive Datasets ch.3).
     */
+  /** Per-doc shingle ARRAY (no explode): signatures become a pure per-row
+    * projection — `array_min(transform(...))` per hash — so the signature
+    * stage needs ZERO shuffles (the exploded form paid a distinct shuffle
+    * plus a 12-aggregate groupBy). Values are identical: MIN over the
+    * exploded group ≡ array_min over the distinct array.
+    */
+  private def shingleArraysDF(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) < 3 THEN array(array_join(t, ' '))
+           ELSE transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END)""")
+        .as("shs"))
+
   val nearDupLsh: CatalogEntry = CatalogEntry(
     "doc_near_dup_lsh",
     (s, d) => {
-      val sh = shinglesDF(s, d).cache()
-      val minCols = (0 until K).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"s$i"))
-      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val sh = shinglesDF(s, d)
+      val sigCols = (0 until K).map(i =>
+        expr(s"array_min(transform(shs, sh -> md5(concat('$i', '|', sh))))").as(s"s$i"))
+      val sig = shingleArraysDF(s, d).select(col("doc_id") +: sigCols: _*)
       val bandStructs = (0 until Bands).map { b =>
         val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
         struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
