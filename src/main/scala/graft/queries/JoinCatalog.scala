@@ -157,5 +157,37 @@ object JoinCatalog {
              FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY c_mktsegment"""))
 
-  val all: Seq[CatalogEntry] = Seq(tpchQ3, tpchQ5, tpchQ10, segmentOrders)
+  /** TPC-H Q18-shaped (large-volume customers): orders whose total
+    * lineitem quantity exceeds a threshold, joined back to the customer.
+    * The HAVING runs as a pre-aggregation on the fact table FIRST (one
+    * shuffle on l_orderkey, quantity threshold prunes before any join),
+    * then only the few surviving orders broadcast-join the dimensions —
+    * the aggregate-then-join shape that survives scale, vs joining first
+    * and aggregating the blown-up result.
+    */
+  val tpchQ18: CatalogEntry = CatalogEntry(
+    "tpch_q18",
+    (s, d) => {
+      val bigOrders = t("lineitem")(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity"), 12, 4).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val ord = t("orders")(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t("customer")(s, d).select("c_custkey", "c_name")
+      bigOrders
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("l_orderkey").as("o_orderkey"),
+          col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, o_orderkey, total_qty FROM (
+               SELECT l_orderkey, ${sqlSum("l_quantity", 12, 4)} AS total_qty
+               FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) big
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             ORDER BY total_qty DESC, o_orderkey LIMIT 20"""))
+
+  val all: Seq[CatalogEntry] = Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders)
 }

@@ -90,6 +90,26 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming exact deduplication: the streaming counterpart of the
+    * batch `doc_exact_dedup` operator — drop records whose normalized-
+    * content hash was already seen, with a watermark bounding the dedup
+    * state (old keys are evicted once the watermark passes; a duplicate
+    * arriving later than the watermark would be re-admitted — the
+    * standard bounded-state trade-off at 100 TB).
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withColumn("content_hash",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("content_hash")
+  }
+
   /** Register an AdaptiveTriggerController for `queryName` on this session;
     * caller owns removal. This is `adCombine` (DataStream.java:1424-1436):
     * same pipeline, controller-driven interval.

@@ -87,6 +87,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  private type Doc = (Long, Timestamp, String)
+
+  test("streaming dedup drops in-watermark duplicates, keeps distinct content") {
+    val t0 = ts("2024-03-01 10:00:00")
+    val docs: Seq[Doc] = Seq(
+      (1L, t0, "alpha beta"),
+      (2L, t0, "ALPHA   beta"), // normalizes to the same content -> dup
+      (3L, t0, "gamma delta"),
+      (4L, t0, "alpha beta"), // dup again
+      (5L, t0, "epsilon"))
+    val input = MemoryStream[Doc](spark)
+    val sinkId = s"dedup-${System.nanoTime()}"
+    val q = StreamingQueries.streamingDedup(
+        input.toDF().toDF("doc_id", "ts", "text"), tsCol = "ts")
+      .select("content_hash", "doc_id")
+      .writeStream.outputMode("append").foreach(new UpsertSink(sinkId)).start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = Sinks.registry(sinkId).asScala.values.map(_.getLong(1)).toSet
+    Sinks.clear(sinkId)
+    assert(kept == Set(1L, 3L, 5L), s"kept $kept") // first of each content wins
+  }
+
   test("AdaptivePolicy walks the band exactly like the reference controller") {
     import AdaptivePolicy.next
     // Overloaded (≥100 %): +200 regardless of band position.
