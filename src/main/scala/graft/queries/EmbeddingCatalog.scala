@@ -178,5 +178,44 @@ object EmbeddingCatalog {
           WHERE $cosineSql >= $NearDupThreshold"""
     })
 
-  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, nearDupCosine)
+  /** Multi-probe LSH top-K: the recall upgrade of [[knnLsh]] — each query
+    * probes its own bucket AND every Hamming-1 neighbor bucket (flip one
+    * hyperplane bit), recovering near-neighbors that fell just across one
+    * hyperplane. 1+Planes probes ⇒ candidate set grows ~(1+Planes)/2^Planes
+    * of the corpus, still far from a scan (Lv et al., VLDB 2007).
+    */
+  val knnLshMultiprobe: CatalogEntry = CatalogEntry(
+    "emb_knn_lsh_multiprobe",
+    (s, d) => {
+      val emb = embeddings(s, d)
+        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
+      val probes = (0 until Planes).map(p => s"CAST(bucket ^ ${1 << p} AS INT)")
+        .mkString("array(CAST(bucket AS INT), ", ", ", ")")
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(expr(probes)).as("probe"))
+        .withColumn("qn", expr(normExpr("qe")))
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("bucket").as("cbucket"))
+        .withColumn("cn", expr(normExpr("ce")))
+      val scored = corpus.join(broadcast(queries),
+          col("cbucket") === col("probe") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+        .distinct() // a candidate can collide through several probes
+      topKPerQuery(scored)
+    },
+    Some {
+      val qb = bucketExpr("q.embedding", oneBased = true)
+      val cb = bucketExpr("c.embedding", oneBased = true)
+      val probeList = (Seq(s"($qb)") ++ (0 until Planes).map(p => s"xor(($qb), ${1 << p})"))
+        .mkString(", ")
+      s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON ($cb) IN ($probeList) AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
+    })
+
+  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, knnLshMultiprobe, nearDupCosine)
 }

@@ -173,5 +173,46 @@ object PipelineCatalog {
              list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
              FROM documents"""))
 
-  val all: Seq[CatalogEntry] = Seq(exactDedup, textStats, tokenCount, langId, fingerprint)
+  /** Sessionization (gaps-and-islands): per-user sessions split on >30 min
+    * idle gaps, reported as session count + largest session. Windows
+    * partition by user_id — the per-key ordering a cluster performs as a
+    * single shuffle + in-partition sort; no global sort anywhere.
+    * (Streaming counterpart: `session_window` with a watermark.)
+    */
+  val userSessions: CatalogEntry = CatalogEntry(
+    "user_sessions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val gapS = 1800L
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+        .withColumn("new_s",
+          when(lag("tss", 1).over(w).isNull ||
+            col("tss") - lag("tss", 1).over(w) > gapS, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id").as("driver_id"))
+        .agg(count(lit(1)).as("n_sessions"), max("n").as("max_session_events"))
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS tss FROM events),
+            flags AS (
+              SELECT user_id, event_id, tss,
+                     CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+            sess AS (
+              SELECT user_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags),
+            per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
+          SELECT user_id AS driver_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+          FROM per GROUP BY user_id"""))
+
+  val all: Seq[CatalogEntry] =
+    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions)
 }

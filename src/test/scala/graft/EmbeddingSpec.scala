@@ -41,6 +41,26 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(got.filter(col("rn") > 5).count() == 0)
   }
 
+  test("multi-probe top-1 is never worse than single-probe top-1 (recall upgrade)") {
+    val single = run("emb_knn_lsh").filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect().toMap
+    val multi = run("emb_knn_lsh_multiprobe").filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect().toMap
+    assert(multi.keySet.intersect(single.keySet).nonEmpty)
+    single.foreach { case (q, s) =>
+      assert(multi.getOrElse(q, Double.MinValue) >= s, s"query $q lost recall")
+    }
+  }
+
+  test("user_sessions: one row per driver, sane bounds") {
+    val df = SparkEntry.queries("user_sessions")(spark, sf0001)
+    val nDrivers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(df.count() == nDrivers)
+    assert(df.filter(col("n_sessions") < 1 || col("max_session_events") < 1).count() == 0)
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(df.agg(sum("max_session_events")).as[Long].head() <= nEvents)
+  }
+
   test("emb_near_dup: ordered pairs above threshold, bucket-restricted") {
     val got = run("emb_near_dup")
     assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
