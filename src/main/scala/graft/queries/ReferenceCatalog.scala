@@ -351,9 +351,45 @@ object ReferenceCatalog {
     (s, d) => events(s, d).agg(davg(col("value")).as("avg_value")),
     Some(s"SELECT ${sqlAvg("value")} AS avg_value FROM events"))
 
+  /** Exact interpolated percentiles of value per event_type (Spark
+    * `percentile` ≙ DuckDB `quantile_cont`, both the standard
+    * p·(n−1) 0-based interpolation), rounded 6 for cross-engine float
+    * stability. Exact percentiles sort within each small group after a
+    * single shuffle; for heavy groups at 100 TB the approx sketch path
+    * below is the scale alternative.
+    */
+  val valuePercentiles: CatalogEntry = CatalogEntry(
+    "value_percentiles",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+            ROUND(quantile_cont(value, 0.5), 6) AS p50,
+            ROUND(quantile_cont(value, 0.9), 6) AS p90,
+            ROUND(quantile_cont(value, 0.99), 6) AS p99,
+            COUNT(*) AS n
+            FROM events GROUP BY event_type"""))
+
+  /** Sketch path: approximate distinct users per event_type
+    * (HyperLogLog++, 1% target RSD). Engines' sketches differ, so there
+    * is no value oracle — the driver records the rows-only check; the
+    * test suite bounds the relative error against the exact count.
+    */
+  val approxDistinct: CatalogEntry = CatalogEntry(
+    "events_approx_distinct",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+    None)
+
   val all: Seq[CatalogEntry] = Seq(
     taxiRideCount, taxiRideMax, taxiRideAvg, taxiRideAvg3,
     taxiRideCountDay, taxiRideCountDistinctSql, taxiRideTopN, topNPerKey,
     avgDistanceGlobal, distanceTopNPerKey, wordCount, windowedCount,
-    tpchQ1, tpchQ1Full, tpchQ6, globalAvgValue)
+    tpchQ1, tpchQ1Full, tpchQ6, globalAvgValue,
+    valuePercentiles, approxDistinct)
 }

@@ -130,6 +130,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.agg(sum("n_orders")).as[Long].head() == n)
   }
 
+  test("value_percentiles: ordered quantiles bracketed by min/max") {
+    val df = run("value_percentiles")
+    assert(df.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+  }
+
+  test("events_approx_distinct: within 5% of the exact distinct count") {
+    val approx = run("events_approx_distinct")
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: approx ${approx(k)} vs $n")
+    }
+  }
+
   test("doc_exact_dedup: copies partition the corpus; canonical ids unique") {
     val df = run("doc_exact_dedup")
     val nDocs = Tables.documents(spark, sf0001).count()

@@ -38,6 +38,40 @@ class SkewSpec extends AnyFunSuite {
     assert("Aggregate".r.findAllIn(plan).size >= 2, s"expected two Aggregates:\n$plan")
   }
 
+  test("adaptive controller raises the flush interval under a heavy skewed stream (the AdCom demo)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Sinks, StreamingQueries, UpsertSink}
+    // Start at the floor: real micro-batches of a 150k-row skewed word
+    // count take far longer than 50ms, so utilization >= 100% (overload)
+    // and the banded policy must walk the interval UP.
+    val ctl = StreamingQueries.withController(spark, "skew_adapt", initialIntervalMs = 50L)
+    val words = Sources.skewedWords("GUTENBERG", (1 to 50).map(i => s"w$i"), 150000, 0.4)
+    val input = MemoryStream[String](spark)
+    val sinkId = s"skewadapt-${System.nanoTime()}"
+    val q = input.toDF().toDF("word").groupBy("word").count()
+      .writeStream.queryName("skew_adapt").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .foreach(new UpsertSink(sinkId)).start()
+    try {
+      words.grouped(50000).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val deadline = System.currentTimeMillis() + 10000
+      while (ctl.decisions.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ctl)
+      Sinks.clear(sinkId)
+    }
+    assert(ctl.decisions.nonEmpty, "no progress signals reached the controller")
+    assert(ctl.decisions.exists(_.utilizationPct >= 100.0),
+      s"no overloaded batch observed: ${ctl.decisions.map(_.utilizationPct)}")
+    assert(ctl.currentIntervalMs > 50L,
+      s"interval did not adapt upward: ${ctl.decisions}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val prev = Map(
       "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
