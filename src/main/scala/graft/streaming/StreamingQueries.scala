@@ -90,6 +90,27 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming sessionization via `session_window`: per-user sessions
+    * that close after `gap` idle time (the streaming counterpart of the
+    * batch gaps-and-islands `user_sessions` entry). Append mode emits a
+    * session only once the watermark passes its close — exactly-once
+    * session records downstream.
+    */
+  def sessionsByUser(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start_s"),
+        col("n_events"))
+  }
+
   /** Streaming exact deduplication: the streaming counterpart of the
     * batch `doc_exact_dedup` operator — drop records whose normalized-
     * content hash was already seen, with a watermark bounding the dedup

@@ -82,6 +82,40 @@ class SocketAndWindowSpec extends AnyFunSuite {
     assert(got.values.map(_.last).toSet == Set(5L, 10L))
   }
 
+  test("streaming session windows close at the watermark and match batch sessionization") {
+    // Two users: u1 has two sessions (40-min gap), u2 one session.
+    val evs: Seq[Ev] = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "t", 1.0, ""),
+      (2L, ts("2024-03-01 10:10:00"), 1L, "t", 1.0, ""),
+      (3L, ts("2024-03-01 10:50:01"), 1L, "t", 1.0, ""), // >30min after #2 -> new session
+      (4L, ts("2024-03-01 10:05:00"), 2L, "t", 1.0, ""),
+      (5L, ts("2024-03-01 10:20:00"), 2L, "t", 1.0, ""))
+    // Sentinel far in the future advances the watermark so all real
+    // sessions close and append-mode emits them.
+    val sentinel: Ev = (99L, ts("2024-03-05 00:00:00"), 999L, "t", 0.0, "")
+
+    val input = MemoryStream[Ev](spark)
+    val sinkId = s"sess-${System.nanoTime()}"
+    val q = StreamingQueries.sessionsByUser(input.toDF().toDF(cols: _*))
+      .writeStream.outputMode("append")
+      .foreach(new UpsertSink(sinkId, keyCols = 2)).start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 != 999L).toSet
+    Sinks.clear(sinkId)
+    val want = Set(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00").getTime / 1000, 2L),
+      (1L, Timestamp.valueOf("2024-03-01 10:50:01").getTime / 1000, 1L),
+      (2L, Timestamp.valueOf("2024-03-01 10:05:00").getTime / 1000, 2L))
+    assert(got == want, s"got $got")
+  }
+
   test("formatters emit the reference wire formats") {
     val df = Seq((7L, 42L)).toDF("driver_id", "cnt")
     assert(Formatters.lines(df, Formatters.flat2).as[String].head() == "7 - 42")
