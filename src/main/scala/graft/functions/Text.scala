@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public text-processing functions — the building blocks of the
+  * training-data pipeline catalog (normalization, tokenization,
+  * shingling, hashing, fingerprints), exposed as composable `Column`
+  * functions so library users can build their own pipelines. Everything
+  * here is built-in-function composition: whole-stage codegen'd, no UDFs.
+  *
+  * Engine-portability contract (kept in sync with the DuckDB oracles in
+  * graft.queries): md5-based hashing, left-fold rolling hash, whitespace
+  * semantics of `\s+` splitting. See PipelineCatalog / NearDupCatalog for
+  * the SQL mirror of each function.
+  */
+object Text {
+
+  /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the trimmed text, original case. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace tokens of the normalized text. */
+  def normTokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Exact-dedup content key: md5 of the normalized text. */
+  def contentHash(text: Column): Column = md5(normalize(text))
+
+  /** Word n-grams over a token array; whole input as one gram when the
+    * doc is shorter than n.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordNgrams(normTokens(text), n))
+
+  /** MinHash signature: k columns, each the lexicographic minimum of
+    * `md5(seed || '|' || shingle)` — deterministic and engine-portable.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(shingleArr, s => md5(concat(lit(i.toString), lit("|"), s)))).as(s"s$i")
+    }
+
+  /** Order-insensitive set fingerprint: md5 of the sorted distinct token
+    * set.
+    */
+  def setFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(normTokens(text))), " "))
+
+  /** Order-sensitive rolling polynomial hash over characters, mod 1e9+7. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(lower(trim(text)), ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Count of tokens contained in a fixed word set. */
+  def tokensInSet(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** BPE-style pre-tokenization count: letter runs | digit runs | other
+    * symbol runs (the GPT-2 split shape).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(raw"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"), lit(0)))
+}

@@ -25,16 +25,11 @@ object NearDupCatalog {
   private val JaccardThreshold = 0.5
 
   /** Per-doc distinct word-3-gram shingles (whole normalized text when the
-    * doc has <3 tokens).
+    * doc has <3 tokens). Built from the public Text API.
     */
   private def shinglesDF(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"),
-        expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) < 3 THEN array(array_join(t, ' '))
-           ELSE transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"""))
-        .as("sh"))
+      .select(col("doc_id"), explode(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
       .distinct()
 
   private val shinglesSql =
@@ -62,19 +57,13 @@ object NearDupCatalog {
     */
   private def shingleArraysDF(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"),
-        expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(t) < 3 THEN array(array_join(t, ' '))
-           ELSE transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END)""")
-        .as("shs"))
+      .select(col("doc_id"), graft.functions.Text.shingles(col("text"), 3).as("shs"))
 
   val nearDupLsh: CatalogEntry = CatalogEntry(
     "doc_near_dup_lsh",
     (s, d) => {
       val sh = shinglesDF(s, d)
-      val sigCols = (0 until K).map(i =>
-        expr(s"array_min(transform(shs, sh -> md5(concat('$i', '|', sh))))").as(s"s$i"))
+      val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
       val sig = shingleArraysDF(s, d).select(col("doc_id") +: sigCols: _*)
       val bandStructs = (0 until Bands).map { b =>
         val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
@@ -131,7 +120,7 @@ object NearDupCatalog {
     (s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"),
-          explode(expr("array_distinct(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '))")).as("tok"))
+          explode(array_distinct(graft.functions.Text.normTokens(col("text")))).as("tok"))
         .withColumn("hx", md5(col("tok")))
       val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
       val voteCols = (0 until 32).map(j =>
@@ -172,11 +161,8 @@ object NearDupCatalog {
     (s, d) => {
       val bg = documents(s, d)
         .select(col("doc_id"), col("source"),
-          expr("split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')").as("t"))
-        .select(col("doc_id"), col("source"), explode(expr(
-          """CASE WHEN size(t) < 2 THEN array(array_join(t, ' '))
-             ELSE transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) END"""))
-          .as("bg"))
+          explode(graft.functions.Text.wordNgrams(
+            graft.functions.Text.normTokens(col("text")), 2)).as("bg"))
         .distinct()
       val ni = bg.as("a").join(bg.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&

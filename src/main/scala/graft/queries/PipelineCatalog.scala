@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Text
 
 /** Large-scale training-data pipeline operators over the `documents` table
   * (doc_id, text, lang, source, n_chars): dedup, text analysis, language
@@ -20,11 +21,9 @@ object PipelineCatalog {
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
-  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val normSql = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
   /** Whitespace tokens of the trimmed text (no empty tokens). */
-  private val toksExpr = "split(trim(text), '\\\\s+')"
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
 
   // -------------------------------------------------------------------
@@ -40,7 +39,7 @@ object PipelineCatalog {
   val exactDedup: CatalogEntry = CatalogEntry(
     "doc_exact_dedup",
     (s, d) => documents(s, d)
-      .select(expr(s"md5($normExpr)").as("content_hash"), col("doc_id"))
+      .select(Text.contentHash(col("text")).as("content_hash"), col("doc_id"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
     Some(s"""SELECT md5($normSql) AS content_hash,
@@ -64,11 +63,11 @@ object PipelineCatalog {
     "doc_text_stats",
     (s, d) => documents(s, d).select(
       col("doc_id"),
-      expr(s"size($toksExpr)").cast("long").as("n_tokens"),
+      size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars_m"),
       expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
         .cast("long").as("punct_cnt"),
-      expr(s"size(filter($toksExpr, t -> t IN ($stopListSql)))").cast("long").as("stop_cnt"))
+      Text.tokensInSet(Text.wsTokens(col("text")), stopwords).cast("long").as("stop_cnt"))
       .withColumn("stop_ratio", round(col("stop_cnt") / col("n_tokens"), 6))
       .withColumn("avg_token_len",
         round((col("n_chars_m") - col("punct_cnt")) / col("n_tokens"), 6))
@@ -92,13 +91,12 @@ object PipelineCatalog {
     * pre-tokenization (letter runs | digit runs | single other-symbol
     * runs — the GPT-2-style split shape). Per-row, no shuffle.
     */
-  private val bpePat = raw"\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
   val tokenCount: CatalogEntry = CatalogEntry(
     "doc_token_count",
     (s, d) => documents(s, d).select(
       col("doc_id"),
-      expr(s"size($toksExpr)").cast("long").as("ws_tokens"),
-      expr(s"size(regexp_extract_all(text, '$bpePat', 0))").cast("long").as("bpe_tokens")),
+      size(Text.wsTokens(col("text"))).cast("long").as("ws_tokens"),
+      Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
     Some(raw"""SELECT doc_id,
              CAST(len($toksSql) AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe_tokens
@@ -123,9 +121,8 @@ object PipelineCatalog {
     (s, d) => {
       val base = documents(s, d)
       val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
         df.withColumn(s"score_$lang",
-          expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t IN ($list)))").cast("long"))
+          Text.tokensInSet(Text.normTokens(col("text")), words).cast("long"))
       }
       val best = langProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
       val pred = langProfiles.foldRight(lit("und")) { case ((lang, _), els) =>
@@ -164,10 +161,8 @@ object PipelineCatalog {
     "doc_fingerprint",
     (s, d) => documents(s, d).select(
       col("doc_id"),
-      expr(s"md5(array_join(array_sort(array_distinct(split(lower(trim(text)), '\\\\s+'))), ' '))")
-        .as("set_fp"),
-      expr("aggregate(filter(split(lower(trim(text)), ''), c -> c != ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
-        .as("roll_fp")),
+      Text.setFingerprint(col("text")).as("set_fp"),
+      Text.rollingHash(col("text")).as("roll_fp")),
     Some(raw"""SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS set_fp,
              list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp

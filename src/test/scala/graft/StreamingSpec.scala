@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite {
 
   private type Doc = (Long, Timestamp, String)
 
+  test("checkpointed query restarts with state intact (fault-tolerance semantics)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sinkId = s"ckpt-${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    def startQuery() =
+      StreamingQueries.updating("taxi_ride_count")(input.toDF().toDF(eventCols: _*))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreach(new UpsertSink(sinkId)).start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(burst1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Restart from the checkpoint: keyed state must survive, burst2
+    // counts must ACCUMULATE onto burst1's, not restart from zero.
+    val q2 = startQuery()
+    try {
+      input.addData(burst2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k -> r.toSeq.toList }
+    Sinks.clear(sinkId)
+    assert(got == batchAnswer("taxi_ride_count"))
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct content") {
     val t0 = ts("2024-03-01 10:00:00")
     val docs: Seq[Doc] = Seq(
