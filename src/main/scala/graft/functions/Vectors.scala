@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public vector functions over `array<float|double>` embedding columns.
+  * Dot products are explicit LEFT folds (deterministic summation order —
+  * the engine-portability contract shared with the DuckDB oracles); all
+  * composition is built-in functions, no UDFs.
+  */
+object Vectors {
+
+  /** Left-fold dot product with per-element double widening. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; pass precomputed norms when scoring many pairs
+    * (compute each side's norm once per row, not once per pair).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Signed projection of `v` onto a ±1 hyperplane (sign vector). */
+  def project(v: Column, signs: Seq[Int]): Column =
+    signs.zipWithIndex.map { case (s, i) =>
+      val e = element_at(v, i + 1).cast("double")
+      if (s > 0) e else -e
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH bucket id: bit p set when the projection onto
+    * plane p is positive.
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (signs, p) =>
+      when(project(v, signs) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

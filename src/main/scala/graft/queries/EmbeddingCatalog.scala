@@ -73,12 +73,10 @@ object EmbeddingCatalog {
     * join (3× fewer higher-order-function folds in the hot pair loop).
     * The oracle recomputes norms inline — arithmetically identical.
     */
-  private val cosineExpr =
-    s"ROUND(${dotExpr("qe", "ce")} / (qn * cn), 6)"
+  private def cosineCol: org.apache.spark.sql.Column =
+    round(graft.functions.Vectors.cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
   private val cosineSql =
     s"ROUND(${dotSql("q.embedding", "c.embedding")} / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
-
-  private def normExpr(v: String): String = s"SQRT(${dotExpr(v, v)})"
 
   /** Shared tail: bounded-heap top-K per query (graft.combine.TopNAgg —
     * partial aggregation ships ≤K candidates per map partition).
@@ -104,11 +102,11 @@ object EmbeddingCatalog {
       val emb = embeddings(s, d)
       val queries = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .withColumn("qn", expr(normExpr("qe")))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-        .withColumn("cn", expr(normExpr("ce")))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
       val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
-        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(scored)
     },
     Some(s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
@@ -128,16 +126,16 @@ object EmbeddingCatalog {
     "emb_knn_lsh",
     (s, d) => {
       val emb = embeddings(s, d)
-        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
+        .withColumn("bucket", graft.functions.Vectors.hyperplaneBucket(col("embedding"), planeSigns))
       val queries = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-        .withColumn("qn", expr(normExpr("qe")))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("bucket").as("cbucket"))
-        .withColumn("cn", expr(normExpr("ce")))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
       val scored = corpus.join(broadcast(queries),
           col("cbucket") === col("bucket") && col("cand_id") =!= col("query_id"))
-        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(scored)
     },
     Some {
@@ -159,14 +157,14 @@ object EmbeddingCatalog {
     "emb_near_dup",
     (s, d) => {
       val emb = embeddings(s, d)
-        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
+        .withColumn("bucket", graft.functions.Vectors.hyperplaneBucket(col("embedding"), planeSigns))
       val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
-        .withColumn("qn", expr(normExpr("qe")))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ce"),
         col("bucket").as("cbucket"))
-        .withColumn("cn", expr(normExpr("ce")))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
       a.join(b, col("bucket") === col("cbucket") && col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), expr(cosineExpr).as("cosine"))
+        .select(col("vec_a"), col("vec_b"), cosineCol.as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)
     },
     Some {
@@ -188,19 +186,20 @@ object EmbeddingCatalog {
     "emb_knn_lsh_multiprobe",
     (s, d) => {
       val emb = embeddings(s, d)
-        .withColumn("bucket", expr(bucketExpr("embedding", oneBased = false)))
-      val probes = (0 until Planes).map(p => s"CAST(bucket ^ ${1 << p} AS INT)")
-        .mkString("array(CAST(bucket AS INT), ", ", ", ")")
+        .withColumn("bucket", graft.functions.Vectors.hyperplaneBucket(col("embedding"), planeSigns))
+      val probes = array(
+        (col("bucket").cast("int") +: (0 until Planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1 << p)).cast("int"))): _*)
       val queries = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          explode(expr(probes)).as("probe"))
-        .withColumn("qn", expr(normExpr("qe")))
+          explode(probes).as("probe"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("bucket").as("cbucket"))
-        .withColumn("cn", expr(normExpr("ce")))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
       val scored = corpus.join(broadcast(queries),
           col("cbucket") === col("probe") && col("cand_id") =!= col("query_id"))
-        .select(col("query_id"), col("cand_id"), expr(cosineExpr).as("score"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
         .distinct() // a candidate can collide through several probes
       topKPerQuery(scored)
     },
