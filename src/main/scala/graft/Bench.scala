@@ -26,7 +26,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional focus filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset (each
+    // query twice under the warmup pass + timed pass as usual).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = Catalog.all.map(e => e.name -> e.build)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup: run everything once at the smallest sf; ignore failures here
     // (they will be reported from the timed pass).

@@ -62,9 +62,16 @@ object NearDupCatalog {
   val nearDupLsh: CatalogEntry = CatalogEntry(
     "doc_near_dup_lsh",
     (s, d) => {
-      val sh = shinglesDF(s, d)
+      // Everything up to candidate generation is per-row on shingle
+      // ARRAYS — zero shuffles before the (tiny) band self-join. The
+      // array DF feeds four branches (band self-join ×2, pair sides ×2),
+      // so materialize it once — at cluster scale this is the persisted
+      // shingle table every LSH dedup pipeline stages to storage anyway.
+      val arrays = shingleArraysDF(s, d).cache()
       val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
-      val sig = shingleArraysDF(s, d).select(col("doc_id") +: sigCols: _*)
+      // Materialize signatures: the band explode and the self-join would
+      // otherwise inline (and recompute) the K md5-array folds per branch.
+      val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
       val bandStructs = (0 until Bands).map { b =>
         val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
         struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
@@ -76,15 +83,15 @@ object NearDupCatalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val ni = cand
-        .join(sh.as("sa"), col("sa.doc_id") === col("da"))
-        .join(sh.as("sb"), col("sb.doc_id") === col("db") && col("sb.sh") === col("sa.sh"))
-        .groupBy("da", "db").agg(count(lit(1)).as("n_inter"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      ni.join(sz.as("za"), col("za.doc_id") === col("da"))
-        .join(sz.as("zb"), col("zb.doc_id") === col("db"))
+      // Exact verification via array_intersect on the two shingle sets —
+      // per-candidate-pair work, no exploded shingle join.
+      cand
+        .join(arrays.select(col("doc_id").as("da"), col("shs").as("shs_a")), Seq("da"))
+        .join(arrays.select(col("doc_id").as("db"), col("shs").as("shs_b")), Seq("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          round(col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter")), 6).as("jaccard"))
+          round(size(array_intersect(col("shs_a"), col("shs_b"))) /
+            (size(col("shs_a")) + size(col("shs_b")) -
+              size(array_intersect(col("shs_a"), col("shs_b")))), 6).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
     },
     Some {
@@ -159,11 +166,14 @@ object NearDupCatalog {
   val ngramJaccard: CatalogEntry = CatalogEntry(
     "doc_ngram_jaccard",
     (s, d) => {
+      // The bigram index feeds three branches (self-join both sides + set
+      // sizes) — materialize once.
       val bg = documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(graft.functions.Text.wordNgrams(
             graft.functions.Text.normTokens(col("text")), 2)).as("bg"))
         .distinct()
+        .cache()
       val ni = bg.as("a").join(bg.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
             col("a.doc_id") < col("b.doc_id"))
