@@ -29,13 +29,26 @@ object Text {
   /** Exact-dedup content key: md5 of the normalized text. */
   def contentHash(text: Column): Column = md5(normalize(text))
 
-  /** Word n-grams over a token array; whole input as one gram when the
-    * doc is shorter than n.
+  /** Evaluate `value` once and bind it for reuse inside `body`. Spark has
+    * no `let` and CollapseProject re-inlines projections, so an expression
+    * referenced k times is evaluated k times — ruinous when the expression
+    * is a tokenize/regex chain referenced per array element. A
+    * higher-order-function lambda variable IS a let: wrap the value in a
+    * 1-element array, `transform` binds it once, the body reuses it.
     */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  def bound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** Word n-grams over a token array; whole input as one gram when the
+    * doc is shorter than n. The token array is let-bound: element access
+    * inside the gram lambda must NOT re-evaluate the tokenizer per
+    * element (measured 10× on the shingle pipeline).
+    */
+  def wordNgrams(toks: Column, n: Int): Column = bound(toks) { t =>
+    when(size(t) < n, array(array_join(t, " ")))
+      .otherwise(transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
 
   /** Distinct word n-gram shingles of the normalized text. */
   def shingles(text: Column, n: Int = 3): Column =

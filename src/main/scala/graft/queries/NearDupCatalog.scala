@@ -62,15 +62,13 @@ object NearDupCatalog {
   val nearDupLsh: CatalogEntry = CatalogEntry(
     "doc_near_dup_lsh",
     (s, d) => {
-      // Everything up to candidate generation is per-row on shingle
-      // ARRAYS — zero shuffles before the (tiny) band self-join. The
-      // array DF feeds four branches (band self-join ×2, pair sides ×2),
-      // so materialize it once — at cluster scale this is the persisted
-      // shingle table every LSH dedup pipeline stages to storage anyway.
+      // Per-row signatures (array_min over md5 transforms): ZERO shuffles
+      // before the tiny band self-join. Correct performance depends on
+      // Text.wordNgrams let-binding its token array — without it the
+      // tokenizer re-evaluates per array element (measured 10×).
+      // The two cached intermediates each feed two plan branches.
       val arrays = shingleArraysDF(s, d).cache()
       val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
-      // Materialize signatures: the band explode and the self-join would
-      // otherwise inline (and recompute) the K md5-array folds per branch.
       val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
       val bandStructs = (0 until Bands).map { b =>
         val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
