@@ -24,14 +24,6 @@ object NearDupCatalog {
   private val Rows = K / Bands
   private val JaccardThreshold = 0.5
 
-  /** Per-doc distinct word-3-gram shingles (whole normalized text when the
-    * doc has <3 tokens). Built from the public Text API.
-    */
-  private def shinglesDF(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), explode(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
-      .distinct()
-
   private val shinglesSql =
     raw"""SELECT DISTINCT doc_id, sh FROM (
             SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

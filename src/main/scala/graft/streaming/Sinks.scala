@@ -55,3 +55,22 @@ final class ConsoleRowSink extends ForeachWriter[Row] {
   override def process(row: Row): Unit = println(row.mkString("[", ", ", "]"))
   override def close(errorOrNull: Throwable): Unit = ()
 }
+
+/** Text-file sinks — the `writeAsText` surface (WordCountPreAggregate
+  * .java:195): one formatted line per record (compose with
+  * graft.queries.Formatters for the reference wire formats).
+  */
+object TextSink {
+  /** Batch text write of a single string column named `line`. */
+  def writeLines(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  /** Streaming text write (append mode; exactly-once per file epoch). */
+  def streamLines(df: org.apache.spark.sql.DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("text")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}

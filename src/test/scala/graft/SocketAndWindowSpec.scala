@@ -116,6 +116,15 @@ class SocketAndWindowSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("text sink writes formatted lines (batch writeAsText surface)") {
+    import graft.streaming.TextSink
+    val dir = java.nio.file.Files.createTempDirectory("textsink").toString + "/out"
+    val lines = Formatters.lines(Seq((7L, 42L), (8L, 1L)).toDF("k", "v"), Formatters.flat2)
+    TextSink.writeLines(lines, dir)
+    val back = spark.read.text(dir).as[String].collect().toSet
+    assert(back == Set("7 - 42", "8 - 1"))
+  }
+
   test("formatters emit the reference wire formats") {
     val df = Seq((7L, 42L)).toDF("driver_id", "cnt")
     assert(Formatters.lines(df, Formatters.flat2).as[String].head() == "7 - 42")
