@@ -36,16 +36,31 @@ object Bench {
     // (they will be reported from the timed pass).
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache() // similarity queries cache intermediates
     }
 
+    // Per-query time = MIN of SPARK_GRAFT_REPEAT (default 2) executions:
+    // this environment's per-core throughput fluctuates ±3× over seconds
+    // (VM neighbors), so a single sample can triple a query's apparent
+    // cost. The min is the least-noisy estimator of the query's true
+    // cost under these conditions.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val samples = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop this run's cached intermediates: repetitions must not read
+        // the previous run's cache, and 46 queries must not accumulate
+        // heap pressure that perturbs later timings.
+        spark.catalog.clearCache()
+        dt
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples.min
     }
 
     def jstr(s: String): String =

@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Left-fold dot product with per-element double widening. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Left-fold dot product with per-element double widening — a native
+    * codegen'd expression (graft.expressions.DotProduct); bit-identical
+    * to the declarative `aggregate(zip_with(...))` fold it replaced,
+    * which ran on the interpreted higher-order-function path.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   /** Euclidean norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Expression ⇄ Column bridge for graft's custom Catalyst expressions.
+  *
+  * Spark 4 made `Column.expr` and the internal builders `private[sql]`
+  * (Columns now carry ColumnNodes); the sanctioned pattern for extension
+  * libraries that ship custom expressions (as used across the OSS Spark
+  * ecosystem) is a small shim in the `org.apache.spark.sql` package that
+  * re-exposes the two conversions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
