@@ -1,0 +1,33 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's custom expressions as
+  * SQL functions — enable with
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` (session
+  * build time), or call [[GraftExtensions.register]] on an existing
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotProductFunction)
+}
+
+object GraftExtensions {
+
+  private def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "dot_product(arrayA, arrayB) takes two arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  val dotProductFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+    build _)
+
+  /** Runtime registration on an existing session (driver-supplied). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerExpressionFunction(spark, "dot_product", build)
+}

@@ -13,4 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a raw Expression builder on an
+    * EXISTING session (the runtime counterpart of
+    * `SparkSessionExtensions.injectFunction`, for sessions the library
+    * does not construct — e.g. the driver-supplied one).
+    */
+  def registerExpressionFunction(
+      spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
