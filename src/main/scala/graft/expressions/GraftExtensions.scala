@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctAggSplitRule)
+  }
 }
 
 object GraftExtensions {
