@@ -216,5 +216,85 @@ object EmbeddingCatalog {
             WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
     })
 
-  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, knnLshMultiprobe, nearDupCosine)
+  private val IvfCentroidLo = 100L // centroids = data-sampled vectors 100..115
+  private val IvfCentroidHi = 115L
+  private val IvfProbes = 2 // query probes its 2 nearest cells
+
+  /** IVF top-K: the inverted-file ANN alternative to hyperplane LSH. A
+    * fixed sample of corpus vectors acts as the coarse quantizer
+    * (production IVF trains k-means; sampling keeps the operator
+    * deterministic for the oracle — the structure is identical): every
+    * vector is assigned to its nearest centroid cell (one broadcast pass,
+    * map-side argmax), queries probe their `IvfProbes` nearest cells, and
+    * exact cosine reranks only the probed cells' members. At 100 TB cells
+    * are the partitioning unit: assignment is a narrow scan, the search
+    * join keys on cell id.
+    */
+  val knnIvf: CatalogEntry = CatalogEntry(
+    "emb_knn_ivf",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        .withColumn("cnorm", Vectors.norm(col("cemb")))
+      // Cell assignment: argmax rounded cosine, smallest cid on ties.
+      val scoredCells = emb
+        .withColumn("vnorm", Vectors.norm(col("embedding")))
+        .crossJoin(broadcast(cent))
+        .withColumn("csim", round(
+          Vectors.dot(col("embedding"), col("cemb")) / (col("vnorm") * col("cnorm")), 6))
+      val assign = scoredCells
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cell"))
+      val corpus = emb.join(assign, "vec_id")
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cell"))
+        .withColumn("cn", expr("SQRT(" + dotExpr("ce", "ce") + ")"))
+      // Query probes: top-IvfProbes cells by the same score.
+      val probeTop = udaf(new graft.combine.TopNAgg(IvfProbes))
+      val probes = scoredCells.filter(col("vec_id") < NQueries)
+        .groupBy(col("vec_id").as("query_id"))
+        .agg(probeTop(col("csim"), col("cid")).as("top"))
+        .select(col("query_id"), posexplode(col("top.entries")))
+        .select(col("query_id"), col("col.event_id").as("probe_cell"))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", expr("SQRT(" + dotExpr("qe", "qe") + ")"))
+        .join(probes, "query_id")
+      val scored = corpus.join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+        .distinct()
+      topKPerQuery(scored)
+    },
+    Some {
+      val centSim = // rounded cosine between vector e and centroid c
+        s"ROUND(${dotSql("e.embedding", "c.embedding")} / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            cellscore AS (
+              SELECT e.vec_id, c.cid, $centSim AS csim
+              FROM embeddings e CROSS JOIN (SELECT cid, embedding FROM cent) c(cid, embedding)),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS probe_cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT p.query_id, a.vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY p.query_id ORDER BY $cosineSql DESC, a.vec_id) AS rn
+            FROM probes p
+            JOIN assign a ON a.cell = p.probe_cell
+            JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+            JOIN embeddings q ON q.vec_id = p.query_id)
+          WHERE rn <= $K"""
+    })
+
+  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, nearDupCosine)
 }

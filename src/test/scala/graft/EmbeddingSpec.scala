@@ -61,6 +61,18 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(df.agg(sum("max_session_events")).as[Long].head() <= nEvents)
   }
 
+  test("emb_knn_ivf: ranked results per query, no self matches") {
+    val got = run("emb_knn_ivf")
+    assert(got.count() > 0)
+    assert(got.filter(col("rn") > 5).count() == 0)
+    assert(got.filter(col("query_id") === col("vec_id")).count() == 0)
+    // Scores non-increasing in rank within each query.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rn")
+    assert(got.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev") < col("score")).count() == 0)
+  }
+
   test("emb_near_dup: ordered pairs above threshold, bucket-restricted") {
     val got = run("emb_near_dup")
     assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
