@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+
+/** Deterministic Lloyd's trainer over the embeddings table. */
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("inertia decreases monotonically over Lloyd iterations") {
+    val inertias = (0 to 3).map(i =>
+      KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = i, dim = 64).inertia)
+    // iters=0 leaves init centroids (inertia MaxValue placeholder skipped).
+    val trained = inertias.drop(1)
+    assert(trained.zip(trained.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"inertia not monotone: $trained")
+  }
+
+  test("training is deterministic and assignments cover all rows") {
+    val m1 = KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3, dim = 64)
+    val m2 = KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3, dim = 64)
+    assert(m1.inertia == m2.inertia)
+    m1.centroids.zip(m2.centroids).foreach { case ((i1, c1), (i2, c2)) =>
+      assert(i1 == i2 && c1.sameElements(c2))
+    }
+    val assigned = KMeans.transform(emb, "embedding", m1)
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 8)
+  }
+}
