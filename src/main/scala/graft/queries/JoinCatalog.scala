@@ -24,7 +24,6 @@ object JoinCatalog {
 
   private def t(name: String)(s: SparkSession, d: String): DataFrame = Tables.load(s, d, name)
 
-  private val revenue = "l_extendedprice*(1-l_discount)"
   private def revCol: org.apache.spark.sql.Column =
     (col("l_extendedprice").cast(DecimalType(12, 4)) *
       (lit(1) - col("l_discount").cast(DecimalType(6, 4))))
