@@ -51,60 +51,71 @@ object NearDupCatalog {
     documents(s, d)
       .select(col("doc_id"), graft.functions.Text.shingles(col("text"), 3).as("shs"))
 
-  val nearDupLsh: CatalogEntry = CatalogEntry(
-    "doc_near_dup_lsh",
-    (s, d) => {
-      // Per-row signatures (array_min over md5 transforms): ZERO shuffles
-      // before the tiny band self-join. Correct performance depends on
-      // Text.wordNgrams let-binding its token array — without it the
-      // tokenizer re-evaluates per array element (measured 10×).
-      // The two cached intermediates each feed two plan branches.
-      val arrays = shingleArraysDF(s, d).cache()
-      val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
-      val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
-      val bandStructs = (0 until Bands).map { b =>
-        val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
-        struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      // Exact verification via array_intersect on the two shingle sets —
-      // per-candidate-pair work, no exploded shingle join.
-      cand
-        .join(arrays.select(col("doc_id").as("da"), col("shs").as("shs_a")), Seq("da"))
-        .join(arrays.select(col("doc_id").as("db"), col("shs").as("shs_b")), Seq("db"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          round(size(array_intersect(col("shs_a"), col("shs_b"))) /
-            (size(col("shs_a")) + size(col("shs_b")) -
-              size(array_intersect(col("shs_a"), col("shs_b")))), 6).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-    },
-    Some {
-      val mins = (0 until K).map(i => s"MIN(md5(concat('$i', '|', sh))) AS s$i").mkString(", ")
-      val bandSelects = (0 until Bands).map { b =>
-        val parts = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat($parts)) AS h FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH sh AS ($shinglesSql),
-            sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-            bands AS ($bandSelects),
-            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
-                     JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-            ni AS (SELECT c.da, c.db, count(*) AS n_inter FROM cand c
-                   JOIN sh sa ON sa.doc_id = c.da
-                   JOIN sh sb ON sb.doc_id = c.db AND sb.sh = sa.sh
-                   GROUP BY c.da, c.db),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+  /** The LSH pair list as a reusable builder — also consumed by the
+    * composite cleaning pipeline (PipelineCatalog.cleanCorpus).
+    */
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    // Per-row signatures (array_min over md5 transforms): ZERO shuffles
+    // before the tiny band self-join. Correct performance depends on
+    // Text.wordNgrams let-binding its token array — without it the
+    // tokenizer re-evaluates per array element (measured 10×).
+    // The two cached intermediates each feed two plan branches.
+    val arrays = shingleArraysDF(s, d).cache()
+    val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
+    val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
+    val bandStructs = (0 until Bands).map { b =>
+      val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // Exact verification via array_intersect on the two shingle sets —
+    // per-candidate-pair work, no exploded shingle join.
+    cand
+      .join(arrays.select(col("doc_id").as("da"), col("shs").as("shs_a")), Seq("da"))
+      .join(arrays.select(col("doc_id").as("db"), col("shs").as("shs_b")), Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(size(array_intersect(col("shs_a"), col("shs_b"))) /
+          (size(col("shs_a")) + size(col("shs_b")) -
+            size(array_intersect(col("shs_a"), col("shs_b")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** The LSH pipeline as a reusable CTE list ending in `lsh_pairs
+    * (doc_a, doc_b, jaccard)` — spliced into dependent oracles.
+    */
+  private[queries] val lshPairsCtesSql: String = {
+    val mins = (0 until K).map(i => s"MIN(md5(concat('$i', '|', sh))) AS s$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat($parts)) AS h FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sh AS ($shinglesSql),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        ni AS (SELECT c.da, c.db, count(*) AS n_inter FROM cand c
+               JOIN sh sa ON sa.doc_id = c.da
+               JOIN sh sb ON sb.doc_id = c.db AND sb.sh = sa.sh
+               GROUP BY c.da, c.db),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        lsh_pairs AS (
           SELECT ni.da AS doc_a, ni.db AS doc_b,
                  ROUND(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
           FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
-          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= $JaccardThreshold"""
-    })
+          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= $JaccardThreshold)"""
+  }
+
+  val nearDupLsh: CatalogEntry = CatalogEntry(
+    "doc_near_dup_lsh",
+    lshPairs,
+    Some(s"WITH $lshPairsCtesSql SELECT doc_a, doc_b, jaccard FROM lsh_pairs"))
 
   /** 32-bit SimHash over distinct tokens: bit j votes by the parity of hex
     * digit j of md5(token); the per-doc sum of ±1 votes thresholds at 0.

@@ -208,6 +208,45 @@ object PipelineCatalog {
           SELECT user_id AS driver_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
           FROM per GROUP BY user_id"""))
 
+  /** The composite cleaning pipeline — the engine's pieces chained the
+    * way a training-data pipeline actually runs them:
+    *
+    *   quality filter (≥ 25 whitespace tokens)
+    *     → exact dedup (deterministic min-id survivor per content hash)
+    *     → near-dup removal (MinHash-LSH pairs ≥ 0.5, higher id dropped)
+    *     → per-source corpus stats (docs kept, tokens kept)
+    *
+    * Every stage reuses an oracle-checked operator (Text, Dedup,
+    * NearDupCatalog.lshPairs); the oracle runs the identical composition
+    * in SQL via the shared LSH CTEs.
+    */
+  val cleanCorpus: CatalogEntry = CatalogEntry(
+    "pipeline_clean_corpus",
+    (s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 25)
+      val exact = graft.operators.Dedup.exactByContent(base, col("text"), col("doc_id"))
+      val cleaned = graft.operators.Dedup.dropNearDuplicates(
+        exact, col("doc_id"), NearDupCatalog.lshPairs(s, d))
+      cleaned.groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+    },
+    Some(s"""WITH ${NearDupCatalog.lshPairsCtesSql},
+              q AS (SELECT doc_id, source,
+                           CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                           md5($normSql) AS h
+                    FROM documents
+                    WHERE len($toksSql) >= 25),
+              keep AS (SELECT doc_id, source, n_tokens FROM (
+                         SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                         FROM q) WHERE rn = 1)
+            SELECT source, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+            FROM keep
+            WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
+            GROUP BY source"""))
+
   val all: Seq[CatalogEntry] =
-    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions)
+    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus)
 }

@@ -147,6 +147,21 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_clean_corpus: each stage removes something, totals consistent") {
+    val stats = run("pipeline_clean_corpus")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val kept = stats.agg(sum("docs_kept")).as[Long].head()
+    assert(kept > 0 && kept < nDocs, s"pipeline kept $kept of $nDocs — no stage fired")
+    assert(stats.filter(col("tokens_kept") <= 0).count() == 0)
+    // No near-dup pair survives intact in the cleaned corpus: for every
+    // LSH pair at least one side must be gone (the loser is dropped, and
+    // either side may also fall to the quality/exact-dedup stages).
+    val keptPerSource = stats.select("source", "docs_kept").as[(String, Long)].collect().toMap
+    val perSource = Tables.documents(spark, sf0001).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    keptPerSource.foreach { case (src, n) => assert(n <= perSource(src)) }
+  }
+
   test("doc_exact_dedup: copies partition the corpus; canonical ids unique") {
     val df = run("doc_exact_dedup")
     val nDocs = Tables.documents(spark, sf0001).count()
