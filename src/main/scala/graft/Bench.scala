@@ -31,6 +31,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = Catalog.all.map(e => e.name -> e.build)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (ordered.isEmpty) {
+      // A typo'd SPARK_GRAFT_ONLY must not produce a vacuous ok:true run.
+      System.err.println(
+        s"SPARK_GRAFT_ONLY=${only.map(_.mkString(",")).getOrElse("")} matches no catalog entry")
+      spark.stop()
+      sys.exit(2)
+    }
 
     // Warmup: run everything once at the smallest sf; ignore failures here
     // (they will be reported from the timed pass).
@@ -43,25 +50,28 @@ object Bench {
     // this environment's per-core throughput fluctuates ±3× over seconds
     // (VM neighbors), so a single sample can triple a query's apparent
     // cost. The min is the least-noisy estimator of the query's true
-    // cost under these conditions.
+    // cost under these conditions. Repeats are interleaved ROUND-ROBIN
+    // across the whole catalog (pass 1 of everything, then pass 2, ...)
+    // so a single multi-second noisy host window cannot own every repeat
+    // of one query and inflate its min (round-2 saw a 0.9 s query report
+    // 8.7 s exactly this way).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = ordered.map { case (name, fn) =>
-      val samples = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop this run's cached intermediates: repetitions must not read
-        // the previous run's cache, and 46 queries must not accumulate
-        // heap pressure that perturbs later timings.
-        spark.catalog.clearCache()
-        dt
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to repeat; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> samples.min
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this run's cached intermediates: repetitions must not read
+      // the previous run's cache, and 46+ queries must not accumulate
+      // heap pressure that perturbs later timings.
+      spark.catalog.clearCache()
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = ordered.map { case (name, _) => name -> best(name) }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -24,12 +24,18 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Element types are restricted to FLOAT/DOUBLE: the codegen path below
+  // reads elements with a fixed-width getter, and a wider NumericType match
+  // would silently read wrong bytes for int/long/decimal arrays under
+  // whole-stage codegen. Integer arrays must be CAST to double first.
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(a: NumericType, _), ArrayType(b: NumericType, _)) if a == b =>
+    case (ArrayType(a, _), ArrayType(b, _))
+        if a == b && (a == FloatType || a == DoubleType) =>
       TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure(
-        s"dot_product expects two arrays of the same numeric type, got " +
+        s"dot_product expects two arrays of the same floating-point type " +
+          s"(array<float> or array<double>), got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -38,34 +44,45 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => DoubleType
   }
 
+  /** A NULL element yields a NULL result (matching the declarative
+    * zip_with/aggregate fold, where null * x poisons the accumulator).
+    */
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+    case _ => true
+  }
+
+  override def nullable: Boolean = left.nullable || right.nullable || elementsNullable
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    elementType match {
-      case FloatType =>
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      case DoubleType =>
-        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-      case _ =>
-        while (i < n) {
-          acc += x.get(i, elementType).toString.toDouble * y.get(i, elementType).toString.toDouble
-          i += 1
-        }
+    if (elementType == FloatType) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+      }
+    } else {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = elementType match {
-      case FloatType => "getFloat"
-      case _ => "getDouble"
-    }
+    val getter = if (elementType == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -74,6 +91,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; $acc = 0.0; break; }
          |  $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
          |}
          |${ev.value} = $acc;

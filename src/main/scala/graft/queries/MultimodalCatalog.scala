@@ -2,11 +2,10 @@ package graft.queries
 
 import graft.multimodal.Multimodal
 
-/** Catalog surface for the multimodal plumbing (graft.multimodal): the
-  * decode and frame-sample paths have exact SQL oracles (the fake codec is
-  * deliberately SQL-derivable from the payload bytes); the feature path
-  * has no SQL form (per-byte histogram over a blob) and records the
-  * weaker rows-only check.
+/** Catalog surface for the multimodal plumbing (graft.multimodal): all
+  * three paths have exact SQL oracles (the fake codec is deliberately
+  * SQL-derivable from the payload bytes; the feature histogram rides on
+  * the corpus being ASCII, where byte ≡ codepoint).
   */
 object MultimodalCatalog {
 
@@ -39,11 +38,31 @@ object MultimodalCatalog {
                    LEAST(len - (i * len) // n_frames, GREATEST(1, len // n_frames)) AS frame_len
             FROM (SELECT media_id, len, n_frames, unnest(range(0, n_frames)) AS i FROM v)"""))
 
-  /** Byte-histogram features — not SQL-expressible; rows-only check. */
+  /** Byte-histogram features, exploded to driver-sortable scalar rows
+    * (media_id, bin, value). The histogram is a per-byte count / payload
+    * length — and because the corpus is ASCII, byte ≡ codepoint, so the
+    * identical histogram is SQL-derivable in DuckDB from the text. Counts
+    * and lengths are exact integers, so the single double division is
+    * bit-deterministic across engines (IEEE 754 round-to-nearest).
+    */
   val mediaFeatures: CatalogEntry = CatalogEntry(
     "media_features",
-    (s, d) => Multimodal.features(Multimodal.mediaDataset(s, d)).toDF(),
-    None)
+    (s, d) => Multimodal.features(Multimodal.mediaDataset(s, d)).toDF()
+      .selectExpr("media_id", "posexplode(histogram) AS (bin, value)"),
+    Some("""WITH docs AS (
+              SELECT doc_id AS media_id, text,
+                     GREATEST(1, octet_length(encode(text))) AS n
+              FROM documents),
+            bins AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin),
+            cnts AS (
+              SELECT media_id, ascii(c) // 16 AS bin, COUNT(*) AS cnt
+              FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM docs)
+              WHERE c <> ''
+              GROUP BY 1, 2)
+            SELECT d.media_id, b.bin,
+                   COALESCE(c.cnt, 0) / CAST(d.n AS DOUBLE) AS value
+            FROM docs d CROSS JOIN bins b
+            LEFT JOIN cnts c ON c.media_id = d.media_id AND c.bin = b.bin"""))
 
   val all: Seq[CatalogEntry] = Seq(mediaDecode, mediaFrames, mediaFeatures)
 }

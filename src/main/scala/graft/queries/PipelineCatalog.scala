@@ -193,7 +193,11 @@ object PipelineCatalog {
         .agg(count(lit(1)).as("n_sessions"), max("n").as("max_session_events"))
     },
     Some("""WITH base AS (
-              SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS tss FROM events),
+              -- FLOOR before the cast: DuckDB CAST(double AS BIGINT) rounds
+              -- half-away-from-zero while Spark's unix_timestamp truncates;
+              -- sub-second fractions >= .5s would shift tss by 1s and can flip
+              -- session splits at the 1800s boundary.
+              SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss FROM events),
             flags AS (
               SELECT user_id, event_id, tss,
                      CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
@@ -242,7 +246,8 @@ object PipelineCatalog {
               keep AS (SELECT doc_id, source, n_tokens FROM (
                          SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
                          FROM q) WHERE rn = 1)
-            SELECT source, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+            SELECT source, COUNT(*) AS docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
             FROM keep
             WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
             GROUP BY source"""))
