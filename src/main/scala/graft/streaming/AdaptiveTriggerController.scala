@@ -49,7 +49,8 @@ final case class TriggerDecision(
     processedRowsPerSec: Double,
     batchDurationMs: Long,
     intervalMsBefore: Long,
-    intervalMsAfter: Long) {
+    intervalMsAfter: Long,
+    wallMs: Long = 0L) {
 
   /** The reference's `|`-delimited signal wire format
     * (PreAggregateProcTimeSignalsMonitor.updateSignals, :132-153:
@@ -94,6 +95,18 @@ final class AdaptiveTriggerController(
 
   private val interval = new AtomicLong(initialIntervalMs)
   private val decisionLog = new ConcurrentLinkedQueue[TriggerDecision]()
+  private val skip = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Ignore the next `n` live progress events. A restart harness calls
+    * this when it re-arms the trigger: the first batch(es) after a
+    * (re)start carry query cold-start cost plus the backlog accumulated
+    * while stopped — catch-up work, not a steady-state utilization signal.
+    * (The reference's timer re-registration is free, so its monitor never
+    * sees such an artifact; skipping is how the stop/restart analogue
+    * preserves the reference's signal semantics.) Synthetic `observe`
+    * calls are never skipped.
+    */
+  def skipNext(n: Int): Unit = skip.addAndGet(n)
 
   def currentIntervalMs: Long = interval.get()
   def decisions: Seq[TriggerDecision] = {
@@ -113,7 +126,8 @@ final class AdaptiveTriggerController(
     next.foreach { n =>
       if (interval.compareAndSet(cur, n)) onNewInterval(n)
     }
-    decisionLog.add(TriggerDecision(batchId, util, inputRps, procRps, batchDurationMs, cur, after))
+    decisionLog.add(TriggerDecision(batchId, util, inputRps, procRps, batchDurationMs, cur, after,
+      System.currentTimeMillis()))
   }
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -121,6 +135,7 @@ final class AdaptiveTriggerController(
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     if (p.name == queryName) {
+      if (skip.getAndUpdate(x => math.max(0, x - 1)) > 0) return
       val dur = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L)
       observe(p.batchId, dur, p.inputRowsPerSecond, p.processedRowsPerSecond)
     }

@@ -184,6 +184,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.head.asSignalString.split("\\|").length == 12)
   }
 
+  test("adCombine closed loop: controller decisions re-arm the RUNNING query's trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Sources
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adcombine").toString
+    val sinkId = s"adc-${System.nanoTime()}"
+    // Continuous bursty feed: the finite event set replayed in a loop at
+    // ~1k rec/s (control file absent -> fixed default delay).
+    val control = new Sources.DataRateControl(
+      java.nio.file.Paths.get("/tmp/graft-no-such-rate-file"), defaultDelayNs = 1000000L)
+    val replay = new Sources.RateLimitedReplay[Ev](
+      spark, (burst1 ++ burst2).toIndexedSeq, control, batchRecords = 30, loop = true)
+    def writer(intervalMs: Long) =
+      StreamingQueries.updating("taxi_ride_count")(replay.toDF.toDF(eventCols: _*))
+        .writeStream.queryName("adcombine_q").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(intervalMs))
+        .foreach(new UpsertSink(sinkId))
+    val runner = new AdaptiveRunner(spark, "adcombine_q", writer, initialIntervalMs = 600L)
+    replay.start()
+    runner.start()
+    try {
+      // Tiny batches under a 600 ms trigger run far below the band, so the
+      // policy must step the interval down; wait for the walk to reach
+      // <= 400 ms (at least one -200 step applied to the RUNNING query),
+      // then observe the adapted cadence for a fixed window.
+      val deadline = System.currentTimeMillis() + 60000
+      while ((runner.rearms.isEmpty || runner.rearms.min > 400L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(3000)
+    } finally {
+      runner.stop()
+      replay.stop()
+      Sinks.clear(sinkId)
+    }
+    val rearms = runner.rearms
+    assert(rearms.nonEmpty, "controller decisions never re-armed the running query")
+    assert(rearms.min <= 400L, s"interval never stepped down from 600ms: $rearms")
+    assert(rearms.forall(_ >= AdaptivePolicy.MinIntervalMs), s"floor violated: $rearms")
+    // Closed loop: every armed interval traces back to a recorded decision.
+    val decided = runner.controller.decisions.map(_.intervalMsAfter).toSet
+    assert(rearms.forall(decided.contains), s"re-arm not from a decision: $rearms")
+    // The RUNNING pipeline kept producing batches after the last re-arm...
+    val ds = runner.controller.decisions
+    val (lastArmed, lastRearmWall) = runner.rearmEvents.last
+    val steady = ds.filter(_.wallMs > lastRearmWall)
+    assert(steady.nonEmpty, s"no batches observed after the last re-arm ($rearms)")
+    // ...and, when the final armed interval is below the initial 600 ms,
+    // its observed cadence beat what the original trigger could deliver.
+    if (lastArmed < 600L && steady.size >= 3) {
+      val gaps = steady.map(_.wallMs).sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      val median = gaps.sorted.apply(gaps.size / 2)
+      assert(median < 600L,
+        s"observed cadence ${median}ms did not beat the initial 600ms (armed=$lastArmed)")
+    }
+  }
+
   test("controller receives live StreamingQueryProgress signals (adCombine wiring)") {
     val sinkId = s"test-ctl-${System.nanoTime()}"
     val input = MemoryStream[Ev](spark)
