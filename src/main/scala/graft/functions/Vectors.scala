@@ -32,12 +32,16 @@ object Vectors {
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Signed projection of `v` onto a ±1 hyperplane (sign vector). */
+  /** Signed projection of `v` onto a ±1 hyperplane (sign vector), as a
+    * codegen'd dot product against the literal sign array. Bit-identical
+    * to the unrolled `±element` sum the oracle SQL uses: `s*x` with
+    * s = ±1.0 is exact sign flip, and `a + (-b)` ≡ `a - b` in IEEE; the
+    * unrolled form previously blew whole-stage codegen's method-size
+    * limit at 8 planes × 4 tables (interpreted fallback for the whole
+    * projection stage).
+    */
   def project(v: Column, signs: Seq[Int]): Column =
-    signs.zipWithIndex.map { case (s, i) =>
-      val e = element_at(v, i + 1).cast("double")
-      if (s > 0) e else -e
-    }.reduce(_ + _)
+    dot(v.cast("array<double>"), array(signs.map(s => lit(s.toDouble)): _*))
 
   /** Random-hyperplane LSH bucket id: bit p set when the projection onto
     * plane p is positive.

@@ -33,15 +33,22 @@ object KMeans {
     Vectors.dot(vd, vd) - lit(2.0) * Vectors.dot(vd, cLit) + lit(c.map(x => x * x).sum)
   }
 
-  /** Cluster assignment column: argmin squared distance, lowest id wins
-    * ties.
+  /** All (distance, cid) cells as one array column — callers take element
+    * 0 for the assignment or a prefix for multi-probe. Linear expression
+    * size in k: the previous `reduce(when(b.d < a.d, b).otherwise(a))`
+    * duplicated both subtrees at every step, i.e. a 2^k-node tree that
+    * OOMed the driver at k=16/dim=64 just stringifying the plan.
     */
-  def assignment(v: Column, centroids: Seq[(Int, Array[Double])]): Column = {
-    val best = centroids.map { case (cid, c) =>
+  private[graft] def sortedCells(v: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    array_sort(array(centroids.map { case (cid, c) =>
       struct(sqDist(v, c).as("d"), lit(cid).as("cid"))
-    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-    best.getField("cid")
-  }
+    }: _*))
+
+  /** Cluster assignment column: argmin squared distance, lowest id wins
+    * ties (array_sort on (d, cid) structs is lexicographic ascending).
+    */
+  def assignment(v: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    sortedCells(v, centroids).getItem(0).getField("cid")
 
   /** Fit k clusters with `iters` Lloyd iterations. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int, dim: Int): Model = {

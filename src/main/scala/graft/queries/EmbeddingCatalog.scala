@@ -31,18 +31,26 @@ object EmbeddingCatalog {
   private val NearDupThreshold = 0.3
 
   /** Deterministic ±1 hyperplane matrix: sign = parity of the first hex
-    * digit of md5("p_i"). Same constants are inlined into the oracle SQL.
+    * digit of md5(prefix + "p_i"). Same constants are inlined into the
+    * oracle SQL; distinct prefixes give independent hash tables.
     */
-  private[graft] val planeSigns: Seq[Seq[Int]] = {
+  private def signsFor(prefix: String, planes: Int): Seq[Seq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until Planes).map { p =>
+    (0 until planes).map { p =>
       (0 until Dim).map { i =>
-        val hex = md.digest(s"${p}_$i".getBytes(StandardCharsets.UTF_8))
+        val hex = md.digest(s"$prefix${p}_$i".getBytes(StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
         if ("13579bdf".contains(hex.charAt(0))) 1 else -1
       }
     }
   }
+
+  private[graft] val planeSigns: Seq[Seq[Int]] = signsFor("", Planes)
+
+  private val BandTables = 4 // independent LSH tables for the banded near-dup
+  private val BandPlanes = 8 // planes per table -> 256 buckets per table
+  private[graft] val bandedSigns: Seq[Seq[Seq[Int]]] =
+    (0 until BandTables).map(t => signsFor(s"t$t:", BandPlanes))
 
   /** Spark SQL expr: left-fold dot product of two double-cast float arrays. */
   private def dotExpr(a: String, b: String): String =
@@ -52,21 +60,25 @@ object EmbeddingCatalog {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
 
-  /** Signed projection of `v` onto plane `p` — a literal ±-sum, 0-based
+  /** Signed projection onto a ±1 plane — a literal ±-sum, 0-based
     * (Spark) / 1-based (DuckDB) element access.
     */
-  private def projExpr(v: String, p: Int, oneBased: Boolean): String =
-    planeSigns(p).zipWithIndex.map { case (s, i) =>
+  private def projExprFor(signs: Seq[Int], v: String, oneBased: Boolean): String =
+    signs.zipWithIndex.map { case (s, i) =>
       val idx = if (oneBased) i + 1 else i
       val op = if (s > 0) "+" else "-"
       s"$op CAST($v[$idx] AS DOUBLE)"
     }.mkString(" ")
 
-  /** LSH bucket id = Σ_p (proj_p > 0) * 2^p. */
-  private def bucketExpr(v: String, oneBased: Boolean): String =
-    (0 until Planes).map { p =>
-      s"(CASE WHEN (${projExpr(v, p, oneBased)}) > 0 THEN ${1 << p} ELSE 0 END)"
+  /** LSH bucket id = Σ_p (proj_p > 0) * 2^p, for an arbitrary sign matrix. */
+  private def bucketExprFor(planes: Seq[Seq[Int]], v: String, oneBased: Boolean): String =
+    planes.zipWithIndex.map { case (signs, p) =>
+      s"(CASE WHEN (${projExprFor(signs, v, oneBased)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** LSH bucket id over the default query-LSH planes. */
+  private def bucketExpr(v: String, oneBased: Boolean): String =
+    bucketExprFor(planeSigns, v, oneBased)
 
   /** Pair-time cosine: only the cross dot product is evaluated per pair —
     * each side's norm (`qn`/`cn`) is computed ONCE per row before the
@@ -296,5 +308,116 @@ object EmbeddingCatalog {
           WHERE rn <= $K"""
     })
 
-  val all: Seq[CatalogEntry] = Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, nearDupCosine)
+  /** Banded multi-table near-dup — the 100 TB-safe granularity upgrade of
+    * [[nearDupCosine]]: `BandTables` independent hyperplane tables of
+    * `BandPlanes` planes each (256 buckets/table); a pair is a candidate
+    * iff it collides in at least one table's FULL bucket id.
+    *
+    * Bucket-population math: within-bucket self-join work is
+    * Σ_tables n²/2^planes, so 4 tables × 8 planes costs 4·n²/256 = n²/64
+    * — 4× less pair work than the single 16-bucket table, while recall
+    * RISES for true near-dups: at cosine 0.95 a plane agrees with
+    * p = 1 − θ/π ≈ 0.90, so one 8-plane table retains p⁸ ≈ 0.43 and four
+    * tables retain 1−(1−p⁸)⁴ ≈ 0.89 (vs 0.65 for the 4-plane table). At
+    * 100 TB the knobs scale independently: more planes shrink buckets,
+    * more tables buy recall back — never an all-pairs join.
+    */
+  val nearDupBanded: CatalogEntry = CatalogEntry(
+    "emb_near_dup_banded",
+    (s, d) => {
+      import graft.functions.Vectors
+      val bucketed = (0 until BandTables).foldLeft(
+        embeddings(s, d).withColumn("nrm", Vectors.norm(col("embedding")))) {
+        (df, t) => df.withColumn(s"b$t", Vectors.hyperplaneBucket(col("embedding"), bandedSigns(t)))
+      }.cache() // feeds both sides of all BandTables branch joins
+      val a = bucketed.select(col("vec_id").as("vec_a") +: col("embedding").as("qe") +:
+        col("nrm").as("qn") +: (0 until BandTables).map(t => col(s"b$t").as(s"ab$t")): _*)
+      val b = bucketed.select(col("vec_id").as("vec_b") +: col("embedding").as("ce") +:
+        col("nrm").as("cn") +: (0 until BandTables).map(t => col(s"b$t").as(s"bb$t")): _*)
+      val branches = (0 until BandTables).map { t =>
+        a.join(b, col(s"ab$t") === col(s"bb$t") && col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), cosineCol.as("cosine"))
+      }
+      // UNION-dedup ≡ filter + distinct (a pair may collide in >1 table).
+      branches.reduce(_ unionAll _)
+        .filter(col("cosine") >= NearDupThreshold)
+        .distinct()
+    },
+    Some {
+      val bucketCols = (0 until BandTables)
+        .map(t => s"${bucketExprFor(bandedSigns(t), "embedding", oneBased = true)} AS b$t")
+        .mkString(", ")
+      val cosAB =
+        s"ROUND(${dotSql("a.embedding", "b.embedding")} / (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("b.embedding", "b.embedding")})), 6)"
+      val branches = (0 until BandTables).map { t =>
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS cosine
+            FROM bucketed a JOIN bucketed b ON a.b$t = b.b$t AND a.vec_id < b.vec_id"""
+      }.mkString(" UNION ")
+      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucketCols FROM embeddings)
+          SELECT vec_a, vec_b, cosine FROM ($branches) WHERE cosine >= $NearDupThreshold"""
+    })
+
+  /** IVF with the TRAINED coarse quantizer — [[knnIvf]]'s structure with
+    * the sampled centroids replaced by the frozen k-means model
+    * ([[IvfCentroids.kmeans16]], produced by graft.operators.KMeans.fit).
+    * Because the quantizer is a literal, cell assignment and query
+    * probing are pure per-row projections (argmin over 16 codegen'd
+    * dot-product distances — ZERO shuffles and no centroid join at all);
+    * only the probed-cell rerank joins. Cells are disjoint, so a
+    * candidate reaches a query through at most one probe — no distinct
+    * needed before top-k. This is the production IVF split: train
+    * offline, ship constants, assign map-side.
+    */
+  val knnIvfKmeans: CatalogEntry = CatalogEntry(
+    "emb_knn_ivf_kmeans",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cells.getItem(0).getField("cid").cast("long").as("cell"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(slice(cells, 1, IvfProbes)).as("probe"))
+        .select(col("query_id"), col("qe"), col("probe.cid").cast("long").as("probe_cell"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val scored = corpus.join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(scored)
+    },
+    Some {
+      // Same L2 distance arithmetic as KMeans.sqDist: |v|² − 2 v·c + |c|²
+      // with left-fold dot products — bit-identical across engines, so the
+      // raw (unrounded) distance orders identically and needs no ROUND.
+      val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
+        val lst = c.mkString("[", ", ", "]")
+        val cn2 = c.map(x => x * x).sum // same Scala left fold Spark's literal uses
+        s"($cid, $lst, $cn2)"
+      }.mkString(", ")
+      val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
+      s"""WITH cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
+            dist AS (SELECT e.vec_id, c.cid, $distE AS d
+                     FROM embeddings e CROSS JOIN cent c),
+            assign AS (SELECT vec_id, cid AS cell FROM (
+                         SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                         FROM dist) WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
+                         SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                         FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT p.query_id, a.vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY p.query_id ORDER BY $cosineSql DESC, a.vec_id) AS rn
+            FROM probes p
+            JOIN assign a ON a.cell = p.probe_cell
+            JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+            JOIN embeddings q ON q.vec_id = p.query_id)
+          WHERE rn <= $K"""
+    })
+
+  val all: Seq[CatalogEntry] =
+    Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, nearDupCosine, nearDupBanded)
 }

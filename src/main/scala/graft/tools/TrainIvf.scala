@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot trainer that produced `EmbeddingCatalog.ivfKmeansCentroids`:
+  * runs graft.operators.KMeans.fit on the sf0.01 embeddings (k=16,
+  * iters=5, init = first 16 vectors by vec_id) and prints the centroids
+  * rounded to 4 decimals as a Scala literal. The rounding makes the
+  * frozen constants exactly representable as decimal strings, so the
+  * Spark literals and the DuckDB oracle literals parse to bit-identical
+  * doubles. Re-run to regenerate; KMeansSpec asserts the committed
+  * constants still match a fresh fit to 1e-4.
+  */
+object TrainIvf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.KMeans.fit(emb, "embedding", "vec_id", k = 16, iters = 5, dim = 64)
+    println(s"// KMeans.fit(sf0.01 embeddings, k=16, iters=5) inertia=${model.inertia}")
+    println("Seq(")
+    model.centroids.foreach { case (cid, c) =>
+      val vals = c.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .mkString(", ")
+      println(s"  $cid -> Array($vals),")
+    }
+    println(")")
+    spark.stop()
+  }
+}

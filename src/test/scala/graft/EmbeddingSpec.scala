@@ -78,4 +78,37 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(got.filter(col("cosine") < 0.3).count() == 0)
   }
+
+  test("emb_near_dup_banded: subset of the exact >=threshold pair set, ordered") {
+    val got = run("emb_near_dup_banded")
+    assert(got.count() > 0)
+    assert(got.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(got.filter(col("cosine") < 0.3).count() == 0)
+    // No false positives: every reported pair is a true >=threshold pair
+    // (recall is probabilistic; precision of the verify step is exact).
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.functions.Vectors.cosineWithNorms(
+          col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+    assert(got.join(exact, Seq("vec_a", "vec_b"), "left_anti").count() == 0)
+  }
+
+  test("emb_knn_ivf_kmeans: K ranked rows per query, no self matches, cells cover corpus") {
+    val got = run("emb_knn_ivf_kmeans")
+    val queries = got.select("query_id").distinct().count()
+    assert(got.count() == queries * 5)
+    assert(got.filter(col("query_id") === col("vec_id")).count() == 0)
+    val w = Window.partitionBy("query_id").orderBy("rn")
+    assert(got.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev") < col("score")).count() == 0)
+    // The frozen quantizer assigns every vector to exactly one of 16 cells.
+    val assigned = Tables.embeddings(spark, sf0001).select(
+      graft.operators.KMeans.assignment(
+        col("embedding"), graft.queries.IvfCentroids.kmeans16).as("cell"))
+    assert(assigned.filter(col("cell").isNull || col("cell") < 0 || col("cell") > 15).count() == 0)
+  }
 }

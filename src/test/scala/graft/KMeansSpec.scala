@@ -33,4 +33,19 @@ class KMeansSpec extends AnyFunSuite {
     val cells = assigned.select("cell").distinct().count()
     assert(cells > 1 && cells <= 8)
   }
+
+  test("frozen IvfCentroids.kmeans16 matches a fresh sf0.01 fit to its 4-decimal rounding") {
+    val fresh = KMeans.fit(Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      "embedding", "vec_id", k = 16, iters = 5, dim = 64)
+    val frozen = graft.queries.IvfCentroids.kmeans16
+    assert(fresh.centroids.size == frozen.size)
+    fresh.centroids.zip(frozen).foreach { case ((i1, c1), (i2, c2)) =>
+      assert(i1 == i2)
+      c1.zip(c2).foreach { case (a, b) =>
+        // frozen values are round(a, 4); allow for the rounding plus
+        // float-sum jitter across partition merge orders.
+        assert(math.abs(a - b) <= 5.1e-5, s"cid $i1: $a vs frozen $b")
+      }
+    }
+  }
 }
