@@ -53,4 +53,47 @@ class NearDupSpec extends AnyFunSuite {
       .filter(col("x.source") =!= col("y.source"))
     assert(crossSource.count() == 0)
   }
+
+  test("doc_ngram_jaccard_prefix returns exactly the unfiltered pair set (prefix filter is exact)") {
+    val naive = run("doc_ngram_jaccard").collect().map(_.toSeq).toSet
+    val pref = run("doc_ngram_jaccard_prefix").collect().map(_.toSeq).toSet
+    assert(pref == naive)
+  }
+
+  test("prefix filter on a zipfian corpus: same result, candidate join collapsed") {
+    import graft.queries.NearDupCatalog
+    // Deterministic zipf-ish corpus: token rank r drawn with weight 1/r —
+    // a handful of hot words appear in nearly every doc (df ≈ n_docs), the
+    // regime where the unfiltered inverted-index join fans out as Σ df².
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 400).map(i => f"w$i%03d")
+    val cum = vocab.indices.map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def zipfToken(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(_ >= x))
+    }
+    val docs = (0 until 200).map { id =>
+      (id.toLong, "crawl", (0 until 40).map(_ => zipfToken()).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val bg = NearDupCatalog.bigramIndex(docs).cache()
+    try {
+      val naiveCands = NearDupCatalog.candidatePairs(bg, prefixFilter = false).count()
+      val prefCands = NearDupCatalog.candidatePairs(bg, prefixFilter = true).count()
+      // The unfiltered join's generated-pair volume (pre-distinct) is Σ df·(df−1)/2.
+      val fanout = bg.groupBy("source", "bg").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect().head.getDouble(0).toLong
+      info(s"zipfian fan-out: naive join generates $fanout gram-pairs -> " +
+        s"$naiveCands distinct candidates; prefix filter -> $prefCands candidates")
+      // Same final pair set from both plans.
+      val a = NearDupCatalog.ngramJaccardFrom(docs, prefixFilter = false)
+        .collect().map(_.toSeq).toSet
+      val b = NearDupCatalog.ngramJaccardFrom(docs, prefixFilter = true)
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+      // The filter must prune meaningfully in the zipfian regime.
+      assert(prefCands < naiveCands,
+        s"prefix filter pruned nothing: $prefCands vs $naiveCands")
+    } finally bg.unpersist()
+  }
 }
