@@ -224,14 +224,23 @@ object PipelineCatalog {
     * NearDupCatalog.lshPairs); the oracle runs the identical composition
     * in SQL via the shared LSH CTEs.
     */
+  /** Stages 1–2 of the cleaning pipeline (quality filter → exact dedup)
+    * over an arbitrary documents frame — shared by the batch entry below
+    * and the streaming-convergence test of
+    * `StreamingQueries.streamingCleanCorpus`.
+    */
+  private[graft] def qualityDedup(docs: DataFrame, minTokens: Int = 25): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+    graft.operators.Dedup.exactByContent(base, col("text"), col("doc_id"))
+  }
+
   val cleanCorpus: CatalogEntry = CatalogEntry(
     "pipeline_clean_corpus",
     (s, d) => {
-      val base = documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"),
-          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") >= 25)
-      val exact = graft.operators.Dedup.exactByContent(base, col("text"), col("doc_id"))
+      val exact = qualityDedup(documents(s, d))
       val cleaned = graft.operators.Dedup.dropNearDuplicates(
         exact, col("doc_id"), NearDupCatalog.lshPairs(s, d))
       cleaned.groupBy("source")

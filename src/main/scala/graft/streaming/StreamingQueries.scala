@@ -131,6 +131,35 @@ object StreamingQueries {
       .dropDuplicates("content_hash")
   }
 
+  /** Streaming form of the corpus-cleaning pipeline
+    * (PipelineCatalog.cleanCorpus stages 1–2 + stats): quality filter
+    * (≥ `minTokens` whitespace tokens) → watermark-bounded exact dedup on
+    * the normalized-content hash → per-source running corpus stats
+    * (docs kept, tokens kept). Every stage is the micro-batch counterpart
+    * of an oracle-checked batch operator; with an ordered replay the
+    * final state converges to the batch composition (StreamingSpec).
+    *
+    * MinHash near-dup SIGNATURES stream identically (pure per-row
+    * projections — graft.functions.Text.minhashSignature applies to a
+    * streaming frame unchanged); the pair JOIN stage is inherently
+    * cross-batch and belongs in a periodic batch compaction, the
+    * standard lambda split for dedup at 100 TB.
+    */
+  def streamingCleanCorpus(
+      docs: DataFrame,
+      tsCol: String,
+      minTokens: Int = 25,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val quality = docs
+      .withColumn("n_tokens",
+        size(graft.functions.Text.wsTokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+    streamingDedup(quality, tsCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+  }
+
   /** Register an AdaptiveTriggerController for `queryName` on this session;
     * caller owns removal. This is `adCombine` (DataStream.java:1424-1436):
     * same pipeline, controller-driven interval.

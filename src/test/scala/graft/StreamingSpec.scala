@@ -141,6 +141,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L), s"kept $kept") // first of each content wins
   }
 
+  test("streaming cleaning pipeline converges to the batch quality->dedup->stats composition") {
+    import org.apache.spark.sql.functions._
+    val sf0001 = TestSpark.sf0001
+    // Ordered replay (ascending doc_id) so streaming first-seen dedup picks
+    // the same survivor as the batch min-id rule; per-source stats are
+    // survivor-invariant anyway (no duplicate group spans sources here).
+    val rows: Seq[(Long, Timestamp, String, String)] = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect().sortBy(_.getLong(0)).toSeq
+      .map(r => (r.getLong(0), new Timestamp(1700000000000L + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, Timestamp, String, String)](spark)
+    val table = s"clean_stream_${System.nanoTime()}"
+    val q = StreamingQueries.streamingCleanCorpus(
+        input.toDF().toDF("doc_id", "ts", "source", "text"), tsCol = "ts")
+      .writeStream.outputMode("complete").format("memory").queryName(table).start()
+    def snapshot() = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      input.addData(h: _*)
+      q.processAllAvailable()
+      input.addData(t: _*)
+      q.processAllAvailable()
+      val batch = graft.queries.PipelineCatalog
+        .qualityDedup(Tables.documents(spark, sf0001))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(snapshot() == batch)
+    } finally q.stop()
+  }
+
   test("AdaptivePolicy walks the band exactly like the reference controller") {
     import AdaptivePolicy.next
     // Overloaded (≥100 %): +200 regardless of band position.
