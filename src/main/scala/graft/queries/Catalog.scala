@@ -8,7 +8,7 @@ package graft.queries
   */
 object Catalog {
   def all: Seq[CatalogEntry] =
-    ReferenceCatalog.all ++ PipelineCatalog.all ++ NearDupCatalog.all ++
-      EmbeddingCatalog.all ++ MultimodalCatalog.all ++ SensorCatalog.all ++
-      SqlCatalog.all ++ JoinCatalog.all
+    ReferenceCatalog.all ++ PipelineCatalog.all ++ TrainPrepCatalog.all ++
+      NearDupCatalog.all ++ EmbeddingCatalog.all ++ MultimodalCatalog.all ++
+      SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Training-set preparation operators over `documents` — the steps between
+  * a cleaned corpus and a training run: deterministic split assignment,
+  * repetition screening (Gopher-style), domain mixing weights, and
+  * vocabulary document frequencies. Everything is a per-row projection or
+  * a single small aggregation — the shapes that are free at 100 TB.
+  *
+  * Cross-engine determinism: split hashing compares md5 HEX PREFIXES
+  * lexicographically (never hex→int — DuckDB has no conv()); ratios of
+  * exact integers divide as doubles identically in both engines and are
+  * rounded to 6 decimals.
+  */
+object TrainPrepCatalog {
+
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val toksSql = raw"string_split_regex(trim(text), '\s+')"
+
+  /** Deterministic train/val/test assignment by salted content-id hash:
+    * the first two md5 hex chars partition [0,256) into 230/13/13
+    * (≈ 90/5/5). Hash of the id, not the row position — stable under
+    * re-sharding, re-ordering, and incremental appends, which is the
+    * property a reproducible training split actually needs.
+    */
+  val splitAssign: CatalogEntry = CatalogEntry(
+    "doc_split_assign",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2).as("hx"))
+      .select(col("doc_id"),
+        when(col("hx") < "e6", "train")
+          .when(col("hx") < "f3", "val")
+          .otherwise("test").as("split")),
+    Some("""SELECT doc_id,
+                   CASE WHEN hx < 'e6' THEN 'train'
+                        WHEN hx < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+                  FROM documents)"""))
+
+  /** Repetition screening: duplicate word-bigram fraction per document
+    * (the Gopher/MassiveText "repetition" family of quality signals).
+    * Pure per-row projection; the short-doc case (< 2 tokens) falls back
+    * to the whole text as its single gram, mirroring Text.wordNgrams.
+    */
+  val repetition: CatalogEntry = CatalogEntry(
+    "doc_repetition",
+    (s, d) => {
+      val grams = Text.wordNgrams(Text.normTokens(col("text")), 2)
+      documents(s, d).select(
+        col("doc_id"),
+        size(grams).cast("long").as("n_bigrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6))
+        .withColumn("repetitive", col("dup_frac") > 0.2)
+    },
+    Some(raw"""SELECT doc_id,
+                 CAST(len(bgs) AS BIGINT) AS n_bigrams,
+                 CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct,
+                 ROUND(1.0 - len(list_distinct(bgs)) / len(bgs), 6) AS dup_frac,
+                 ROUND(1.0 - len(list_distinct(bgs)) / len(bgs), 6) > 0.2 AS repetitive
+               FROM (
+                 SELECT doc_id,
+                        CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                             ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END AS bgs
+                 FROM (SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                       FROM documents))"""))
+
+  /** Domain mixing weights: per-source token share and the up/down-
+    * sampling weight that would flatten the mix to uniform-over-sources
+    * (weight ∝ target share / actual share). One 20-group aggregation
+    * plus a scalar broadcast — at 100 TB the per-source aggregate is the
+    * only shuffle and its cardinality is the domain count.
+    */
+  val mixWeights: CatalogEntry = CatalogEntry(
+    "source_mix_weights",
+    (s, d) => {
+      val per = documents(s, d)
+        .select(col("source"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      val w = Window.partitionBy()
+      per
+        .withColumn("total", sum("tokens").over(w))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .select(col("source"), col("docs"), col("tokens"),
+          round(col("tokens") / col("total"), 6).as("token_share"),
+          round(col("total") / (col("n_src") * col("tokens")), 6).as("mix_weight"))
+    },
+    Some(s"""SELECT source, docs, tokens,
+                    ROUND(tokens / total, 6) AS token_share,
+                    ROUND(total / (n_src * tokens), 6) AS mix_weight
+             FROM (SELECT source, COUNT(*) AS docs,
+                          CAST(SUM(len($toksSql)) AS BIGINT) AS tokens,
+                          CAST(SUM(SUM(len($toksSql))) OVER () AS BIGINT) AS total,
+                          COUNT(*) OVER () AS n_src
+                   FROM documents GROUP BY source)"""))
+
+  /** Vocabulary document frequencies: top 20 tokens by df (ties broken by
+    * token). The global top-k is a TakeOrdered after the one token
+    * aggregation — no full sort at any scale.
+    */
+  val tokenDf: CatalogEntry = CatalogEntry(
+    "token_df",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(Text.normTokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20),
+    Some(raw"""SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+                 SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS token
+                 FROM documents)
+               GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
+
+  val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf)
+}
