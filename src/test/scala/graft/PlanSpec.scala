@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression tests: the 100 TB invariants the
+  * catalog's scaladocs claim, enforced so a refactor cannot silently
+  * trade a broadcast for a sort-merge or sneak a second shuffle into a
+  * single-pass aggregate. Assertions read the pre-execution physical
+  * plan (AQE's initial plan — strategy choices are visible there).
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("TPC-H join family: dimensions broadcast, the fact table never sort-merges") {
+    Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_q18").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact table sort-merged\n$p")
+    }
+  }
+
+  test("TPC-H scans push their predicates into parquet") {
+    Seq("tpch_q6", "tpch_q3").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$q: no pushed filters\n$p")
+    }
+  }
+
+  test("single-pass aggregates shuffle exactly once") {
+    Seq("tpch_q1", "doc_exact_dedup", "word_count").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") == 1,
+        s"$q: expected exactly one hash exchange\n$p")
+    }
+  }
+
+  test("per-row pipeline operators run with zero shuffles") {
+    Seq("doc_text_stats", "doc_token_count", "doc_lang_id", "doc_fingerprint",
+      "doc_split_assign", "doc_repetition", "doc_simhash").foreach { q =>
+      val p = plan(q)
+      // doc_simhash's one aggregation is its only legitimate exchange.
+      val budget = if (q == "doc_simhash") 1 else 0
+      assert(countOf(p, "Exchange hashpartitioning") <= budget,
+        s"$q: unexpected shuffle\n$p")
+    }
+  }
+
+  test("top-N per key uses bounded partial aggregation, not a ranking window") {
+    Seq("topn_per_key", "distance_topn_per_key").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: ranking window crept back in\n$p")
+      assert(countOf(p, "ObjectHashAggregate") == 2,
+        s"$q: expected partial+final bounded-heap aggregation\n$p")
+    }
+  }
+
+  test("KNN search joins broadcast the query side, never the corpus") {
+    Seq("emb_knn_brute", "emb_knn_lsh", "emb_knn_lsh_multiprobe",
+      "emb_knn_ivf_kmeans").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q: query side not broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus sort-merged\n$p")
+    }
+  }
+
+  test("trained-IVF assignment is a pure projection: no exchange before the rerank join") {
+    val p = plan("emb_knn_ivf_kmeans")
+    // Only the final top-k aggregation may hash-partition; cell assignment
+    // and probe selection are literal-based per-row work.
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"unexpected shuffles in trained-IVF plan\n$p")
+  }
+
+  test("similarity candidate generation never plans a cartesian product") {
+    Seq("doc_near_dup_lsh", "doc_ngram_jaccard", "emb_near_dup",
+      "emb_near_dup_banded").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: all-pairs join\n$p")
+    }
+  }
+}
