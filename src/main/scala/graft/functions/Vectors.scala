@@ -43,11 +43,21 @@ object Vectors {
   def project(v: Column, signs: Seq[Int]): Column =
     dot(v.cast("array<double>"), array(signs.map(s => lit(s.toDouble)): _*))
 
+  /** All LSH bucket ids for a family of hyperplane tables, as one
+    * `array<int>` column — a single codegen'd loop nest
+    * (graft.expressions.HyperplaneBuckets) instead of tables × planes
+    * inlined projection expressions, whose Janino compilation dominated
+    * the banded near-dup query (~2.5 s of 3 s at 4×8 planes).
+    */
+  def hyperplaneBuckets(v: Column, tables: Seq[Seq[Seq[Int]]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.HyperplaneBuckets(GraftSqlBridge.expression(v), tables))
+  }
+
   /** Random-hyperplane LSH bucket id: bit p set when the projection onto
     * plane p is positive.
     */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Int]]): Column =
-    planes.zipWithIndex.map { case (signs, p) =>
-      when(project(v, signs) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    hyperplaneBuckets(v, Seq(planes)).getItem(0)
 }

@@ -326,22 +326,25 @@ object EmbeddingCatalog {
     "emb_near_dup_banded",
     (s, d) => {
       import graft.functions.Vectors
-      val bucketed = (0 until BandTables).foldLeft(
-        embeddings(s, d).withColumn("nrm", Vectors.norm(col("embedding")))) {
-        (df, t) => df.withColumn(s"b$t", Vectors.hyperplaneBucket(col("embedding"), bandedSigns(t)))
-      }.cache() // feeds both sides of all BandTables branch joins
-      val a = bucketed.select(col("vec_id").as("vec_a") +: col("embedding").as("qe") +:
-        col("nrm").as("qn") +: (0 until BandTables).map(t => col(s"b$t").as(s"ab$t")): _*)
-      val b = bucketed.select(col("vec_id").as("vec_b") +: col("embedding").as("ce") +:
-        col("nrm").as("cn") +: (0 until BandTables).map(t => col(s"b$t").as(s"bb$t")): _*)
-      val branches = (0 until BandTables).map { t =>
-        a.join(b, col(s"ab$t") === col(s"bb$t") && col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), cosineCol.as("cosine"))
-      }
-      // UNION-dedup ≡ filter + distinct (a pair may collide in >1 table).
-      branches.reduce(_ unionAll _)
-        .filter(col("cosine") >= NearDupThreshold)
+      val emb = embeddings(s, d).cache() // feeds bands + both scoring joins
+      // The doc-LSH shape: shuffle only (vec_id, table, bucket) tuples —
+      // never vectors — through the ONE collision self-join; candidate
+      // pairs are distinct'd, then vectors join back for exact scoring.
+      val bands = emb.select(col("vec_id"),
+        posexplode(Vectors.hyperplaneBuckets(col("embedding"), bandedSigns)).as(Seq("t", "b")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      val withNorm = emb.withColumn("nrm", Vectors.norm(col("embedding")))
+      cand
+        .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("qe"),
+          col("nrm").as("qn")), Seq("vec_a"))
+        .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("ce"),
+          col("nrm").as("cn")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cosineCol.as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
     },
     Some {
       val bucketCols = (0 until BandTables)
