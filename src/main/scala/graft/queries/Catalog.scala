@@ -10,5 +10,5 @@ object Catalog {
   def all: Seq[CatalogEntry] =
     ReferenceCatalog.all ++ PipelineCatalog.all ++ TrainPrepCatalog.all ++
       NearDupCatalog.all ++ EmbeddingCatalog.all ++ MultimodalCatalog.all ++
-      SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all
+      SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all ++ TpchExtCatalog.all
 }

@@ -78,6 +78,34 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected shuffles in trained-IVF plan\n$p")
   }
 
+  test("existence tests plan as semi/anti joins, never materializing matches") {
+    val q4 = plan("tpch_q4")
+    assert(q4.contains("LeftSemi"), s"tpch_q4: EXISTS did not plan as a semi join\n$q4")
+    val q22 = plan("tpch_q22")
+    assert(q22.contains("LeftAnti"), s"tpch_q22: NOT EXISTS did not plan as an anti join\n$q22")
+    // Neither existence test may surface lineitem/orders columns past the join.
+    Seq(q4 -> "l_shipdate", q22 -> "o_custkey").foreach { case (p, c) =>
+      assert(!p.linesIterator.exists(l => l.contains("Aggregate") && l.contains(c)),
+        s"existence-join column $c leaked into the aggregate\n$p")
+    }
+  }
+
+  test("disjunctive predicates (Q19) still push per-table bounds to the scans") {
+    val p = plan("tpch_q19")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"tpch_q19: OR-factored scan filters missing\n$p")
+    assert(p.contains("Or(And("), s"tpch_q19: no disjunctive pushdown on a scan\n$p")
+  }
+
+  test("aggregate-then-join queries reduce the fact table before any join") {
+    // Q15: revenue per suppkey reduces lineitem before supplier is touched.
+    val p = plan("tpch_q15")
+    val firstJoin = p.indexOf("Join")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstJoin >= 0 && firstAgg > firstJoin,
+      s"tpch_q15: expected the supplier join above the fact aggregation\n$p")
+  }
+
   test("similarity candidate generation never plans a cartesian product") {
     Seq("doc_near_dup_lsh", "doc_ngram_jaccard", "emb_near_dup",
       "emb_near_dup_banded").foreach { q =>
