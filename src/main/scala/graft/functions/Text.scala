@@ -56,11 +56,20 @@ object Text {
 
   /** MinHash signature: k columns, each the lexicographic minimum of
     * `md5(seed || '|' || shingle)` — deterministic and engine-portable.
+    * All k minimums come from ONE compact expression
+    * (graft.expressions.MinhashSignature): the composed
+    * `array_min(transform(md5))` form is value-identical but its k
+    * generated-code segments cost ~2.4 s of Janino compilation per plan
+    * shape at k = 12 (see the expression's scaladoc).
     */
-  def minhashSignature(shingleArr: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(shingleArr, s => md5(concat(lit(i.toString), lit("|"), s)))).as(s"s$i")
-    }
+  def minhashSignature(shingleArr: Column, k: Int): Seq[Column] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    // The k getItem columns share ONE signature evaluation per row via
+    // codegen subexpression elimination (identical deterministic subtree).
+    val sig = GraftSqlBridge.column(
+      graft.expressions.MinhashSignature(GraftSqlBridge.expression(shingleArr), k))
+    (0 until k).map(i => sig.getItem(i).as(s"s$i"))
+  }
 
   /** Order-insensitive set fingerprint: md5 of the sorted distinct token
     * set.

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Text, Vectors}
+
+/** The two compile-cost-collapsing hash expressions (MinhashSignature,
+  * HyperplaneBuckets) must be VALUE-IDENTICAL to the composed built-in
+  * forms they replaced — the oracle SQL still mirrors the composed form,
+  * so any divergence is a silent correctness break.
+  */
+class HashExprSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  private lazy val docs = Tables.documents(spark, sf0001).limit(80)
+    .select(col("doc_id"), Text.shingles(col("text"), 3).as("shs"))
+  private lazy val emb = Tables.embeddings(spark, sf0001).limit(80)
+
+  test("MinhashSignature equals the composed array_min(transform(md5)) per hash") {
+    val k = 12
+    val native = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*)
+    val composed = docs.select(col("doc_id") +: (0 until k).map { i =>
+      array_min(transform(col("shs"), s =>
+        md5(concat(lit(i.toString), lit("|"), s)))).as(s"s$i")
+    }: _*)
+    val n = native.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(n.nonEmpty && n == c)
+  }
+
+  test("MinhashSignature: empty and null-element arrays produce NULL, not garbage") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val sig = GraftSqlBridge.column(graft.expressions.MinhashSignature(
+      GraftSqlBridge.expression(col("shs")), 3))
+    val rows = spark.sql(
+      """SELECT * FROM VALUES (array('a b c', 'b c d')), (array()),
+         (CAST(NULL AS ARRAY<STRING>)), (array('a b c', NULL)) t(shs)""")
+      .select(sig.as("sig")).collect()
+    assert(rows(0).getSeq[String](0).length == 3)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0) && rows(3).isNullAt(0))
+  }
+
+  test("MinhashSignature participates in whole-stage codegen") {
+    val plan = docs.select(Text.minhashSignature(col("shs"), 4): _*)
+      .queryExecution.executedPlan.toString
+    // The shingle HOF projection below it legitimately falls out of
+    // codegen; the minhash projection itself must be in a starred span.
+    assert("""\*\(\d+\) Project \[minhash_signature""".r.findFirstIn(plan).isDefined,
+      s"fell out of codegen:\n$plan")
+  }
+
+  test("HyperplaneBuckets equals the composed per-plane projection sum") {
+    val tables = graft.queries.EmbeddingCatalog.bandedSigns
+    val native = emb.select(col("vec_id"),
+      Vectors.hyperplaneBuckets(col("embedding"), tables).as("b"))
+    def composedBucket(planes: Seq[Seq[Int]]) =
+      planes.zipWithIndex.map { case (signs, p) =>
+        when(Vectors.project(col("embedding"), signs) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val composed = emb.select(col("vec_id"),
+      array(tables.map(composedBucket): _*).as("b"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(n.nonEmpty && n == c)
+  }
+
+  test("interpreted and codegen paths agree (MinhashSignature)") {
+    val k = 6
+    val on = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*).collect()
+      assert(on.map(_.toSeq).toSeq == off.map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
