@@ -184,22 +184,43 @@ object NearDupCatalog {
     * shares at least one gram in both prefixes, so filtering is EXACT:
     * same final pair set, hot high-df grams never generate candidates.
     */
+  /** Per-doc gram arrays in prefix order (ascending block df, ties by
+    * gram — a global total order per block), plus the doc's gram count:
+    * ONE doc_id shuffle yields the prefix order, the size AND the full
+    * gram set for verification. The earlier window-rank formulation paid
+    * three doc_id-keyed exchanges for the same information (row_number
+    * window + per-doc size + collect_set). The df join stays a shuffle
+    * join: at 100 TB the block vocabulary is far too big to broadcast.
+    */
+  private[graft] def perDocByDf(bg: DataFrame): DataFrame = {
+    val dfreq = bg.groupBy("source", "bg").agg(count(lit(1)).as("df"))
+    bg.join(dfreq, Seq("source", "bg"))
+      .groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("sorted"))
+      .select(col("doc_id"), col("source"),
+        transform(col("sorted"), _.getField("bg")).as("gs"),
+        size(col("sorted")).as("n"))
+  }
+
+  /** The first n − ceil(t·n) + 1 grams of each doc in prefix order,
+    * exploded. Prefix length with t = 3/10 computed as ceil((n*3)/10.0):
+    * n*3 is exact, and whenever 10 | 3n the quotient is an exact
+    * integer — no float boundary case can shorten the prefix and drop a
+    * true pair (0.3*20 = 6.000000000000001 would).
+    */
+  private def prefixSide(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), col("source"),
+      explode(slice(col("gs"), lit(1),
+        (col("n") - ceil((col("n") * 3) / lit(10.0)) + 1).cast("int"))).as("bg"))
+
+  /** Candidate (da, db) pairs within a source block, from the inverted
+    * bigram index; see [[prefixSide]] for the exactness argument — any
+    * pair with Jaccard ≥ t shares at least one gram in both prefixes, so
+    * hot high-df grams never generate candidates yet no true pair is
+    * lost.
+    */
   private[graft] def candidatePairs(bg: DataFrame, prefixFilter: Boolean): DataFrame = {
-    val side = if (!prefixFilter) bg else {
-      import org.apache.spark.sql.expressions.Window
-      val dfreq = bg.groupBy("source", "bg").agg(count(lit(1)).as("df"))
-      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Prefix length n − ceil(t·n) + 1 with t = 3/10 computed as
-      // ceil((n*3)/10.0): n*3 is exact, and whenever 10 | 3n the quotient
-      // is an exact integer — no float boundary case can shorten the
-      // prefix and drop a true pair (0.3*20 = 6.000000000000001 would).
-      bg.join(dfreq, Seq("source", "bg"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy("df", "bg")))
-        .join(sz, "doc_id")
-        .filter(col("rk") <= col("n") - ceil((col("n") * 3) / lit(10.0)) + 1)
-        .select(col("doc_id"), col("source"), col("bg"))
-    }
+    val side = if (!prefixFilter) bg else prefixSide(perDocByDf(bg))
     side.as("a").join(side.as("b"),
         col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -215,37 +236,46 @@ object NearDupCatalog {
     // The bigram index feeds several branches (candidate join sides + set
     // sizes) — materialize once.
     val bg = bigramIndex(docs).cache()
-    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ni =
-      if (!prefixFilter)
-        // Unfiltered: the candidate join on every shared gram IS the
-        // intersection count — one pass.
-        bg.as("a").join(bg.as("b"),
-            col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("n_inter"))
-      else
-        // Prefix-filtered: candidates come from prefix grams only, so the
-        // intersection is recounted per candidate pair via array_intersect
-        // on the two full gram SETS (the LSH verifier's pattern) — two
-        // broadcast-able set lookups per pair instead of re-shuffling the
-        // exploded gram index (8.6 s → 5.2 s on the dense sf0.1 corpus; the
-        // remaining ~2× over the unfiltered single-pass is the price of a
-        // second verification pass, which only pays off on skewed corpora).
-        {
-          val sets = bg.groupBy("doc_id").agg(collect_set("bg").as("gs"))
-          candidatePairs(bg, prefixFilter = true)
-            .join(sets.select(col("doc_id").as("da"), col("gs").as("gs_a")), Seq("da"))
-            .join(sets.select(col("doc_id").as("db"), col("gs").as("gs_b")), Seq("db"))
-            .select(col("da"), col("db"),
-              size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_inter"))
-        }
-    ni.join(sz.as("za"), col("za.doc_id") === col("da"))
-      .join(sz.as("zb"), col("zb.doc_id") === col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= NgramThreshold)
+    if (!prefixFilter) {
+      // Unfiltered: the candidate join on every shared gram IS the
+      // intersection count — one pass.
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      bg.as("a").join(bg.as("b"),
+          col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sz.as("za"), col("za.doc_id") === col("da"))
+        .join(sz.as("zb"), col("zb.doc_id") === col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("n_inter") / (col("za.n") + col("zb.n") - col("n_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= NgramThreshold)
+    } else {
+      // Prefix-filtered: ONE cached per-doc frame carries prefix order,
+      // gram set and size, so candidates come from prefix grams only and
+      // each candidate pair verifies via array_intersect on the two gram
+      // arrays — the pair's sizes ride the same joins (no separate sz
+      // frame; the window formulation this replaces paid two extra
+      // doc_id exchanges and measured 5.8 s vs 2.4 s unfiltered at
+      // sf0.1's dense vocabulary).
+      val perDoc = perDocByDf(bg).cache()
+      val side = prefixSide(perDoc)
+      val cand = side.as("a").join(side.as("b"),
+          col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(perDoc.select(col("doc_id").as("da"), col("gs").as("gs_a"), col("n").as("na")),
+          Seq("da"))
+        .join(perDoc.select(col("doc_id").as("db"), col("gs").as("gs_b"), col("n").as("nb")),
+          Seq("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          graft.functions.Text.bound(size(array_intersect(col("gs_a"), col("gs_b")))) { ni =>
+            round(ni / (col("na") + col("nb") - ni), 6)
+          }.as("jaccard"))
+        .filter(col("jaccard") >= NgramThreshold)
+    }
   }
 
   val ngramJaccard: CatalogEntry = CatalogEntry(
