@@ -421,6 +421,82 @@ object EmbeddingCatalog {
           WHERE rn <= $K"""
     })
 
+  /** Scalar-quantized (int8) ANN with exact rerank — the
+    * memory-bandwidth scale path (Faiss's SQ8 / IndexScalarQuantizer
+    * idea): quantize every vector to 64 int8 codes against the corpus's
+    * global absolute-max scale, rank candidates by INTEGER dot product
+    * (4 B/dim float reads become 1 B/dim, and the scoring loop is exact
+    * integer arithmetic — bit-identical across engines, no float-fold
+    * concerns in the hot path), keep the top 4K per query, then rerank
+    * just those with the exact cosine.
+    *
+    * At 100 TB the quantized corpus scan reads 1/4 the bytes of the
+    * float scan and the rerank touches only 4K · |queries| vectors via a
+    * broadcast semi-lookup — the standard quantize→shortlist→rerank ANN
+    * architecture. Quantization uses floor (not round: engines disagree
+    * on half-way ties) — recall loss vs round is negligible and the
+    * exact rerank absorbs it.
+    */
+  val knnSq8: CatalogEntry = CatalogEntry(
+    "emb_knn_sq8",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val emb = embeddings(s, d)
+      val candC = 4 * K
+      val mx = emb.agg(
+        max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+      def quant(v: Column): Column =
+        transform(v, x => floor(lit(127.0) * x.cast("double") / col("m")).cast("int"))
+      val corpus = emb.crossJoin(broadcast(mx))
+        .select(col("vec_id").as("cand_id"), quant(col("embedding")).as("cq"))
+      val queries = emb.filter(col("vec_id") < NQueries).crossJoin(broadcast(mx))
+        .select(col("vec_id").as("query_id"), quant(col("embedding")).as("qq"))
+      val iscore = aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), iscore.cast("double").as("score"))
+      val topc = udaf(new graft.combine.TopNAgg(candC))
+      val cands = scored.groupBy("query_id")
+        .agg(topc(col("score"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("sq_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("sq_cand"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some {
+      val candC = 4 * K
+      val absList = s"[abs(CAST(embedding[i] AS DOUBLE)) for i in range(1, ${Dim + 1})]"
+      val q8List =
+        s"[CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE) / m) AS INT) for i in range(1, ${Dim + 1})]"
+      val idot =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(qq.q[i] * cc.q[i] AS BIGINT) for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+      s"""WITH mx AS (SELECT MAX(list_max($absList)) AS m FROM embeddings),
+            q8 AS (SELECT vec_id, $q8List AS q FROM embeddings, mx),
+            iscored AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id, $idot AS iscore
+                        FROM q8 qq JOIN q8 cc ON cc.vec_id != qq.vec_id
+                        WHERE qq.vec_id < $NQueries),
+            cand AS (SELECT query_id, cand_id FROM (
+                       SELECT query_id, cand_id,
+                              row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, cand_id) AS rn
+                       FROM iscored) WHERE rn <= $candC)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM cand
+            JOIN embeddings c ON c.vec_id = cand.cand_id
+            JOIN embeddings q ON q.vec_id = cand.query_id)
+          WHERE rn <= $K"""
+    })
+
   val all: Seq[CatalogEntry] =
-    Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, nearDupCosine, nearDupBanded)
+    Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8,
+      nearDupCosine, nearDupBanded)
 }

@@ -261,6 +261,81 @@ object PipelineCatalog {
             WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
             GROUP BY source"""))
 
+  /** Schema-on-read JSON extraction: pull a typed field out of the
+    * `events.props` JSON column and aggregate it per event type.
+    * Per-row parse + one small-key aggregate — the shape never changes
+    * with scale (no shuffle grows with the JSON payload, only with the
+    * 5-value key). Real pipelines do this instead of pre-flattening:
+    * the raw event keeps its open schema, extraction is late-bound.
+    */
+  val eventsJsonKv: CatalogEntry = CatalogEntry(
+    "events_json_kv",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Ordered per-user running total — the feature-engineering window
+    * shape (cumulative spend/exposure per entity). One shuffle on
+    * user_id, per-partition sort, NO global sort. The running sum runs
+    * in DECIMAL: Spark accumulates sequentially but DuckDB evaluates
+    * windowed SUM over a segment tree, so a double running sum would
+    * diverge by summation order — decimal is associative-exact, making
+    * tree and sequential evaluation bit-identical; the final cast routes
+    * through the usual correctly-rounded path.
+    */
+  val userRunningTotal: CatalogEntry = CatalogEntry(
+    "user_running_total",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running_value"))
+    },
+    Some("""SELECT user_id, event_id,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                     AS running_value
+            FROM events"""))
+
+  /** Deterministic stratified sampling: per-source keep rates applied
+    * via a content-independent hash test — substr(md5(doc_id), 1, 4)
+    * compared against the rate as a hex threshold. Pure per-row
+    * predicate: no shuffle, no RNG state, reproducible across engines,
+    * cluster sizes and reruns (the property that makes a training-mix
+    * resample auditable). Even-numbered sources keep ~50% ('8000'/16^4),
+    * odd ~25% ('4000') — the downsampling knob a source_mix_weights
+    * decision feeds.
+    */
+  val stratifiedSample: CatalogEntry = CatalogEntry(
+    "doc_stratified_sample",
+    (s, d) => {
+      val thr = when(
+        regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 2 === 0, lit("8000"))
+        .otherwise(lit("4000"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
+                       THEN '8000' ELSE '4000' END"""))
+
   val all: Seq[CatalogEntry] =
-    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus)
+    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
+      eventsJsonKv, userRunningTotal, stratifiedSample)
 }

@@ -116,6 +116,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchAnswer("taxi_ride_count"))
   }
 
+  test("keyed state runs on the RocksDB state store (large-state scale path)") {
+    // At 100 TB keyed state outgrows executor heaps; RocksDB keeps it
+    // off-heap on local disk with incremental checkpointing. The engine's
+    // queries must be provider-agnostic: same results, and the progress
+    // metrics must prove RocksDB actually held the state.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sinkId = s"rocksdb-${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val sink = new UpsertSink(sinkId)
+    val q = StreamingQueries.runUpdating("taxi_ride_count",
+      input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(burst1: _*)
+      q.processAllAvailable()
+      input.addData(burst2: _*)
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"state operator reports no rocksdb metrics: ${metrics.keySet}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = Sinks.registry(sinkId).asScala.toMap.map { case (k, r) => k -> r.toSeq.toList }
+    Sinks.clear(sinkId)
+    assert(got == batchAnswer("taxi_ride_count"))
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct content") {
     val t0 = ts("2024-03-01 10:00:00")
     val docs: Seq[Doc] = Seq(
