@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductFunction)
+    ext.injectFunction(GraftExtensions.minhashSignatureFunction)
     ext.injectOptimizerRule(_ => graft.plans.DistinctAggSplitRule)
   }
 }
@@ -24,12 +25,32 @@ object GraftExtensions {
     DotProduct(children.head, children(1))
   }
 
+  private def buildMinhash(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "minhash_signature(shingles, k) takes two arguments")
+    val k = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_signature: k must be an INT literal, got $other")
+    }
+    MinhashSignature(children.head, k)
+  }
+
   val dotProductFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
     build _)
 
+  val minhashSignatureFunction:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinhashSignature].getCanonicalName, "minhash_signature"),
+    buildMinhash _)
+
   /** Runtime registration on an existing session (driver-supplied). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftSqlBridge.registerExpressionFunction(spark, "dot_product", build)
+    org.apache.spark.sql.GraftSqlBridge.registerExpressionFunction(
+      spark, "minhash_signature", buildMinhash)
+  }
 }

@@ -65,6 +65,21 @@ class HashExprSpec extends AnyFunSuite {
     assert(n.nonEmpty && n == c)
   }
 
+  test("minhash_signature is callable from SQL after registration") {
+    graft.expressions.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs_mh")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_signature(shs, 4) AS sig FROM docs_mh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaApi = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), 4): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail.map(String.valueOf)).toMap
+    assert(viaSql.nonEmpty && viaSql.view.mapValues(_.toSeq).toMap == viaApi)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), 1 + 1) FROM VALUES (1) t(x)").collect()
+    }
+    assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
+
   test("interpreted and codegen paths agree (MinhashSignature)") {
     val k = 6
     val on = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*).collect()
