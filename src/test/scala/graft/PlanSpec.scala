@@ -106,6 +106,40 @@ class PlanSpec extends AnyFunSuite {
       s"tpch_q15: expected the supplier join above the fact aggregation\n$p")
   }
 
+  test("shuffle joins take runtime bloom-filter pruning when sizes warrant it") {
+    // At 100 TB a selective dim filter should reach the fact scan as an
+    // injected bloom filter (Spark's runtime row-level filtering). Local
+    // testdata is below the size thresholds, so the test sets them to
+    // "always" and proves the catalog's declarative join shape is
+    // ELIGIBLE — nothing in our plans (expressions, hints, manual
+    // repartitioning) blocks the injection.
+    import org.apache.spark.sql.functions.col
+    val conf = TestSpark.spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val spark = TestSpark.spark
+      val orders = Tables.load(spark, sf0001, "orders")
+      val cust = Tables.load(spark, sf0001, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val p = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected on the fact scan side\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.map(conf.set(k, _)).getOrElse(conf.unset(k))
+    }
+  }
+
   test("similarity candidate generation never plans a cartesian product") {
     Seq("doc_near_dup_lsh", "doc_ngram_jaccard", "emb_near_dup",
       "emb_near_dup_banded").foreach { q =>
