@@ -14,6 +14,17 @@ import graft.queries.Transforms
   * is the combiner flush interval (`combine(fn, intervalMs)`,
   * DataStream.java:1403-1436).
   */
+/** One stored signature in a band bucket's dedup state. */
+final case class SeenDoc(doc_id: Long, sig: Seq[String])
+
+/** Keyed state of one (band, band-hash) bucket. */
+final case class BucketState(docs: Seq[SeenDoc])
+
+/** A streaming near-dup hit: `doc_id` matched `dup_of` (seen earlier in
+  * the same LSH bucket) with MinHash-estimated Jaccard `est`.
+  */
+final case class NearDupVerdict(doc_id: Long, band: Int, dup_of: Long, est: Double)
+
 object StreamingQueries {
 
   /** The five core rolling aggregations, keyed by catalog name. */
@@ -158,6 +169,80 @@ object StreamingQueries {
     streamingDedup(quality, tsCol)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+  }
+
+  /** Streaming MinHash near-duplicate detection at ingest — the stateful
+    * complement of [[streamingDedup]] (which is exact-only) and of the
+    * batch LSH pair join (which is cross-batch and stays in compaction):
+    * each doc's K-hash MinHash signature is banded exactly like
+    * NearDupCatalog's batch pipeline; state lives PER BAND BUCKET
+    * (band, band-hash) and holds the signatures seen in that bucket. A
+    * new doc colliding with a stored signature whose component-match
+    * fraction (the unbiased MinHash Jaccard estimator, Broder 1997)
+    * reaches `simThreshold` emits a DupVerdict row; docs with no verdict
+    * are the kept stream.
+    *
+    * Scale: the group key IS the LSH bucket, so state shards uniformly
+    * (128-bit band hashes), each bucket holds at most `maxPerBucket`
+    * signatures (FIFO eviction, matching LSH's premise that true
+    * near-dups collide in a SMALL bucket), and — like all keyed state
+    * here — it runs on the RocksDB provider when heap-resident state
+    * won't fit. Estimator, not exact Jaccard: the stream never stores
+    * shingle sets, so memory per doc is K hex strings, and the batch
+    * compaction pass remains the exact authority (the standard
+    * ingest-filter + batch-verify split).
+    */
+  def streamingNearDup(
+      docs: DataFrame,
+      k: Int = 12,
+      bands: Int = 4,
+      simThreshold: Double = 0.8,
+      maxPerBucket: Int = 64): org.apache.spark.sql.Dataset[NearDupVerdict] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sigCols = graft.functions.Text.minhashSignature(
+      graft.functions.Text.shingles(col("text"), 3), k)
+    val sig = docs.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"s${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
+    }
+    val banded = sig
+      .select(col("doc_id"), array((0 until k).map(i => col(s"s$i")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"), col("sig"))
+      .as[(Long, Int, String, Seq[String])]
+    banded
+      .groupByKey { case (_, band, h, _) => (band, h) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), it: Iterator[(Long, Int, String, Seq[String])],
+            state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
+          var seen = state.getOption.getOrElse(BucketState(Vector.empty)).docs
+          val out = Vector.newBuilder[NearDupVerdict]
+          // Deterministic within a micro-batch: lowest doc_id is senior.
+          it.toSeq.sortBy(_._1).foreach { case (docId, band, _, sig) =>
+            val best = seen.iterator
+              .filter(_.doc_id != docId)
+              .map(s => (s.doc_id,
+                s.sig.zip(sig).count { case (a, b) => a == b }.toDouble / k))
+              .foldLeft(Option.empty[(Long, Double)]) { (acc, c) =>
+                if (acc.forall(a => c._2 > a._2 || (c._2 == a._2 && c._1 < a._1))) Some(c)
+                else acc
+              }
+            best match {
+              case Some((prior, est)) if est >= simThreshold =>
+                out += NearDupVerdict(docId, band, prior, est)
+              case _ =>
+                seen = (seen :+ SeenDoc(docId, sig)).takeRight(maxPerBucket)
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+        })
   }
 
   /** Register an AdaptiveTriggerController for `queryName` on this session;

@@ -175,6 +175,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L), s"kept $kept") // first of each content wins
   }
 
+  test("streaming near-dup flags cross-batch LSH collisions via signature estimate") {
+    val t0 = ts("2024-03-01 10:00:00")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "red green blue cyan magenta yellow black white"
+    val input = MemoryStream[Doc](spark)
+    val sinkId = s"neardup-${System.nanoTime()}"
+    val q = StreamingQueries.streamingNearDup(
+        input.toDF().toDF("doc_id", "ts", "text"), simThreshold = 0.6)
+      .toDF()
+      .writeStream.outputMode("append").foreach(new UpsertSink(sinkId, 2)).start()
+    try {
+      input.addData((1L, t0, textA), (2L, t0, textB))
+      q.processAllAvailable()
+      // Batch 2: 3 repeats textA (cross-batch dup of 1); 4 is a one-word
+      // append to textA (near-dup); 5 is fresh. 3 must NOT be stored as a
+      // senior copy — 4's verdict must still point at 1.
+      input.addData((3L, t0, textA), (4L, t0, textA + " iota"), (5L, t0, textC))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getLong(0), r.getLong(2))).toSet // (doc_id, dup_of)
+    Sinks.clear(sinkId)
+    assert(verdicts.map(_._1) == Set(3L, 4L), s"flagged: $verdicts")
+    assert(verdicts.forall(_._2 == 1L), s"seniority broken: $verdicts")
+  }
+
   test("streaming cleaning pipeline converges to the batch quality->dedup->stats composition") {
     import org.apache.spark.sql.functions._
     val sf0001 = TestSpark.sf0001
