@@ -40,14 +40,16 @@ object Text {
     element_at(transform(array(value), v => body(v)), 1)
 
   /** Word n-grams over a token array; whole input as one gram when the
-    * doc is shorter than n. The token array is let-bound: element access
-    * inside the gram lambda must NOT re-evaluate the tokenizer per
-    * element (measured 10× on the shingle pipeline).
+    * doc is shorter than n. Native expression (graft.expressions
+    * .WordNgrams): the composed HOF form was interpreted per row and
+    * re-evaluated element_at per gram element — and before `bound`, it
+    * re-ran the tokenizer per element (measured 10×); the native loop
+    * reads the token array once inside whole-stage codegen.
     */
-  def wordNgrams(toks: Column, n: Int): Column = bound(toks) { t =>
-    when(size(t) < n, array(array_join(t, " ")))
-      .otherwise(transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  def wordNgrams(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.WordNgrams(GraftSqlBridge.expression(toks), n))
   }
 
   /** Distinct word n-gram shingles of the normalized text. */

@@ -171,9 +171,12 @@ object NearDupCatalog {
     */
   private[graft] def bigramIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      explode(graft.functions.Text.wordNgrams(
-        graft.functions.Text.normTokens(col("text")), 2)).as("bg"))
-      .distinct()
+      // array_distinct BEFORE the explode: rows carry doc_id, so
+      // per-doc distinctness IS global distinctness of (doc_id, source,
+      // bg) — per-row dedup replaces what used to be a full shuffle of
+      // the exploded index (.distinct()).
+      explode(array_distinct(graft.functions.Text.wordNgrams(
+        graft.functions.Text.normTokens(col("text")), 2))).as("bg"))
 
   /** Candidate (da, db) pairs within a source block, from the inverted
     * bigram index. `prefixFilter = false` joins on EVERY shared gram

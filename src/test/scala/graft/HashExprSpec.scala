@@ -80,6 +80,26 @@ class HashExprSpec extends AnyFunSuite {
     assert(err.getMessage.contains("INT literal"), err.getMessage)
   }
 
+  test("WordNgrams equals the composed HOF form (incl. short docs and nulls)") {
+    def composed(t: org.apache.spark.sql.Column, n: Int) = Text.bound(t) { tt =>
+      when(size(tt) < n, array(array_join(tt, " ")))
+        .otherwise(transform(sequence(lit(0), size(tt) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(tt, i + j + 1)): _*)))
+    }
+    val edge = spark.sql(
+      """SELECT * FROM VALUES (array('a')), (array('a','b')), (array('a','b','c','d')),
+         (array('a', CAST(NULL AS STRING), 'c')), (array('')) t(toks)""")
+    Seq(2, 3).foreach { n =>
+      val rows = edge.select(Text.wordNgrams(col("toks"), n).as("nat"),
+        composed(col("toks"), n).as("cmp")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n: $r"))
+      val docRows = Tables.documents(spark, sf0001).limit(60)
+        .select(Text.wordNgrams(Text.normTokens(col("text")), n).as("nat"),
+          composed(Text.normTokens(col("text")), n).as("cmp")).collect()
+      docRows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
   test("interpreted and codegen paths agree (MinhashSignature)") {
     val k = 6
     val on = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*).collect()
