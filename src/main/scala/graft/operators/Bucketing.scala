@@ -36,4 +36,18 @@ object Bucketing {
   /** True iff the executed plan contains no shuffle exchange. */
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Write `df` as directory-partitioned parquet (one directory per
+    * value of `partitionCol`) — the lakehouse layout knob: a reader's
+    * partition-column predicate prunes whole directories at PLANNING
+    * time, before any file is opened. Bucketing kills the join shuffle;
+    * partitioning kills the scan. Keep partition columns low-cardinality
+    * (source, date, language) or the layout degenerates into the
+    * small-files problem.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

@@ -34,4 +34,22 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned writes prune whole directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables.documents(spark, sf0001)
+    Bucketing.writePartitioned(docs, dir, "source")
+    val back = spark.read.parquet(dir).filter(col("source") === "src1")
+    val plan = back.queryExecution.executedPlan.toString
+    // The source predicate must land in PartitionFilters (directory
+    // pruning), NOT PushedFilters (row-group evaluation inside files).
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition predicate not pruned at planning time:\n$plan")
+    assert(back.count() == docs.filter(col("source") === "src1").count())
+    // And only the one matching directory's files are read.
+    val partitionsRead = back.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }.sum
+    assert(partitionsRead == 1, s"expected exactly 1 selected partition, got $partitionsRead")
+  }
 }
