@@ -14,6 +14,19 @@ import graft.Tables
   * `md5(seed || '|' || shingle)` hex strings — deterministic and identical
   * in Spark and DuckDB, so the oracle runs the whole LSH pipeline in SQL
   * and must match bit-for-bit.
+  *
+  * Negative result, kept so it is not re-tried: deriving the K hashes
+  * Kirsch–Mitzenmacher-style (one md5 per shingle, h_i = h1 + i·h2 over
+  * the digest's 48-bit halves) was implemented, oracle-verified, and
+  * REJECTED. Linearly-derived h_i are correlated across i, so a pair's
+  * signature components tend to agree or disagree TOGETHER — band
+  * collisions stop being independent trials and recall collapses
+  * precisely where LSH must not miss (two planted pairs at Jaccard 0.95
+  * and 0.91 escaped all 4 bands at sf0.001; independent seeded hashes
+  * catch them with P ≈ 0.9997). KM is sound for Bloom-filter membership,
+  * not for banded min-wise signatures. The measured speedup was also nil
+  * at sf0.1 — MinhashSignature's single-pass loop already amortizes the
+  * K digests below the scan cost.
   */
 object NearDupCatalog {
 
