@@ -335,7 +335,36 @@ object PipelineCatalog {
                   CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0
                        THEN '8000' ELSE '4000' END"""))
 
+  /** Salted two-phase aggregation as a first-class catalog entry: count
+    * and exact decimal sum per user, routed through operators/Salting's
+    * shape — partial aggregation on (key, salt) splits any hot key
+    * across `saltBuckets` uniform sub-keys, the final aggregation merges
+    * partials per key. The oracle is the PLAIN single-phase aggregation:
+    * salting must be result-invisible (counts are integers; the value
+    * sum stays DECIMAL through BOTH phases — summing per-salt doubles
+    * would re-order float addition — and casts to double only at the
+    * end). This testdata's keys are uniform; the entry pins the
+    * correctness contract so the operator is safe to reach for when a
+    * skewed corpus needs it.
+    */
+  val saltedUserAgg: CatalogEntry = CatalogEntry(
+    "events_salted_agg",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          pmod(hash(col("event_id")), lit(16)).as("salt"))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pc"),
+          sum(col("value").cast(DecimalType(18, 4))).as("ps"))
+        .groupBy(col("user_id").as("driver_id"))
+        .agg(sum("pc").as("cnt"), sum("ps").cast("double").as("total_value"))
+    },
+    Some(s"""SELECT user_id AS driver_id, COUNT(*) AS cnt,
+             ${Exact.sqlSum("value", 18, 4)} AS total_value
+             FROM events GROUP BY user_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
-      eventsJsonKv, userRunningTotal, stratifiedSample)
+      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg)
 }
