@@ -10,5 +10,6 @@ object Catalog {
   def all: Seq[CatalogEntry] =
     ReferenceCatalog.all ++ PipelineCatalog.all ++ TrainPrepCatalog.all ++
       NearDupCatalog.all ++ EmbeddingCatalog.all ++ MultimodalCatalog.all ++
-      SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all ++ TpchExtCatalog.all
+      SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all ++ TpchExtCatalog.all ++
+      OlapCatalog.all
 }
