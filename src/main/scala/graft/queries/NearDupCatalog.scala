@@ -140,16 +140,13 @@ object NearDupCatalog {
     * signature entry and the collision-group dedup entry.
     */
   private def simhashDF(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.Text.normTokens(col("text")))).as("tok"))
-      .withColumn("hx", md5(col("tok")))
-    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val voteCols = (0 until 32).map(j =>
-      sum(when(substring(col("hx"), j + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v$j"))
-    val bits = (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    // Per-row native signature (graft.expressions.Simhash32): the
+    // signature stage has ZERO exchanges — the exploded 32-aggregate
+    // formulation it replaces shuffled every token row.
+    import org.apache.spark.sql.GraftSqlBridge
+    val sig = GraftSqlBridge.column(graft.expressions.Simhash32(
+      GraftSqlBridge.expression(graft.functions.Text.normTokens(col("text")))))
+    documents(s, d).select(col("doc_id"), sig.as("simhash"))
   }
 
   /** The same signature as CTEs ending in `sig (doc_id, simhash)`. */

@@ -100,6 +100,26 @@ class HashExprSpec extends AnyFunSuite {
     }
   }
 
+  test("Simhash32 equals the exploded 32-aggregate formulation") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val base = Tables.documents(spark, sf0001).limit(120)
+    val native = base.select(col("doc_id"),
+      GraftSqlBridge.column(graft.expressions.Simhash32(GraftSqlBridge.expression(
+        Text.normTokens(col("text"))))).as("simhash"))
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val toks = base.select(col("doc_id"),
+      explode(array_distinct(Text.normTokens(col("text")))).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val voteCols = (0 until 32).map(j =>
+      sum(when(substring(col("hx"), j + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v$j"))
+    val bits = (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    val composed = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n.nonEmpty && n == c)
+  }
+
   test("interpreted and codegen paths agree (MinhashSignature)") {
     val k = 6
     val on = docs.select(col("doc_id") +: Text.minhashSignature(col("shs"), k): _*).collect()
