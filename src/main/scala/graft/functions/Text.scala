@@ -73,6 +73,16 @@ object Text {
     (0 until k).map(i => sig.getItem(i).as(s"s$i"))
   }
 
+  /** |A ∩ B| of two SORTED, duplicate-free string arrays — the
+    * zero-allocation verification kernel (see
+    * graft.expressions.IntersectCardSorted for the contract).
+    */
+  def intersectCardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.IntersectCardSorted(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** Order-insensitive set fingerprint: md5 of the sorted distinct token
     * set.
     */

@@ -73,7 +73,11 @@ object NearDupCatalog {
     // Text.wordNgrams let-binding its token array — without it the
     // tokenizer re-evaluates per array element (measured 10×).
     // The two cached intermediates each feed two plan branches.
-    val arrays = shingleArraysDF(s, d).cache()
+    // shsrt: the shingle set re-sorted lexicographically ONCE per doc, so
+    // pair verification is a zero-allocation linear merge count instead
+    // of a per-pair hash-set intersection.
+    val arrays = shingleArraysDF(s, d)
+      .withColumn("shsrt", sort_array(col("shs"))).cache()
     val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
     val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
     val bandStructs = (0 until Bands).map { b =>
@@ -87,15 +91,16 @@ object NearDupCatalog {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // Exact verification via array_intersect on the two shingle sets —
-    // per-candidate-pair work, no exploded shingle join.
+    // Exact verification on the two sorted shingle sets — a linear
+    // merge count per candidate pair, no exploded shingle join.
     cand
-      .join(arrays.select(col("doc_id").as("da"), col("shs").as("shs_a")), Seq("da"))
-      .join(arrays.select(col("doc_id").as("db"), col("shs").as("shs_b")), Seq("db"))
+      .join(arrays.select(col("doc_id").as("da"), col("shsrt").as("shs_a")), Seq("da"))
+      .join(arrays.select(col("doc_id").as("db"), col("shsrt").as("shs_b")), Seq("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(size(array_intersect(col("shs_a"), col("shs_b"))) /
-          (size(col("shs_a")) + size(col("shs_b")) -
-            size(array_intersect(col("shs_a"), col("shs_b")))), 6).as("jaccard"))
+        graft.functions.Text.bound(
+          graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
+          round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
+        }.as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -246,6 +251,9 @@ object NearDupCatalog {
       .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("sorted"))
       .select(col("doc_id"), col("source"),
         transform(col("sorted"), _.getField("bg")).as("gs"),
+        // Lexicographically re-sorted copy for merge-count verification
+        // (gs itself must stay in prefix order for the slice).
+        sort_array(transform(col("sorted"), _.getField("bg"))).as("gsrt"),
         size(col("sorted")).as("n"))
   }
 
@@ -299,12 +307,12 @@ object NearDupCatalog {
         .filter(col("jaccard") >= NgramThreshold)
     } else {
       // Prefix-filtered: ONE cached per-doc frame carries prefix order,
-      // gram set and size, so candidates come from prefix grams only and
-      // each candidate pair verifies via array_intersect on the two gram
-      // arrays — the pair's sizes ride the same joins (no separate sz
-      // frame; the window formulation this replaces paid two extra
-      // doc_id exchanges and measured 5.8 s vs 2.4 s unfiltered at
-      // sf0.1's dense vocabulary).
+      // the lexicographically sorted gram set and the size, so candidates
+      // come from prefix grams only and each candidate pair verifies via
+      // a zero-allocation merge count over the sorted sets — the pair's
+      // sizes ride the same joins (no separate sz frame; the window
+      // formulation this replaces paid two extra doc_id exchanges and
+      // measured 5.8 s vs 2.4 s unfiltered at sf0.1's dense vocabulary).
       val perDoc = perDocByDf(bg).cache()
       val side = prefixSide(perDoc)
       val cand = side.as("a").join(side.as("b"),
@@ -313,12 +321,13 @@ object NearDupCatalog {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       cand
-        .join(perDoc.select(col("doc_id").as("da"), col("gs").as("gs_a"), col("n").as("na")),
+        .join(perDoc.select(col("doc_id").as("da"), col("gsrt").as("gs_a"), col("n").as("na")),
           Seq("da"))
-        .join(perDoc.select(col("doc_id").as("db"), col("gs").as("gs_b"), col("n").as("nb")),
+        .join(perDoc.select(col("doc_id").as("db"), col("gsrt").as("gs_b"), col("n").as("nb")),
           Seq("db"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          graft.functions.Text.bound(size(array_intersect(col("gs_a"), col("gs_b")))) { ni =>
+          graft.functions.Text.bound(
+            graft.functions.Text.intersectCardSorted(col("gs_a"), col("gs_b"))) { ni =>
             round(ni / (col("na") + col("nb") - ni), 6)
           }.as("jaccard"))
         .filter(col("jaccard") >= NgramThreshold)

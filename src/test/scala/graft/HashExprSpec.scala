@@ -100,6 +100,26 @@ class HashExprSpec extends AnyFunSuite {
     }
   }
 
+  test("IntersectCardSorted equals size(array_intersect) on sorted shingle sets") {
+    val pairs = docs.withColumn("shsrt", sort_array(col("shs")))
+      .as("a").crossJoin(docs.withColumn("shsrt", sort_array(col("shs"))).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(500)
+      .select(
+        Text.intersectCardSorted(col("a.shsrt"), col("b.shsrt")).as("merge"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).as("hash"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+    // Edge cases: empty sides, disjoint, identical.
+    val edgeRows = Seq(
+      (Seq.empty[String], Seq("x")), (Seq("x"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")), (Seq("a", "b", "c"), Seq("a", "b", "c")))
+    import spark.implicits._
+    val got = edgeRows.toDF("a", "b")
+      .select(Text.intersectCardSorted(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 0, 3), got)
+  }
+
   test("Simhash32 equals the exploded 32-aggregate formulation") {
     import org.apache.spark.sql.GraftSqlBridge
     val base = Tables.documents(spark, sf0001).limit(120)
