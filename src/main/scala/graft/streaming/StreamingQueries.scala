@@ -245,6 +245,34 @@ object StreamingQueries {
         })
   }
 
+  /** Stream-stream event-time join: attribute each purchase to the SAME
+    * user's click that preceded it by at most `horizon` — the streaming
+    * enrichment/attribution shape. Both sides carry watermarks and the
+    * join condition bounds purchase time to [click ts, click ts +
+    * horizon], so Spark can size the state retention window from the
+    * watermark + time bound and EVICT expired rows — an unbounded
+    * stream-stream join (no time bound) would grow state forever. At
+    * 100 TB the join state shards by user_id like any keyed state and
+    * runs on RocksDB when heap-resident state won't fit.
+    */
+  def streamAttributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermarkDelay: String = "1 hour",
+      horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+      col("ts").as("c_ts")).withWatermark("c_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+      col("ts").as("p_ts")).withWatermark("p_ts", watermarkDelay)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Register an AdaptiveTriggerController for `queryName` on this session;
     * caller owns removal. This is `adCombine` (DataStream.java:1424-1436):
     * same pipeline, controller-driven interval.

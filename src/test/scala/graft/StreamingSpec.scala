@@ -202,6 +202,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.forall(_._2 == 1L), s"seniority broken: $verdicts")
   }
 
+  test("stream-stream attribution join matches the batch join across micro-batches") {
+    type Click = (Long, Long, Timestamp) // user_id, event_id, ts
+    val clicks = Seq(
+      (1L, 10L, ts("2024-03-01 10:00:00")),
+      (1L, 11L, ts("2024-03-01 12:00:00")),
+      (2L, 20L, ts("2024-03-01 10:30:00")))
+    val purchases = Seq(
+      (1L, 100L, ts("2024-03-01 10:30:00")), // joins click 10 (within 1h)
+      (1L, 101L, ts("2024-03-01 12:59:00")), // joins click 11, NOT 10 (>1h)
+      (2L, 200L, ts("2024-03-01 13:00:00")), // outside any click horizon
+      (3L, 300L, ts("2024-03-01 10:40:00"))) // no click at all
+    val cIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val pIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = StreamingQueries.streamAttributionJoin(
+      cIn.toDF().toDF("user_id", "event_id", "ts"),
+      pIn.toDF().toDF("user_id", "event_id", "ts"))
+    val sinkId = s"attr-${System.nanoTime()}"
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append").foreach(new UpsertSink(sinkId, 2)).start()
+    try {
+      cIn.addData(clicks: _*) // clicks arrive first...
+      q.processAllAvailable()
+      pIn.addData(purchases: _*) // ...purchases in a LATER micro-batch (state join)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Sinks.clear(sinkId)
+    val batch = {
+      import spark.implicits._
+      val c = clicks.toDF("user_id", "event_id", "ts")
+      val p = purchases.toDF("user_id", "event_id", "ts")
+      StreamingQueries.streamAttributionJoin(c, p)
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    }
+    assert(got == batch && got == Set((10L, 100L), (11L, 101L)), s"got $got, batch $batch")
+  }
+
   test("streaming cleaning pipeline converges to the batch quality->dedup->stats composition") {
     import org.apache.spark.sql.functions._
     val sf0001 = TestSpark.sf0001
