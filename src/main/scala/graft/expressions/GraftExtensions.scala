@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductFunction)
     ext.injectFunction(GraftExtensions.minhashSignatureFunction)
     ext.injectOptimizerRule(_ => graft.plans.DistinctAggSplitRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -364,7 +364,43 @@ object PipelineCatalog {
              ${Exact.sqlSum("value", 18, 4)} AS total_value
              FROM events GROUP BY user_id"""))
 
+  /** AS-OF attribution: each purchase matched to the same user's latest
+    * click at or before it — through the custom whole-operator Catalyst
+    * extension (graft.plans.AsOfJoinPlan → AsOfJoinStrategy →
+    * AsOfJoinExec): a sort-merge with a forward-only pointer, never the
+    * range-join-then-rank blow-up (see the operator's scaladoc for the
+    * cost argument). Ties are pinned: greatest ts, then greatest
+    * event_id. The oracle states the same semantic declaratively
+    * (ranked window over the range join — fine at oracle scale, the
+    * blow-up is exactly what the operator exists to avoid).
+    */
+  val eventsAsofJoin: CatalogEntry = CatalogEntry(
+    "events_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks,
+          "p_user", "p_ts", "c_user", "c_ts", "click_id")
+        .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+    },
+    Some("""WITH p AS (SELECT event_id AS pe, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS ce, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 m AS (SELECT pe, ce,
+                              row_number() OVER (PARTITION BY pe
+                                ORDER BY c.ts DESC, ce DESC) AS rn
+                       FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+            SELECT p.pe AS purchase_id, p.user_id,
+                   (SELECT ce FROM m WHERE m.pe = p.pe AND rn = 1) AS click_id
+            FROM p"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
-      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg)
+      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin)
 }

@@ -14,6 +14,11 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a raw LogicalPlan (for custom logical operators). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function backed by a raw Expression builder on an
     * EXISTING session (the runtime counterpart of
     * `SparkSessionExtensions.injectFunction`, for sessions the library
