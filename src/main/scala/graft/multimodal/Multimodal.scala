@@ -46,6 +46,13 @@ object Multimodal {
 
   final case class MediaFeatures(media_id: Long, histogram: Array[Double])
 
+  final case class ResizedMedia(
+      media_id: Long,
+      out_width: Int,
+      out_height: Int,
+      out_bytes: Long,
+      checksum: String)
+
   final case class Frame(media_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long)
 
   /** The codec seam: implementations consume RECORD BATCHES (the same
@@ -64,6 +71,7 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decodeBatch(rows: Seq[MediaRow]): Seq[DecodedMedia]
     def featureBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
+    def resizeBatch(rows: Seq[MediaRow], box: Int): Seq[ResizedMedia]
   }
 
   /** Deterministic fake codec — see STUB BOUNDARY note above. */
@@ -89,6 +97,20 @@ object Multimodal {
 
     override def decodeBatch(rows: Seq[MediaRow]): Seq[DecodedMedia] = rows.map(decode)
     override def featureBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map(features)
+
+    /** "Resize": fit (width, height) into a box×box square with one
+      * integer scale factor (scale = max over dims of ceil(dim/box));
+      * the resized payload stub takes every scale-th byte (a real codec
+      * decodes + area-averages here — the other `???` of this pipeline).
+      */
+    override def resizeBatch(rows: Seq[MediaRow], box: Int): Seq[ResizedMedia] =
+      rows.map { r =>
+        val scale = math.max(1, math.max((r.width + box - 1) / box, (r.height + box - 1) / box))
+        val sampled = r.data.indices.by(scale).map(r.data(_)).toArray
+        ResizedMedia(r.media_id,
+          math.max(1, r.width / scale), math.max(1, r.height / scale),
+          sampled.length.toLong, md5hex(sampled))
+      }
   }
 
   /** The media "lake" synthesized deterministically from `documents`
@@ -121,6 +143,17 @@ object Multimodal {
   def features(media: Dataset[MediaRow], codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(codec.featureBatch))
+  }
+
+  /** Batched thumbnail resize of the image payloads (fit into box×box,
+    * single integer scale). Narrow, batch-amortized, codec-swappable —
+    * the same seam as decode/features.
+    */
+  def resize(media: Dataset[MediaRow], box: Int = 64,
+      codec: MediaCodec = FakeCodec): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.grouped(BatchSize).flatMap(codec.resizeBatch(_, box)))
   }
 
   /** Frame sampling: one-to-many explode of video payloads into one frame

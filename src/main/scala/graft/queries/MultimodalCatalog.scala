@@ -64,5 +64,28 @@ object MultimodalCatalog {
             FROM docs d CROSS JOIN bins b
             LEFT JOIN cnts c ON c.media_id = d.media_id AND c.bin = b.bin"""))
 
-  val all: Seq[CatalogEntry] = Seq(mediaDecode, mediaFrames, mediaFeatures)
+  /** Batched thumbnail "resize" of the image payloads: one integer
+    * scale fits (w, h) into 64×64; the payload stub keeps every
+    * scale-th byte. ASCII corpus ⇒ the subsampled byte string is
+    * SQL-derivable, so even the checksum has an exact oracle.
+    */
+  val mediaResize: CatalogEntry = CatalogEntry(
+    "media_resize",
+    (s, d) => Multimodal.resize(Multimodal.mediaDataset(s, d)).toDF(),
+    Some("""WITH imgs AS (
+              SELECT doc_id AS media_id, text,
+                     octet_length(encode(text)) AS len,
+                     CAST(doc_id % 512 + 64 AS INT) AS w,
+                     CAST(doc_id % 384 + 48 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0),
+            s AS (SELECT *, GREATEST(1, (w + 63) // 64, (h + 63) // 64) AS scale FROM imgs)
+            SELECT media_id,
+                   CAST(GREATEST(1, w // scale) AS INT) AS out_width,
+                   CAST(GREATEST(1, h // scale) AS INT) AS out_height,
+                   CAST((len + scale - 1) // scale AS BIGINT) AS out_bytes,
+                   md5(array_to_string([substr(text, CAST(i AS INT), 1)
+                                        for i in range(1, len + 1, scale)], '')) AS checksum
+            FROM s"""))
+
+  val all: Seq[CatalogEntry] = Seq(mediaDecode, mediaFrames, mediaFeatures, mediaResize)
 }
