@@ -191,13 +191,21 @@ object StreamingQueries {
     * shingle sets, so memory per doc is K hex strings, and the batch
     * compaction pass remains the exact authority (the standard
     * ingest-filter + batch-verify split).
+    *
+    * `stateTtl` (e.g. Some("2 hours")) expires idle buckets via
+    * processing-time timeouts — pair it with a PACED trigger
+    * (Trigger.ProcessingTime): pending timers make the default ASAP
+    * trigger run continuous empty micro-batches (that is how Spark
+    * fires timers), which also means `processAllAvailable` never
+    * quiesces under a TTL in tests.
     */
   def streamingNearDup(
       docs: DataFrame,
       k: Int = 12,
       bands: Int = 4,
       simThreshold: Double = 0.8,
-      maxPerBucket: Int = 64): org.apache.spark.sql.Dataset[NearDupVerdict] = {
+      maxPerBucket: Int = 64,
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[NearDupVerdict] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -216,11 +224,22 @@ object StreamingQueries {
         explode(array(bandStructs: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"), col("sig"))
       .as[(Long, Int, String, Seq[String])]
+    // With a TTL, idle buckets expire (cold buckets hold no dedup value
+    // once the corpus has moved past them) — the second state bound next
+    // to the per-bucket FIFO cap. Without one, state is capped per
+    // bucket but the bucket COUNT tracks distinct band hashes seen.
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey { case (_, band, h, _) => (band, h) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, String), it: Iterator[(Long, Int, String, Seq[String])],
             state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var seen = state.getOption.getOrElse(BucketState(Vector.empty)).docs
           val out = Vector.newBuilder[NearDupVerdict]
           // Deterministic within a micro-batch: lowest doc_id is senior.
@@ -241,7 +260,9 @@ object StreamingQueries {
             }
           }
           state.update(BucketState(seen))
+          stateTtl.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
         })
   }
 

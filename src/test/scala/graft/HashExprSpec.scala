@@ -65,6 +65,18 @@ class HashExprSpec extends AnyFunSuite {
     assert(n.nonEmpty && n == c)
   }
 
+  test("word_ngrams and simhash32 are callable from SQL after registration") {
+    graft.expressions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT word_ngrams(array('a','b','c'), 2) AS ng,
+                simhash32(array('a','b','c')) AS sh""").collect().head
+    assert(row.getSeq[String](0) == Seq("a b", "b c"))
+    assert(row.getLong(1) ==
+      graft.expressions.Simhash32.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString))))
+  }
+
   test("minhash_signature is callable from SQL after registration") {
     graft.expressions.GraftExtensions.register(spark)
     docs.createOrReplaceTempView("docs_mh")

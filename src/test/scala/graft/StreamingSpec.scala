@@ -182,6 +182,10 @@ class StreamingSpec extends AnyFunSuite {
     val textC = "red green blue cyan magenta yellow black white"
     val input = MemoryStream[Doc](spark)
     val sinkId = s"neardup-${System.nanoTime()}"
+    // No stateTtl here: pending processing-time timers keep the default
+    // ASAP trigger running empty micro-batches (that is how timers
+    // fire), so processAllAvailable never quiesces — the TTL knob is
+    // for paced production triggers (see streamingNearDup scaladoc).
     val q = StreamingQueries.streamingNearDup(
         input.toDF().toDF("doc_id", "ts", "text"), simThreshold = 0.6)
       .toDF()
