@@ -64,7 +64,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("KNN search joins broadcast the query side, never the corpus") {
     Seq("emb_knn_brute", "emb_knn_lsh", "emb_knn_lsh_multiprobe",
-      "emb_knn_ivf_kmeans").foreach { q =>
+      "emb_knn_ivf_kmeans", "emb_knn_sq8").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastExchange"), s"$q: query side not broadcast\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q: corpus sort-merged\n$p")
