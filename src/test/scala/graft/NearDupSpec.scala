@@ -94,6 +94,14 @@ class NearDupSpec extends AnyFunSuite {
       // The filter must prune meaningfully in the zipfian regime.
       assert(prefCands < naiveCands,
         s"prefix filter pruned nothing: $prefCands vs $naiveCands")
+      // And the cost-based chooser must read the df skew correctly:
+      // zipfian grams -> prefix mode; the dense testdata corpus -> naive.
+      assert(NearDupCatalog.ngramMode(bg) == "prefix", "auto mode missed the zipfian skew")
+      val dense = NearDupCatalog.bigramIndex(Tables.documents(spark, sf0001))
+      assert(NearDupCatalog.ngramMode(dense) == "naive", "auto mode on a flat df distribution")
+      // Auto returns the same pair set (it only trades plan topology).
+      val auto = NearDupCatalog.ngramJaccardAuto(docs).collect().map(_.toSeq).toSet
+      assert(auto == a)
     } finally bg.unpersist()
   }
 }
