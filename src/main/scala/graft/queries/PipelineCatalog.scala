@@ -400,7 +400,41 @@ object PipelineCatalog {
                    (SELECT ce FROM m WHERE m.pe = p.pe AND rn = 1) AS click_id
             FROM p"""))
 
+  /** Pure-range join (no equi key at all): every (click, purchase) pair
+    * across ALL users within ±5 minutes of each other — the co-occurrence
+    * shape behind burst/fraud correlation. Catalyst would plan the naive
+    * form as a BroadcastNestedLoopJoin comparing every pair; the
+    * operators/RangeJoin bucketing turns it into a hash equi-join on
+    * 5-minute buckets with the exact timestamp predicate as residual and
+    * arithmetic assign-once dedup. Bucket coverage runs on floor-second
+    * epochs padded by 1 s (unit-floor slack), the residual on exact
+    * timestamps — so bucketing can only over-cover, never miss.
+    */
+  val eventsRangeJoin: CatalogEntry = CatalogEntry(
+    "events_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withColumn("c_lo", col("c_ts").cast("long") - 301)
+        .withColumn("c_hi", col("c_ts").cast("long") + 301)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        .withColumn("p_e", col("p_ts").cast("long"))
+      graft.operators.RangeJoin.intervalOverlap(
+          clicks, purchases, "c_lo", "c_hi", "p_e", "p_e", width = 300L,
+          residual = col("p_ts") >= col("c_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purchase_id
+            FROM events a JOIN events b
+              ON a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts - INTERVAL 5 MINUTE
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
-      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin)
+      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin,
+      eventsRangeJoin)
 }
