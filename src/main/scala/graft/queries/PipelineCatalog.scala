@@ -278,7 +278,7 @@ object PipelineCatalog {
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy("event_type"),
     Some("""SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type"""))

@@ -58,6 +58,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = []
         for c in g.columns:
             a, b = g[c], w[c]
+            # The driver hashes raw values, so an int64 column on one side
+            # and float64 on the other (e.g. DuckDB SUM(BIGINT) -> HUGEINT
+            # -> pandas float64) hash-mismatches even when values agree.
+            if (pd.api.types.is_float_dtype(a)
+                    != pd.api.types.is_float_dtype(b)):
+                bad.append(
+                    f"{c}: dtype mismatch {a.dtype} vs {b.dtype} "
+                    "(driver hash would fail; CAST the oracle aggregate)")
+                continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 a = a.astype(float)
                 b = b.astype(float)
