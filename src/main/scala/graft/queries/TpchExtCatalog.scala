@@ -8,14 +8,17 @@ import graft.Tables
 
 /** The TPC-H join shapes beyond JoinCatalog's Q3/Q5/Q10/Q18 that this
   * testdata's columns can express: semi-join (Q4), multi-fact-shuffle
-  * volume (Q7), outer-join distribution (Q13), conditional aggregation
+  * volume (Q7), the full 7-table share ratio (Q8), fact⨝fact conditional
+  * counts (Q12), outer-join distribution (Q13), conditional aggregation
   * (Q14), aggregate-max-equality (Q15), correlated per-group average
-  * (Q17), disjunctive pushed predicates (Q19), and anti-join with a
-  * scalar subquery (Q22). The testdata lacks l_commitdate / l_receiptdate
-  * / l_shipmode / partsupp / c_phone, so Q4/Q12/Q22's original predicates
-  * are re-keyed onto columns that exist (noted per query) — the JOIN
-  * STRATEGY of each original, which is what matters at 100 TB, is
-  * preserved exactly.
+  * (Q17), disjunctive pushed predicates (Q19), EXISTS+NOT EXISTS
+  * self-join (Q21), and anti-join with a scalar subquery (Q22). The
+  * testdata lacks l_commitdate / l_receiptdate / l_shipmode / partsupp /
+  * c_phone, so Q4/Q12/Q21/Q22's original predicates are re-keyed onto
+  * columns that exist (noted per query) — the JOIN STRATEGY of each
+  * original, which is what matters at 100 TB, is preserved exactly.
+  * Q2/Q9/Q11/Q16/Q20 are out of reach entirely: each is ABOUT partsupp,
+  * and no stand-in table exists.
   *
   * Scale rules carried over from JoinCatalog: the fact table never
   * broadcasts; date/brand predicates sit directly on scan columns
@@ -337,6 +340,187 @@ object TpchExtCatalog {
                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
              GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** TPC-H Q8-shaped (national market share): of the revenue that
+    * AMERICA-region customers spent on ECONOMY parts in 1995–96, the
+    * fraction supplied from NATION_5, by order year. The full 7-table
+    * TPC-H join graph — the only query touching part, supplier, customer,
+    * nation (twice) and region in one plan.
+    *
+    * Shape: the three dim chains prune BEFORE fact contact — part is
+    * type-filtered (1/6) and broadcast; supplier carries its nation name
+    * via a broadcast nation join but itself shuffles on suppkey (at
+    * 100 TB supplier is fact-sized relative to memory, same call as Q7);
+    * customer pre-joins broadcast nation⨝region so only region-surviving
+    * custkeys (1/5) reach the shuffle. Fact shuffles: partkey (none —
+    * broadcast), suppkey, orderkey, then orders→custkey. The share is a
+    * conditional-sum ratio like Q14: both sums exact decimals over one
+    * pass, one double division at the end.
+    */
+  val tpchQ8: CatalogEntry = CatalogEntry(
+    "tpch_q8",
+    (s, d) => {
+      val part = t("part")(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val supp = t("supplier")(s, d)
+        .join(broadcast(t("nation")(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custRegion = t("customer")(s, d)
+        .join(broadcast(t("nation")(s, d)
+            .join(broadcast(t("region")(s, d).filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val ord = t("orders")(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      t("lineitem")(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", revCol)
+            .otherwise(lit(0).cast(DecimalType(12, 4)))).cast("double").as("nat"),
+          sum(revCol).cast("double").as("tot"))
+        .select(col("o_year"), (col("nat") / col("tot")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some {
+      val natSql = sqlToDouble(
+        """SUM(CASE WHEN sn.n_name = 'NATION_5'
+           THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+           ELSE CAST(0 AS DECIMAL(12,4)) END)""")
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 $natSql / $revSqlSum AS mkt_share
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** TPC-H Q12-shaped (shipping-mode priority): of 1996's "late" lines
+    * (no l_shipmode / l_commitdate / l_receiptdate here — lateness is
+    * re-keyed to l_shipdate > o_orderdate + 90 days, the mode column to
+    * l_returnflag), how many belonged to high- vs low-priority orders.
+    *
+    * Shape: fact⨝fact — neither orders nor lineitem broadcasts, one
+    * shuffle each on the order key, lateness as the join residual, then
+    * a 3-key conditional aggregate (SUM of CASE, the decode pattern).
+    * The shipdate year window is pushed to the lineitem scan so only one
+    * year of the fact shuffles. Counts stay BIGINT on both sides
+    * (DuckDB's SUM would widen to HUGEINT→float64 — CAST pins it).
+    */
+  val tpchQ12: CatalogEntry = CatalogEntry(
+    "tpch_q12",
+    (s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val ord = t("orders")(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+        .join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H Q21-shaped (suppliers who kept orders waiting): EUROPE-region
+    * suppliers whose line was the ONLY late one in a finished
+    * multi-supplier order. Lateness is re-keyed to l_shipdate >
+    * o_orderdate + 60 days (no commit/receipt dates); the original's
+    * single-nation filter widens to a region (nation⨝region chain) so
+    * the result is non-trivial at every test scale.
+    *
+    * Shape: the classic EXISTS + NOT EXISTS self-join pair. The `late`
+    * frame (fact⨝orders on the order key, status filter pushed to the
+    * orders scan) is computed once and reused as both the driving side
+    * and the NOT EXISTS probe. Both the semi join ("some other supplier
+    * in this order") and the anti join ("no other LATE supplier") are
+    * equi-joins on l_orderkey with the suppkey inequality as residual —
+    * at 100 TB that is three shuffles on the same order key, and AQE
+    * can reuse the exchange for the two `late` sides. A window-function
+    * formulation (count over orderkey) would be one shuffle fewer but
+    * materializes per-order counts for ALL orders; the semi/anti form
+    * short-circuits per probe row.
+    */
+  val tpchQ21: CatalogEntry = CatalogEntry(
+    "tpch_q21",
+    (s, d) => {
+      val late = t("lineitem")(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t("orders")(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val others = t("lineitem")(s, d)
+        .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      val supp = t("supplier")(s, d)
+        .join(broadcast(t("nation")(s, d)
+            .join(broadcast(t("region")(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      late
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(others, col("o2_orderkey") === col("l_orderkey") &&
+          col("o2_suppkey") =!= col("l_suppkey"), "leftsemi")
+        .join(lateOthers, col("o3_orderkey") === col("l_orderkey") &&
+          col("o3_suppkey") =!= col("l_suppkey"), "leftanti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    },
+    Some("""WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM late l1
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
+
   val all: Seq[CatalogEntry] = Seq(
-    tpchQ4, tpchQ7, tpchQ13, tpchQ14, tpchQ15, tpchQ17, tpchQ19, tpchQ22)
+    tpchQ4, tpchQ7, tpchQ8, tpchQ12, tpchQ13, tpchQ14, tpchQ15, tpchQ17,
+    tpchQ19, tpchQ21, tpchQ22)
 }

@@ -89,6 +89,40 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.linesIterator.exists(l => l.contains("Aggregate") && l.contains(c)),
         s"existence-join column $c leaked into the aggregate\n$p")
     }
+    // Q21 stacks both: EXISTS (other supplier) AND NOT EXISTS (other late
+    // supplier) on one driving frame — both must survive as join types.
+    val q21 = plan("tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"tpch_q21: EXISTS+NOT EXISTS pair did not plan as semi+anti\n$q21")
+  }
+
+  test("Q12's fact-fact join degrades to symmetric shuffles when neither side fits") {
+    // Local testdata legitimately broadcasts orders; the 100 TB claim is
+    // that NOTHING in the declared plan (hints, repartitioning) prevents
+    // the symmetric orderkey-shuffle join once sizes rule broadcast out.
+    val conf = TestSpark.spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("tpch_q12")
+      assert(countOf(p, "Exchange hashpartitioning") >= 2,
+        s"tpch_q12: expected orders and lineitem each shuffled on the order key\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"tpch_q12: a fact side still broadcasts with the threshold off\n$p")
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"tpch_q12: shipdate year window not pushed to the lineitem scan\n$p")
+    } finally saved.map(conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      .getOrElse(conf.unset("spark.sql.autoBroadcastJoinThreshold"))
+  }
+
+  test("Q8's seven-table graph broadcasts every dim chain, shuffles only on fact keys") {
+    val p = plan("tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), s"tpch_q8: dims not broadcast\n$p")
+    // part/nation/region must all ride broadcasts; supplier and customer
+    // may shuffle (fact-sized at 100 TB) but never as a sort-merge of the
+    // lineitem side against a dim.
+    assert(countOf(p, "BroadcastExchange") >= 3,
+      s"tpch_q8: expected >=3 broadcast dim chains\n$p")
   }
 
   test("disjunctive predicates (Q19) still push per-table bounds to the scans") {
