@@ -334,6 +334,21 @@ object NearDupCatalog {
     }
   }
 
+  /** Second negative result, measured and kept so it is not re-tried: a
+    * "blocked merge" topology — per-doc sorted gram arrays (zero-shuffle
+    * projection), within-block |m|² pair join on `source` alone, native
+    * merge-count verification, no gram index at all — seemed like the
+    * dense-vocab winner on paper (the index join's Σ df² ≈ 3.9M rows at
+    * sf0.1 vs 623K direct pairs). Measured in the same JVM, min-of-3:
+    * 7.5 s vs 2.1 s naive. The pair COUNT is smaller but each pair pays a
+    * ~2·ḡ-element STRING merge (~32M string comparisons); the inverted
+    * index's fan-out rows are, by contrast, nearly free (codegen'd hash
+    * probe + map-side-combined count). Lesson: compare work in
+    * comparisons, not in rows — Σ df² join rows beat |m|²·ḡ string
+    * compares until grams are hashed to fixed-width ints, and hashing
+    * would break the oracle's exact-intersection claim.
+    */
+
   /** Cost-based mode choice for the n-gram Jaccard pipeline: prefix
     * filtering exploits DOCUMENT-FREQUENCY SKEW (hot grams generate the
     * candidate blow-up, and they sit outside every doc's low-df prefix)
@@ -394,5 +409,6 @@ object NearDupCatalog {
     (s, d) => ngramJaccardFrom(documents(s, d), prefixFilter = true),
     ngramJaccard.oracle)
 
-  val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups, ngramJaccard, ngramJaccardPrefix)
+  val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
+    ngramJaccard, ngramJaccardPrefix)
 }
