@@ -409,6 +409,58 @@ object NearDupCatalog {
     (s, d) => ngramJaccardFrom(documents(s, d), prefixFilter = true),
     ngramJaccard.oracle)
 
+  /** Near-dup CLUSTER resolution: connected components over the LSH pair
+    * graph, labeling every involved doc with its component's minimum
+    * doc_id — the step that turns a pair list into a per-cluster keep/drop
+    * decision. Iterative min-label propagation: each round is one
+    * edges⋈labels shuffle + a min-aggregate, and the driver reads ONE
+    * scalar (the label sum, monotonically non-increasing) to detect the
+    * fixpoint — no row data ever reaches the driver. Rounds needed =
+    * graph diameter; near-dup components are short chains (diameter ≤ a
+    * few), and the 20-round cap is the standard guard. At 100 TB the
+    * per-round cost is proportional to the EDGE list (pairs), which LSH
+    * already bounded far below the corpus; the large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce", 2014)
+    * is the drop-in upgrade if diameters ever grow.
+    *
+    * Oracle: the same fixpoint as a DuckDB recursive reachability CTE —
+    * MIN over each doc's reachable set ≡ propagation's converged label.
+    */
+  val dupClusters: CatalogEntry = CatalogEntry(
+    "doc_dup_clusters",
+    (s, d) => {
+      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").cache()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")).cache()
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+        val next = labels.join(prop, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")).cache()
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
+        converged = nextSum == sum
+        sum = nextSum
+        labels = next
+        iter += 1
+      }
+      labels.orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $lshPairsCtesSql,
+             e AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+                   UNION SELECT doc_b, doc_a FROM lsh_pairs),
+             reach(a, b) AS (SELECT DISTINCT a, a FROM e
+                             UNION
+                             SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+             SELECT a AS doc_id, MIN(b) AS cluster_id
+             FROM reach GROUP BY a ORDER BY a"""))
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix)
+    ngramJaccard, ngramJaccardPrefix, dupClusters)
 }

@@ -261,6 +261,43 @@ object PipelineCatalog {
             WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
             GROUP BY source"""))
 
+  /** Sequence packing for training: documents are concatenated per source
+    * in doc_id order and chunked into fixed token budgets — each doc gets
+    * the bin it STARTS in and its token offset inside that bin (the
+    * concat-then-chunk packing every LLM pretraining loader performs;
+    * docs may straddle a boundary, exactly as the loader's chunker does).
+    * One shuffle on `source` + a per-partition running sum in exact
+    * BIGINT: no global sort, no driver state, deterministic across
+    * cluster sizes. At 100 TB the per-source partitions are the
+    * parallelism unit — the window never crosses sources, so skew is
+    * bounded by the biggest source, the same unit the loader shards by.
+    */
+  private val BinBudget = 512L
+
+  val packBins: CatalogEntry = CatalogEntry(
+    "doc_pack_bins",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"cum_before div $BinBudget").as("bin_id"),
+          (col("cum_before") % BinBudget).as("bin_offset"))
+    },
+    Some(s"""SELECT doc_id, source, n_tokens,
+                    CAST(cb // $BinBudget AS BIGINT) AS bin_id,
+                    CAST(cb % $BinBudget AS BIGINT) AS bin_offset
+             FROM (SELECT doc_id, source,
+                          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                          COALESCE(SUM(CAST(len($toksSql) AS BIGINT)) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                   FROM documents)"""))
+
   /** Schema-on-read JSON extraction: pull a typed field out of the
     * `events.props` JSON column and aggregate it per event type.
     * Per-row parse + one small-key aggregate — the shape never changes
@@ -436,5 +473,5 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
       eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin,
-      eventsRangeJoin)
+      eventsRangeJoin, packBins)
 }
