@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Entries that cache intermediates for intra-query branch reuse
+      // (the LSH builders) must not leave them resident across the other
+      // 79 entries' runs.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

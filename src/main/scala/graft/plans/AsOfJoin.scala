@@ -122,13 +122,26 @@ case class AsOfJoinExec(
         private var matchedKey = 0L
         private var hasMatch = false
 
+        // Null semantics (SQL-consistent): a null key or timestamp can
+        // never satisfy the equality/ordering predicate, so null-valued
+        // right rows are skipped outright and null-valued left rows emit
+        // the null right side. Without the explicit checks, Scala's
+        // unboxing of a null eval result silently yields 0L — a WRONG
+        // match on key 0 — rather than failing. Nulls sort first under
+        // ascending order, so skipping them preserves the forward-only
+        // pointer walk.
         private def fetchRight(): Unit = {
-          if (rIter.hasNext) {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
-            rKeyV = rk.eval(rRow).asInstanceOf[Long]
-            rTsV = rt.eval(rRow).asInstanceOf[Long]
-            rValid = true
-          } else rValid = false
+            val k = rk.eval(rRow)
+            val t = rt.eval(rRow)
+            if (k != null && t != null) {
+              rKeyV = k.asInstanceOf[Long]
+              rTsV = t.asInstanceOf[Long]
+              rValid = true
+            }
+          }
         }
         fetchRight()
 
@@ -136,8 +149,11 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lKeyV = lk.eval(l).asInstanceOf[Long]
-          val lTsV = lt.eval(l).asInstanceOf[Long]
+          val lKeyO = lk.eval(l)
+          val lTsO = lt.eval(l)
+          if (lKeyO == null || lTsO == null) return joiner(l, nullRight)
+          val lKeyV = lKeyO.asInstanceOf[Long]
+          val lTsV = lTsO.asInstanceOf[Long]
           // Advance the right side through every row at or before
           // (lKeyV, lTsV); the LAST same-key row seen is the match —
           // right ordering (key, ts, tie) makes that the greatest

@@ -164,6 +164,14 @@ object EmbeddingCatalog {
   /** Embedding-cosine near-duplicate pairs, bucketed: only pairs that
     * collide in the hyperplane bucket are scored (never all-pairs), kept
     * when rounded cosine ≥ threshold.
+    *
+    * BASELINE entry, kept for the bucketing-granularity comparison: one
+    * table of 4 hyperplanes ⇒ 16 buckets ⇒ pair work ~n²/16 — fine at
+    * test scale, too coarse for a 100 TB corpus. The SCALE PATH is
+    * [[nearDupBanded]] (`emb_near_dup_banded`): 4 independent 8-plane
+    * tables ⇒ ~n²/64 pair work at HIGHER recall (0.89 vs 0.65 for
+    * cosine ≥ 0.9 pairs; derivation in the README). Production use
+    * should take the banded entry.
     */
   val nearDupCosine: CatalogEntry = CatalogEntry(
     "emb_near_dup",

@@ -67,7 +67,19 @@ object NearDupCatalog {
   /** The LSH pair list as a reusable builder — also consumed by the
     * composite cleaning pipeline (PipelineCatalog.cleanCorpus).
     */
-  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairs(s, d, scala.collection.mutable.ListBuffer.empty)
+
+  /** As [[lshPairs]], but appends every internally-cached intermediate to
+    * `caches` so a caller that MATERIALIZES the pair list (dupClusters,
+    * which localCheckpoints it) can unpersist them instead of leaking two
+    * cached frames per call. The plain overload keeps them cached for the
+    * lifetime of the returned lazy frame (they feed two plan branches
+    * each, so they must stay resident until the consumer's action runs).
+    */
+  private[queries] def lshPairs(s: SparkSession, d: String,
+      caches: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    def reg(df: DataFrame): DataFrame = { val c = df.cache(); caches += c; c }
     // Per-row signatures (array_min over md5 transforms): ZERO shuffles
     // before the tiny band self-join. Correct performance depends on
     // Text.wordNgrams let-binding its token array — without it the
@@ -76,10 +88,10 @@ object NearDupCatalog {
     // shsrt: the shingle set re-sorted lexicographically ONCE per doc, so
     // pair verification is a zero-allocation linear merge count instead
     // of a per-pair hash-set intersection.
-    val arrays = shingleArraysDF(s, d)
-      .withColumn("shsrt", sort_array(col("shs"))).cache()
+    val arrays = reg(shingleArraysDF(s, d)
+      .withColumn("shsrt", sort_array(col("shs"))))
     val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
-    val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
+    val sig = reg(arrays.select(col("doc_id") +: sigCols: _*))
     val bandStructs = (0 until Bands).map { b =>
       val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
@@ -375,9 +387,17 @@ object NearDupCatalog {
   private[graft] def ngramJaccardAuto(docs: DataFrame): DataFrame =
     ngramJaccardFrom(docs, prefixFilter = ngramMode(bigramIndex(docs)) == "prefix")
 
+  /** Default catalog entry — the COST-BASED path: [[ngramMode]]'s df-skew
+    * statistic picks naive vs prefix-filtered per corpus, so the plan a
+    * user gets is the one that survives a zipfian 100 TB crawl (prefix)
+    * AND the one that wins on a dense vocabulary (naive). The oracle is
+    * mode-independent: both plans return the identical pair set. The
+    * mode switch itself is pinned in NearDupSpec (zipfian ⇒ prefix,
+    * this testdata ⇒ naive).
+    */
   val ngramJaccard: CatalogEntry = CatalogEntry(
     "doc_ngram_jaccard",
-    (s, d) => ngramJaccardFrom(documents(s, d), prefixFilter = false),
+    (s, d) => ngramJaccardAuto(documents(s, d)),
     Some(
       raw"""WITH bg AS (
               SELECT DISTINCT doc_id, source, bg FROM (
@@ -402,7 +422,9 @@ object NearDupCatalog {
     * candidate join; on this testdata's dense ~30-word vocabulary nearly
     * every gram survives the prefix (t = 0.3 keeps ~70% of each doc) and
     * the two extra shuffles (df + rank) just add latency — which is why
-    * the unfiltered form stays the default entry.
+    * the default entry routes through [[ngramJaccardAuto]] and this one
+    * force-pins the prefix plan so both topologies stay oracle-checked
+    * every round regardless of what the chooser picks.
     */
   val ngramJaccardPrefix: CatalogEntry = CatalogEntry(
     "doc_ngram_jaccard_prefix",
@@ -429,7 +451,15 @@ object NearDupCatalog {
   val dupClusters: CatalogEntry = CatalogEntry(
     "doc_dup_clusters",
     (s, d) => {
-      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+      // Materialize the pair list ONCE (eager localCheckpoint: flat
+      // lineage, lives in RDD storage under ContextCleaner's watch, not
+      // the Dataset cache), then drop the LSH builder's internal caches
+      // immediately — nothing upstream of the edge list stays resident
+      // during the iteration.
+      val upstream = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val pairs = lshPairs(s, d, upstream)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      upstream.foreach(_.unpersist(blocking = false))
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").cache()
       var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -438,19 +468,32 @@ object NearDupCatalog {
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
+        iter += 1
         val prop = edges.join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-        val next = labels.join(prop, col("doc_id") === col("src"), "left")
+        val stepped = labels.join(prop, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id")).cache()
+              .as("cluster_id"))
+        // Iteration hygiene: only ONE round's labels stay resident — the
+        // superseded frame is unpersisted as soon as its successor is
+        // materialized (the sum action below) — and every 5th round the
+        // lineage is truncated with an eager localCheckpoint so the plan
+        // never grows past ~5 joins deep. Without both, a 20-round run
+        // at 100 TB accumulates 20 cached frames and a 20-deep plan.
+        val next = if (iter % 5 == 0) stepped.localCheckpoint() else stepped.cache()
         val nextSum = next.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
         converged = nextSum == sum
         sum = nextSum
+        labels.unpersist(blocking = false)
         labels = next
-        iter += 1
       }
-      labels.orderBy("doc_id")
+      // Final frame: flat lineage (independent of edges), so the cached
+      // inputs can be dropped before the caller's action runs.
+      val out = labels.localCheckpoint()
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      out.orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $lshPairsCtesSql,
              e AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs

@@ -375,16 +375,31 @@ object ReferenceCatalog {
             FROM events GROUP BY event_type"""))
 
   /** Sketch path: approximate distinct users per event_type
-    * (HyperLogLog++, 1% target RSD). Engines' sketches differ, so there
-    * is no value oracle — the driver records the rows-only check; the
-    * test suite bounds the relative error against the exact count.
+    * (HyperLogLog++, 1% target RSD). Raw sketch estimates are
+    * engine-specific (Spark's HLL++ vs DuckDB's sketch give different
+    * values), so the entry emits the CHECKABLE form instead: the exact
+    * group keys and counts, plus a per-group flag asserting the sketch
+    * landed within 5× the configured RSD of the exact count. The oracle
+    * reproduces the keys/counts exactly and expects every flag true —
+    * graduating this entry from the old rows-only check to a full hash
+    * compare while still exercising the sketch on every run. (5× RSD ≈
+    * 5σ; HLL++ at 0.01 RSD is deterministic per input, and the suite
+    * additionally bounds the error at 2% on the testdata.)
     */
   val approxDistinct: CatalogEntry = CatalogEntry(
     "events_approx_distinct",
     (s, d) => events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
-    None)
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("sketch_within_bound")),
+    Some("""SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS sketch_within_bound
+            FROM events GROUP BY event_type"""))
 
   val all: Seq[CatalogEntry] = Seq(
     taxiRideCount, taxiRideMax, taxiRideAvg, taxiRideAvg3,

@@ -77,6 +77,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"fell back to the materialize-then-discard shape:\n$plan")
   }
 
+  test("null keys/timestamps: null-key right rows never match, null-key left rows get null right") {
+    // Option[Long] columns make nullable LONG key/ts frames; the nulls sort
+    // first, so this also exercises the skip-at-start path of the merge.
+    val c = Seq(
+      (Some(50L), None: Option[Long], Some(ts("2024-01-01 08:00:00"))), // null key: skipped
+      (Some(51L), Some(1L), None: Option[Timestamp]),                   // null ts: skipped
+      (Some(52L), Some(1L), Some(ts("2024-01-01 09:00:00"))))           // the only real click
+      .toDF("click_id", "c_user", "c_ts")
+    val p = Seq(
+      (400L, None: Option[Long], Some(ts("2024-01-01 10:00:00"))), // null key -> null right
+      (401L, Some(1L), None: Option[Timestamp]),                   // null ts -> null right
+      (402L, Some(1L), Some(ts("2024-01-01 10:00:00"))))           // -> click 52
+      .toDF("purchase_id", "p_user", "p_ts")
+    val got = AsOf.join(p, c, "p_user", "p_ts", "c_user", "c_ts", "click_id")
+      .select(col("purchase_id"), col("click_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(400L -> None, 401L -> None, 402L -> Some(52L)))
+  }
+
   test("unknown column names fail loudly") {
     val err = intercept[IllegalArgumentException] {
       AsOf.join(purchases, clicks, "nope", "p_ts", "c_user", "c_ts", "click_id")

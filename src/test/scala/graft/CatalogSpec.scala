@@ -135,15 +135,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
   }
 
-  test("events_approx_distinct: within 5% of the exact distinct count") {
-    val approx = run("events_approx_distinct")
-      .as[(String, Long)].collect().toMap
+  test("events_approx_distinct: exact keys/counts, sketch flag true, raw error < 2%") {
+    val rows = run("events_approx_distinct")
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.events(spark, sf0001)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (k, n, ok) =>
+      assert(n == exact(k), s"$k: exact_users $n vs ${exact(k)}")
+      assert(ok, s"$k: sketch fell outside the 5% bound")
+    }
+    // The raw sketch (not part of the checkable output) stays within 2%.
+    val approx = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"))
+      .as[(String, Long)].collect().toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: approx ${approx(k)} vs $n")
+      assert(math.abs(approx(k) - n).toDouble / n < 0.02, s"$k: approx ${approx(k)} vs $n")
     }
   }
 

@@ -104,4 +104,27 @@ class NearDupSpec extends AnyFunSuite {
       assert(auto == a)
     } finally bg.unpersist()
   }
+
+  test("doc_dup_clusters: LSH-pair fixpoint reached, no cached frames left behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val labels = run("doc_dup_clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.nonEmpty)
+    // Iteration hygiene: every intermediate labels frame plus the pairs/
+    // edges inputs must be unpersisted by the time the entry returns (the
+    // result itself is localCheckpoint'ed, which lives outside the
+    // Dataset cache manager).
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dup-cluster iteration left Dataset caches behind")
+    // Fixpoint invariants: labels are component minima — each label is a
+    // member doc_id no greater than its doc, a label's own label is
+    // itself, and both endpoints of every LSH pair agree.
+    labels.foreach { case (doc, c) =>
+      assert(c <= doc && labels.contains(c) && labels(c) == c, s"doc $doc -> $c")
+    }
+    val pairs = run("doc_near_dup_lsh").select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }

@@ -175,6 +175,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
+    // The scaladoc claim at TpchExtCatalog.tpchQ21: three probes shuffle
+    // on the same order key and AQE can serve the anti probe's `late`
+    // side from an already-built exchange. Exchange reuse is a RUNTIME
+    // decision — it only appears in the final adaptive plan — so this
+    // test executes the query (broadcast threshold off, as at 100 TB
+    // where neither fact side fits) and reads the finalized plan.
+    val conf = TestSpark.spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("tpch_q21")(TestSpark.spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      info(s"q21 exchanges: ${countOf(p, "Exchange hashpartitioning")}, " +
+        s"reused: ${countOf(p, "ReusedExchange")}")
+      assert(countOf(p, "ReusedExchange") >= 1,
+        s"tpch_q21: no exchange reuse in the final adaptive plan\n$p")
+    } finally saved.map(conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      .getOrElse(conf.unset("spark.sql.autoBroadcastJoinThreshold"))
+  }
+
   test("NO catalog entry plans a cartesian product — catalog-wide audit") {
     // A CartesianProduct anywhere is an all-pairs join that cannot
     // survive scale. (BroadcastNestedLoopJoin over a 1-row scalar frame
