@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed connected components over an edge list — the cluster
+  * resolution step that turns a near-duplicate PAIR list into per-cluster
+  * keep/drop decisions (reference analogue: the dedup grouping the AdCom
+  * pipelines do per key; here generalized to a graph closure).
+  *
+  * Two algorithms behind one contract (input: a 2-column undirected edge
+  * frame, any orientation, no self-loops required; output: `(node, label)`
+  * where label = the component's minimum node id):
+  *
+  *  - [[labelPropagation]] — min-label flooding. One edges⋈labels shuffle
+  *    + a min-aggregate per round; rounds needed = graph DIAMETER. The
+  *    right choice for near-dup graphs (short chains, diameter ≤ a few).
+  *
+  *  - [[alternatingStar]] — Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond" (2014): alternate large-star (hook every
+  *    node's larger neighbors to its minimum) and small-star (hook the
+  *    smaller neighbors and itself to the minimum), each a pure
+  *    edge-local groupBy+join rewrite. Converges in O(log² n) rounds
+  *    REGARDLESS of diameter — the drop-in upgrade when components are
+  *    long paths (e.g. transitive chains of boilerplate revisions), where
+  *    propagation's diameter-many rounds would dominate the job.
+  *
+  * Both are 100 TB-shaped: per-round cost proportional to the EDGE list,
+  * driver traffic one scalar-tuple per round (the convergence probe),
+  * only one round's frame resident at a time (superseded frames are
+  * unpersisted as soon as the successor materializes), and lineage is
+  * truncated with an eager localCheckpoint every few rounds so the plan
+  * depth stays bounded. Returned frames have FLAT lineage (checkpointed),
+  * so no input cache needs to outlive the call.
+  */
+object ConnectedComponents {
+
+  /** Every edge in both directions, deduplicated, self-loops dropped;
+    * columns normalized to (u, v). */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+  }
+
+  /** Min-label propagation. `edges` may be directed pairs; symmetry is
+    * restored internally. Returns (node, label); throws if `maxRounds`
+    * is exhausted before the fixpoint (a silent partial labeling would
+    * corrupt downstream keep/drop decisions).
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      iter += 1
+      val prop = sym.join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min("label").as("nbr_min"))
+      val stepped = labels.join(prop, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // Hygiene: one resident frame, bounded plan depth (see scaladoc).
+      val next = if (iter % 5 == 0) stepped.localCheckpoint() else stepped.cache()
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+      converged = nextSum == sum
+      sum = nextSum
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds " +
+      "(graph diameter exceeds the budget — use alternatingStar)")
+    val out = labels.localCheckpoint()
+    labels.unpersist(blocking = false)
+    out
+  }
+
+  /** One large-star rewrite: for each node u with m = min(N(u) ∪ {u}),
+    * replace every edge to a LARGER neighbor v > u with (v, m). Strictly
+    * larger endpoints always hook below u, so endpoint sums decrease
+    * monotonically; connectivity is preserved (Kiveris Lemma 1). */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star rewrite: orient every edge toward its larger endpoint
+    * u; with m = min of u's smaller neighbors, hook u and each non-min
+    * smaller neighbor to m. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star. Returns (node, label). */
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 25): DataFrame =
+    alternatingStarWithRounds(edges, maxRounds)._1
+
+  /** As [[alternatingStar]], also returning the round count — exposed so
+    * the suite can pin the O(log n) convergence claim on a chain graph.
+    *
+    * Convergence probe: (edge count, Σ xxhash64(u,v)) — an order-free
+    * multiset fingerprint of the canonically-oriented edge set. Both
+    * rewrites are deterministic functions of the edge set, so fingerprint
+    * equal ⇒ edge set unchanged ⇒ fixpoint. The hash sum rides a
+    * DECIMAL(38,0) accumulator: uniform 64-bit hashes overflow a long sum
+    * almost immediately, which ANSI mode turns into a runtime error.
+    */
+  private[graft] def alternatingStarWithRounds(
+      edges: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    def sig(e: DataFrame): (Long, String) = {
+      val zero = lit(0).cast(DecimalType(38, 0))
+      val r = e.agg(count(lit(1)),
+        coalesce(org.apache.spark.sql.functions.sum(
+          xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))), zero)).head()
+      (r.getLong(0), r.get(1).toString)
+    }
+    // Canonical orientation so the input probe matches round outputs.
+    var e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var s = sig(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      iter += 1
+      val stepped = smallStar(largeStar(e))
+      // ~4 shuffles per round: truncate lineage more often than the
+      // propagation loop does.
+      val next = if (iter % 3 == 0) stepped.localCheckpoint() else stepped.cache()
+      val ns = sig(next)
+      converged = ns == s
+      s = ns
+      e.unpersist(blocking = false)
+      e = next
+    }
+    require(converged, s"alternating star did not converge in $maxRounds rounds")
+    // Fixpoint edges form stars centered at component minima: each
+    // node's minimum neighbor (or itself) IS its component label.
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val out = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    (out, iter)
+  }
+}

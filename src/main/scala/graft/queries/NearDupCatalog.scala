@@ -441,69 +441,55 @@ object NearDupCatalog {
     * graph diameter; near-dup components are short chains (diameter ≤ a
     * few), and the 20-round cap is the standard guard. At 100 TB the
     * per-round cost is proportional to the EDGE list (pairs), which LSH
-    * already bounded far below the corpus; the large-star/small-star
-    * variant (Kiveris et al., "Connected Components in MapReduce", 2014)
-    * is the drop-in upgrade if diameters ever grow.
+    * already bounded far below the corpus; [[dupClustersStar]] is the
+    * diameter-independent variant (Kiveris et al. 2014), oracle-checked
+    * against the same fixpoint. Both run through
+    * [[graft.operators.ConnectedComponents]].
     *
     * Oracle: the same fixpoint as a DuckDB recursive reachability CTE —
     * MIN over each doc's reachable set ≡ propagation's converged label.
     */
-  val dupClusters: CatalogEntry = CatalogEntry(
-    "doc_dup_clusters",
-    (s, d) => {
-      // Materialize the pair list ONCE (eager localCheckpoint: flat
-      // lineage, lives in RDD storage under ContextCleaner's watch, not
-      // the Dataset cache), then drop the LSH builder's internal caches
-      // immediately — nothing upstream of the edge list stays resident
-      // during the iteration.
-      val upstream = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      val pairs = lshPairs(s, d, upstream)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      upstream.foreach(_.unpersist(blocking = false))
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").cache()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).cache()
-      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        iter += 1
-        val prop = edges.join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-        val stepped = labels.join(prop, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-        // Iteration hygiene: only ONE round's labels stay resident — the
-        // superseded frame is unpersisted as soon as its successor is
-        // materialized (the sum action below) — and every 5th round the
-        // lineage is truncated with an eager localCheckpoint so the plan
-        // never grows past ~5 joins deep. Without both, a 20-round run
-        // at 100 TB accumulates 20 cached frames and a 20-deep plan.
-        val next = if (iter % 5 == 0) stepped.localCheckpoint() else stepped.cache()
-        val nextSum = next.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
-        converged = nextSum == sum
-        sum = nextSum
-        labels.unpersist(blocking = false)
-        labels = next
-      }
-      // Final frame: flat lineage (independent of edges), so the cached
-      // inputs can be dropped before the caller's action runs.
-      val out = labels.localCheckpoint()
-      labels.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-      out.orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE $lshPairsCtesSql,
+  /** The LSH pair list as a materialized, flat-lineage edge frame: the
+    * builder's internal caches are dropped as soon as the checkpoint is
+    * written, so NOTHING upstream of the edge list stays resident while a
+    * components algorithm iterates over it.
+    */
+  private def lshEdges(s: SparkSession, d: String): DataFrame = {
+    val upstream = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val pairs = lshPairs(s, d, upstream)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    upstream.foreach(_.unpersist(blocking = false))
+    pairs
+  }
+
+  private val dupClustersOracle = Some(
+    s"""WITH RECURSIVE $lshPairsCtesSql,
              e AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
                    UNION SELECT doc_b, doc_a FROM lsh_pairs),
              reach(a, b) AS (SELECT DISTINCT a, a FROM e
                              UNION
                              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
              SELECT a AS doc_id, MIN(b) AS cluster_id
-             FROM reach GROUP BY a ORDER BY a"""))
+             FROM reach GROUP BY a ORDER BY a""")
+
+  val dupClusters: CatalogEntry = CatalogEntry(
+    "doc_dup_clusters",
+    (s, d) => graft.operators.ConnectedComponents.labelPropagation(lshEdges(s, d))
+      .toDF("doc_id", "cluster_id").orderBy("doc_id"),
+    dupClustersOracle)
+
+  /** The same cluster resolution through the alternating large-star /
+    * small-star algorithm (Kiveris 2014) — diameter-independent O(log² n)
+    * rounds, the scale path when components are long chains rather than
+    * near-dup clumps. Same oracle as [[dupClusters]]: two different
+    * iteration schemes, one declarative fixpoint definition.
+    */
+  val dupClustersStar: CatalogEntry = CatalogEntry(
+    "doc_dup_clusters_star",
+    (s, d) => graft.operators.ConnectedComponents.alternatingStar(lshEdges(s, d))
+      .toDF("doc_id", "cluster_id").orderBy("doc_id"),
+    dupClustersOracle)
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix, dupClusters)
+    ngramJaccard, ngramJaccardPrefix, dupClusters, dupClustersStar)
 }

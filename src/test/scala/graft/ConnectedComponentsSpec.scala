@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+/** Both components algorithms against a driver-side union-find ground
+  * truth, the diameter-independence claim on a chain graph, and the
+  * iteration-hygiene contract (no cached frames survive a call).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // Path-compress to the true minimum root.
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.as[(Long, Long)].collect().toMap
+
+  test("random graph: both algorithms match union-find ground truth") {
+    val rnd = new scala.util.Random(7)
+    // ~120 nodes, 90 edges: several components, some singleton-free clumps.
+    val edges = (0 until 90).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter(e => e._1 != e._2)
+    val truth = unionFind(edges)
+    val df = edges.toDF("a", "b")
+    assert(labelsOf(ConnectedComponents.labelPropagation(df)) == truth)
+    assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth)
+  }
+
+  test("chain graph: star converges in O(log n) rounds, propagation needs the diameter") {
+    // A single path 0-1-2-...-64: diameter 64. Min-label propagation moves
+    // the label one hop per round, so it CANNOT finish inside a 20-round
+    // budget; the star rewrites collapse it in a handful of rounds.
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val df = chain.toDF("a", "b")
+    val (labels, rounds) = ConnectedComponents.alternatingStarWithRounds(df)
+    info(s"star rounds on a diameter-64 chain: $rounds")
+    assert(rounds <= 10, s"star took $rounds rounds — not diameter-independent")
+    assert(labelsOf(labels).values.toSet == Set(0L))
+    val diameterBound = intercept[IllegalArgumentException] {
+      ConnectedComponents.labelPropagation(df, maxRounds = 20)
+    }
+    assert(diameterBound.getMessage.contains("did not converge"))
+    // With the budget matched to the diameter it does finish.
+    assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 65))
+      .values.toSet == Set(0L))
+  }
+
+  test("both algorithms leave the Dataset cache empty") {
+    spark.sharedState.cacheManager.clearCache()
+    val edges = (0L until 30L).map(i => (i, (i * 7 + 3) % 30)).filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b")
+    val truth = unionFind(edges)
+    assert(labelsOf(ConnectedComponents.labelPropagation(df)) == truth)
+    assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a components iteration left Dataset caches behind")
+  }
+
+  test("doc_dup_clusters_star: identical result to doc_dup_clusters on the LSH graph") {
+    val prop = SparkEntry.queries("doc_dup_clusters")(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val star = SparkEntry.queries("doc_dup_clusters_star")(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(prop.nonEmpty && prop == star)
+  }
+}
