@@ -299,10 +299,20 @@ object NearDupCatalog {
     * return the identical pair set (prefix filtering is exact), so the
     * two catalog entries share one oracle SQL spec.
     */
-  private[graft] def ngramJaccardFrom(docs: DataFrame, prefixFilter: Boolean): DataFrame = {
+  private[graft] def ngramJaccardFrom(docs: DataFrame, prefixFilter: Boolean): DataFrame =
     // The bigram index feeds several branches (candidate join sides + set
     // sizes) — materialize once.
-    val bg = bigramIndex(docs).cache()
+    ngramJaccardFromIndex(bigramIndex(docs).cache(), prefixFilter,
+      scala.collection.mutable.ListBuffer.empty)
+
+  /** As [[ngramJaccardFrom]] but over an ALREADY-CACHED bigram index, so
+    * a caller that computed the index for its own purposes (the cost-based
+    * chooser's df statistic) reuses one materialization instead of paying
+    * the tokenize+explode scan twice. Internal caches (the prefix mode's
+    * per-doc frame) are appended to `caches` for the caller to release.
+    */
+  private[graft] def ngramJaccardFromIndex(bg: DataFrame, prefixFilter: Boolean,
+      caches: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     if (!prefixFilter) {
       // Unfiltered: the candidate join on every shared gram IS the
       // intersection count — one pass.
@@ -325,7 +335,7 @@ object NearDupCatalog {
       // sizes ride the same joins (no separate sz frame; the window
       // formulation this replaces paid two extra doc_id exchanges and
       // measured 5.8 s vs 2.4 s unfiltered at sf0.1's dense vocabulary).
-      val perDoc = perDocByDf(bg).cache()
+      val perDoc = { val c = perDocByDf(bg).cache(); caches += c; c }
       val side = prefixSide(perDoc)
       val cand = side.as("a").join(side.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
@@ -383,9 +393,23 @@ object NearDupCatalog {
   /** n-gram Jaccard with the mode chosen by [[ngramMode]]'s df-skew
     * statistic. Both modes return the identical pair set, so this only
     * trades plan topology, never results.
+    *
+    * The index is computed ONCE: the mode statistic's action materializes
+    * the cached bigram index, the chosen pipeline reuses it, and the
+    * (tiny, threshold-filtered) pair result is eagerly localCheckpoint'ed
+    * so every internal cache can be released before returning — the
+    * chooser costs one df aggregate over the already-built index, not a
+    * second tokenize pass, and is cache-neutral.
     */
-  private[graft] def ngramJaccardAuto(docs: DataFrame): DataFrame =
-    ngramJaccardFrom(docs, prefixFilter = ngramMode(bigramIndex(docs)) == "prefix")
+  private[graft] def ngramJaccardAuto(docs: DataFrame): DataFrame = {
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val bg = bigramIndex(docs).cache()
+    caches += bg
+    val mode = ngramMode(bg)
+    val out = ngramJaccardFromIndex(bg, mode == "prefix", caches).localCheckpoint()
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Default catalog entry — the COST-BASED path: [[ngramMode]]'s df-skew
     * statistic picks naive vs prefix-filtered per corpus, so the plan a

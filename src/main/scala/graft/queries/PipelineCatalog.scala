@@ -46,6 +46,50 @@ object PipelineCatalog {
              MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
              FROM documents GROUP BY 1"""))
 
+  /** Benchmark decontamination — the eval-set hygiene step every training
+    * pipeline runs before a model ever sees the corpus: flag every corpus
+    * document sharing at least one 8-word gram with the benchmark set
+    * (8–13-gram overlap is the standard published decontamination rule;
+    * 8 chosen so the flag is exact n-gram containment, not topicality).
+    * The benchmark here is the deterministic `doc_id % 50 = 0` slice —
+    * in production it is an external eval-set table on the same seam.
+    *
+    * 100 TB shape: benchmark gram sets are tiny relative to the corpus
+    * (eval suites, not crawls), so the membership probe is an explicitly
+    * BROADCAST left-semi join against the corpus's exploded grams — the
+    * corpus is touched in ONE per-row pass (gram explode + hashed probe),
+    * never shuffled; only the distinct contaminated doc_id set (bounded
+    * by the benchmark's true matches) reaches a shuffle.
+    */
+  val decontaminate: CatalogEntry = CatalogEntry(
+    "doc_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val isBench = col("doc_id") % 50 === 0
+      val benchGrams = docs.filter(isBench)
+        .select(explode(Text.shingles(col("text"), 8)).as("g")).distinct()
+      val corpus = docs.filter(!isBench)
+      val hits = corpus
+        .select(col("doc_id"), explode(Text.shingles(col("text"), 8)).as("g"))
+        .join(broadcast(benchGrams), Seq("g"), "leftsemi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      corpus.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    },
+    Some(raw"""WITH t AS (SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                          FROM documents),
+                    g AS (SELECT DISTINCT doc_id,
+                                 unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                                   ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS g
+                          FROM t),
+                    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+               SELECT d.doc_id,
+                      EXISTS (SELECT 1 FROM g x JOIN bench b ON b.g = x.g
+                              WHERE x.doc_id = d.doc_id) AS contaminated
+               FROM documents d
+               WHERE d.doc_id % 50 <> 0"""))
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -471,7 +515,7 @@ object PipelineCatalog {
              AND b.ts <= a.ts + INTERVAL 5 MINUTE"""))
 
   val all: Seq[CatalogEntry] =
-    Seq(exactDedup, textStats, tokenCount, langId, fingerprint, userSessions, cleanCorpus,
-      eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin,
-      eventsRangeJoin, packBins)
+    Seq(exactDedup, decontaminate, textStats, tokenCount, langId, fingerprint, userSessions,
+      cleanCorpus, eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg,
+      eventsAsofJoin, eventsRangeJoin, packBins)
 }

@@ -105,6 +105,18 @@ class NearDupSpec extends AnyFunSuite {
     } finally bg.unpersist()
   }
 
+  test("ngramJaccardAuto: one index materialization, cache-neutral") {
+    import graft.queries.NearDupCatalog
+    spark.sharedState.cacheManager.clearCache()
+    val out = NearDupCatalog.ngramJaccardAuto(Tables.documents(spark, sf0001))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the cost-based path left its bigram index (or per-doc frame) cached")
+    // Result already materialized (checkpoint) and identical to the
+    // pinned naive plan's.
+    val naive = run("doc_ngram_jaccard_prefix").collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == naive)
+  }
+
   test("doc_dup_clusters: LSH-pair fixpoint reached, no cached frames left behind") {
     spark.sharedState.cacheManager.clearCache()
     val labels = run("doc_dup_clusters")
