@@ -156,7 +156,7 @@ object NearDupCatalog {
   /** Per-doc 32-bit simhash frame (doc_id, simhash) — shared by the
     * signature entry and the collision-group dedup entry.
     */
-  private def simhashDF(s: SparkSession, d: String): DataFrame = {
+  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame = {
     // Per-row native signature (graft.expressions.Simhash32): the
     // signature stage has ZERO exchanges — the exploded 32-aggregate
     // formulation it replaces shuffled every token row.
@@ -167,7 +167,7 @@ object NearDupCatalog {
   }
 
   /** The same signature as CTEs ending in `sig (doc_id, simhash)`. */
-  private val simhashCtesSql: String = {
+  private[queries] val simhashCtesSql: String = {
     val votes = (0 until 32).map(j =>
       s"SUM(CASE WHEN substr(hx, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v$j")
       .mkString(", ")

@@ -26,6 +26,13 @@ object PipelineCatalog {
   /** Whitespace tokens of the trimmed text (no empty tokens). */
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
 
+  // Declared BEFORE every entry that interpolates them into an oracle
+  // string: object vals initialize in declaration order, and an entry
+  // defined above these would bake `null` into its SQL.
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
   // -------------------------------------------------------------------
   // Exact deduplication
   // -------------------------------------------------------------------
@@ -45,6 +52,94 @@ object PipelineCatalog {
     Some(s"""SELECT md5($normSql) AS content_hash,
              MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
              FROM documents GROUP BY 1"""))
+
+  /** Incremental (cross-snapshot) dedup — the production recurrence: a new
+    * crawl increment arrives and only content whose SIGNATURE is not
+    * already in the base corpus may enter. The key is the 32-bit SimHash
+    * (signature equality ⇒ same/near-same token profile — the d = 0
+    * Manku decision), which is what production incremental dedup keys on:
+    * byte-exact keys miss every trivially perturbed recrawl. Here the
+    * deterministic `doc_id % 10` split stands in for the two snapshots
+    * (base = 0–6, increment = 7–9); production swaps in two tables on the
+    * same seam.
+    *
+    * 100 TB shape: at scale the BASE signature set is corpus-sized —
+    * never broadcastable — so membership is a shuffle LEFT ANTI join
+    * keyed on the uniform signature (no skew by construction). The
+    * increment is typically ≪ base, exactly the asymmetry Spark's runtime
+    * bloom-filter injection exploits (PlanSpec proves our join shapes are
+    * eligible): the increment side builds the filter, the base scan drops
+    * non-candidates before the shuffle.
+    */
+  val incrementalDedup: CatalogEntry = CatalogEntry(
+    "doc_incremental_dedup",
+    (s, d) => {
+      val sig = NearDupCatalog.simhashDF(s, d)
+      val base = sig.filter(col("doc_id") % 10 < 7).select("simhash").distinct()
+      sig.filter(col("doc_id") % 10 >= 7)
+        .join(base, Seq("simhash"), "leftanti")
+        .select("doc_id", "simhash")
+    },
+    Some(s"""WITH ${NearDupCatalog.simhashCtesSql},
+                  base AS (SELECT DISTINCT simhash FROM sig WHERE doc_id % 10 < 7)
+             SELECT doc_id, simhash
+             FROM sig
+             WHERE doc_id % 10 >= 7
+               AND simhash NOT IN (SELECT simhash FROM base)"""))
+
+  /** Per-source adaptive quality gate (the Gopher-style rule): score every
+    * document with the composite quality heuristic and keep those at or
+    * above their OWN source's 25th percentile — a fixed global cutoff
+    * over- or under-prunes sources with different base quality, so the
+    * threshold adapts per source.
+    *
+    * 100 TB shape: scoring is a pure per-row projection; the threshold
+    * aggregate reads only (source, score) — column-pruned — into a
+    * sources-sized result that then rides a BROADCAST join back onto the
+    * corpus (a window over `source` would instead shuffle the whole
+    * corpus by a low-cardinality skewed key). The threshold is the
+    * ceil(n/4)-th ORDER STATISTIC, not an interpolated percentile: an
+    * interpolated quantile is a DERIVED float whose last bits differ
+    * between engines at rounding boundaries (measured: a 2-row flutter
+    * at sf0.01), while an order statistic is an actual score from the
+    * data — the keep comparison is bit-exact by construction. Exact
+    * order statistics sort within each source group; at heavy-group
+    * scale `approx_percentile` is the drop-in (same note as
+    * `value_percentiles`).
+    */
+  val qualityFilter: CatalogEntry = CatalogEntry(
+    "doc_quality_filter",
+    (s, d) => {
+      val scored = documents(s, d).select(
+        col("doc_id"), col("source"),
+        round(
+          least(size(Text.wsTokens(col("text"))) / lit(50.0), lit(1.0)) * 0.5 +
+          Text.tokensInSet(Text.wsTokens(col("text")), stopwords) /
+            size(Text.wsTokens(col("text"))) * 0.3 +
+          (lit(1.0) - expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))") /
+            length(col("text"))) * 0.2, 6).as("quality_score"))
+      val thr = scored.groupBy("source")
+        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("quality_score"))).as("ss"))
+        .select(col("source"),
+          element_at(col("ss"), ceil(col("n") * 0.25).cast("int")).as("q25"))
+      scored.join(broadcast(thr), Seq("source"))
+        .filter(col("quality_score") >= col("q25"))
+        .select(col("doc_id"), col("source"), col("quality_score"), col("q25"))
+    },
+    Some(s"""WITH scored AS (
+               SELECT doc_id, source,
+                      ROUND(LEAST(len($toksSql) / 50.0, 1.0) * 0.5
+                            + len(list_filter($toksSql, t -> t IN ($stopListSql)))
+                              / len($toksSql) * 0.3
+                            + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                              / length(text)) * 0.2, 6) AS quality_score
+               FROM documents),
+             thr AS (SELECT source,
+                            list_sort(list(quality_score))[CAST(ceil(count(*) * 0.25) AS INT)] AS q25
+                     FROM scored GROUP BY source)
+             SELECT doc_id, scored.source, quality_score, q25
+             FROM scored JOIN thr ON scored.source = thr.source
+             WHERE quality_score >= q25"""))
 
   /** Benchmark decontamination — the eval-set hygiene step every training
     * pipeline runs before a model ever sees the corpus: flag every corpus
@@ -93,10 +188,6 @@ object PipelineCatalog {
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
-
-  private val stopwords = Seq(
-    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with")
-  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-document quality statistics: token count, punctuation count,
     * stopword ratio, average token length, and a composite quality score —
@@ -515,7 +606,7 @@ object PipelineCatalog {
              AND b.ts <= a.ts + INTERVAL 5 MINUTE"""))
 
   val all: Seq[CatalogEntry] =
-    Seq(exactDedup, decontaminate, textStats, tokenCount, langId, fingerprint, userSessions,
-      cleanCorpus, eventsJsonKv, userRunningTotal, stratifiedSample, saltedUserAgg,
-      eventsAsofJoin, eventsRangeJoin, packBins)
+    Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, textStats, tokenCount,
+      langId, fingerprint, userSessions, cleanCorpus, eventsJsonKv, userRunningTotal,
+      stratifiedSample, saltedUserAgg, eventsAsofJoin, eventsRangeJoin, packBins)
 }

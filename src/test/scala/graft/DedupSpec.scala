@@ -45,6 +45,44 @@ class DedupSpec extends AnyFunSuite {
       s"benchmark gram probe is not a broadcast semi join:\n$plan")
   }
 
+  test("doc_incremental_dedup: increment keeps exactly the signatures unseen in the base snapshot") {
+    val hashed = SparkEntry.queries("doc_simhash")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val baseH = hashed.filter(_._1 % 10 < 7).map(_._2).toSet
+    val truth = hashed.filter(r => r._1 % 10 >= 7 && !baseH(r._2)).map(_._1).toSet
+    val got = SparkEntry.queries("doc_incremental_dedup")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == truth)
+    // Signal: near-dup recrawls collide on the signature across the
+    // split, so some increment docs must be dropped — and not all.
+    val incrementN = hashed.count(_._1 % 10 >= 7)
+    assert(got.nonEmpty && got.size < incrementN,
+      s"vacuous increment dedup: kept ${got.size} of $incrementN")
+  }
+
+  test("doc_quality_filter: per-source p25 gate — kept docs at/above their own source's cut") {
+    val out = SparkEntry.queries("doc_quality_filter")(spark, sf0001)
+      .as[(Long, String, Double, Double)].collect()
+    assert(out.forall { case (_, _, q, q25) => q >= q25 })
+    // One threshold per source, and the gate must actually drop docs
+    // while keeping >= 75% minus ties (p25 semantics).
+    val perSource = out.groupBy(_._2)
+    val totals = Tables.documents(spark, sf0001).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.keySet == totals.keySet)
+    perSource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).distinct.size == 1, s"$src: multiple thresholds")
+      val kept = rows.size.toDouble / totals(src)
+      assert(kept >= 0.70 && kept <= 1.0, s"$src kept ratio $kept out of p25 range")
+    }
+    assert(out.size < totals.values.sum, "gate dropped nothing")
+    // Thresholds ride a broadcast join back onto the corpus — the scored
+    // frame must not shuffle on the low-cardinality source key.
+    val plan = SparkEntry.queries("doc_quality_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+  }
+
   test("dropNearDuplicates removes pair losers from the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = SparkEntry.queries("doc_near_dup_lsh")(spark, sf0001)
