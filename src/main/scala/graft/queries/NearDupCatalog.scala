@@ -405,7 +405,14 @@ object NearDupCatalog {
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val bg = bigramIndex(docs).cache()
     caches += bg
-    val mode = ngramMode(bg)
+    // The CV statistic is estimated on a 1/8 hash-sample of GRAM TYPES:
+    // each sampled gram keeps its EXACT df (sampling types, not rows), so
+    // per-type frequencies are unbiased and the CV estimate is stable
+    // wherever the type count is non-trivial — while the stat shuffle
+    // shrinks 8×. (Sampling rows instead would Poisson-inflate the CV of
+    // low-df grams and bias the decision toward prefix.)
+    val sample = bg.filter(pmod(xxhash64(col("source"), col("bg")), lit(8)) === 0)
+    val mode = ngramMode(sample)
     val out = ngramJaccardFromIndex(bg, mode == "prefix", caches).localCheckpoint()
     caches.foreach(_.unpersist(blocking = false))
     out
