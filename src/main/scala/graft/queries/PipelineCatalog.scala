@@ -26,6 +26,9 @@ object PipelineCatalog {
   /** Whitespace tokens of the trimmed text (no empty tokens). */
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
 
+  /** Tokens of the NORMALIZED text (mirror of Text.normTokens). */
+  private val normToksSql = s"string_split_regex($normSql, ' ')"
+
   // Declared BEFORE every entry that interpolates them into an oracle
   // string: object vals initialize in declaration order, and an entry
   // defined above these would bake `null` into its SQL.
@@ -184,6 +187,54 @@ object PipelineCatalog {
                               WHERE x.doc_id = d.doc_id) AS contaminated
                FROM documents d
                WHERE d.doc_id % 50 <> 0"""))
+
+  /** Per-document keyword extraction: the top-3 terms by tf·(N/df) — the
+    * log-free monotone form of tf-idf, chosen deliberately: `ln()` is a
+    * libm call whose last bit differs across engines and a 1-ulp score
+    * difference can flip a ranking tie, while `(tf·N)/df` is ONE
+    * correctly-rounded IEEE division of exact integers — bit-identical
+    * everywhere, same ranking as the log form (ln is monotone). Ties
+    * break by term ascending.
+    *
+    * 100 TB shape: tf is one (doc, term) shuffle, df one (term) shuffle
+    * off tf's already-distinct rows, the corpus count rides a broadcast
+    * 1-row cross join, and the top-3 is a per-doc sort of that DOCUMENT's
+    * terms only — per-doc vocabulary is bounded by document length, not
+    * corpus size, so the collect_list group never exceeds a few thousand
+    * entries regardless of scale (a global ranking window would instead
+    * sort the full corpus-wide term list).
+    */
+  val topTerms: CatalogEntry = CatalogEntry(
+    "doc_top_terms",
+    (s, d) => {
+      val docs = documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(Text.normTokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("tf") * col("n_docs")) / col("df"), 6).as("score"))
+      scored.groupBy("doc_id")
+        .agg(slice(array_sort(collect_list(
+          struct((-col("score")).as("ns"), col("term").as("t")))), 1, 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("term_rank"),
+          col("col.t").as("term"), (-col("col.ns")).as("score"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($normToksSql) AS term FROM documents),
+                  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+                  df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+                  n AS (SELECT count(*) AS n_docs FROM documents),
+                  scored AS (SELECT doc_id, tf.term,
+                                    ROUND((tf * n_docs) / df, 6) AS score
+                             FROM tf JOIN df USING (term) CROSS JOIN n),
+                  r AS (SELECT doc_id, term, score,
+                               row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY score DESC, term ASC) AS rk
+                        FROM scored)
+             SELECT doc_id, CAST(rk AS BIGINT) AS term_rank, term, score
+             FROM r WHERE rk <= 3"""))
 
   // -------------------------------------------------------------------
   // Text analysis
@@ -606,7 +657,8 @@ object PipelineCatalog {
              AND b.ts <= a.ts + INTERVAL 5 MINUTE"""))
 
   val all: Seq[CatalogEntry] =
-    Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, textStats, tokenCount,
-      langId, fingerprint, userSessions, cleanCorpus, eventsJsonKv, userRunningTotal,
-      stratifiedSample, saltedUserAgg, eventsAsofJoin, eventsRangeJoin, packBins)
+    Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
+      tokenCount, langId, fingerprint, userSessions, cleanCorpus, eventsJsonKv,
+      userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin,
+      eventsRangeJoin, packBins)
 }

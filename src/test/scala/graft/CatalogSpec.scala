@@ -156,6 +156,32 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_top_terms: matches a window-rank formulation; 3 ranked terms per doc") {
+    val got = run("doc_top_terms")
+      .as[(Long, Long, String, Double)].collect().toSet
+    // Independent formulation: global ranking window (the plan the entry
+    // deliberately avoids at scale) over the same score definition.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.Text.normTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    val want = tf.join(dfq, "term")
+      .select(col("doc_id"), col("term"),
+        round((col("tf") * lit(n)) / col("df"), 6).as("score"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= 3)
+      .select("doc_id", "term_rank", "term", "score")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got == want)
+    val perDoc = got.groupBy(_._1)
+    assert(perDoc.size == docs.count())
+    perDoc.values.foreach(rows => assert(rows.map(_._2).toSeq.sorted == Seq(1L, 2L, 3L)))
+  }
+
   test("pipeline_clean_corpus: each stage removes something, totals consistent") {
     val stats = run("pipeline_clean_corpus")
     val nDocs = Tables.documents(spark, sf0001).count()
