@@ -85,6 +85,11 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // The distinct is load-bearing: dropping it would save one shuffle
+    // per round, but near-dup components are near-CLIQUES — the
+    // un-deduped (v, m) output repeats once per smaller neighbor
+    // (~degree×), inflating small-star's groupBy+join input by more than
+    // the saved shuffle on exactly the graphs this engine feeds it.
     sym.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()

@@ -401,10 +401,33 @@ object ReferenceCatalog {
                    TRUE AS sketch_within_bound
             FROM events GROUP BY event_type"""))
 
+  /** Sketch-quantile path: Spark's approx_percentile (the
+    * Greenwald–Khanna/KLL-style mergeable sketch — the only viable
+    * quantile at heavy-group 100 TB scale) checked the same way as the
+    * HLL entry: the output carries the EXACT p90 plus a flag asserting
+    * the sketch estimate landed inside the exact [p88, p92] band — the
+    * sketch's rank-error guarantee (±n/accuracy ranks ≪ ±2% of ranks
+    * here), expressed in values the oracle can reproduce.
+    */
+  val approxQuantile: CatalogEntry = CatalogEntry(
+    "value_p90_sketch",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        (expr("approx_percentile(value, 0.9, 10000)") >=
+          expr("percentile(value, 0.88)") &&
+         expr("approx_percentile(value, 0.9, 10000)") <=
+          expr("percentile(value, 0.92)")).as("sketch_in_rank_band")),
+    Some("""SELECT event_type,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   TRUE AS sketch_in_rank_band
+            FROM events GROUP BY event_type"""))
+
   val all: Seq[CatalogEntry] = Seq(
     taxiRideCount, taxiRideMax, taxiRideAvg, taxiRideAvg3,
     taxiRideCountDay, taxiRideCountDistinctSql, taxiRideTopN, topNPerKey,
     avgDistanceGlobal, distanceTopNPerKey, wordCount, windowedCount,
     tpchQ1, tpchQ1Full, tpchQ6, globalAvgValue,
-    valuePercentiles, approxDistinct)
+    valuePercentiles, approxDistinct, approxQuantile)
 }

@@ -42,6 +42,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth)
   }
 
+  test("randomized graphs (mixed clumps + a chain tail): both algorithms match union-find") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(60)
+      val clump = (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // A path segment on fresh node ids stresses diameter handling in
+      // the same run as the dense clumps.
+      val chain = (0 until 12).map(i => (n + i.toLong, n + i + 1L))
+      val edges = (clump ++ chain).filter(e => e._1 != e._2)
+      val truth = unionFind(edges)
+      val df = edges.toDF("a", "b")
+      assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40)) == truth,
+        s"propagation diverged from union-find at seed $seed")
+      assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth,
+        s"alternating star diverged from union-find at seed $seed")
+    }
+  }
+
   test("chain graph: star converges in O(log n) rounds, propagation needs the diameter") {
     // A single path 0-1-2-...-64: diameter 64. Min-label propagation moves
     // the label one hop per round, so it CANNOT finish inside a 20-round
