@@ -52,7 +52,12 @@ object ConnectedComponents {
     val sym = symmetrize(edges).localCheckpoint()
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    // coalesce: SUM over an empty frame is null — an edgeless graph must
+    // return an empty labeling, not NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+        .head().getLong(0)
+    var sum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
@@ -64,7 +69,7 @@ object ConnectedComponents {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // Hygiene: one resident frame, bounded plan depth (see scaladoc).
       val next = if (iter % 5 == 0) stepped.localCheckpoint() else stepped.cache()
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+      val nextSum = labelSum(next)
       converged = nextSum == sum
       sum = nextSum
       labels.unpersist(blocking = false)

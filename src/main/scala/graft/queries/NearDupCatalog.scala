@@ -386,8 +386,11 @@ object NearDupCatalog {
   private[graft] def ngramMode(bg: DataFrame): String = {
     val r = bg.groupBy("source", "bg").agg(count(lit(1)).as("df"))
       .agg(avg("df").as("m"), stddev_pop("df").as("s")).head()
-    val cv = r.getDouble(1) / math.max(1e-9, r.getDouble(0))
-    if (cv > 0.7) "prefix" else "naive"
+    // Empty/degenerate index (no grams, or a single gram type): the
+    // aggregates come back null — nothing to prune, take the naive plan.
+    if (r.isNullAt(0) || r.isNullAt(1)) "naive"
+    else if (r.getDouble(1) / math.max(1e-9, r.getDouble(0)) > 0.7) "prefix"
+    else "naive"
   }
 
   /** n-gram Jaccard with the mode chosen by [[ngramMode]]'s df-skew

@@ -79,6 +79,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .values.toSet == Set(0L))
   }
 
+  test("edgeless input: both algorithms return an empty labeling, no NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.labelPropagation(empty).count() == 0)
+    assert(ConnectedComponents.alternatingStar(empty).count() == 0)
+    // Self-loops only: still no components to label.
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(ConnectedComponents.labelPropagation(loops).count() == 0)
+    assert(ConnectedComponents.alternatingStar(loops).count() == 0)
+  }
+
   test("both algorithms leave the Dataset cache empty") {
     spark.sharedState.cacheManager.clearCache()
     val edges = (0L until 30L).map(i => (i, (i * 7 + 3) % 30)).filter(e => e._1 != e._2)

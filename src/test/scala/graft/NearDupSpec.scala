@@ -105,6 +105,13 @@ class NearDupSpec extends AnyFunSuite {
     } finally bg.unpersist()
   }
 
+  test("ngramMode on an empty index defaults to naive, no NPE") {
+    import graft.queries.NearDupCatalog
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(NearDupCatalog.ngramMode(NearDupCatalog.bigramIndex(empty)) == "naive")
+    assert(NearDupCatalog.ngramJaccardAuto(empty).count() == 0)
+  }
+
   test("ngramJaccardAuto: one index materialization, cache-neutral") {
     import graft.queries.NearDupCatalog
     spark.sharedState.cacheManager.clearCache()
