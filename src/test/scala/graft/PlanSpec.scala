@@ -175,6 +175,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 pipeline entries keep their declared scale shapes") {
+    // Incremental dedup: membership against the corpus-sized base MUST be
+    // an anti join (a broadcast of the base would not survive scale; an
+    // inner+filter would materialize matches).
+    val anti = plan("doc_incremental_dedup")
+    assert(anti.contains("LeftAnti"), s"doc_incremental_dedup: no anti join\n$anti")
+    // Keyword extraction: per-doc bounded sort, never a corpus-wide
+    // ranking window.
+    val tt = plan("doc_top_terms")
+    assert(!tt.contains("Window"), s"doc_top_terms: ranking window crept in\n$tt")
+  }
+
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
     // The scaladoc claim at TpchExtCatalog.tpchQ21: three probes shuffle
     // on the same order key and AQE can serve the anti probe's `late`
