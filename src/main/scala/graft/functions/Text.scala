@@ -105,4 +105,30 @@ object Text {
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(raw"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"), lit(0)))
+
+  private val EmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  private val Ipv4Re  = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  private val PhoneRe = raw"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+  /** PII redaction: emails, IPv4 addresses, and xxx-xxx-xxxx phone
+    * numbers replaced with typed placeholders. Email first — its local
+    * part can contain digits and dots that the narrower patterns would
+    * otherwise bite into. All three are RE2-compatible so the same
+    * patterns run on engines with either regex dialect. Per-row
+    * projection, whole-stage codegen'd; no catalog entry because the
+    * synthetic corpus contains no digits — the oracle would be a
+    * vacuous passthrough (see TextSpec for the behavioral contract).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches the redaction would replace. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 }

@@ -79,5 +79,73 @@ object OlapCatalog {
       s"SELECT user_id, $cells FROM events GROUP BY user_id"
     })
 
-  val all: Seq[CatalogEntry] = Seq(ordersRollup, ordersCube, eventsPivot)
+  /** Conversion funnel over the event stream: of the users who signed
+    * up, how many later viewed, and of those how many later purchased —
+    * strict per-user event-time ordering on each user's FIRST event of
+    * each stage. One shuffle keyed on user_id reduces each user to three
+    * timestamps (map-side combined min), then a scalar fold — at 100 TB
+    * the funnel costs exactly one pass over events plus a per-user
+    * 3-column aggregate, never a self-join per stage pair.
+    */
+  val eventsFunnel: CatalogEntry = CatalogEntry(
+    "events_funnel",
+    (s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
+        .agg(
+          count(col("t_signup")).as("n_signup"),
+          // null stage timestamps make the comparison null → otherwise(0):
+          // a user missing any earlier stage never counts downstream.
+          sum(when(col("t_view") > col("t_signup"), 1L).otherwise(0L))
+            .as("n_signup_view"),
+          sum(when(col("t_purchase") > col("t_view") &&
+                   col("t_view") > col("t_signup"), 1L).otherwise(0L))
+            .as("n_signup_view_purchase"))
+    },
+    Some("""SELECT COUNT(t_signup) AS n_signup,
+                   CAST(COALESCE(SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_signup_view,
+                   CAST(COALESCE(SUM(CASE WHEN t_purchase > t_view AND t_view > t_signup
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_signup_view_purchase
+            FROM (SELECT user_id,
+                         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+                  FROM events GROUP BY user_id)"""))
+
+  /** Cohort retention: users grouped by their first active day, counted
+    * on each later day they return (the day-offset retention triangle).
+    * The cohort day comes from a MIN window over the user partition —
+    * no cohort⋈activity self-join, so the plan is distinct → window →
+    * aggregate, three map-reduced exchanges on uniform keys and zero
+    * join state. Output cardinality is days², independent of corpus
+    * size.
+    */
+  val eventsRetention: CatalogEntry = CatalogEntry(
+    "events_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .withColumn("cohort_day",
+          min("d").over(Window.partitionBy("user_id")))
+        // ISO string, not DATE: parquet date32 and DuckDB DATE surface as
+        // different physical dtypes in the driver's compare.
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+    },
+    Some("""SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+                   COUNT(*) AS active_users
+            FROM (SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+                  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events))
+            GROUP BY 1, 2"""))
+
+  val all: Seq[CatalogEntry] =
+    Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention)
 }

@@ -24,6 +24,10 @@ object TrainPrepCatalog {
 
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
 
+  /** SQL mirror of Text.normTokens (kept in sync with PipelineCatalog). */
+  private val normToksSql =
+    raw"string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
   /** Deterministic train/val/test assignment by salted content-id hash:
     * the first two md5 hex chars partition [0,256) into 230/13/13
     * (≈ 90/5/5). Hash of the id, not the row position — stable under
@@ -123,5 +127,112 @@ object TrainPrepCatalog {
                  FROM documents)
                GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
 
-  val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf)
+  /** Sliding-window chunking — the step between a cleaned corpus and an
+    * embedding/training run: each document becomes ceil(n/stride) chunks
+    * of up to `ChunkLen` tokens starting every `ChunkStride` tokens
+    * (overlap = len − stride). Pure per-row generate + projection: no
+    * shuffle anywhere, output size ≈ input × len/stride — at 100 TB the
+    * chunker rides the scan and is bounded by write bandwidth, not
+    * compute. Chunk identity is (doc_id, chunk_start), not a global
+    * ordinal: a corpus-wide ordinal would need a total order (range
+    * shuffle) for numbering that nothing downstream requires.
+    */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  val chunk: CatalogEntry = CatalogEntry(
+    "doc_chunk",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), Text.normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        array_join(slice(col("toks"), col("chunk_start") + 1, lit(ChunkLen)), " ")
+          .as("chunk_text"),
+        least(lit(ChunkLen), size(col("toks")) - col("chunk_start"))
+          .cast("long").as("n_tokens")),
+    Some(s"""SELECT doc_id, g AS chunk_start,
+                    array_to_string(toks[g+1 : g+$ChunkLen], ' ') AS chunk_text,
+                    CAST(LEAST($ChunkLen, len(toks) - g) AS BIGINT) AS n_tokens
+             FROM (SELECT doc_id, $normToksSql AS toks FROM documents),
+                  UNNEST(generate_series(0, len(toks) - 1, $ChunkStride)) AS u(g)"""))
+
+  /** Deterministic global training shuffle: every document gets a
+    * reproducible pseudo-random position (shard, pos) — order by the
+    * salted md5 of the id, never by ingest order. The permutation is a
+    * property of the ids alone: stable under re-sharding, engine
+    * changes, and incremental re-runs, which is what "the same data
+    * order for the same training run" actually requires.
+    *
+    * 100 TB shape: the sort is per-SHARD (first md5 byte → 256
+    * independent window partitions, each sorting n/256 rows locally),
+    * never a corpus-wide total order — a global ROW_NUMBER would funnel
+    * every row through one range-partitioned sort whose skew ceiling is
+    * a single partition. Consumers read shards in (shard, pos) order;
+    * raising the shard-prefix width to 3–4 hex chars scales the
+    * parallelism to any cluster without changing the permutation law.
+    */
+  val shuffleOrder: CatalogEntry = CatalogEntry(
+    "doc_shuffle_order",
+    (s, d) => {
+      val h = md5(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"), col("h"),
+          conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("shard"))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+        .select("doc_id", "shard", "pos")
+    },
+    Some("""SELECT doc_id,
+                   CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id) AS BIGINT) AS pos
+            FROM (SELECT doc_id,
+                         md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents)"""))
+
+  /** Corpus length distribution: document counts per 64-char bucket with
+    * the share of the corpus in each. The histogram every curation run
+    * reads before choosing truncation/packing budgets. One tiny-key
+    * aggregation (bucket count ≈ max_len/64) — free at any scale.
+    */
+  val lengthHistogram: CatalogEntry = CatalogEntry(
+    "doc_length_histogram",
+    (s, d) => documents(s, d)
+      .select(((col("n_chars") / 64).cast("long") * 64).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"))
+      .withColumn("share",
+        round(col("docs") / sum("docs").over(Window.partitionBy()), 6)),
+    Some("""SELECT (n_chars // 64) * 64 AS bucket, COUNT(*) AS docs,
+                   ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+            FROM documents GROUP BY 1"""))
+
+  /** Corpus composition report: document and token counts per
+    * (source, language) with each cell's share of its source — the
+    * mix table a data-curation review reads next to source_mix_weights.
+    * One aggregation whose key cardinality is #sources × #languages.
+    */
+  val sourceLangMix: CatalogEntry = CatalogEntry(
+    "source_lang_mix",
+    (s, d) => documents(s, d)
+      .select(col("source"), col("lang"),
+        size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .withColumn("src_share",
+        round(col("docs") / sum("docs").over(Window.partitionBy("source")), 6)),
+    Some(s"""SELECT source, lang, COUNT(*) AS docs,
+                    CAST(SUM(len($toksSql)) AS BIGINT) AS tokens,
+                    ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY source), 6)
+                      AS src_share
+             FROM documents GROUP BY source, lang"""))
+
+  val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
+    chunk, shuffleOrder, lengthHistogram, sourceLangMix)
 }

@@ -226,4 +226,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.filter(not(col("set_fp").rlike("^[0-9a-f]{32}$"))).count() == 0)
     assert(df.filter(col("roll_fp") < 0 || col("roll_fp") >= 1000000007L).count() == 0)
   }
+
+  test("events_funnel: stage counts are monotone and bounded by the user count") {
+    val r = run("events_funnel").head()
+    val signup = r.getAs[Long]("n_signup")
+    val sv = r.getAs[Long]("n_signup_view")
+    val svp = r.getAs[Long]("n_signup_view_purchase")
+    assert(signup >= sv && sv >= svp && svp >= 0,
+      s"funnel not monotone: $signup >= $sv >= $svp")
+    assert(signup <= nDrivers)
+    // Cross-check the top of the funnel directly.
+    val expect = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(signup == expect)
+  }
+
+  test("events_retention: day-0 diagonal equals cohort sizes; offsets non-negative") {
+    val got = run("events_retention").cache()
+    assert(got.filter(col("day_offset") < 0).count() == 0)
+    // Every user appears in exactly one cohort on offset 0.
+    val day0 = got.filter(col("day_offset") === 0)
+      .agg(sum("active_users")).as[Long].head()
+    assert(day0 == nDrivers, s"day-0 totals $day0 vs $nDrivers users")
+    // No (cohort, offset) cell can exceed its cohort's day-0 size.
+    val sizes = got.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_size"))
+    assert(got.join(sizes, "cohort_day")
+      .filter(col("active_users") > col("cohort_size")).count() == 0)
+    got.unpersist()
+  }
 }

@@ -187,6 +187,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!tt.contains("Window"), s"doc_top_terms: ranking window crept in\n$tt")
   }
 
+  test("round-7 corpus/analytics entries keep their declared scale shapes") {
+    // Chunking rides the scan: generate + project only, zero exchanges.
+    val ch = plan("doc_chunk")
+    assert(countOf(ch, "Exchange") == 0, s"doc_chunk: unexpected exchange\n$ch")
+    // The training shuffle sorts per-shard, never globally: one hash
+    // exchange for the window partition, no range partitioning anywhere.
+    val so = plan("doc_shuffle_order")
+    assert(countOf(so, "Exchange hashpartitioning") == 1 &&
+      !so.contains("Exchange rangepartitioning"),
+      s"doc_shuffle_order: expected one hash exchange, no global sort\n$so")
+    // Retention derives cohorts from a window over the user partition —
+    // a cohort⋈activity self-join would double the shuffled volume.
+    val ret = plan("events_retention")
+    assert(!ret.contains("Join"), s"events_retention: self-join crept in\n$ret")
+    // The funnel reduces events to 3 timestamps per user in one shuffle.
+    val fu = plan("events_funnel")
+    assert(countOf(fu, "Exchange hashpartitioning") == 1,
+      s"events_funnel: expected exactly one hash exchange\n$fu")
+  }
+
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
     // The scaladoc claim at TpchExtCatalog.tpchQ21: three probes shuffle
     // on the same order key and AQE can serve the anti probe's `late`

@@ -57,4 +57,17 @@ class TextSpec extends AnyFunSuite {
     assert(one[Int](Text.tokensInSet(Text.wsTokens(col("text")), Seq("the", "a")), "the cat a hat") == 2)
     assert(one[Int](Text.bpeTokenCount(col("text")), "ab 12 cd!") == 4)
   }
+
+  test("redactPii replaces emails, IPs and phones; counts agree; clean text untouched") {
+    val dirty = "mail bob.smith+x@example.co.uk from 10.0.12.9 or call 555-867-5309 now"
+    assert(one[String](Text.redactPii(col("text")), dirty) ==
+      "mail <EMAIL> from <IP> or call <PHONE> now")
+    assert(one[Int](Text.piiCount(col("text")), dirty) == 3)
+    // Email wins over the narrower patterns inside it (digits + dots).
+    assert(one[String](Text.redactPii(col("text")), "x 192.168.0.1@host.com y") ==
+      "x <EMAIL> y")
+    val clean = "no personal data in this sentence at all"
+    assert(one[String](Text.redactPii(col("text")), clean) == clean)
+    assert(one[Int](Text.piiCount(col("text")), clean) == 0)
+  }
 }

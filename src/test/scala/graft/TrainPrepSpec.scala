@@ -52,4 +52,60 @@ class TrainPrepSpec extends AnyFunSuite {
     val dfs = got.map(_.getLong(1)).toSeq
     assert(dfs == dfs.sortBy(-_), "df not descending")
   }
+
+  test("doc_chunk: strided starts, bounded chunks, last chunk reaches the doc end") {
+    val got = run("doc_chunk").cache()
+    val docs = Tables.documents(spark, sf0001)
+    assert(got.filter(col("chunk_start") % 24 =!= 0).count() == 0)
+    assert(got.filter(col("n_tokens") < 1 || col("n_tokens") > 32).count() == 0)
+    // The chunk text really holds n_tokens tokens.
+    assert(got.filter(size(split(col("chunk_text"), " ")) =!= col("n_tokens"))
+      .count() == 0)
+    // Per doc: chunks cover exactly the token range [0, n_toks).
+    val cover = got.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_tokens")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.Text.normTokens(col("text"))).cast("long").as("n_toks"))
+    assert(cover.join(toks, "doc_id").filter(col("covered") =!= col("n_toks"))
+      .count() == 0, "chunks do not cover the token range")
+    assert(cover.count() == docs.count(), "a document produced no chunks")
+    got.unpersist()
+  }
+
+  test("doc_shuffle_order: a deterministic permutation, dense per-shard positions") {
+    val got = run("doc_shuffle_order").cache()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(got.count() == n)
+    assert(got.select("doc_id").distinct().count() == n)
+    assert(got.filter(col("shard") < 0 || col("shard") > 255).count() == 0)
+    // pos is 1..count within every shard (dense, no gaps/dups).
+    val perShard = got.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("dp"))
+    assert(perShard.filter(col("mx") =!= col("c") || col("mn") =!= 1 ||
+      col("dp") =!= col("c")).count() == 0, "positions not dense per shard")
+    // Stable under re-run.
+    assert(run("doc_shuffle_order").except(got).count() == 0)
+    got.unpersist()
+  }
+
+  test("doc_length_histogram: buckets are 64-aligned, docs and shares total out") {
+    val rows = run("doc_length_histogram").collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.forall(_.getAs[Long]("bucket") % 64 == 0))
+    assert(rows.map(_.getAs[Long]("docs")).sum == n)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
+
+  test("source_lang_mix: per-source shares sum to 1, doc totals match the corpus") {
+    val rows = run("source_lang_mix").collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("docs")).sum == n)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val s = rs.map(_.getAs[Double]("src_share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"source $src shares sum to $s")
+    }
+  }
 }
