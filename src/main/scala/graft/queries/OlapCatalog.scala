@@ -85,26 +85,14 @@ object OlapCatalog {
     * each stage. One shuffle keyed on user_id reduces each user to three
     * timestamps (map-side combined min), then a scalar fold — at 100 TB
     * the funnel costs exactly one pass over events plus a per-user
-    * 3-column aggregate, never a self-join per stage pair.
+    * 3-column aggregate, never a self-join per stage pair. The stage
+    * aggregation (Transforms.funnelStages) doubles as the update-mode
+    * streaming form — min folds micro-batches associatively, so the
+    * live funnel is the same plan with streaming state (StreamingSpec).
     */
   val eventsFunnel: CatalogEntry = CatalogEntry(
     "events_funnel",
-    (s, d) => {
-      def firstTs(t: String) =
-        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
-        .agg(
-          count(col("t_signup")).as("n_signup"),
-          // null stage timestamps make the comparison null → otherwise(0):
-          // a user missing any earlier stage never counts downstream.
-          sum(when(col("t_view") > col("t_signup"), 1L).otherwise(0L))
-            .as("n_signup_view"),
-          sum(when(col("t_purchase") > col("t_view") &&
-                   col("t_view") > col("t_signup"), 1L).otherwise(0L))
-            .as("n_signup_view_purchase"))
-    },
+    (s, d) => Transforms.funnelFold(Transforms.funnelStages(Tables.events(s, d))),
     Some("""SELECT COUNT(t_signup) AS n_signup,
                    CAST(COALESCE(SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END), 0)
                      AS BIGINT) AS n_signup_view,

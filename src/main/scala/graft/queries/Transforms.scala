@@ -43,4 +43,29 @@ object Transforms {
   def countByDay(events: DataFrame): DataFrame = events
     .groupBy(dayofyear(col("ts")).cast("long").as("day"))
     .agg(count(lit(1)).as("cnt"))
+
+  /** Funnel stage table: each user's FIRST event timestamp per funnel
+    * stage. One shuffle, min-combinable — which is exactly what makes it
+    * run unchanged as an update-mode streaming aggregation (the per-user
+    * row IS the funnel state; `min` folds micro-batches associatively).
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    events.groupBy("user_id")
+      .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
+  }
+
+  /** Scalar funnel fold over a stage table: users entering each prefix
+    * of signup → view → purchase in strict event-time order. Null stage
+    * timestamps make the comparison null → otherwise(0): a user missing
+    * any earlier stage never counts downstream.
+    */
+  def funnelFold(stages: DataFrame): DataFrame = stages.agg(
+    count(col("t_signup")).as("n_signup"),
+    sum(when(col("t_view") > col("t_signup"), 1L).otherwise(0L))
+      .as("n_signup_view"),
+    sum(when(col("t_purchase") > col("t_view") &&
+             col("t_view") > col("t_signup"), 1L).otherwise(0L))
+      .as("n_signup_view_purchase"))
 }

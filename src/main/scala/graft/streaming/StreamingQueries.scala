@@ -33,7 +33,13 @@ object StreamingQueries {
     "taxi_ride_max" -> Transforms.maxByDriver,
     "taxi_ride_avg" -> Transforms.avgByDriver,
     "taxi_ride_avg3" -> Transforms.avg3ByDriver,
-    "taxi_ride_count_day" -> Transforms.countByDay)
+    "taxi_ride_count_day" -> Transforms.countByDay,
+    // The funnel's per-user stage table (first ts per stage): min is
+    // associative across micro-batches, so the same plan runs as
+    // update-mode streaming state; the scalar funnel fold is a batch
+    // read over the upserted stage rows (update mode cannot chain a
+    // second aggregation — the stage row IS the streaming state).
+    "events_funnel_stages" -> Transforms.funnelStages)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -87,6 +87,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming funnel stage state converges to the batch funnel") {
+    import graft.queries.Transforms
+    val stages = Seq("signup", "view", "purchase", "error", "click")
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-04-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 7,
+        stages((i % 5).toInt), 1.0, ""))
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-04-1${(i % 9).toInt} 1${i % 10}:45:00"), i % 11,
+        stages((i % 3).toInt), 1.0, ""))
+    val sinkId = s"funnel-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_funnel_stages", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)))
+    val got = Sinks.registry(sinkId).asScala.values.map(key).toSet
+    Sinks.clear(sinkId)
+    val all = (fb1 ++ fb2).toDF(eventCols: _*)
+    val want = Transforms.funnelStages(all).collect().map(key).toSet
+    assert(got == want, "streamed stage state diverges from the batch stage table")
+    // The scalar fold over the streamed state equals the batch funnel.
+    val streamed = got.toSeq.map { case (u, a, b, c) => (u, a.orNull, b.orNull, c.orNull) }
+      .toDF("user_id", "t_signup", "t_view", "t_purchase")
+    assert(Transforms.funnelFold(streamed).collect().head ==
+      Transforms.funnelFold(Transforms.funnelStages(all)).collect().head)
+  }
+
   private type Doc = (Long, Timestamp, String)
 
   test("checkpointed query restarts with state intact (fault-tolerance semantics)") {
