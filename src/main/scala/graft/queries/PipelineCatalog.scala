@@ -587,6 +587,55 @@ object PipelineCatalog {
              ${Exact.sqlSum("value", 18, 4)} AS total_value
              FROM events GROUP BY user_id"""))
 
+  /** Per-type z-score outlier detection — the monitoring primitive of a
+    * streaming-analytics engine (flag measures > 3σ from their group
+    * mean). Two-pass shape: one tiny-key aggregate (#event-types rows)
+    * broadcast back over the stream, then a per-row projection — at
+    * 100 TB the fact table is scanned twice and shuffled never.
+    *
+    * Cross-engine determinism end to end: the sums are DECIMAL-exact
+    * (sqlSum varchar-routed back to double, the Exact contract), n is an
+    * exact BIGINT, and mean/var/z are then derived with the SAME IEEE
+    * double expression shape in both engines — identical inputs +
+    * identical op sequence = identical bits, so even the z² > 9
+    * membership boundary cannot flutter. var > 0 guards the degenerate
+    * constant-group case (NaN ordering differs between engines).
+    */
+  val zscoreOutliers: CatalogEntry = CatalogEntry(
+    "events_zscore_outliers",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val v = col("value").cast(DecimalType(18, 4))
+      val stats = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(Exact.dsum(col("value")).as("sx"),
+          sum((v * v).cast(DecimalType(38, 8))).cast("double").as("sx2"),
+          count(lit(1)).as("n"))
+      Tables.events(s, d)
+        .join(broadcast(stats), "event_type")
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("vr", col("sx2") / col("n") - col("mean") * col("mean"))
+        .withColumn("zr", (col("value") - col("mean")) / sqrt(col("vr")))
+        .filter(col("vr") > 0 && col("zr") * col("zr") > 9)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("zr"), 6).as("z"))
+    },
+    Some(s"""SELECT event_id, event_type, value, ROUND(zr, 6) AS z
+             FROM (SELECT event_id, event_type, value, vr,
+                          (value - mean) / sqrt(vr) AS zr
+                   FROM (SELECT e.event_id, e.event_type, e.value,
+                                st.sx / st.n AS mean,
+                                st.sx2 / st.n - (st.sx / st.n) * (st.sx / st.n) AS vr
+                         FROM events e
+                         JOIN (SELECT event_type,
+                                      ${Exact.sqlSum("value", 18, 4)} AS sx,
+                                      ${Exact.sqlToDouble(
+                                        "SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))")} AS sx2,
+                                      COUNT(*) AS n
+                               FROM events GROUP BY event_type) st
+                           ON e.event_type = st.event_type))
+             WHERE vr > 0 AND zr * zr > 9"""))
+
   /** AS-OF attribution: each purchase matched to the same user's latest
     * click at or before it — through the custom whole-operator Catalyst
     * extension (graft.plans.AsOfJoinPlan → AsOfJoinStrategy →
@@ -659,6 +708,6 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, eventsJsonKv,
-      userRunningTotal, stratifiedSample, saltedUserAgg, eventsAsofJoin,
-      eventsRangeJoin, packBins)
+      userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
+      eventsAsofJoin, eventsRangeJoin, packBins)
 }

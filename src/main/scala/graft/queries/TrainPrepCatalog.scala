@@ -233,6 +233,56 @@ object TrainPrepCatalog {
                       AS src_share
              FROM documents GROUP BY source, lang"""))
 
+  /** Weighted rebalancing sampler — source_mix_weights APPLIED: keep each
+    * document with probability min(1, mix_weight(source)), so
+    * over-represented sources are down-sampled toward the uniform-over-
+    * sources token mix (under-represented sources keep everything;
+    * up-sampling is repetition, a different operator). The keep decision
+    * is md5-deterministic per doc_id — no RNG state, identical across
+    * engines, cluster sizes and re-runs — and the per-source rates ride
+    * a BROADCAST join (#sources rows), so the corpus is touched in one
+    * per-row pass. The u < rate comparison is bit-deterministic: u is an
+    * exact integer / 65536.0 and the rate divides exact BIGINTs — same
+    * IEEE ops in both engines.
+    */
+  val mixSample: CatalogEntry = CatalogEntry(
+    "doc_mix_sample",
+    (s, d) => {
+      val per = documents(s, d)
+        .select(col("source"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(sum("n_tokens").as("tokens"))
+      val w = Window.partitionBy()
+      val rates = per
+        .withColumn("total", sum("tokens").over(w))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .select(col("source"),
+          least(lit(1.0), col("total") / (col("n_src") * col("tokens"))).as("keep_rate"))
+      val u = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") / lit(65536.0)
+      documents(s, d).join(broadcast(rates), "source")
+        .filter(u < col("keep_rate"))
+        .select(col("doc_id"), col("source"), round(col("keep_rate"), 6).as("keep_rate"))
+    },
+    Some(s"""WITH rates AS (
+               SELECT source, LEAST(1.0, total / (n_src * tokens)) AS keep_rate
+               FROM (SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS tokens,
+                            CAST(SUM(SUM(len($toksSql))) OVER () AS BIGINT) AS total,
+                            COUNT(*) OVER () AS n_src
+                     FROM documents GROUP BY source)),
+             keyed AS (
+               SELECT doc_id, source,
+                      ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                       + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                       + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) / 65536.0 AS u
+               FROM (SELECT doc_id, source,
+                            md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents))
+             SELECT k.doc_id, k.source, ROUND(r.keep_rate, 6) AS keep_rate
+             FROM keyed k JOIN rates r ON k.source = r.source
+             WHERE k.u < r.keep_rate"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
-    chunk, shuffleOrder, lengthHistogram, sourceLangMix)
+    chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample)
 }

@@ -227,6 +227,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.filter(col("roll_fp") < 0 || col("roll_fp") >= 1000000007L).count() == 0)
   }
 
+  test("events_zscore_outliers: flagged rows really sit 3 sigma out; none missed") {
+    val got = run("events_zscore_outliers")
+    assert(got.filter(col("z") * col("z") <= 9).count() == 0)
+    // Independent check: per-type mean/std via Spark's own aggregates
+    // (float path) finds the same outlier count within the rounding slack.
+    val stats = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_pop("value").as("sd"))
+    val expect = Tables.events(spark, sf0001).join(stats, "event_type")
+      .filter(abs(col("value") - col("m")) / col("sd") > 3).count()
+    assert(got.count() == expect,
+      s"outlier count ${got.count()} vs independent $expect")
+  }
+
   test("events_funnel: stage counts are monotone and bounded by the user count") {
     val r = run("events_funnel").head()
     val signup = r.getAs[Long]("n_signup")

@@ -205,6 +205,13 @@ class PlanSpec extends AnyFunSuite {
     val fu = plan("events_funnel")
     assert(countOf(fu, "Exchange hashpartitioning") == 1,
       s"events_funnel: expected exactly one hash exchange\n$fu")
+    // Tiny-stats-back-over-the-fact entries must broadcast the stats
+    // side — a shuffle join would re-shuffle the whole fact table.
+    Seq("events_zscore_outliers", "doc_mix_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$q: stats side not broadcast\n$p")
+    }
   }
 
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {

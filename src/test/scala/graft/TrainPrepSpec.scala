@@ -99,6 +99,22 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
   }
 
+  test("doc_mix_sample: under-represented sources keep everything, kept sets are stable") {
+    val got = run("doc_mix_sample").cache()
+    val docs = Tables.documents(spark, sf0001)
+    assert(got.count() > 0 && got.count() <= docs.count())
+    assert(got.filter(col("keep_rate") <= 0 || col("keep_rate") > 1).count() == 0)
+    // rate = 1 sources are kept in full.
+    val full = got.filter(col("keep_rate") === 1.0)
+      .groupBy("source").count()
+    val sizes = docs.groupBy("source").count().withColumnRenamed("count", "total")
+    assert(full.join(sizes, "source").filter(col("count") =!= col("total")).count() == 0,
+      "a keep_rate=1 source lost documents")
+    // Deterministic: identical kept set on re-run.
+    assert(run("doc_mix_sample").except(got).count() == 0)
+    got.unpersist()
+  }
+
   test("source_lang_mix: per-source shares sum to 1, doc totals match the corpus") {
     val rows = run("source_lang_mix").collect()
     val n = Tables.documents(spark, sf0001).count()
