@@ -114,19 +114,7 @@ object OlapCatalog {
     */
   val eventsRetention: CatalogEntry = CatalogEntry(
     "events_retention",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("d"))
-        .distinct()
-        .withColumn("cohort_day",
-          min("d").over(Window.partitionBy("user_id")))
-        // ISO string, not DATE: parquet date32 and DuckDB DATE surface as
-        // different physical dtypes in the driver's compare.
-        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
-        .agg(count(lit(1)).as("active_users"))
-    },
+    (s, d) => Transforms.retention(Tables.events(s, d)),
     Some("""SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
                    CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
                    COUNT(*) AS active_users

@@ -56,6 +56,41 @@ object Transforms {
       .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
   }
 
+  /** Cohort retention triangle (batch form): first-active-day cohorts
+    * counted on each later active day. Cohort day via a MIN window over
+    * the user partition — never a cohort⋈activity self-join. cohort_day
+    * travels as an ISO string (parquet date32 vs DuckDB DATE surface as
+    * different physical dtypes in the driver compare).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .withColumn("cohort_day", min("d").over(Window.partitionBy("user_id")))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Streaming-suitable retention STATE: per-user first active day plus
+    * the active-day set — a single update-mode aggregation whose per-key
+    * state is bounded by the calendar (#days), not the event volume.
+    * [[retentionFold]] turns the upserted state rows into the same
+    * triangle [[retention]] computes directly.
+    */
+  def retentionState(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(min("d").as("cohort_day"), collect_set("d").as("days"))
+
+  /** The retention triangle from a [[retentionState]] table. */
+  def retentionFold(state: DataFrame): DataFrame =
+    state.select(col("cohort_day"), explode(col("days")).as("d"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+
   /** Scalar funnel fold over a stage table: users entering each prefix
     * of signup → view → purchase in strict event-time order. Null stage
     * timestamps make the comparison null → otherwise(0): a user missing

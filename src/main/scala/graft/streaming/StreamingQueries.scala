@@ -39,7 +39,11 @@ object StreamingQueries {
     // update-mode streaming state; the scalar funnel fold is a batch
     // read over the upserted stage rows (update mode cannot chain a
     // second aggregation — the stage row IS the streaming state).
-    "events_funnel_stages" -> Transforms.funnelStages)
+    "events_funnel_stages" -> Transforms.funnelStages,
+    // Retention state: min + collect_set fold associatively across
+    // micro-batches and per-key state is calendar-bounded (#days); the
+    // triangle is Transforms.retentionFold over the upserted state.
+    "events_retention_state" -> Transforms.retentionState)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -122,6 +122,36 @@ class StreamingSpec extends AnyFunSuite {
       Transforms.funnelFold(Transforms.funnelStages(all)).collect().head)
   }
 
+  test("streaming retention state folds to the batch retention triangle") {
+    import graft.queries.Transforms
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-05-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 7, "view", 1.0, ""))
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-05-1${(i % 9).toInt} 1${i % 10}:45:00"), i % 11, "view", 1.0, ""))
+    val sinkId = s"retention-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_retention_state", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = Sinks.registry(sinkId).asScala.values.toSeq.map { r =>
+      (r.getLong(0), r.getDate(1), r.getSeq[java.sql.Date](2))
+    }
+    Sinks.clear(sinkId)
+    val streamed = Transforms.retentionFold(
+      state.toDF("user_id", "cohort_day", "days"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Transforms.retention((fb1 ++ fb2).toDF(eventCols: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "streamed retention state diverges from the batch triangle")
+  }
+
   private type Doc = (Long, Timestamp, String)
 
   test("checkpointed query restarts with state intact (fault-tolerance semantics)") {
