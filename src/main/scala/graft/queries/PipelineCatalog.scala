@@ -447,6 +447,44 @@ object PipelineCatalog {
             WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
             GROUP BY source"""))
 
+  /** The training-prep composite — the end-to-end path from raw corpus to
+    * training chunks, each stage an oracle-checked operator reused
+    * verbatim:
+    *
+    *   quality filter (≥ 25 whitespace tokens)
+    *     → exact dedup (deterministic min-id survivor per content hash)
+    *     → train-split selection (doc_split_assign's md5 hex rule)
+    *     → sliding-window chunking (doc_chunk's 32/24 token windows)
+    *
+    * Scale shape: ONE shuffle end to end (the dedup's content-hash
+    * window); split selection and chunking are per-row projections that
+    * ride the dedup output — at 100 TB the composite costs the same as
+    * its most expensive stage, not the sum of four passes.
+    */
+  val trainPrep: CatalogEntry = CatalogEntry(
+    "pipeline_train_prep",
+    (s, d) => {
+      val cleaned = qualityDedup(documents(s, d))
+      val train = cleaned.filter(
+        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2) < "e6")
+      TrainPrepCatalog.chunkTokens(
+        train.select(col("doc_id"), col("source"), Text.normTokens(col("text")).as("toks")),
+        "doc_id", "source")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, text, md5($normSql) AS h
+                        FROM documents WHERE len($toksSql) >= 25),
+                  keep AS (SELECT doc_id, source, text FROM (
+                             SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                             FROM q) WHERE rn = 1),
+                  train AS (SELECT doc_id, source, $normToksSql AS toks
+                            FROM keep
+                            WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6')
+             SELECT doc_id, source, g AS chunk_start,
+                    array_to_string(toks[g+1 : g+${TrainPrepCatalog.ChunkLen}], ' ') AS chunk_text,
+                    CAST(LEAST(${TrainPrepCatalog.ChunkLen}, len(toks) - g) AS BIGINT) AS n_tokens
+             FROM train,
+                  UNNEST(generate_series(0, len(toks) - 1, ${TrainPrepCatalog.ChunkStride})) AS u(g)"""))
+
   /** Sequence packing for training: documents are concatenated per source
     * in doc_id order and chunked into fixed token budgets — each doc gets
     * the bin it STARTS in and its token offset inside that bin (the
@@ -707,7 +745,8 @@ object PipelineCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
-      tokenCount, langId, fingerprint, userSessions, cleanCorpus, eventsJsonKv,
+      tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
+      eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }

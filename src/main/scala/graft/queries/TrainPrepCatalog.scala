@@ -137,21 +137,32 @@ object TrainPrepCatalog {
     * ordinal: a corpus-wide ordinal would need a total order (range
     * shuffle) for numbering that nothing downstream requires.
     */
-  private val ChunkLen = 32
-  private val ChunkStride = 24
+  private[graft] val ChunkLen = 32
+  private[graft] val ChunkStride = 24
+
+  /** Chunk a frame carrying a `toks` array column: one output row per
+    * (input row × stride start), keeping `carry` columns. Generate +
+    * project only — composable into any pipeline without adding a
+    * shuffle.
+    */
+  private[graft] def chunkTokens(withToks: DataFrame, carry: String*): DataFrame = {
+    val keep = carry.map(col)
+    withToks
+      .select(keep :+ col("toks") :+
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(ChunkStride))).as("chunk_start"): _*)
+      .select(keep :+ col("chunk_start").cast("long").as("chunk_start") :+
+        array_join(slice(col("toks"), col("chunk_start") + 1, lit(ChunkLen)), " ")
+          .as("chunk_text") :+
+        least(lit(ChunkLen), size(col("toks")) - col("chunk_start"))
+          .cast("long").as("n_tokens"): _*)
+  }
 
   val chunk: CatalogEntry = CatalogEntry(
     "doc_chunk",
-    (s, d) => documents(s, d)
-      .select(col("doc_id"), Text.normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
-          lit(ChunkStride))).as("chunk_start"))
-      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
-        array_join(slice(col("toks"), col("chunk_start") + 1, lit(ChunkLen)), " ")
-          .as("chunk_text"),
-        least(lit(ChunkLen), size(col("toks")) - col("chunk_start"))
-          .cast("long").as("n_tokens")),
+    (s, d) => chunkTokens(
+      documents(s, d).select(col("doc_id"), Text.normTokens(col("text")).as("toks")),
+      "doc_id"),
     Some(s"""SELECT doc_id, g AS chunk_start,
                     array_to_string(toks[g+1 : g+$ChunkLen], ' ') AS chunk_text,
                     CAST(LEAST($ChunkLen, len(toks) - g) AS BIGINT) AS n_tokens

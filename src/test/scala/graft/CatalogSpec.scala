@@ -227,6 +227,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.filter(col("roll_fp") < 0 || col("roll_fp") >= 1000000007L).count() == 0)
   }
 
+  test("pipeline_train_prep: chunks come only from deduped train-split docs") {
+    val got = run("pipeline_train_prep").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("n_tokens") < 1 || col("n_tokens") > 32).count() == 0)
+    assert(got.filter(col("chunk_start") % 24 =!= 0).count() == 0)
+    val docs = got.select("doc_id").distinct()
+    // Every chunked doc is in the train split...
+    val train = run("doc_split_assign").filter(col("split") === "train").select("doc_id")
+    assert(docs.except(train).count() == 0, "a non-train doc was chunked")
+    // ...and survived the exact-dedup stage.
+    val survivors = run("doc_exact_dedup").select(col("canonical_id").as("doc_id"))
+    assert(docs.except(survivors).count() == 0, "a dedup loser was chunked")
+    got.unpersist()
+  }
+
   test("events_zscore_outliers: flagged rows really sit 3 sigma out; none missed") {
     val got = run("events_zscore_outliers")
     assert(got.filter(col("z") * col("z") <= 9).count() == 0)

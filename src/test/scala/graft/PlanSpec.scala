@@ -212,6 +212,12 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
         s"$q: stats side not broadcast\n$p")
     }
+    // The four-stage training-prep composite must cost ONE shuffle (the
+    // dedup's content-hash window); split + chunking ride it as
+    // projections.
+    val tp = plan("pipeline_train_prep")
+    assert(countOf(tp, "Exchange hashpartitioning") == 1,
+      s"pipeline_train_prep: expected exactly one hash exchange\n$tp")
   }
 
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
