@@ -641,23 +641,8 @@ object PipelineCatalog {
     */
   val zscoreOutliers: CatalogEntry = CatalogEntry(
     "events_zscore_outliers",
-    (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val v = col("value").cast(DecimalType(18, 4))
-      val stats = Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(Exact.dsum(col("value")).as("sx"),
-          sum((v * v).cast(DecimalType(38, 8))).cast("double").as("sx2"),
-          count(lit(1)).as("n"))
-      Tables.events(s, d)
-        .join(broadcast(stats), "event_type")
-        .withColumn("mean", col("sx") / col("n"))
-        .withColumn("vr", col("sx2") / col("n") - col("mean") * col("mean"))
-        .withColumn("zr", (col("value") - col("mean")) / sqrt(col("vr")))
-        .filter(col("vr") > 0 && col("zr") * col("zr") > 9)
-        .select(col("event_id"), col("event_type"), col("value"),
-          round(col("zr"), 6).as("z"))
-    },
+    (s, d) => Transforms.zscoreFlag(Tables.events(s, d),
+      Transforms.zscoreStats(Tables.events(s, d))),
     Some(s"""SELECT event_id, event_type, value, ROUND(zr, 6) AS z
              FROM (SELECT event_id, event_type, value, vr,
                           (value - mean) / sqrt(vr) AS zr

@@ -14,8 +14,11 @@ import graft.functions.Text
   * a single small aggregation — the shapes that are free at 100 TB.
   *
   * Cross-engine determinism: split hashing compares md5 HEX PREFIXES
-  * lexicographically (never hex→int — DuckDB has no conv()); ratios of
-  * exact integers divide as doubles identically in both engines and are
+  * lexicographically where a threshold test suffices; where an INTEGER
+  * is needed (shuffle shards, sampling uniforms) Spark's conv() is
+  * mirrored in DuckDB by per-char instr('0123456789abcdef', …) place
+  * arithmetic — same value, no conv() required. Ratios of exact
+  * integers divide as doubles identically in both engines and are
   * rounded to 6 decimals.
   */
 object TrainPrepCatalog {

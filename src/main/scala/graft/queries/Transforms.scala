@@ -56,6 +56,36 @@ object Transforms {
       .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
   }
 
+  /** Per-type z-score moment state: DECIMAL-exact Σx and Σx² plus the
+    * exact count — the sufficient statistics for mean/variance. All
+    * three are associative sums, so the same aggregation runs as
+    * update-mode streaming state (the live monitoring loop) and as the
+    * batch stats pass of [[zscoreFlag]].
+    */
+  def zscoreStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col("value").cast(DecimalType(18, 4))
+    events.groupBy("event_type")
+      .agg(dsum(col("value")).as("sx"),
+        sum((v * v).cast(DecimalType(38, 8))).cast("double").as("sx2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Flag events > 3σ from their type mean given a [[zscoreStats]] table
+    * (broadcast back — the fact side never shuffles). mean/var/z are
+    * derived from the exact sums with a fixed IEEE expression shape, so
+    * the z² > 9 membership boundary is bit-deterministic; var > 0 guards
+    * the constant-group NaN case.
+    */
+  def zscoreFlag(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("vr", col("sx2") / col("n") - col("mean") * col("mean"))
+      .withColumn("zr", (col("value") - col("mean")) / sqrt(col("vr")))
+      .filter(col("vr") > 0 && col("zr") * col("zr") > 9)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("zr"), 6).as("z"))
+
   /** Cohort retention triangle (batch form): first-active-day cohorts
     * counted on each later active day. Cohort day via a MIN window over
     * the user partition — never a cohort⋈activity self-join. cohort_day

@@ -43,7 +43,11 @@ object StreamingQueries {
     // Retention state: min + collect_set fold associatively across
     // micro-batches and per-key state is calendar-bounded (#days); the
     // triangle is Transforms.retentionFold over the upserted state.
-    "events_retention_state" -> Transforms.retentionState)
+    "events_retention_state" -> Transforms.retentionState,
+    // z-score moment state (Σx, Σx², n — all associative): the live
+    // side of the monitoring loop; Transforms.zscoreFlag applies the
+    // upserted stats back over any frame to flag 3σ outliers.
+    "events_zscore_stats" -> Transforms.zscoreStats)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -152,6 +152,41 @@ class StreamingSpec extends AnyFunSuite {
       "streamed retention state diverges from the batch triangle")
   }
 
+  test("streaming z-score moment state flags the same outliers as the batch pass") {
+    import graft.queries.Transforms
+    // Two spikes far outside the 0..19 base range guarantee flags exist.
+    def value(i: Long) = if (i == 17 || i == 83) 400.0 else (i % 20).toDouble
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-06-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 7,
+        if (i % 2 == 0) "view" else "click", value(i), ""))
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-06-1${(i % 9).toInt} 1${i % 10}:45:00"), i % 11,
+        if (i % 2 == 0) "view" else "click", value(i), ""))
+    val sinkId = s"zscore-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_zscore_stats", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stats = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    Sinks.clear(sinkId)
+    val all = (fb1 ++ fb2).toDF(eventCols: _*)
+    def flagged(st: org.apache.spark.sql.DataFrame) =
+      Transforms.zscoreFlag(all, st).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val streamed = flagged(stats.toDF("event_type", "sx", "sx2", "n"))
+    val batch = flagged(Transforms.zscoreStats(all))
+    assert(streamed.nonEmpty, "spiked bursts produced no outliers")
+    assert(streamed == batch,
+      "streamed moment state diverges from the batch stats pass")
+  }
+
   private type Doc = (Long, Timestamp, String)
 
   test("checkpointed query restarts with state intact (fault-tolerance semantics)") {
