@@ -297,6 +297,52 @@ object TrainPrepCatalog {
              FROM keyed k JOIN rates r ON k.source = r.source
              WHERE k.u < r.keep_rate"""))
 
+  /** DuckDB integer value of the first `k` hex chars of `hexExpr` —
+    * per-char instr place arithmetic, the SQL mirror of Spark's
+    * conv(substring(…), 16, 10).
+    */
+  private def hexPrefixIntSql(hexExpr: String, k: Int): String =
+    (1 to k).map { i =>
+      val place = math.pow(16, k - i).toLong
+      s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * $place"
+    }.mkString("(", " + ", ")")
+
+  /** Deterministic per-source k-sample — the inspection/eval slice every
+    * curation run pulls per domain: the `SampleK` docs with the smallest
+    * salted-md5 uniform per source. Runs on the bounded-heap combine
+    * aggregator (graft.combine.TopNAgg), so each map partition ships at
+    * most k candidates per source — shuffle volume is partitions × k ×
+    * #sources regardless of corpus size, where a ranking window would
+    * shuffle and sort every row. Hash-ordered, so the sample is stable
+    * under re-sharding and appends only grow/replace it predictably.
+    */
+  private val SampleK = 20
+
+  val samplePerSource: CatalogEntry = CatalogEntry(
+    "doc_sample_per_source",
+    (s, d) => {
+      val topn = udaf(new graft.combine.TopNAgg(SampleK))
+      // TopNAgg keeps the LARGEST values; negate the 32-bit hash uniform
+      // so "top" = smallest u. Exact: 32-bit ints are exact doubles.
+      val u = conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      documents(s, d)
+        .select(col("source"), col("doc_id"), (-u).cast("double").as("negu"))
+        .groupBy("source")
+        .agg(topn(col("negu"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top.entries")))
+        .select(col("source"), col("col.event_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rn"))
+    },
+    Some(s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+               SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY ${hexPrefixIntSql("h", 8)}, doc_id) AS rn
+               FROM (SELECT source, doc_id,
+                            md5('sample|' || CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents))
+             WHERE rn <= $SampleK"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
-    chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample)
+    chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample, samplePerSource)
 }

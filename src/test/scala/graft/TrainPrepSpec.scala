@@ -115,6 +115,19 @@ class TrainPrepSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("doc_sample_per_source: min(20, source size) docs each, dense ranks, stable") {
+    val got = run("doc_sample_per_source").cache()
+    val sizes = Tables.documents(spark, sf0001).groupBy("source").count()
+    val per = got.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rn").as("mx"), countDistinct("doc_id").as("dd"))
+    assert(per.join(sizes, "source")
+      .filter(col("k") =!= least(lit(20), col("count")) ||
+        col("mx") =!= col("k") || col("dd") =!= col("k")).count() == 0,
+      "sample sizes/ranks malformed")
+    assert(run("doc_sample_per_source").except(got).count() == 0)
+    got.unpersist()
+  }
+
   test("source_lang_mix: per-source shares sum to 1, doc totals match the corpus") {
     val rows = run("source_lang_mix").collect()
     val n = Tables.documents(spark, sf0001).count()
