@@ -108,6 +108,13 @@ object EmbeddingCatalog {
     * correct exact-KNN plan (scan dominates; broadcast keeps it
     * shuffle-free).
     */
+  private val bruteOracleSql =
+    s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
+
   val knnBrute: CatalogEntry = CatalogEntry(
     "emb_knn_brute",
     (s, d) => {
@@ -121,11 +128,7 @@ object EmbeddingCatalog {
         .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(scored)
     },
-    Some(s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
-               SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
-                      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
-               FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-               WHERE q.vec_id < $NQueries) WHERE rn <= $K"""))
+    Some(bruteOracleSql))
 
   /** LSH-bucketed approximate top-K: both sides hash to a
     * random-hyperplane bucket; candidates are corpus vectors in the
@@ -134,6 +137,17 @@ object EmbeddingCatalog {
     * itself large: the join keys on the bucket id, so it hash-partitions
     * instead of broadcasting a scan.
     */
+  private lazy val lshOracleSql = {
+    val qb = bucketExpr("q.embedding", oneBased = true)
+    val cb = bucketExpr("c.embedding", oneBased = true)
+    s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c
+            ON ($cb) = ($qb) AND c.vec_id != q.vec_id
+          WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
+  }
+
   val knnLsh: CatalogEntry = CatalogEntry(
     "emb_knn_lsh",
     (s, d) => {
@@ -150,16 +164,7 @@ object EmbeddingCatalog {
         .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(scored)
     },
-    Some {
-      val qb = bucketExpr("q.embedding", oneBased = true)
-      val cb = bucketExpr("c.embedding", oneBased = true)
-      s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
-                   row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
-            FROM embeddings q JOIN embeddings c
-              ON ($cb) = ($qb) AND c.vec_id != q.vec_id
-            WHERE q.vec_id < $NQueries) WHERE rn <= $K"""
-    })
+    Some(lshOracleSql))
 
   /** Embedding-cosine near-duplicate pairs, bucketed: only pairs that
     * collide in the hyperplane bucket are scored (never all-pairs), kept
@@ -504,7 +509,37 @@ object EmbeddingCatalog {
           WHERE rn <= $K"""
     })
 
+  /** ANN quality measured as data, not guessed: per-query recall@K of
+    * the LSH index against the exact brute-force answer — the diagnostic
+    * every index deployment runs before trusting an approximate path.
+    * Both pipelines are deterministic, so recall itself is deterministic
+    * and oracle-checkable. Cost: the two underlying scans plus a
+    * K-rows-per-query join — the comparison is on result sets, never a
+    * third pass over the corpus.
+    */
+  val knnRecall: CatalogEntry = CatalogEntry(
+    "emb_knn_recall",
+    (s, d) => {
+      val b = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
+      val l = knnLsh.build(s, d).select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1))
+      b.join(l, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(col("query_id"), col("k"), col("hits"),
+          round(col("hits") / lit(K.toDouble), 6).as("recall"))
+    },
+    Some(s"""WITH brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
+                  lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql) tl)
+             SELECT b.query_id, COUNT(*) AS k,
+                    CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+                    ROUND(COUNT(l.vec_id) / CAST($K AS DOUBLE), 6) AS recall
+             FROM brute b LEFT JOIN lsh l
+               ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+             GROUP BY b.query_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8,
-      nearDupCosine, nearDupBanded)
+      knnRecall, nearDupCosine, nearDupBanded)
 }
