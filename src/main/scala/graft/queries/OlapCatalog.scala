@@ -122,6 +122,38 @@ object OlapCatalog {
                   FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events))
             GROUP BY 1, 2"""))
 
+  /** Behavioral transition matrix: counts (and row-normalized
+    * probabilities) of consecutive event-type pairs per user in event
+    * time — the Markov-chain view of user paths that powers next-action
+    * models and anomalous-flow detection. One shuffle keyed on user_id
+    * (the lead window's partition), a per-user local sort, then a
+    * #types²-key aggregate: output cardinality is the squared type
+    * vocabulary, independent of event volume.
+    */
+  val eventsTransitions: CatalogEntry = CatalogEntry(
+    "events_type_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+    },
+    Some("""SELECT from_type, to_type, COUNT(*) AS n,
+                   ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+            FROM (SELECT event_type AS from_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                  FROM events)
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type"""))
+
   val all: Seq[CatalogEntry] =
-    Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention)
+    Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
+      eventsTransitions)
 }

@@ -236,6 +236,52 @@ object PipelineCatalog {
              SELECT doc_id, CAST(rk AS BIGINT) AS term_rank, term, score
              FROM r WHERE rk <= 3"""))
 
+  /** Adjacent-token collocation mining: the 20 strongest bigram
+    * associations by c(ab)² / (c(a)·c(b)) — the log-free monotone PMI
+    * surrogate (integer-exact numerator/denominator, one double
+    * division, identical bits in both engines; ln() would differ in the
+    * last ulp and can flip ranking ties). Support floor c(ab) ≥ 5 kills
+    * hapax noise. Windowed at w = 1 deliberately: cost stays LINEAR in
+    * corpus tokens (a document-level co-occurrence matrix is quadratic
+    * in document length — not a 100 TB shape). Two token-keyed
+    * aggregations + a global top-k (TakeOrdered, never a full sort).
+    */
+  val tokenCooccurrence: CatalogEntry = CatalogEntry(
+    "token_cooccurrence",
+    (s, d) => {
+      val toks = documents(s, d).select(Text.normTokens(col("text")).as("t"))
+      val pairs = toks.filter(size(col("t")) >= 2)
+        .select(explode(Text.wordNgrams(col("t"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("tok_a"),
+          split(col("bg"), " ").getItem(1).as("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      pairs
+        .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), Seq("tok_a"))
+        .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), Seq("tok_b"))
+        .filter(col("c_ab") >= 5)
+        .select(col("tok_a"), col("tok_b"), col("c_ab"),
+          round((col("c_ab").cast("double") * col("c_ab").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("assoc"))
+        .orderBy(col("assoc").desc, col("tok_a"), col("tok_b"))
+        .limit(20)
+    },
+    Some(s"""WITH src AS (SELECT $normToksSql AS tl FROM documents),
+                  bg AS (SELECT g[1] AS tok_a, g[2] AS tok_b, COUNT(*) AS c_ab
+                         FROM (SELECT unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
+                               FROM src WHERE len(tl) >= 2)
+                         GROUP BY 1, 2),
+                  uni AS (SELECT tok, COUNT(*) AS c
+                          FROM (SELECT unnest(tl) AS tok FROM src) GROUP BY tok)
+             SELECT bg.tok_a, bg.tok_b, bg.c_ab,
+                    ROUND((CAST(c_ab AS DOUBLE) * CAST(c_ab AS DOUBLE)) /
+                          (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)), 6) AS assoc
+             FROM bg JOIN uni ua ON ua.tok = bg.tok_a
+                     JOIN uni ub ON ub.tok = bg.tok_b
+             WHERE c_ab >= 5
+             ORDER BY assoc DESC, tok_a, tok_b LIMIT 20"""))
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -731,7 +777,7 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
-      eventsJsonKv,
+      tokenCooccurrence, eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }

@@ -256,6 +256,27 @@ class CatalogSpec extends AnyFunSuite {
       s"outlier count ${got.count()} vs independent $expect")
   }
 
+  test("token_cooccurrence: supported descending associations, unigram-bounded") {
+    val got = run("token_cooccurrence").collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    assert(got.forall(_.getAs[Long]("c_ab") >= 5))
+    val as = got.map(_.getAs[Double]("assoc")).toSeq
+    assert(as == as.sortBy(-_), "associations not descending")
+    // c(ab) can never exceed either unigram count ⇒ assoc ≤ 1.
+    assert(as.forall(a => a > 0 && a <= 1))
+  }
+
+  test("events_type_transitions: each user contributes events-1 pairs; rows normalize") {
+    val got = run("events_type_transitions").cache()
+    assert(got.agg(sum("n")).as[Long].head() == nEvents - nDrivers,
+      "transition count != total events - one per user")
+    got.collect().groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val s = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"row $ft probabilities sum to $s")
+    }
+    got.unpersist()
+  }
+
   test("events_funnel: stage counts are monotone and bounded by the user count") {
     val r = run("events_funnel").head()
     val signup = r.getAs[Long]("n_signup")
