@@ -290,6 +290,43 @@ object StreamingQueries {
     * 100 TB the join state shards by user_id like any keyed state and
     * runs on RocksDB when heap-resident state won't fit.
     */
+  /** Streaming transition pairs via EXPLICIT keyed state — the live side
+    * of `events_type_transitions`. The batch form uses lead(), which is
+    * not streamable (it needs the next row); the state form inverts it:
+    * the per-user state is the last seen (ts, event_id, type), each
+    * arriving event emits its (prev → current) pair and replaces the
+    * state. Micro-batch groups are sorted by (ts, event_id) before the
+    * fold; cross-batch ordering relies on the source's per-key in-order
+    * delivery (the reference's rolling processing-time model — an
+    * event-time hardening would add a watermark-paced sort buffer on the
+    * same seam). State is O(1) per user; output is one pair per event
+    * after each user's first.
+    */
+  def streamingTransitionPairs(
+      events: DataFrame): org.apache.spark.sql.Dataset[(Long, String, String)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var prev = state.getOption
+          val out = sorted.flatMap { r =>
+            val pair = prev.map(p => (user, p._3, r._4))
+            prev = Some((r._2.getTime, r._3, r._4))
+            pair
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def streamAttributionJoin(
       clicks: DataFrame,
       purchases: DataFrame,

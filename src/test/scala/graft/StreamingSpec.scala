@@ -187,6 +187,39 @@ class StreamingSpec extends AnyFunSuite {
       "streamed moment state diverges from the batch stats pass")
   }
 
+  test("streaming transition state reproduces the batch lead-window matrix") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead}
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    // Globally increasing timestamps: per-user in-order across batches.
+    def ev(i: Long): Ev =
+      (i, new Timestamp(ts("2024-07-01 00:00:00").getTime + i * 60000L), i % 7,
+        types((i % 5).toInt), 1.0, "")
+    val fb1 = (1L to 60L).map(ev)
+    val fb2 = (61L to 120L).map(ev)
+    val tbl = s"transitions_${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingTransitionPairs(input.toDF().toDF(eventCols: _*))
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.outputMode("append").format("memory").queryName(tbl).start()
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(tbl).groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val want = (fb1 ++ fb2).toDF(eventCols: _*)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, "streamed transition matrix diverges from the batch window")
+    assert(got.values.sum == 120 - 7, "pair total != events - one per user")
+  }
+
   private type Doc = (Long, Timestamp, String)
 
   test("checkpointed query restarts with state intact (fault-tolerance semantics)") {
