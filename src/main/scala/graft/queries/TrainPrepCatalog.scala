@@ -96,10 +96,9 @@ object TrainPrepCatalog {
         .select(col("source"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
         .groupBy("source")
         .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
-      val w = Window.partitionBy()
+      val totals = per.agg(sum("tokens").as("total"), count(lit(1)).as("n_src"))
       per
-        .withColumn("total", sum("tokens").over(w))
-        .withColumn("n_src", count(lit(1)).over(w))
+        .crossJoin(broadcast(totals))
         .select(col("source"), col("docs"), col("tokens"),
           round(col("tokens") / col("total"), 6).as("token_share"),
           round(col("total") / (col("n_src") * col("tokens")), 6).as("mix_weight"))
@@ -221,8 +220,9 @@ object TrainPrepCatalog {
       .select(((col("n_chars") / 64).cast("long") * 64).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("docs"))
-      .withColumn("share",
-        round(col("docs") / sum("docs").over(Window.partitionBy()), 6)),
+      .transform(h => h.crossJoin(broadcast(h.agg(sum("docs").as("total_docs")))))
+      .select(col("bucket"), col("docs"),
+        round(col("docs") / col("total_docs"), 6).as("share")),
     Some("""SELECT (n_chars // 64) * 64 AS bucket, COUNT(*) AS docs,
                    ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
             FROM documents GROUP BY 1"""))
@@ -266,10 +266,9 @@ object TrainPrepCatalog {
         .select(col("source"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
         .groupBy("source")
         .agg(sum("n_tokens").as("tokens"))
-      val w = Window.partitionBy()
+      val totals = per.agg(sum("tokens").as("total"), count(lit(1)).as("n_src"))
       val rates = per
-        .withColumn("total", sum("tokens").over(w))
-        .withColumn("n_src", count(lit(1)).over(w))
+        .crossJoin(broadcast(totals))
         .select(col("source"),
           least(lit(1.0), col("total") / (col("n_src") * col("tokens"))).as("keep_rate"))
       val u = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4),
