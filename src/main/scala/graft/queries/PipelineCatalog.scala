@@ -319,6 +319,51 @@ object PipelineCatalog {
                    + (1.0 - punct_cnt / n_chars_m) * 0.2, 6) AS quality_score
              FROM documents"""))
 
+  /** Curriculum quality tiers: every document globally ranked by the
+    * composite quality score (best first, doc_id tiebreak) and bucketed
+    * into 10 equal-count tiers — the global ordering a curriculum-
+    * learning schedule consumes. The rank comes from
+    * [[graft.operators.GlobalRank]] (range partition + zipWithIndex: one
+    * wide shuffle, no single-partition window); the tier then divides the
+    * 0-based rank by the exact corpus count, which rides in as a
+    * broadcast one-row scalar. At 100 TB the only wide exchange is the
+    * range shuffle and its skew ceiling is one range bucket.
+    */
+  val qualityTiers: CatalogEntry = CatalogEntry(
+    "doc_quality_tiers",
+    (s, d) => {
+      val scored = documents(s, d).select(
+        col("doc_id"),
+        size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
+          .cast("long").as("punct_cnt"),
+        Text.tokensInSet(Text.wsTokens(col("text")), stopwords).cast("long").as("stop_cnt"))
+        .select(col("doc_id"),
+          round(
+            least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+            col("stop_cnt") / col("n_tokens") * 0.3 +
+            (lit(1.0) - col("punct_cnt") / col("n_chars_m")) * 0.2, 6).as("quality_score"))
+      val ranked = graft.operators.GlobalRank.withRank(
+        scored, Seq(col("quality_score").desc, col("doc_id").asc), numPartitions = 32)
+      ranked
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("total"))))
+        .select(col("doc_id"), col("quality_score"), col("rank"),
+          expr("((rank - 1) * 10) div total").as("tier"))
+    },
+    Some(s"""WITH scored AS (
+               SELECT doc_id,
+                      ROUND(LEAST(len($toksSql) / 50.0, 1.0) * 0.5
+                            + len(list_filter($toksSql, t -> t IN ($stopListSql))) / len($toksSql) * 0.3
+                            + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text)) * 0.2,
+                            6) AS quality_score
+               FROM documents)
+             SELECT doc_id, quality_score,
+                    CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank,
+                    CAST(((ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) - 1) * 10)
+                         // (COUNT(*) OVER ()) AS BIGINT) AS tier
+             FROM scored"""))
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenization (letter runs | digit runs | single other-symbol
     * runs — the GPT-2-style split shape). Per-row, no shuffle.
@@ -776,6 +821,7 @@ object PipelineCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
+      qualityTiers,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
       tokenCooccurrence, eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalRank
+
+/** GlobalRank: distributed ROW_NUMBER equivalence, multi-partition
+  * execution (never one task), and run-to-run determinism under ties.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def frame(n: Int) =
+    (1 to n).map(i => (i.toLong, (i * 7919 % 101).toDouble, s"s${i % 5}"))
+      .toDF("id", "score", "tag")
+
+  test("withRank equals the single-partition window ROW_NUMBER") {
+    val df = frame(997)
+    val got = GlobalRank.withRank(df, Seq(col("score").desc, col("id").asc), 8)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("ranking runs on many partitions, not one") {
+    val ranked = GlobalRank.withRank(frame(2000), Seq(col("score").desc, col("id").asc), 16)
+    assert(ranked.rdd.getNumPartitions == 16)
+    val perPart = ranked.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) > 4, s"rows concentrated: ${perPart.mkString(",")}")
+    // Partition borders respect the global order: each partition's ranks
+    // are contiguous and ascending across partition index.
+    val ranges = ranked.select("rank").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val rs = it.map(_.getLong(0)).toSeq
+        if (rs.isEmpty) Iterator.empty else Iterator((i, rs.min, rs.max, rs.size))
+      }.collect().sortBy(_._1)
+    ranges.foreach { case (_, lo, hi, n) => assert(hi - lo + 1 == n) }
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi, _), (_, lo, _, _)) => assert(lo == hi + 1)
+      case _ =>
+    }
+  }
+
+  test("deterministic across runs, including heavy ties") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 3).toDouble)).toDF("id", "v")
+    val order = Seq(col("v").asc, col("id").asc)
+    val a = GlobalRank.withRank(df, order, 7).select("id", "rank").as[(Long, Long)].collect().toMap
+    val b = GlobalRank.withRank(df, order, 13).select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(a == b, "rank depends on partition count")
+  }
+}
