@@ -524,6 +524,62 @@ object NearDupCatalog {
       .toDF("doc_id", "cluster_id").orderBy("doc_id"),
     dupClustersOracle)
 
+  /** Containment coverage profile — the asymmetric dedup signal Jaccard
+    * misses: a short document fully quoted inside a longer one has
+    * containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| stays far below
+    * any threshold. For EVERY document: the maximum fraction of its
+    * bigrams covered by any other same-source document, and how many
+    * documents cover at least half of it (docs with no overlap report 0).
+    * Same one-pass inverted-index topology as the naive Jaccard mode —
+    * the directed candidate join on shared grams IS the intersection
+    * count — then a doc_id-keyed aggregate; the only new cost over the
+    * Jaccard entry is the ×2 directed fan-out. At 100 TB the same
+    * df-skew caveat applies and the prefix-filter machinery would bolt on
+    * the same way (containment t·|A| prefix bound, Chaudhuri 2006).
+    */
+  val containmentProfile: CatalogEntry = CatalogEntry(
+    "doc_containment_profile",
+    (s, d) => {
+      val bg = bigramIndex(documents(s, d)).cache()
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cont = bg.as("a").join(bg.as("b"),
+          col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sz.as("za"), col("za.doc_id") === col("da"))
+        .select(col("da"), round(col("n_inter") / col("za.n"), 6).as("cont"))
+        .groupBy("da")
+        .agg(max(col("cont")).as("max_containment"),
+          sum(when(col("cont") >= 0.5, 1L).otherwise(0L)).as("n_half_covering"))
+      val out = sz
+        .join(cont, col("doc_id") === col("da"), "left")
+        .select(col("doc_id"), col("n").as("n_grams"),
+          coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+          coalesce(col("n_half_covering"), lit(0L)).as("n_half_covering"))
+        .localCheckpoint()
+      bg.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH bg AS (
+              SELECT DISTINCT doc_id, source, bg FROM (
+                SELECT doc_id, source, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS bg
+                FROM (SELECT doc_id, source, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                      FROM documents))),
+            sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+            ni AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+                   FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2),
+            c AS (SELECT da, MAX(ROUND(n_inter / za.n, 6)) AS max_containment,
+                         SUM(CASE WHEN ROUND(n_inter / za.n, 6) >= 0.5 THEN 1 ELSE 0 END) AS n_half_covering
+                  FROM ni JOIN sz za ON za.doc_id = ni.da GROUP BY da)
+          SELECT sz.doc_id, sz.n AS n_grams,
+                 COALESCE(c.max_containment, 0.0) AS max_containment,
+                 CAST(COALESCE(c.n_half_covering, 0) AS BIGINT) AS n_half_covering
+          FROM sz LEFT JOIN c ON c.da = sz.doc_id"""))
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix, dupClusters, dupClustersStar)
+    ngramJaccard, ngramJaccardPrefix, containmentProfile, dupClusters, dupClustersStar)
 }

@@ -153,7 +153,35 @@ object OlapCatalog {
             WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type"""))
 
+  /** Explicit GROUPING SETS — the mixed lattice neither ROLLUP nor CUBE
+    * expresses: the (type, day) detail plus BOTH one-dimensional
+    * marginals, and no grand total. The DataFrame API only exposes
+    * rollup/cube, so this routes through Spark SQL's GROUPING SETS —
+    * which plans to the same ONE Expand + one hash-aggregate pass (3
+    * replicas per row here), not per-set re-scans.
+    */
+  val eventsGroupingSets: CatalogEntry = CatalogEntry(
+    "events_grouping_sets",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_gs_v")
+      s.sql(
+        """SELECT COALESCE(event_type, 'ALL') AS event_type,
+                  COALESCE(CAST(DATE(ts) AS STRING), 'ALL') AS day,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                  CAST(GROUPING_ID(event_type, DATE(ts)) AS BIGINT) AS gid
+           FROM events_gs_v
+           GROUP BY GROUPING SETS ((event_type, DATE(ts)), (event_type), (DATE(ts)))""")
+    },
+    Some(s"""SELECT COALESCE(event_type, 'ALL') AS event_type,
+                    COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+                    COUNT(*) AS n,
+                    ${sqlSum("value", 18, 4)} AS total,
+                    CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+             FROM events
+             GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
-      eventsTransitions)
+      eventsTransitions, eventsGroupingSets)
 }

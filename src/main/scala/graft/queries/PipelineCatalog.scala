@@ -620,6 +620,36 @@ object PipelineCatalog {
     * 5-value key). Real pipelines do this instead of pre-flattening:
     * the raw event keeps its open schema, extraction is late-bound.
     */
+  /** Schema profiler — the data-quality report a pipeline reads before
+    * trusting a new drop: per column, the row count, null count and exact
+    * distinct cardinality. ONE scan: each row explodes into #cols
+    * (col_name, stringified value) pairs and a single aggregate computes
+    * all three stats (the string cast is injective per engine, so the
+    * distinct count over strings equals the distinct count over native
+    * values — each oracle leg counts natively). At 100 TB the shuffle
+    * carries one row per DISTINCT (column, value) pair — the floor for
+    * any exact profile; swap countDistinct for approx_count_distinct when
+    * estimates suffice.
+    */
+  val eventsProfile: CatalogEntry = CatalogEntry(
+    "events_profile",
+    (s, d) => {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      Tables.events(s, d)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"))
+    },
+    Some(Seq("event_id", "ts", "user_id", "event_type", "value", "props").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                 COUNT(*) - COUNT($c) AS n_nulls,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM events"""
+    }.mkString(" UNION ALL ")))
+
   val eventsJsonKv: CatalogEntry = CatalogEntry(
     "events_json_kv",
     (s, d) => Tables.events(s, d)
@@ -823,7 +853,7 @@ object PipelineCatalog {
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
-      tokenCooccurrence, eventsJsonKv,
+      tokenCooccurrence, eventsProfile, eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }
