@@ -539,7 +539,90 @@ object EmbeddingCatalog {
                ON l.query_id = b.query_id AND l.vec_id = b.vec_id
              GROUP BY b.query_id"""))
 
+  /** Filtered ANN — metadata-constrained vector search, the shape every
+    * production retrieval system needs ("nearest neighbours WHERE
+    * label = X"): top-K restricted to candidates sharing the query's
+    * label. The predicate composes INTO the broadcast scan join (label
+    * equality rides the join condition), so filtering costs nothing
+    * extra — one linear pass, no post-search re-query when a filtered
+    * top-K comes back short. At 100 TB this pre-filter form beats
+    * post-filtering an unfiltered top-K, which silently returns fewer
+    * than K under selective predicates.
+    */
+  val knnFiltered: CatalogEntry = CatalogEntry(
+    "emb_knn_filtered",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val scored = corpus.join(broadcast(queries),
+          col("cand_id") =!= col("query_id") && col("label") === col("qlabel"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(scored)
+    },
+    Some(s"""SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c
+            ON c.vec_id != q.vec_id AND c.label = q.label
+          WHERE q.vec_id < $NQueries) WHERE rn <= $K"""))
+
+  /** IVF index diagnostics: per-cell population and mean similarity to
+    * the cell centroid — the balance/coherence report that decides
+    * whether an IVF index needs re-training (empty or bloated cells ⇒
+    * skewed probes; low mean similarity ⇒ centroids don't fit the data).
+    * Reuses the knnIvf assignment pass (broadcast argmax over frozen
+    * sampled centroids — zero shuffles before the #cells-key aggregate);
+    * the mean goes through the decimal-exact sum so both engines derive
+    * the identical IEEE double.
+    */
+  val ivfCells: CatalogEntry = CatalogEntry(
+    "emb_ivf_cells",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        .withColumn("cnorm", Vectors.norm(col("cemb")))
+      val best = emb
+        .withColumn("vnorm", Vectors.norm(col("embedding")))
+        .crossJoin(broadcast(cent))
+        .withColumn("csim", round(
+          Vectors.dot(col("embedding"), col("cemb")) / (col("vnorm") * col("cnorm")), 6))
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("best"))
+        .select((-col("best.negcid")).cast("long").as("cell"), col("best.csim").as("csim"))
+      best.groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          Exact.davg(col("csim"), 18, 6).as("mean_csim"),
+          min(col("csim")).as("min_csim"))
+    },
+    Some {
+      val centSim =
+        s"ROUND(${dotSql("e.embedding", "c.embedding")} / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            cellscore AS (
+              SELECT e.vec_id, c.cid, $centSim AS csim
+              FROM embeddings e CROSS JOIN (SELECT cid, embedding FROM cent) c(cid, embedding)),
+            assign AS (
+              SELECT vec_id, cid AS cell, csim FROM (
+                SELECT vec_id, cid, csim,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore) WHERE rn = 1)
+          SELECT cell, COUNT(*) AS n_vectors,
+                 ${Exact.sqlAvg("csim", 18, 6)} AS mean_csim,
+                 MIN(csim) AS min_csim
+          FROM assign GROUP BY cell"""
+    })
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8,
-      knnRecall, nearDupCosine, nearDupBanded)
+      knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded)
 }
