@@ -220,6 +220,27 @@ class PlanSpec extends AnyFunSuite {
       s"pipeline_train_prep: expected exactly one hash exchange\n$tp")
   }
 
+  test("round-7 additions keep their declared scale shapes") {
+    // Filtered ANN: the label predicate composes into the broadcast scan
+    // join — a sort-merge here would shuffle the whole corpus.
+    val kf = plan("emb_knn_filtered")
+    assert(kf.contains("BroadcastHashJoin") && !kf.contains("SortMergeJoin"),
+      s"emb_knn_filtered: query side not broadcast\n$kf")
+    // The schema profiler reads the fact table ONCE (one Generate fans
+    // each row into #cols pairs); per-column re-scans would multiply the
+    // 100 TB read by the column count.
+    val pr = plan("events_profile")
+    assert(countOf(pr, "Generate") == 1 && countOf(pr, "Scan ") == 1,
+      s"events_profile: expected one generate over one scan\n$pr")
+    // Grouping sets: ONE Expand pass, not per-set re-aggregation.
+    val gs = plan("events_grouping_sets")
+    assert(countOf(gs, "Expand") == 1, s"events_grouping_sets: expected one Expand\n$gs")
+    // IVF diagnostics: centroids broadcast; nothing shuffles before the
+    // #cells-key aggregate.
+    val ic = plan("emb_ivf_cells")
+    assert(!ic.contains("SortMergeJoin"), s"emb_ivf_cells: corpus shuffled to join\n$ic")
+  }
+
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
     // The scaladoc claim at TpchExtCatalog.tpchQ21: three probes shuffle
     // on the same order key and AQE can serve the anti probe's `late`
