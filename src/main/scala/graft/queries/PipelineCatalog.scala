@@ -620,6 +620,52 @@ object PipelineCatalog {
     * 5-value key). Real pipelines do this instead of pre-flattening:
     * the raw event keeps its open schema, extraction is late-bound.
     */
+  /** Time-series resample + gap-fill — the feature-engineering step that
+    * turns an irregular event stream into the fixed-cadence grid a model
+    * consumes: per user, one row per hour from the user's first to last
+    * active hour, carrying that hour's event count and the last observed
+    * value FORWARD-FILLED across silent hours. Deterministic "last in
+    * hour" = max by the total order (ts, event_id). Shape: one
+    * (user, hour) aggregate collapses the stream to ≤ users×hours rows,
+    * the grid explodes from a per-user bounds row (calendar-sized, not
+    * event-sized), and the fill is a user-partitioned running window —
+    * every stage keyed, nothing global, state ∝ users × calendar at any
+    * corpus size.
+    */
+  val eventsResample: CatalogEntry = CatalogEntry(
+    "events_resample_1h",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+          struct(col("ts"), col("event_id"), col("value")).as("tv"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_events"), max(col("tv")).getField("value").as("hv"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hv"), ignoreNulls = true).over(w).as("last_value"))
+    },
+    Some("""WITH hr AS (
+              SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                     row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                        ORDER BY ts DESC, event_id DESC) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n
+              FROM events),
+            hourly AS (SELECT user_id, hour, n, value AS hv FROM hr WHERE rn = 1),
+            bounds AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour FROM bounds)
+          SELECT g.user_id, g.hour,
+                 CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+                 last_value(h.hv IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour ROWS UNBOUNDED PRECEDING) AS last_value
+          FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour"""))
+
   /** Schema profiler — the data-quality report a pipeline reads before
     * trusting a new drop: per column, the row count, null count and exact
     * distinct cardinality. ONE scan: each row explodes into #cols
@@ -853,7 +899,7 @@ object PipelineCatalog {
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
-      tokenCooccurrence, eventsProfile, eventsJsonKv,
+      tokenCooccurrence, eventsResample, eventsProfile, eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }
