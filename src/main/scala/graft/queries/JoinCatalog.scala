@@ -188,5 +188,50 @@ object JoinCatalog {
              JOIN customer ON c_custkey = o_custkey
              ORDER BY total_qty DESC, o_orderkey LIMIT 20"""))
 
-  val all: Seq[CatalogEntry] = Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders)
+  /** Referential-integrity audit over the star schema — the conformance
+    * report a pipeline runs before trusting a new data drop: per
+    * foreign-key relationship, the child row count and the number of
+    * orphans (child keys with no parent). Each leg is an ANTI join on
+    * the key — at 100 TB the dimension sides broadcast and the fact
+    * scans stream through, so the audit costs one pass per relationship
+    * and materializes nothing but counts.
+    */
+  val riAudit: CatalogEntry = CatalogEntry(
+    "tpch_ri_audit",
+    (s, d) => {
+      def leg(rel: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val orphans = child.join(parent.select(col(parentKey).as(childKey)),
+          Seq(childKey), "left_anti")
+        child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
+      }
+      leg("orders->customer", t("orders")(s, d), "o_custkey",
+          t("customer")(s, d), "c_custkey")
+        .union(leg("lineitem->orders", t("lineitem")(s, d), "l_orderkey",
+          t("orders")(s, d), "o_orderkey"))
+        .union(leg("customer->nation", t("customer")(s, d), "c_nationkey",
+          t("nation")(s, d), "n_nationkey"))
+        .union(leg("supplier->nation", t("supplier")(s, d), "s_nationkey",
+          t("nation")(s, d), "n_nationkey"))
+    },
+    Some("""SELECT 'orders->customer' AS rel, (SELECT COUNT(*) FROM orders) AS n_child,
+                   (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+                    WHERE c.c_custkey IS NULL) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem->orders', (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    WHERE o.o_orderkey IS NULL)
+            UNION ALL
+            SELECT 'customer->nation', (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+                    WHERE n.n_nationkey IS NULL)
+            UNION ALL
+            SELECT 'supplier->nation', (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+                    WHERE n.n_nationkey IS NULL)"""))
+
+  val all: Seq[CatalogEntry] =
+    Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit)
 }

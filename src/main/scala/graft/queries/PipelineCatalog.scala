@@ -620,6 +620,63 @@ object PipelineCatalog {
     * 5-value key). Real pipelines do this instead of pre-flattening:
     * the raw event keeps its open schema, extraction is late-bound.
     */
+  /** Per-key compaction — the "latest state" snapshot a changelog
+    * becomes after compaction (the batch analogue of upsert
+    * materialization): for every user, the most recent event's fields,
+    * "most recent" pinned by the total order (ts, event_id). ONE struct
+    * argmax in a single keyed aggregate — no ranking window, no
+    * self-join; at 100 TB this is one shuffle on the key with map-side
+    * partial argmax.
+    */
+  val eventsLatestState: CatalogEntry = CatalogEntry(
+    "events_latest_state",
+    (s, d) => Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("tv"))
+      .groupBy("user_id")
+      .agg(max(col("tv")).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value")),
+    Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+                   event_type AS last_type, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) WHERE rn = 1"""))
+
+  /** Key-skew report — the diagnostic that decides WHEN to salt (the
+    * [[graft.operators.Salting]] companion): per-key counts reduced to
+    * the corpus-level skew statistics (key count, hottest key's share of
+    * the mean, coefficient of variation). The moments ride EXACT integer
+    * sums (Σc, Σc² over BIGINT counts), so the derived doubles are the
+    * same one-shot IEEE expressions in both engines. Two tiny aggregates:
+    * the per-key count shuffle (the thing being measured) and a scalar
+    * fold — free at any scale.
+    */
+  val eventsKeySkew: CatalogEntry = CatalogEntry(
+    "events_key_skew",
+    (s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+      per.agg(count(lit(1)).as("n_keys"), max("c").as("max_cnt"),
+          sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
+        .select(col("n_keys"), col("max_cnt"),
+          round(col("sx") / col("n_keys"), 6).as("mean_cnt"),
+          round(col("max_cnt") * col("n_keys") / col("sx"), 6).as("skew_ratio"),
+          round(sqrt(col("sx2") / col("n_keys") -
+            (col("sx") / col("n_keys")) * (col("sx") / col("n_keys"))) /
+            (col("sx") / col("n_keys")), 6).as("cv"))
+    },
+    Some("""SELECT n_keys, max_cnt,
+                   ROUND(sx / n_keys, 6) AS mean_cnt,
+                   ROUND(max_cnt * n_keys / sx, 6) AS skew_ratio,
+                   ROUND(SQRT(sx2 / n_keys - (sx / n_keys) * (sx / n_keys))
+                         / (sx / n_keys), 6) AS cv
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                         CAST(MAX(c) AS BIGINT) AS max_cnt,
+                         CAST(SUM(c) AS BIGINT) AS sx,
+                         CAST(SUM(c * c) AS BIGINT) AS sx2
+                  FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))"""))
+
   /** Time-series resample + gap-fill — the feature-engineering step that
     * turns an irregular event stream into the fixed-cadence grid a model
     * consumes: per user, one row per hour from the user's first to last
@@ -899,7 +956,8 @@ object PipelineCatalog {
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
-      tokenCooccurrence, eventsResample, eventsProfile, eventsJsonKv,
+      tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsResample,
+      eventsProfile, eventsJsonKv,
       userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }
