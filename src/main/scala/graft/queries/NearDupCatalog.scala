@@ -542,11 +542,16 @@ object NearDupCatalog {
     (s, d) => {
       val bg = bigramIndex(documents(s, d)).cache()
       val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cont = bg.as("a").join(bg.as("b"),
+      // Intersections are symmetric: count each unordered pair ONCE
+      // (da < db halves the gram join's fan-out and the pair aggregate),
+      // then mirror the tiny pair list to both directions.
+      val pairs = bg.as("a").join(bg.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
-            col("a.doc_id") =!= col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("n_inter"))
+      val cont = pairs
+        .union(pairs.select(col("db"), col("da"), col("n_inter")))
         .join(sz.as("za"), col("za.doc_id") === col("da"))
         .select(col("da"), round(col("n_inter") / col("za.n"), 6).as("cont"))
         .groupBy("da")
