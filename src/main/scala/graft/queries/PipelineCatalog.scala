@@ -630,14 +630,7 @@ object PipelineCatalog {
     */
   val eventsLatestState: CatalogEntry = CatalogEntry(
     "events_latest_state",
-    (s, d) => Tables.events(s, d)
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("tv"))
-      .groupBy("user_id")
-      .agg(max(col("tv")).as("last"))
-      .select(col("user_id"), col("last.ts").as("last_ts"),
-        col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_type"), col("last.value").as("last_value")),
+    (s, d) => Transforms.latestState(Tables.events(s, d)),
     Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
                    event_type AS last_type, value AS last_value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
@@ -795,6 +788,34 @@ object PipelineCatalog {
                               ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
                      AS running_value
             FROM events"""))
+
+  /** The analytic-window family in one keyed pass: per event, the gap to
+    * the user's previous event (lag), the value delta, and the event's
+    * percent_rank within the user's history — the sequential features a
+    * behavioral model consumes. All four functions evaluate over ONE
+    * user-partitioned sort (a single hash exchange + per-partition sort);
+    * percent_rank's (rank-1)/(n-1) divides exact integers, so the double
+    * is bit-identical cross-engine.
+    */
+  val eventsWindowFamily: CatalogEntry = CatalogEntry(
+    "events_window_family",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("micros_since_prev"),
+          round(col("value") - lag(col("value"), 1).over(w), 6).as("value_delta"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+    },
+    Some("""SELECT user_id, event_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS BIGINT)
+                     AS micros_since_prev,
+                   ROUND(value - lag(value, 1) OVER w, 6) AS value_delta,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
   /** Deterministic stratified sampling: per-source keep rates applied
     * via a content-independent hash test — substr(md5(doc_id), 1, 4)
@@ -958,6 +979,6 @@ object PipelineCatalog {
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsResample,
       eventsProfile, eventsJsonKv,
-      userRunningTotal, stratifiedSample, saltedUserAgg, zscoreOutliers,
+      userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsRangeJoin, packBins)
 }

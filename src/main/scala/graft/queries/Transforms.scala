@@ -56,6 +56,21 @@ object Transforms {
       .agg(firstTs("signup"), firstTs("view"), firstTs("purchase"))
   }
 
+  /** Per-user latest-state snapshot (changelog compaction): one struct
+    * argmax on the (ts, event_id) total order. max is associative, so
+    * the identical plan folds micro-batches as update-mode streaming
+    * state (the live materialized view) and runs batch-wise for the
+    * `events_latest_state` entry.
+    */
+  def latestState(events: DataFrame): DataFrame = events
+    .select(col("user_id"),
+      struct(col("ts"), col("event_id"), col("event_type"), col("value")).as("tv"))
+    .groupBy("user_id")
+    .agg(max(col("tv")).as("last"))
+    .select(col("user_id"), col("last.ts").as("last_ts"),
+      col("last.event_id").as("last_event_id"),
+      col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+
   /** Per-type z-score moment state: DECIMAL-exact Σx and Σx² plus the
     * exact count — the sufficient statistics for mean/variance. All
     * three are associative sums, so the same aggregation runs as

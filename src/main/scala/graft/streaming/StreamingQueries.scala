@@ -47,7 +47,12 @@ object StreamingQueries {
     // z-score moment state (Σx, Σx², n — all associative): the live
     // side of the monitoring loop; Transforms.zscoreFlag applies the
     // upserted stats back over any frame to flag 3σ outliers.
-    "events_zscore_stats" -> Transforms.zscoreStats)
+    "events_zscore_stats" -> Transforms.zscoreStats,
+    // Changelog compaction as a LIVE materialized view: the struct
+    // argmax on (ts, event_id) is associative, so each micro-batch
+    // folds into the same per-user latest-state row the batch entry
+    // computes.
+    "events_latest_state" -> Transforms.latestState)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -187,6 +187,38 @@ class StreamingSpec extends AnyFunSuite {
       "streamed moment state diverges from the batch stats pass")
   }
 
+  test("streaming latest-state view converges to the batch compaction") {
+    import graft.queries.Transforms
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-06-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 7,
+        if (i % 2 == 0) "view" else "click", (i % 20).toDouble, ""))
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-06-1${(i % 9).toInt} 1${i % 10}:45:00"), i % 11,
+        if (i % 3 == 0) "purchase" else "view", (i % 13).toDouble, ""))
+    val sinkId = s"latest-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_latest_state", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSet
+    Sinks.clear(sinkId)
+    val batch = Transforms.latestState((fb1 ++ fb2).toDF(eventCols: _*))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(streamed == batch, "live latest-state view diverges from batch compaction")
+    // The second burst's users (i % 11) overlap the first's (i % 7):
+    // overlapping keys must show burst-2 state (the upsert happened).
+    assert(batch.exists { case (_, t, _, _, _) => t.after(ts("2024-06-09 00:00:00")) })
+  }
+
   test("streaming transition state reproduces the batch lead-window matrix") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, lead}
