@@ -613,6 +613,70 @@ object PipelineCatalog {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
                    FROM documents)"""))
 
+  /** Curriculum packing — the composite that turns a scored corpus into
+    * curriculum-ordered training shards: global quality DECILE (via
+    * [[graft.operators.GlobalRank]] — one range shuffle, no
+    * single-partition window) → deterministic md5 shard within the tier
+    * (256-way, so the packing window's skew ceiling is tier/256, the
+    * [[shuffleOrder]] trick) → greedy token-budget bins per (tier,
+    * shard). A loader then reads bins tier-by-tier: easy data first,
+    * shard-parallel within each tier. Budget shared with
+    * [[packBins]].
+    */
+  val pipelineCurriculum: CatalogEntry = CatalogEntry(
+    "pipeline_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = documents(s, d).select(
+        col("doc_id"),
+        size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
+          .cast("long").as("punct_cnt"),
+        Text.tokensInSet(Text.wsTokens(col("text")), stopwords).cast("long").as("stop_cnt"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(
+            least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
+            col("stop_cnt") / col("n_tokens") * 0.3 +
+            (lit(1.0) - col("punct_cnt") / col("n_chars_m")) * 0.2, 6).as("quality_score"))
+      val ranked = graft.operators.GlobalRank.withRank(
+        scored, Seq(col("quality_score").desc, col("doc_id").asc), numPartitions = 32)
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("total"))))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("((rank - 1) * 10) div total").as("tier"),
+          conv(substring(md5(concat(lit("curr|"), col("doc_id").cast("string"))), 1, 2),
+            16, 10).cast("long").as("shard"))
+      val w = Window.partitionBy("tier", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranked
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("tier"), col("shard"), col("n_tokens"),
+          expr(s"cum_before div $BinBudget").as("bin_id"))
+    },
+    Some(s"""WITH scored AS (
+               SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                      ROUND(LEAST(len($toksSql) / 50.0, 1.0) * 0.5
+                            + len(list_filter($toksSql, t -> t IN ($stopListSql))) / len($toksSql) * 0.3
+                            + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / length(text)) * 0.2,
+                            6) AS quality_score
+               FROM documents),
+             ranked AS (
+               SELECT doc_id, n_tokens,
+                      CAST(((ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) - 1) * 10)
+                           // (COUNT(*) OVER ()) AS BIGINT) AS tier,
+                      md5('curr|' || CAST(doc_id AS VARCHAR)) AS h
+               FROM scored),
+             sharded AS (
+               SELECT doc_id, n_tokens, tier,
+                      CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                           + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) AS shard
+               FROM ranked)
+           SELECT doc_id, tier, shard, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY tier, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $BinBudget AS BIGINT) AS bin_id
+           FROM sharded"""))
+
   /** Schema-on-read JSON extraction: pull a typed field out of the
     * `events.props` JSON column and aggregate it per event type.
     * Per-row parse + one small-key aggregate — the shape never changes
@@ -980,5 +1044,5 @@ object PipelineCatalog {
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsResample,
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
-      eventsAsofJoin, eventsRangeJoin, packBins)
+      eventsAsofJoin, eventsRangeJoin, packBins, pipelineCurriculum)
 }
