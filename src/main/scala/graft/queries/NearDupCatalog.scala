@@ -524,6 +524,45 @@ object NearDupCatalog {
       .toDF("doc_id", "cluster_id").orderBy("doc_id"),
     dupClustersOracle)
 
+  private val PrScale = 1000000000000L
+  private val PrIters = 10
+
+  /** PageRank centrality over the near-dup pair graph — the principled
+    * "which copy is canonical" signal: in a duplication neighbourhood
+    * the most-linked (most-recrawled, most-quoted) document accumulates
+    * rank mass, so cluster resolution can keep the authoritative copy
+    * instead of the arbitrary min-id. Computed by
+    * [[graft.operators.PageRank]] in FIXED-POINT integer arithmetic
+    * (floor divisions only) — float PageRank's partition-ordered sums
+    * can never hash-match an oracle; integer mass is order-free, so the
+    * 10-iteration result is bit-identical in both engines. The oracle
+    * unrolls the 10 iterations as chained CTEs over the same lsh_pairs
+    * derivation (aggregation in a recursive term is not portable SQL).
+    */
+  val pagerank: CatalogEntry = CatalogEntry(
+    "doc_pagerank",
+    (s, d) => graft.operators.PageRank.ranks(lshEdges(s, d), PrIters, PrScale)
+      .toDF("doc_id", "r").orderBy("doc_id"),
+    Some {
+      val base = s"(($PrScale * 15) // 100) // (SELECT n FROM nn)"
+      val steps = (1 to PrIters).map { k =>
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (SELECT e.dst AS node,
+                           CAST($base + (85 * SUM(p.r // d.outdeg)) // 100 AS BIGINT) AS r
+                    FROM e JOIN $prev p ON p.node = e.src JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst)"""
+      }.mkString(",\n             ")
+      s"""WITH RECURSIVE $lshPairsCtesSql,
+             e AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                   UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+             deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+             nn AS (SELECT COUNT(*) AS n FROM deg),
+             r0 AS (SELECT src AS node, CAST($PrScale // (SELECT n FROM nn) AS BIGINT) AS r
+                    FROM deg),
+             $steps
+           SELECT node AS doc_id, r FROM r$PrIters ORDER BY doc_id"""
+    })
+
   /** Containment coverage profile — the asymmetric dedup signal Jaccard
     * misses: a short document fully quoted inside a longer one has
     * containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| stays far below
@@ -586,5 +625,6 @@ object NearDupCatalog {
           FROM sz LEFT JOIN c ON c.da = sz.doc_id"""))
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix, containmentProfile, dupClusters, dupClustersStar)
+    ngramJaccard, ngramJaccardPrefix, containmentProfile, dupClusters, dupClustersStar,
+    pagerank)
 }
