@@ -202,4 +202,24 @@ object AsOf {
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTs),
         attr(rp, rightKey), attr(rp, rightTs), attr(rp, rightTie)))
   }
+
+  /** FORWARD as-of: each left row matched to the EARLIEST same-key right
+    * row with rightTs ≥ leftTs (ties: smallest rightTie) — "time to next
+    * event". Implemented by time reversal over the same exec: the
+    * backward join's greatest-(ts, tie)-≤ semantics on NEGATED
+    * microsecond timestamps (and negated tie) is exactly
+    * smallest-(ts, tie)-≥ on the originals, so one physical operator
+    * serves both directions. `leftTs`/`rightTs` must be TIMESTAMP
+    * columns; `rightTie` numeric.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String,
+      rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val l2 = left.withColumn("__fwd_lts", -unix_micros(col(leftTs)))
+    val r2 = right.withColumn("__fwd_rts", -unix_micros(col(rightTs)))
+      .withColumn("__fwd_tie", -col(rightTie))
+    join(l2, r2, leftKey, "__fwd_lts", rightKey, "__fwd_rts", "__fwd_tie")
+      .drop("__fwd_lts", "__fwd_rts", "__fwd_tie")
+  }
 }

@@ -1004,6 +1004,42 @@ object PipelineCatalog {
                    (SELECT ce FROM m WHERE m.pe = p.pe AND rn = 1) AS click_id
             FROM p"""))
 
+  /** FORWARD as-of — time-to-conversion: each click matched to the same
+    * user's NEXT purchase at or after it (ties: smallest purchase id),
+    * plus the latency in microseconds. Same custom sort-merge exec as
+    * [[eventsAsofJoin]], reversed through negated time keys
+    * ([[graft.plans.AsOf.joinForward]]) — one physical operator, both
+    * directions, still a linear merge with zero pair blow-up.
+    */
+  val eventsAsofNext: CatalogEntry = CatalogEntry(
+    "events_asof_next",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOf.joinForward(clicks, purchases,
+          "c_user", "c_ts", "p_user", "p_ts", "purchase_id")
+        .select(col("click_id"), col("c_user").as("user_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("micros_to_purchase"))
+    },
+    Some("""WITH c AS (SELECT event_id AS ce, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT event_id AS pe, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 m AS (SELECT ce, pe, epoch_us(p.ts) - epoch_us(c.ts) AS dt,
+                              row_number() OVER (PARTITION BY ce
+                                ORDER BY p.ts ASC, pe ASC) AS rn
+                       FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+            SELECT c.ce AS click_id, c.user_id,
+                   (SELECT pe FROM m WHERE m.ce = c.ce AND rn = 1) AS purchase_id,
+                   (SELECT CAST(dt AS BIGINT) FROM m WHERE m.ce = c.ce AND rn = 1)
+                     AS micros_to_purchase
+            FROM c"""))
+
   /** Pure-range join (no equi key at all): every (click, purchase) pair
     * across ALL users within ±5 minutes of each other — the co-occurrence
     * shape behind burst/fraud correlation. Catalyst would plan the naive
@@ -1044,5 +1080,5 @@ object PipelineCatalog {
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsResample,
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
-      eventsAsofJoin, eventsRangeJoin, packBins, pipelineCurriculum)
+      eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum)
 }

@@ -46,6 +46,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       200L -> None, 300L -> None))
   }
 
+  test("forward as-of: earliest same-key row at or after, ties by smallest id") {
+    // Reverse roles: each click finds its NEXT purchase.
+    val got = AsOf.joinForward(clicks, purchases,
+        "c_user", "c_ts", "p_user", "p_ts", "purchase_id")
+      .select(col("click_id"), col("purchase_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(
+      10L -> Some(100L), // 10:00 -> purchase 10:30
+      11L -> Some(101L), // 11:00 -> ts-equal purchase allowed
+      12L -> Some(101L), // ts tie on the left is irrelevant; smallest pe at 11:00
+      20L -> None))      // 23:00 click, no later purchase
+    // The reversal must not leak helper columns.
+    val cols = AsOf.joinForward(clicks, purchases,
+      "c_user", "c_ts", "p_user", "p_ts", "purchase_id").columns
+    assert(!cols.exists(_.startsWith("__fwd")), cols.mkString(","))
+  }
+
   test("matches the declarative range-join + rank formulation on real events") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val p = ev.filter(col("event_type") === "purchase")
