@@ -129,6 +129,31 @@ object TrainPrepCatalog {
                  FROM documents)
                GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
 
+  /** Inverted-index build — the retrieval artifact: for each of the 20
+    * highest-df tokens, its df and a CAPPED posting list (the 15 lowest
+    * doc_ids, '|'-joined — capping is what keeps the artifact bounded
+    * when a stopword's postings would be corpus-sized). One token
+    * aggregate produces both the ranking and the bounded list; emitting
+    * postings as a joined STRING keeps the oracle hash engine-neutral
+    * (list column representations differ across engines).
+    */
+  val tokenPostings: CatalogEntry = CatalogEntry(
+    "token_postings",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(Text.normTokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws("|",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 15)).as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20),
+    Some(raw"""SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                      array_to_string(list_sort(list(doc_id))[1:15], '|') AS postings
+               FROM (
+                 SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS token
+                 FROM documents)
+               GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
+
   /** Sliding-window chunking — the step between a cleaned corpus and an
     * embedding/training run: each document becomes ceil(n/stride) chunks
     * of up to `ChunkLen` tokens starting every `ChunkStride` tokens
@@ -343,5 +368,6 @@ object TrainPrepCatalog {
              WHERE rn <= $SampleK"""))
 
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
-    chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample, samplePerSource)
+    tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
+    samplePerSource)
 }
