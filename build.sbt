@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark): cache-hygiene assertions
+// (ConnectedComponentsSpec, PageRankSpec) and streaming timing tests are
+// only deterministic when suites do not interleave in the JVM.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -40,6 +40,10 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   test("no resident cache leaks after the iteration loop") {
+    // Shared-session discipline (same as ConnectedComponentsSpec): start
+    // from a clean cache so leftovers from other suites cannot be
+    // misattributed to PageRank.
+    spark.sharedState.cacheManager.clearCache()
     val edges = (1L to 20L).map(i => (i, i % 10 + 21L)).toDF("doc_a", "doc_b")
     PageRank.ranks(edges, iterations = 7, scale = Scale).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
