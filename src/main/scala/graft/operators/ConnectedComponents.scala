@@ -47,11 +47,23 @@ object ConnectedComponents {
     * restored internally. Returns (node, label); throws if `maxRounds`
     * is exhausted before the fixpoint (a silent partial labeling would
     * corrupt downstream keep/drop decisions).
+    *
+    * `probeEvery`: rounds per convergence probe. Labels are monotone
+    * non-increasing, so an unchanged label sum across a k-round gap
+    * proves the fixpoint was reached BEFORE the gap — correctness never
+    * depends on the cadence. With k > 1 the gap's rounds stay lazy and
+    * fuse into one multi-stage job (same shuffles, k× fewer driver
+    * round-trips and materializations); the price is up to k−1 idempotent
+    * trailing rounds and detection up to k−1 rounds late — so keep the
+    * default 1 when `maxRounds` is a tight diameter budget, and raise it
+    * for shallow graphs (near-dup clusters) where job latency dominates.
     */
-  def labelPropagation(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1): DataFrame = {
+    require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
     val sym = symmetrize(edges).localCheckpoint()
     var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).localCheckpoint()
     // coalesce: SUM over an empty frame is null — an edgeless graph must
     // return an empty labeling, not NPE.
     def labelSum(df: DataFrame): Long =
@@ -61,25 +73,27 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
-      iter += 1
-      val prop = sym.join(labels, col("v") === col("node"))
-        .groupBy(col("u")).agg(min("label").as("nbr_min"))
-      val stepped = labels.join(prop, col("node") === col("u"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // Hygiene: one resident frame, bounded plan depth (see scaladoc).
-      val next = if (iter % 5 == 0) stepped.localCheckpoint() else stepped.cache()
+      var chain = labels
+      var k = 0
+      while (k < probeEvery && iter < maxRounds) {
+        iter += 1
+        k += 1
+        val prop = sym.join(chain, col("v") === col("node"))
+          .groupBy(col("u")).agg(min("label").as("nbr_min"))
+        chain = chain.join(prop, col("node") === col("u"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      }
+      // Hygiene: one resident (checkpointed) frame, bounded plan depth.
+      val next = chain.localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum == sum
       sum = nextSum
-      labels.unpersist(blocking = false)
       labels = next
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds " +
       "(graph diameter exceeds the budget — use alternatingStar)")
-    val out = labels.localCheckpoint()
-    labels.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** One large-star rewrite: for each node u with m = min(N(u) ∪ {u}),

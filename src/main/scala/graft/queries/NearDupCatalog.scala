@@ -508,7 +508,10 @@ object NearDupCatalog {
 
   val dupClusters: CatalogEntry = CatalogEntry(
     "doc_dup_clusters",
-    (s, d) => graft.operators.ConnectedComponents.labelPropagation(lshEdges(s, d))
+    (s, d) => graft.operators.ConnectedComponents
+      // Near-dup graphs are shallow (near-cliques): probe every 3 rounds
+      // so the gap's rounds fuse into one job — see the operator scaladoc.
+      .labelPropagation(lshEdges(s, d), probeEvery = 3)
       .toDF("doc_id", "cluster_id").orderBy("doc_id"),
     dupClustersOracle)
 

@@ -55,6 +55,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val df = edges.toDF("a", "b")
       assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40)) == truth,
         s"propagation diverged from union-find at seed $seed")
+      // Fused probing (probeEvery > 1) may run idempotent trailing
+      // rounds but must land on the identical fixpoint.
+      assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40,
+        probeEvery = 3)) == truth,
+        s"fused-probe propagation diverged from union-find at seed $seed")
       assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth,
         s"alternating star diverged from union-find at seed $seed")
     }
