@@ -684,6 +684,35 @@ object PipelineCatalog {
     * 5-value key). Real pipelines do this instead of pre-flattening:
     * the raw event keeps its open schema, extraction is late-bound.
     */
+  /** Equi-depth decile statistics over the value stream — the
+    * equal-POPULATION histogram (each bucket holds exactly n/10 rows)
+    * that equi-width bucketing cannot give on skewed data: per decile,
+    * the row count, value bounds and decimal-exact sum. Bucket
+    * membership comes from the distributed global rank
+    * ([[graft.operators.GlobalRank]] — one range shuffle, never a
+    * single-partition NTILE window), then a 10-key aggregate.
+    */
+  val eventsValueDeciles: CatalogEntry = CatalogEntry(
+    "events_value_deciles",
+    (s, d) => {
+      val v = Tables.events(s, d).select(col("event_id"), col("value"))
+      val ranked = graft.operators.GlobalRank.withRank(
+        v, Seq(col("value").asc, col("event_id").asc), numPartitions = 32)
+      ranked
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("total"))))
+        .select(col("value"), expr("((rank - 1) * 10) div total").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"),
+          Exact.dsum(col("value")).as("total_value"))
+    },
+    Some(s"""SELECT decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+                    ${Exact.sqlSum("value")} AS total_value
+             FROM (SELECT value,
+                          CAST(((ROW_NUMBER() OVER (ORDER BY value, event_id) - 1) * 10)
+                               // (COUNT(*) OVER ()) AS BIGINT) AS decile
+                   FROM events)
+             GROUP BY decile"""))
+
   /** Per-key compaction — the "latest state" snapshot a changelog
     * becomes after compaction (the batch analogue of upsert
     * materialization): for every user, the most recent event's fields,
@@ -1077,7 +1106,8 @@ object PipelineCatalog {
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
       tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
-      tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsResample,
+      tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsValueDeciles,
+      eventsResample,
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum)
