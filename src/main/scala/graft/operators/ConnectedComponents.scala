@@ -27,12 +27,12 @@ import org.apache.spark.sql.types.DecimalType
   *    propagation's diameter-many rounds would dominate the job.
   *
   * Both are 100 TB-shaped: per-round cost proportional to the EDGE list,
-  * driver traffic one scalar-tuple per round (the convergence probe),
-  * only one round's frame resident at a time (superseded frames are
-  * unpersisted as soon as the successor materializes), and lineage is
-  * truncated with an eager localCheckpoint every few rounds so the plan
-  * depth stays bounded. Returned frames have FLAT lineage (checkpointed),
-  * so no input cache needs to outlive the call.
+  * driver traffic one scalar-tuple per convergence probe, one
+  * materialized (localCheckpoint) frame per probe gap — rounds inside a
+  * gap stay lazy and fuse into a single multi-stage job (`probeEvery`),
+  * and each checkpoint truncates lineage so plan depth stays bounded.
+  * Returned frames have FLAT lineage (checkpointed), so no input cache
+  * needs to outlive the call.
   */
 object ConnectedComponents {
 
@@ -52,11 +52,17 @@ object ConnectedComponents {
     * non-increasing, so an unchanged label sum across a k-round gap
     * proves the fixpoint was reached BEFORE the gap — correctness never
     * depends on the cadence. With k > 1 the gap's rounds stay lazy and
-    * fuse into one multi-stage job (same shuffles, k× fewer driver
-    * round-trips and materializations); the price is up to k−1 idempotent
-    * trailing rounds and detection up to k−1 rounds late — so keep the
-    * default 1 when `maxRounds` is a tight diameter budget, and raise it
-    * for shallow graphs (near-dup clusters) where job latency dominates.
+    * fuse into one multi-stage job (k× fewer driver round-trips and
+    * materializations). Costs, stated honestly: up to k−1 idempotent
+    * trailing rounds, detection up to k−1 rounds late, and because each
+    * round references its input twice, in-gap subtrees are DUPLICATED in
+    * the fused plan — Catalyst's exchange reuse collapses the identical
+    * aggregate subtrees (measured net-faster at sf0.1 on the near-dup
+    * entry), but this does NOT generalize: the star rewrites' 4-way
+    * self-reference defeats reuse and fusion is 7× slower there (see
+    * [[alternatingStar]]). Keep the default 1 when `maxRounds` is a
+    * tight diameter budget or the per-round frame is expensive; raise it
+    * for shallow graphs where job latency dominates.
     */
   def labelPropagation(
       edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1): DataFrame = {
@@ -127,7 +133,17 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Alternating large-star/small-star. Returns (node, label). */
+  /** Alternating large-star/small-star. Returns (node, label).
+    *
+    * Measured NEGATIVE result, recorded so it is not re-tried: fusing
+    * star rounds between probes (the [[labelPropagation]] probeEvery
+    * trick) is 7× SLOWER here (36.7 s vs 5.0 s at sf0.1). Each rewrite
+    * references its input ~4 times (sym union + degree-min join), so an
+    * unmaterialized k-round chain recomputes the oldest round up to
+    * 4^(k−1)× — Catalyst's exchange reuse does not deduplicate the
+    * union/distinct-shaped subtrees. Per-round materialization is
+    * load-bearing for multiply-self-referential rewrites.
+    */
   def alternatingStar(edges: DataFrame, maxRounds: Int = 25): DataFrame =
     alternatingStarWithRounds(edges, maxRounds)._1
 
@@ -160,14 +176,13 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxRounds) {
       iter += 1
-      val stepped = smallStar(largeStar(e))
-      // ~4 shuffles per round: truncate lineage more often than the
-      // propagation loop does.
-      val next = if (iter % 3 == 0) stepped.localCheckpoint() else stepped.cache()
+      // Per-round materialization is LOAD-BEARING here (see
+      // alternatingStar scaladoc): the rewrite references its input ~4
+      // times, so a lazy chain recomputes exponentially.
+      val next = smallStar(largeStar(e)).localCheckpoint()
       val ns = sig(next)
       converged = ns == s
       s = ns
-      e.unpersist(blocking = false)
       e = next
     }
     require(converged, s"alternating star did not converge in $maxRounds rounds")
@@ -177,7 +192,6 @@ object ConnectedComponents {
     val out = sym.groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
       .localCheckpoint()
-    e.unpersist(blocking = false)
     (out, iter)
   }
 }
