@@ -241,6 +241,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!ic.contains("SortMergeJoin"), s"emb_ivf_cells: corpus shuffled to join\n$ic")
   }
 
+  test("round-7 wave-2 entries keep their declared scale shapes") {
+    // Compaction: ONE keyed exchange with map-side partial argmax — a
+    // ranking window would add a sort, a self-join a second shuffle.
+    val ls = plan("events_latest_state")
+    assert(countOf(ls, "Exchange hashpartitioning") == 1 && !ls.contains("Window"),
+      s"events_latest_state: expected one exchange, no window\n$ls")
+    // Window-family and gap-fill windows are USER-partitioned: a global
+    // (single-partition) window would appear as Exchange SinglePartition.
+    Seq("events_window_family", "events_resample_1h").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: single-partition stage crept in\n$p")
+    }
+    // The RI audit's four relationship legs are all anti joins — an
+    // inner+filter would materialize matches.
+    val ri = plan("tpch_ri_audit")
+    assert(countOf(ri, "LeftAnti") == 4, s"tpch_ri_audit: expected 4 anti joins\n$ri")
+  }
+
   test("Q21 re-probes the late frame through a reused exchange (AQE runtime reuse)") {
     // The scaladoc claim at TpchExtCatalog.tpchQ21: three probes shuffle
     // on the same order key and AQE can serve the anti probe's `late`
