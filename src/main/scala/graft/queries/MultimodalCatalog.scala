@@ -87,5 +87,33 @@ object MultimodalCatalog {
                                         for i in range(1, len + 1, scale)], '')) AS checksum
             FROM s"""))
 
-  val all: Seq[CatalogEntry] = Seq(mediaDecode, mediaFrames, mediaFeatures, mediaResize)
+  /** Byte-identical media dedup — the asset-level pass a multimodal
+    * corpus runs before any expensive perceptual hashing: md5 over the
+    * RAW payload bytes, one uniform hash-shuffle keyed on (kind,
+    * checksum), keep the smallest media_id as canonical. The checksum
+    * is computed on the binary column (no decode), so the pass costs a
+    * linear scan at any corpus size; DuckDB mirrors it on the same bytes
+    * (the payload IS the document's UTF-8 text by construction of the
+    * synthetic media lake, `Multimodal.mediaTable`).
+    */
+  val mediaDedup: CatalogEntry = CatalogEntry(
+    "media_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.mediaDataset(s, d).toDF()
+        .select(col("media_id"), col("kind"), md5(col("data")).as("checksum"))
+        .groupBy("kind", "checksum")
+        .agg(min("media_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""SELECT kind, md5(text) AS checksum,
+                   MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+            FROM (SELECT doc_id,
+                         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                         text
+                  FROM documents)
+            GROUP BY kind, checksum"""))
+
+  val all: Seq[CatalogEntry] =
+    Seq(mediaDecode, mediaFrames, mediaFeatures, mediaResize, mediaDedup)
 }
