@@ -292,4 +292,20 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("catalog-wide PlanLint: no entry carries a hard scale-killer") {
+    // The logical-level companion of the cartesian audit: every entry's
+    // optimized plan must be free of PlanLint ERROR findings
+    // (cartesian-join on non-scalar sides, global-window, repartition-1).
+    // Entries whose build runs eagerly (localCheckpoint pipelines)
+    // return a flat LogicalRDD — their internals are linted by their own
+    // operator specs; here the returned frame still must be clean.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val errs = graft.operators.PlanLint.errors(
+        SparkEntry.queries(q)(TestSpark.spark, sf0001))
+      if (errs.nonEmpty) Some(q -> errs.map(f => s"${f.rule}: ${f.detail}")) else None
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (q, e) => s"$q -> ${e.mkString("; ")}" }.mkString("\n"))
+  }
 }
