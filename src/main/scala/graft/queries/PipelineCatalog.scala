@@ -741,17 +741,7 @@ object PipelineCatalog {
     */
   val eventsKeySkew: CatalogEntry = CatalogEntry(
     "events_key_skew",
-    (s, d) => {
-      val per = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
-      per.agg(count(lit(1)).as("n_keys"), max("c").as("max_cnt"),
-          sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
-        .select(col("n_keys"), col("max_cnt"),
-          round(col("sx") / col("n_keys"), 6).as("mean_cnt"),
-          round(col("max_cnt") * col("n_keys") / col("sx"), 6).as("skew_ratio"),
-          round(sqrt(col("sx2") / col("n_keys") -
-            (col("sx") / col("n_keys")) * (col("sx") / col("n_keys"))) /
-            (col("sx") / col("n_keys")), 6).as("cv"))
-    },
+    (s, d) => Transforms.keySkewFold(Transforms.keyCounts(Tables.events(s, d))),
     Some("""SELECT n_keys, max_cnt,
                    ROUND(sx / n_keys, 6) AS mean_cnt,
                    ROUND(max_cnt * n_keys / sx, 6) AS skew_ratio,

@@ -71,6 +71,27 @@ object Transforms {
       col("last.event_id").as("last_event_id"),
       col("last.event_type").as("last_type"), col("last.value").as("last_value"))
 
+  /** Per-user event counts — the state side of the key-skew report.
+    * count is associative, so the same aggregate runs as update-mode
+    * streaming state (the live skew monitor feeding a salting decision)
+    * and as the batch first stage of `events_key_skew`; the scalar skew
+    * fold ([[keySkewFold]]) is a batch read over the upserted counts.
+    */
+  def keyCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(count(lit(1)).as("c"))
+
+  /** The scalar fold of [[keyCounts]] state into the skew statistics
+    * (exact integer moments → one-shot IEEE derivations). */
+  def keySkewFold(counts: DataFrame): DataFrame =
+    counts.agg(count(lit(1)).as("n_keys"), max("c").as("max_cnt"),
+        sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
+      .select(col("n_keys"), col("max_cnt"),
+        round(col("sx") / col("n_keys"), 6).as("mean_cnt"),
+        round(col("max_cnt") * col("n_keys") / col("sx"), 6).as("skew_ratio"),
+        round(sqrt(col("sx2") / col("n_keys") -
+          (col("sx") / col("n_keys")) * (col("sx") / col("n_keys"))) /
+          (col("sx") / col("n_keys")), 6).as("cv"))
+
   /** Per-type z-score moment state: DECIMAL-exact Σx and Σx² plus the
     * exact count — the sufficient statistics for mean/variance. All
     * three are associative sums, so the same aggregation runs as

@@ -52,7 +52,12 @@ object StreamingQueries {
     // argmax on (ts, event_id) is associative, so each micro-batch
     // folds into the same per-user latest-state row the batch entry
     // computes.
-    "events_latest_state" -> Transforms.latestState)
+    "events_latest_state" -> Transforms.latestState,
+    // Key-count state for the LIVE skew monitor: count is associative;
+    // Transforms.keySkewFold over the upserted counts yields the same
+    // statistics as the batch events_key_skew entry — the signal that
+    // triggers salting before the hot key melts an executor.
+    "events_key_counts" -> Transforms.keyCounts)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -187,6 +187,37 @@ class StreamingSpec extends AnyFunSuite {
       "streamed moment state diverges from the batch stats pass")
   }
 
+  test("streaming key-count state folds to the batch skew report") {
+    import graft.queries.Transforms
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-06-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 5,
+        "view", 1.0, ""))
+    // Burst 2 hammers one hot key so the skew statistics are non-trivial.
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-06-1${(i % 9).toInt} 1${i % 10}:45:00"), if (i % 4 == 0) 3L else i % 11,
+        "click", 1.0, ""))
+    val sinkId = s"skew-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_key_counts", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Sinks.clear(sinkId)
+    val streamed = Transforms.keySkewFold(counts.toDF("user_id", "c"))
+      .collect().map(_.toSeq).head
+    val batch = Transforms.keySkewFold(Transforms.keyCounts(
+      (fb1 ++ fb2).toDF(eventCols: _*))).collect().map(_.toSeq).head
+    assert(streamed == batch, s"live skew state diverges: $streamed vs $batch")
+    assert(batch(3).asInstanceOf[Double] > 1.5, s"hot key not visible in skew_ratio: $batch")
+  }
+
   test("streaming latest-state view converges to the batch compaction") {
     import graft.queries.Transforms
     val fb1: Seq[Ev] = (1L to 60L).map(i =>
