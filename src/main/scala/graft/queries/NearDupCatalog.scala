@@ -509,9 +509,12 @@ object NearDupCatalog {
   val dupClusters: CatalogEntry = CatalogEntry(
     "doc_dup_clusters",
     (s, d) => graft.operators.ConnectedComponents
-      // Near-dup graphs are shallow (near-cliques): probe every 3 rounds
-      // so the gap's rounds fuse into one job — see the operator scaladoc.
-      .labelPropagation(lshEdges(s, d), probeEvery = 3)
+      // probeEvery measured a WASH here (2.6–3.4 s at sf0.1 for both 1
+      // and 3, within run variance): the LSH pair derivation dominates
+      // the entry, so per-round probing keeps the simpler default. The
+      // fused cadence stays available on the operator for graphs where
+      // job latency, not edge work, is the bottleneck.
+      .labelPropagation(lshEdges(s, d), probeEvery = 1)
       .toDF("doc_id", "cluster_id").orderBy("doc_id"),
     dupClustersOracle)
 
