@@ -15,7 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional focus filter, mirroring Bench: SPARK_GRAFT_ONLY=a,b dumps
+    // a subset (fast iteration on one entry); a typo'd name exits 2
+    // instead of producing a vacuous run. The oracle json is filtered to
+    // the same subset so the DuckDB compare stays 1:1 with the dumps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[verify] unknown SPARK_GRAFT_ONLY entries: ${unknown.mkString(",")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,6 +56,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
