@@ -569,6 +569,60 @@ object NearDupCatalog {
            SELECT node AS doc_id, r FROM r$PrIters ORDER BY doc_id"""
     })
 
+  /** Triangle count + local clustering coefficient over the near-dup
+    * graph — the density diagnostic that separates CLIQUE-like
+    * duplication neighbourhoods (template families, boilerplate — high
+    * coefficient, safe to collapse to one canonical doc) from CHAIN-like
+    * ones (drifting revisions — low coefficient, collapsing loses
+    * distinct content). Standard distributed triangle enumeration: on
+    * min-id-oriented edges (a<b), join two-paths b⋈c through a, then a
+    * semi join against the edge set closes each wedge — work ∝ Σ deg²,
+    * never all-triples. Coefficient = 2T / (deg·(deg−1)) from exact
+    * integers, rounded once.
+    */
+  val graphTriangles: CatalogEntry = CatalogEntry(
+    "doc_graph_triangles",
+    (s, d) => {
+      val e = lshEdges(s, d) // (doc_a < doc_b), unique
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .cache()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      // Wedges u<v<w centered anywhere: ordered edges (u,v) and (u,w),
+      // v<w; the closing edge (v,w) is ordered too, so ONE semi join.
+      val wedges = e.as("x").join(e.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+      val tris = wedges.join(e.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"), "left_semi")
+      val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("tri"))
+      val out = deg.join(perNode, Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("triangles"))
+        .withColumn("clustering_coef",
+          when(col("deg") < 2, lit(0.0))
+            .otherwise(round(col("triangles") * 2 / (col("deg") * (col("deg") - 1)), 6)))
+        .localCheckpoint()
+      e.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH RECURSIVE $lshPairsCtesSql,
+               e AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs),
+               sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+               deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+               tri AS (SELECT x.u AS a, x.v AS b, y.v AS c
+                       FROM e x JOIN e y ON y.u = x.u AND x.v < y.v
+                       WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = x.v AND z.v = y.v)),
+               pn AS (SELECT n AS u, COUNT(*) AS tri FROM (
+                        SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri) GROUP BY n)
+             SELECT deg.u AS doc_id, deg.deg, COALESCE(pn.tri, 0) AS triangles,
+                    CASE WHEN deg.deg < 2 THEN 0.0
+                         ELSE ROUND(COALESCE(pn.tri, 0) * 2 / (deg.deg * (deg.deg - 1)), 6)
+                    END AS clustering_coef
+             FROM deg LEFT JOIN pn ON pn.u = deg.u"""))
+
   /** Containment coverage profile — the asymmetric dedup signal Jaccard
     * misses: a short document fully quoted inside a longer one has
     * containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| stays far below
@@ -632,5 +686,5 @@ object NearDupCatalog {
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, dupClusters, dupClustersStar,
-    pagerank)
+    pagerank, graphTriangles)
 }
