@@ -569,6 +569,72 @@ object NearDupCatalog {
            SELECT node AS doc_id, r FROM r$PrIters ORDER BY doc_id"""
     })
 
+  /** Containment detection, PREFIX-FILTERED — the scale path of
+    * [[containmentProfile]] for the question that matters operationally:
+    * which docs are at least HALF-covered by another same-source doc
+    * (t = 1/2), with their exact max coverage and cover count. The
+    * Chaudhuri prefix bound transfers to the asymmetric measure:
+    * |A∩B| ≥ t·|A| forces at least one of A's first n − ⌈t·n⌉ + 1
+    * df-ordered grams to occur in B, so candidates come from SUBJECT
+    * prefixes joined against the full index — hot grams sit outside
+    * every prefix and never generate candidates. Exactness for the
+    * reported docs: every pair with containment ≥ t survives the
+    * filter, and a qualifying doc's true max IS such a pair; sub-t
+    * pairs may be pruned but can never be the max of a doc that
+    * qualifies. ⌈n/2⌉ computes on n/2.0 — exact in binary, no float
+    * boundary can shorten a prefix (unlike 3/10, cf. [[prefixSide]]).
+    */
+  private[graft] def containmentCoveredFrom(docs: DataFrame): DataFrame = {
+      val perDoc = perDocByDf(bigramIndex(docs)).cache()
+      val subjPrefix = perDoc.select(col("doc_id"), col("source"),
+        explode(slice(col("gs"), lit(1),
+          (col("n") - ceil(col("n") / 2.0) + 1).cast("int"))).as("bg"))
+      val full = perDoc.select(col("doc_id"), col("source"), explode(col("gs")).as("bg"))
+      val cand = subjPrefix.as("a").join(full.as("b"),
+          col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val out = cand
+        .join(perDoc.select(col("doc_id").as("da"), col("gsrt").as("gs_a"), col("n").as("na")),
+          Seq("da"))
+        .join(perDoc.select(col("doc_id").as("db"), col("gsrt").as("gs_b")), Seq("db"))
+        .select(col("da"), col("na"),
+          graft.functions.Text.bound(
+            graft.functions.Text.intersectCardSorted(col("gs_a"), col("gs_b"))) { ni =>
+            round(ni / col("na"), 6)
+          }.as("cont"))
+        .filter(col("cont") >= 0.5)
+        .groupBy(col("da").as("doc_id"), col("na").as("n_grams"))
+        .agg(max("cont").as("max_containment"),
+          count(lit(1)).as("n_half_covering"))
+        .localCheckpoint()
+      perDoc.unpersist(blocking = false)
+      out
+  }
+
+  val containmentCovered: CatalogEntry = CatalogEntry(
+    "doc_containment_covered",
+    (s, d) => containmentCoveredFrom(documents(s, d)),
+    Some(
+      raw"""WITH bg AS (
+              SELECT DISTINCT doc_id, source, bg FROM (
+                SELECT doc_id, source, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS bg
+                FROM (SELECT doc_id, source, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                      FROM documents))),
+            sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+            ni AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+                   FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+          SELECT ni.da AS doc_id, za.n AS n_grams,
+                 MAX(ROUND(n_inter / za.n, 6)) AS max_containment,
+                 CAST(SUM(CASE WHEN ROUND(n_inter / za.n, 6) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_half_covering
+          FROM ni JOIN sz za ON za.doc_id = ni.da
+          GROUP BY ni.da, za.n
+          HAVING MAX(ROUND(n_inter / za.n, 6)) >= 0.5"""))
+
   /** Triangle count + local clustering coefficient over the near-dup
     * graph — the density diagnostic that separates CLIQUE-like
     * duplication neighbourhoods (template families, boilerplate — high
@@ -685,6 +751,6 @@ object NearDupCatalog {
           FROM sz LEFT JOIN c ON c.da = sz.doc_id"""))
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix, containmentProfile, dupClusters, dupClustersStar,
-    pagerank, graphTriangles)
+    ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
+    dupClusters, dupClustersStar, pagerank, graphTriangles)
 }

@@ -124,6 +124,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(out.collect().map(_.toSeq).toSet == naive)
   }
 
+  test("containment catches a short doc quoted inside a longer one; Jaccard misses it") {
+    // B's 5 distinct bigrams all occur in A (B fully quoted); A has 11 —
+    // containment(B→A) = 1.0 while Jaccard = 5/11 ≈ 0.45 < 0.5. C shares
+    // nothing. The covered entry must report B (and A at 5/11 < 0.5: absent).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "s0", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s0", 0L),
+      (3L, "totally different words here entirely", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.NearDupCatalog.containmentCoveredFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toList
+    assert(got == List((2L, 1.0, 1L)), s"got $got")
+  }
+
   test("doc_dup_clusters: LSH-pair fixpoint reached, no cached frames left behind") {
     spark.sharedState.cacheManager.clearCache()
     val labels = run("doc_dup_clusters")
