@@ -539,6 +539,120 @@ object EmbeddingCatalog {
                ON l.query_id = b.query_id AND l.vec_id = b.vec_id
              GROUP BY b.query_id"""))
 
+  private val PqM = 8 // subspaces
+  private val PqS = Dim / PqM // dims per subspace
+  private val PqShortlist = 64
+
+  /** Product-quantization ANN (PQ/ADC — Jégou et al. 2011), completing
+    * the quantization family next to [[knnSq8]]: each vector compresses
+    * to 8 one-byte codes (one nearest-centroid id per 8-dim subspace;
+    * codebooks = the same frozen data-sampled centroids the IVF entries
+    * use, sub-sliced), a query precomputes an 8×16 dot-product table,
+    * and the asymmetric-distance shortlist score is the SUM of table
+    * lookups — the corpus is scanned in code space (8 B/vector vs 256 B
+    * floats), then exact cosine reranks the top-64 only.
+    *
+    * Cross-engine exactness: each table cell is rounded then carried as
+    * DECIMAL(18,6), so the 8-term ADC sum is associative-exact (a double
+    * sum would be partition-order-dependent and could flip shortlist
+    * boundaries); code assignment argmins ROUNDED squared L2 with min-id
+    * ties. At 100 TB the ADC pass is the scale winner of the family:
+    * the shuffle keys on (subspace, code) against a 1024-row broadcast
+    * table and the rerank touches 64 rows per query.
+    */
+  val knnPq: CatalogEntry = CatalogEntry(
+    "emb_knn_pq",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      def d2Chunk(v: String, c: String, j: Int): Column = round(expr(
+        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
+             (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+      def dotChunk(v: String, c: String, j: Int): Column = round(expr(
+        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
+             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+      // Encode: per vector per subspace, the L2-nearest centroid chunk.
+      val aggs = (0 until PqM).map(j =>
+        min(struct(d2Chunk("embedding", "cemb", j).as("d2"), col("cid").as("cid"))).as(s"b$j"))
+      val codes = emb.crossJoin(broadcast(cent))
+        .groupBy("vec_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("vec_id").as("cand_id") +:
+          (0 until PqM).map(j => col(s"b$j.cid").as(s"c$j")): _*)
+      val codeRows = codes.select(col("cand_id"), explode(array(
+          (0 until PqM).map(j => struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
+        .select(col("cand_id"), col("jc.j").as("j"), col("jc.code").as("code"))
+      // Per-query ADC table: 8 queries × 8 subspaces × 16 codes.
+      val qtab = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("cid"), explode(array(
+          (0 until PqM).map(j => struct(lit(j).as("j"),
+            dotChunk("qemb", "cemb", j).cast("decimal(18,6)").as("t"))): _*)).as("jt"))
+        .select(col("query_id"), col("jt.j").as("j"), col("cid").as("code"), col("jt.t").as("t"))
+      val approx = codeRows.join(broadcast(qtab), Seq("j", "code"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("t")).as("ap"))
+      val topc = udaf(new graft.combine.TopNAgg(PqShortlist))
+      val cands = approx.groupBy("query_id")
+        .agg(topc(col("ap").cast("double"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("pq_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("pq_cand"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some {
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            js AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j),
+            esub AS (SELECT e.vec_id, js.j, e.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS a
+                     FROM embeddings e CROSS JOIN js),
+            csub AS (SELECT c.cid, js.j, c.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS b
+                     FROM cent c CROSS JOIN js),
+            codes AS (
+              SELECT vec_id AS cand_id, j, cid AS code FROM (
+                SELECT e.vec_id, e.j, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id, e.j ORDER BY
+                    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [(CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) * (CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
+                      (acc, v) -> acc + v), 6) ASC, c.cid ASC) AS rn
+                FROM esub e JOIN csub c ON c.j = e.j) WHERE rn = 1),
+            qtab AS (
+              SELECT e.vec_id AS query_id, e.j, c.cid AS code,
+                     CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(e.a[i] AS DOUBLE) * CAST(c.b[i] AS DOUBLE) for i in range(1, ${PqS + 1})]),
+                       (acc, v) -> acc + v), 6) AS DECIMAL(18,6)) AS t
+              FROM esub e JOIN csub c ON c.j = e.j WHERE e.vec_id < $NQueries),
+            approx AS (
+              SELECT qt.query_id, cd.cand_id, SUM(qt.t) AS ap
+              FROM codes cd JOIN qtab qt ON qt.j = cd.j AND qt.code = cd.code
+              WHERE cd.cand_id != qt.query_id GROUP BY 1, 2),
+            shortlist AS (
+              SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(CAST(ap AS VARCHAR) AS DOUBLE) DESC, cand_id) AS rn
+                FROM approx) WHERE rn <= $PqShortlist)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT s.query_id, c.vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY s.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM shortlist s JOIN embeddings c ON c.vec_id = s.cand_id
+            JOIN embeddings q ON q.vec_id = s.query_id) WHERE rn <= $K"""
+    })
+
   /** Filtered ANN — metadata-constrained vector search, the shape every
     * production retrieval system needs ("nearest neighbours WHERE
     * label = X"): top-K restricted to candidates sharing the query's
@@ -623,6 +737,6 @@ object EmbeddingCatalog {
     })
 
   val all: Seq[CatalogEntry] =
-    Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8,
+    Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded)
 }
