@@ -232,6 +232,92 @@ object JoinCatalog {
                    (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
                     WHERE n.n_nationkey IS NULL)"""))
 
+  /** Record linkage by blocked edit distance: customer pairs in the same
+    * nation whose names are ≤ 1 Levenshtein edit apart. The canonical
+    * fuzzy-match shape: a BLOCKING key (nation) bounds the candidate set
+    * to within-block pairs, the expensive distance runs only on
+    * candidates, `key_a < key_b` halves the fan-out. Levenshtein is
+    * integer-exact, so the oracle comparison is dialect-free.
+    *
+    * 100 TB shape: blocking is the whole ballgame — candidates scale
+    * with Σ block², so a low-cardinality block key (nation alone:
+    * measured 12 s at sf0.1, block-quadratic) cannot be the candidate
+    * generator. Instead: SYMSPELL deletion-neighborhood blocking — every
+    * name emits {itself} ∪ its delete-one-char variants as join keys,
+    * and any pair at distance ≤ 1 provably collides on one (a
+    * substitution at p collides on both sides' delete-at-p variant; an
+    * insertion/deletion collides on the shorter string's self key).
+    * Candidates scale with KEY collisions (near-linear on real name
+    * data), not block size; the ~(len+1)× key fan-out is the price, paid
+    * in a map-side explode. Distance-2 accidental collisions
+    * (delete-i ∩ delete-j) are removed by the verifier: the BANDED
+    * levenshtein(l, r, threshold) — O(len·k) with early exit, −1 above
+    * threshold — so the final filter is a null-free integer comparison.
+    * Measured at sf0.1: nation-block full DP 12 s → banded 5.5 s →
+    * SymSpell blocking + banded in BENCH_r07.
+    */
+  val customerFuzzyMatch: CatalogEntry = CatalogEntry(
+    "customer_fuzzy_match",
+    (s, d) => {
+      val c = t("customer")(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val keyed = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        explode(array_distinct(concat(array(col("c_name")),
+          expr("""transform(sequence(1, length(c_name)),
+                    i -> concat(substring(c_name, 1, i - 1),
+                                substring(c_name, i + 1, length(c_name) - i)))""")))).as("blk"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("key_a"), col("a.c_name").as("name_a"),
+          col("b.c_custkey").as("key_b"), col("b.c_name").as("name_b"))
+        .distinct()
+        .select(col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b"), 1).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
+    },
+    Some("""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1"""))
+
+  /** Semi-join of the fact table against a filtered key set, with an
+    * explicit Bloom prefilter: the URGENT orders' key set builds a Bloom
+    * filter that drops non-candidate lineitem rows BEFORE the shuffle;
+    * the exact left-semi join then removes the false positives, so the
+    * result is exactly `WHERE l_orderkey IN (…)`. This is the manual form
+    * of the runtime filter AQE injects (PlanSpec proves our join shapes
+    * are eligible) — kept as a first-class operator for the case the
+    * planner can't see: a key set computed OUTSIDE the query (a prior
+    * job, a dedup keep-list) that is too big to broadcast as a hash
+    * relation but fits as bits. 1M keys at 1% fpp ≈ 1.2 MB of bloom vs
+    * ~20 MB of hashed longs; at 100 TB the filter ships to every executor
+    * once and the shuffle carries only true-ish matches.
+    */
+  val lineitemBloomSemi: CatalogEntry = CatalogEntry(
+    "lineitem_bloom_semi",
+    (s, d) => {
+      val keys = t("orders")(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val bf = keys.stat.bloomFilter("o_orderkey", math.max(keys.count(), 1000L), 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bc.value.mightContain(k))
+      t("lineitem")(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(keys, col("l_orderkey") === col("o_orderkey"), "leftsemi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+                    ${sqlSum("l_quantity")} AS sum_qty
+             FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+             GROUP BY l_returnflag"""))
+
   val all: Seq[CatalogEntry] =
-    Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit)
+    Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
+      customerFuzzyMatch, lineitemBloomSemi)
 }

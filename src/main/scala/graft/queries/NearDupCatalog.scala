@@ -750,7 +750,104 @@ object NearDupCatalog {
                  CAST(COALESCE(c.n_half_covering, 0) AS BIGINT) AS n_half_covering
           FROM sz LEFT JOIN c ON c.da = sz.doc_id"""))
 
+  /** Cross-document repeated-span inventory — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every 8-token span that occurs in ≥ 2 documents,
+    * with its document count, total occurrence count (within-doc repeats
+    * included — hence [[graft.functions.Text.wordNgrams]] raw, not the
+    * distinct shingle set), and earliest carrier. Distinct from
+    * `doc_decontaminate` (which flags corpus docs against a designated
+    * benchmark slice): this is the corpus-global span census a
+    * span-removal pass consumes.
+    *
+    * 100 TB shape: per-row n-gram projection, then ONE hash-shuffle
+    * keyed on the span — uniform high-cardinality key, the same
+    * single-aggregate topology as exact dedup. Output is keyed by the
+    * span's md5 so the result stays narrow no matter the span width; the
+    * suffix-array formulation the paper uses is the single-machine
+    * equivalent — the shuffle IS the distributed sort it replaces.
+    */
+  val dupSpans: CatalogEntry = CatalogEntry(
+    "doc_dup_spans",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.wordNgrams(
+          graft.functions.Text.normTokens(col("text")), 8)).as("g"))
+      .groupBy("g")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(md5(col("g")).as("span_hash"), col("n_docs"), col("n_occ"),
+        col("first_doc")),
+    Some(
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                       FROM documents),
+                g AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                        ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS g
+                      FROM t)
+            SELECT md5(g) AS span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+            FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2"""))
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995):
+    * sort the corpus by its normalized text, compare each doc only to its
+    * w−1 = 2 successors in the total order, keep pairs at Jaccard ≥ 0.5
+    * on 3-shingles. The third candidate-generation scheme next to LSH
+    * banding and gram blocking: near-identical texts are lexicographic
+    * neighbors, so the candidate count is ≤ (w−1)·n — linear, no
+    * all-pairs join, no hash buckets.
+    *
+    * 100 TB shape: the global order comes from
+    * [[graft.operators.GlobalRank]] (range shuffle + zipWithIndex), NOT
+    * an unpartitioned window — no single-task sort. Neighbor pairing is
+    * an equi-join on rank+offset (narrow, uniform), and verification
+    * reuses the sorted-shingle linear merge from the LSH path. The
+    * window w trades recall for cost exactly as in the paper; multi-pass
+    * SNM (different sort keys per pass) composes by unioning pair lists.
+    */
+  val sortedNeighborhood: CatalogEntry = CatalogEntry(
+    "doc_sorted_neighborhood",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("k"),
+        sort_array(graft.functions.Text.shingles(col("text"), 3)).as("shs"))
+      val ranked = graft.operators.GlobalRank
+        .withRank(docs, Seq(col("k"), col("doc_id")), 32, "r").cache()
+      val probes = ranked.select(col("doc_id").as("da"), col("shs").as("shs_a"),
+          col("r"), explode(array(lit(1L), lit(2L))).as("off"))
+        .select(col("da"), col("shs_a"), (col("r") + col("off")).as("r"))
+      val out = probes.join(ranked.select(col("r"), col("doc_id").as("db"),
+          col("shs").as("shs_b")), Seq("r"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          graft.functions.Text.bound(
+            graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
+            round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
+          }.as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .localCheckpoint()
+      ranked.unpersist(blocking = false)
+      out
+    },
+    Some(
+      s"""WITH sh AS ($shinglesSql),
+              k AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS k
+                    FROM documents),
+              r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM k),
+              p AS (SELECT a.doc_id AS da, b.doc_id AS db
+                    FROM r a JOIN r b ON b.r - a.r IN (1, 2)),
+              ni AS (SELECT p.da, p.db, count(*) AS n_inter
+                     FROM p JOIN sh x ON x.doc_id = p.da
+                            JOIN sh y ON y.doc_id = p.db AND y.sh = x.sh
+                     GROUP BY 1, 2),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+          SELECT LEAST(ni.da, ni.db) AS doc_a, GREATEST(ni.da, ni.db) AS doc_b,
+                 ROUND(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+          FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
+          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= $JaccardThreshold"""))
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
-    dupClusters, dupClustersStar, pagerank, graphTriangles)
+    dupClusters, dupClustersStar, pagerank, graphTriangles, dupSpans,
+    sortedNeighborhood)
 }

@@ -1092,6 +1092,60 @@ object PipelineCatalog {
              AND b.ts >= a.ts - INTERVAL 5 MINUTE
              AND b.ts <= a.ts + INTERVAL 5 MINUTE"""))
 
+  /** PII scan + redaction (emails / IPv4 / phone numbers → typed
+    * placeholders) — the scrubbing pass every crawl corpus goes through
+    * before training. The synthetic corpus is digit-free, so to keep the
+    * oracle NON-vacuous each doc first derives a deterministic
+    * PII-bearing suffix (an email always; an IP on even ids; a phone on
+    * ids ≡ 0 mod 3) — both engines derive the identical string, then the
+    * scan counts and the redactor rewrites it, so the regex semantics
+    * themselves (dialect, greediness, replace-all) are what the hash
+    * compare certifies. Patterns are RE2-compatible (Text.redactPii), so
+    * the same source strings run under Java regex (Spark) and RE2
+    * (DuckDB).
+    *
+    * 100 TB shape: pure per-row projection — three regex passes inside
+    * whole-stage codegen, zero shuffles. Behavioral contract (ordering:
+    * email before IP before phone, so an email's dotted local part is
+    * never bitten by the narrower patterns) is pinned in TextSpec.
+    */
+  val piiRedact: CatalogEntry = CatalogEntry(
+    "doc_pii_redact",
+    (s, d) => {
+      val id = col("doc_id")
+      val tainted = concat(
+        col("text"),
+        lit(" contact user"), id.cast("string"), lit("@crawl.example.com"),
+        when(id % 2 === 0,
+          concat(lit(" from 10."), (id % 200).cast("string"), lit(".0."),
+            ((id * 7) % 250).cast("string"))).otherwise(lit("")),
+        when(id % 3 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+      documents(s, d).select(
+        col("doc_id"),
+        Text.piiCount(tainted).cast("long").as("n_pii"),
+        Text.redactPii(tainted).as("redacted"))
+    },
+    Some(raw"""WITH t AS (
+                 SELECT doc_id,
+                        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@crawl.example.com'
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                         || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+                                  ELSE '' END
+                          || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END AS tx
+                 FROM documents)
+               SELECT doc_id,
+                      CAST(len(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         + len(regexp_extract_all(tx, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                         + len(regexp_extract_all(tx, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii,
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(tx,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+               FROM t"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1100,5 +1154,6 @@ object PipelineCatalog {
       eventsResample,
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
-      eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum)
+      eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
+      piiRedact)
 }

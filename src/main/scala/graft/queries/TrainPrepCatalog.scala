@@ -367,7 +367,74 @@ object TrainPrepCatalog {
                      FROM documents))
              WHERE rn <= $SampleK"""))
 
+  /** Distribution drift between the train and val splits: total-variation
+    * distance between their unigram distributions, plus vocabulary sizes
+    * and overlap — the check that a hash split didn't skew token
+    * coverage (the same statistic monitors corpus drift between crawl
+    * snapshots). TV distance is chosen over KL/JS deliberately: it is
+    * PURE INTEGER ARITHMETIC until one final division —
+    * TV = Σ|c_t·N_v − v_t·N_t| / (2·N_t·N_v) over exact counts — no
+    * `ln()` libm call whose last bit differs across engines (same
+    * rationale as `doc_top_terms`' log-free tf-idf). The integer sum is
+    * order-independent, so the one double division is bit-identical
+    * everywhere.
+    *
+    * 100 TB shape: one (split, token) hash-aggregate over the corpus, a
+    * vocab-sized outer join of the two count vectors, and a scalar
+    * aggregate — the per-token counts fit in long until corpus sizes
+    * approach 2⁶³/N; the decimal widening is where the oracle's HUGEINT
+    * would go when they don't.
+    */
+  val splitDivergence: CatalogEntry = CatalogEntry(
+    "split_token_divergence",
+    (s, d) => {
+      val hx = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+      val toks = documents(s, d)
+        .select(when(hx < "e6", "train").when(hx < "f3", "val").as("split"),
+          explode(Text.normTokens(col("text"))).as("tok"))
+        .filter(col("split").isNotNull)
+      val cnt = toks.groupBy("tok").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv")).cache()
+      // The |c_t·N_v − c_v·N_t| sum needs the totals alongside every
+      // token row: broadcast the 1-row totals back onto the count vector.
+      val totals = cnt.agg(sum("ct").as("nt"), sum("cv").as("nv"))
+      val tv = cnt.crossJoin(broadcast(totals))
+        .agg(sum(abs(col("ct") * col("nv") - col("cv") * col("nt"))).as("num"),
+          first(col("nt")).as("nt"), first(col("nv")).as("nv"))
+        .select(round(col("num") / (lit(2.0) * col("nt") * col("nv")), 6).as("tv_distance"))
+      val stats = cnt.agg(
+        sum("ct").as("n_train_tokens"), sum("cv").as("n_val_tokens"),
+        sum(when(col("ct") > 0, 1L).otherwise(0L)).as("vocab_train"),
+        sum(when(col("cv") > 0, 1L).otherwise(0L)).as("vocab_val"),
+        sum(when(col("ct") > 0 && col("cv") > 0, 1L).otherwise(0L)).as("vocab_shared"))
+      val res = stats.crossJoin(tv).localCheckpoint()
+      cnt.unpersist(blocking = false)
+      res
+    },
+    Some(s"""WITH toks AS (
+               SELECT CASE WHEN hx < 'e6' THEN 'train'
+                           WHEN hx < 'f3' THEN 'val' END AS split,
+                      unnest(t) AS tok
+               FROM (SELECT substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx,
+                            $normToksSql AS t
+                     FROM documents)
+               WHERE hx < 'f3'),
+             cnt AS (SELECT tok,
+                            CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                            CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+                     FROM toks GROUP BY tok),
+             tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cv) AS BIGINT) AS nv FROM cnt)
+             SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM cnt) AS n_train_tokens,
+                    (SELECT CAST(SUM(cv) AS BIGINT) FROM cnt) AS n_val_tokens,
+                    (SELECT CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_train,
+                    (SELECT CAST(SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_val,
+                    (SELECT CAST(SUM(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_shared,
+                    (SELECT ROUND(CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
+                                  / (2.0 * MAX(nt) * MAX(nv)), 6)
+                     FROM cnt, tot) AS tv_distance"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
-    samplePerSource)
+    samplePerSource, splitDivergence)
 }

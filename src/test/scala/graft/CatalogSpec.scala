@@ -306,4 +306,40 @@ class CatalogSpec extends AnyFunSuite {
       .filter(col("active_users") > col("cohort_size")).count() == 0)
     got.unpersist()
   }
+
+  test("customer_fuzzy_match: blocked pairs equal the unblocked same-nation truth") {
+    val got = run("customer_fuzzy_match")
+      .select("key_a", "key_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, dd) => assert(a < b && dd <= 1, s"($a,$b,$dd)") }
+    // Ground truth via a driver-side all-pairs sweep (test scale only).
+    val cs = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_name", "c_nationkey")
+      .as[(Long, String, Int)].collect()
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val truth = (for {
+      a <- cs; b <- cs
+      if a._1 < b._1 && a._3 == b._3
+      dd = lev(a._2, b._2) if dd <= 1
+    } yield (a._1, b._1, dd.toLong)).toSet
+    assert(got == truth, s"fuzzy pairs: got ${got.size}, want ${truth.size}")
+  }
+
+  test("lineitem_bloom_semi: bloom prefilter changes nothing — equals the plain semi join") {
+    val got = run("lineitem_bloom_semi")
+      .select("l_returnflag", "n_items").as[(String, Long)].collect().toMap
+    val keys = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val want = Tables.lineitem(spark, sf0001)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"bloom semi diverged: $got vs $want")
+  }
 }

@@ -137,4 +137,29 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-4, s"source $src shares sum to $s")
     }
   }
+
+  test("split_token_divergence: a bounded metric over the real split totals") {
+    spark.sharedState.cacheManager.clearCache()
+    val r = run("split_token_divergence").collect().head
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "divergence left the count vector cached")
+    val (nt, nv) = (r.getAs[Long]("n_train_tokens"), r.getAs[Long]("n_val_tokens"))
+    val (vt, vv, vs) = (r.getAs[Long]("vocab_train"), r.getAs[Long]("vocab_val"),
+      r.getAs[Long]("vocab_shared"))
+    val tv = r.getAs[Double]("tv_distance")
+    assert(tv >= 0.0 && tv <= 1.0, s"TV distance out of range: $tv")
+    assert(vs <= math.min(vt, vv) && vt >= vs && vv >= vs)
+    assert(nt > nv, "train split should dominate token mass (~90/5 split)")
+    // Cross-check the token totals against a direct count of the split
+    // expression — the entry must partition exactly the train+val mass.
+    val direct = Tables.documents(spark, sf0001)
+      .select(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2).as("hx"),
+        size(split(expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"), " ").as("t")).as("n"))
+      .select(when(col("hx") < "e6", "train").when(col("hx") < "f3", "val").as("split"), col("n"))
+      .filter(col("split").isNotNull)
+      .groupBy("split").agg(sum("n").as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(direct("train") == nt && direct("val") == nv,
+      s"token totals drifted: direct=$direct entry=($nt,$nv)")
+  }
 }
