@@ -736,7 +736,47 @@ object EmbeddingCatalog {
           FROM assign GROUP BY cell"""
     })
 
+  /** Per-label centroid, long format (label, dim, centroid, n_vecs) — the
+    * class-summary statistic behind semantic dedup (cluster-then-keep),
+    * embedding drift monitors, and IVF seeding. Each (label, dim) cell is
+    * the mean of that dimension over the label's vectors, folded in
+    * vec_id order — the file-wide determinism device: a shuffled double
+    * SUM is not bit-stable, an ORDERED left fold is, and DuckDB's
+    * `list(v ORDER BY vec_id)` + list_reduce replays the identical
+    * sequence.
+    *
+    * 100 TB shape: posexplode is a per-row projection (64× fan-out of
+    * 8-byte cells, not of rows); ONE shuffle on (label, dim) — labels ×
+    * 64 keys, uniform. The collect_list group is bounded by the label's
+    * vector count — the ordered fold is the ORACLE-exactness device at
+    * test scale; at fleet scale the drop-in is a decimal-carried SUM
+    * (associative, any order), same note as `value_percentiles`'
+    * approx_percentile swap.
+    */
+  val labelCentroids: CatalogEntry = CatalogEntry(
+    "emb_label_centroids",
+    (s, d) => embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("""aggregate(array_sort(collect_list(struct(vec_id, v))),
+                          CAST(0.0 AS DOUBLE),
+                          (acc, s) -> acc + CAST(s.v AS DOUBLE))""").as("sum_v"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("sum_v") / col("n_vecs"), 6).as("centroid"), col("n_vecs")),
+    Some(
+      """SELECT label, CAST(dim AS BIGINT) AS dim,
+                ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                               list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+                                  (acc, x) -> acc + x) / COUNT(*), 6) AS centroid,
+                COUNT(*) AS n_vecs
+         FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) - 1 AS dim
+               FROM embeddings)
+         GROUP BY label, dim"""))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded)
+      knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      labelCentroids)
 }

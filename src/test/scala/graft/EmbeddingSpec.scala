@@ -127,4 +127,24 @@ class EmbeddingSpec extends AnyFunSuite {
       "recall hits diverge from a direct set intersection")
     got.unpersist()
   }
+
+  test("emb_label_centroids: full (label × dim) grid, means match a direct recount") {
+    val got = run("emb_label_centroids").cache()
+    val labels = Tables.embeddings(spark, sf0001).select("label").distinct().count()
+    assert(got.count() == labels * 64, "missing (label, dim) cells")
+    assert(got.filter(col("dim") < 0 || col("dim") > 63).count() == 0)
+    // n_vecs is constant across dims within a label and totals the table.
+    assert(got.groupBy("label").agg(countDistinct("n_vecs").as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(got.filter(col("dim") === 0).agg(sum("n_vecs")).as[Long].head() == total)
+    // One cell vs a driver-side mean.
+    val r = got.filter(col("label") === 0 && col("dim") === 0)
+      .select("centroid", "n_vecs").as[(Double, Long)].head()
+    val direct = Tables.embeddings(spark, sf0001).filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).cast("double")).as[Double].collect()
+    assert(r._2 == direct.length)
+    assert(math.abs(r._1 - direct.sum / direct.length) < 1e-6)
+    got.unpersist()
+  }
 }
