@@ -308,4 +308,33 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       offenders.map { case (q, e) => s"$q -> ${e.mkString("; ")}" }.mkString("\n"))
   }
+
+  test("round-7 wave-3 entries keep their declared scale shapes") {
+    // PII redaction is a pure projection: three regex passes inside the
+    // scan's codegen stage, zero exchanges.
+    val pii = plan("doc_pii_redact")
+    assert(countOf(pii, "Exchange") == 0, s"doc_pii_redact: unexpected exchange\n$pii")
+    // The span census is one uniform hash-shuffle keyed on the gram.
+    val ds = plan("doc_dup_spans")
+    assert(countOf(ds, "Exchange hashpartitioning") >= 1 && !ds.contains("Join"),
+      s"doc_dup_spans: expected a pure aggregate, no join\n$ds")
+    // SymSpell linkage: candidates come from the deletion-key equi-join —
+    // never a nested-loop/cartesian block sweep.
+    val fz = plan("customer_fuzzy_match")
+    assert(!fz.contains("CartesianProduct") && !fz.contains("BroadcastNestedLoopJoin"),
+      s"customer_fuzzy_match: quadratic join crept in\n$fz")
+    // Bloom semi: the exact semi join stays a semi join (the bloom UDF is
+    // a prefilter, never the authority).
+    val bs = plan("lineitem_bloom_semi")
+    assert(bs.contains("LeftSemi"), s"lineitem_bloom_semi: exact semi join lost\n$bs")
+    // Label centroids: ONE shuffle — the (label, dim) aggregate.
+    val lc = plan("emb_label_centroids")
+    assert(countOf(lc, "Exchange hashpartitioning") == 1,
+      s"emb_label_centroids: expected exactly one hash exchange\n$lc")
+    // The divergence entries' totals ride broadcasts; the count vector is
+    // never re-shuffled through a sort-merge join.
+    val dv = plan("split_token_divergence")
+    assert(!dv.contains("SortMergeJoin"),
+      s"split_token_divergence: totals not broadcast\n$dv")
+  }
 }
