@@ -152,6 +152,14 @@ object StreamingQueries {
     * state (old keys are evicted once the watermark passes; a duplicate
     * arriving later than the watermark would be re-admitted — the
     * standard bounded-state trade-off at 100 TB).
+    *
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the EVENT-TIME COLUMN is part
+    * of the dedup keys — keyed on the content hash alone its state grows
+    * forever, watermark or no watermark (the silent 100 TB killer this
+    * API exists for). The WithinWatermark form keys on the hash, stamps
+    * each state entry with its event time, and expires it at watermark +
+    * delay.
     */
   def streamingDedup(
       docs: DataFrame,
@@ -163,7 +171,7 @@ object StreamingQueries {
       .withColumn("content_hash",
         md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
   }
 
   /** Streaming form of the corpus-cleaning pipeline

@@ -365,10 +365,27 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(docs.drop(3): _*)
       q.processAllAvailable()
+      // In-watermark dedup: first of each content wins, 2 and 4 dropped.
+      val kept = Sinks.registry(sinkId).asScala.values.map(_.getLong(1)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+      // State EVICTION (the bounded-state contract): an event 3 h ahead
+      // advances the watermark past t0 + 1 h delay, expiring the "alpha
+      // beta" hash entry at the end of its micro-batch; the same content
+      // arriving in a LATER batch is then re-admitted — exactly the
+      // dropDuplicatesWithinWatermark trade-off the scaladoc documents
+      // (plain dropDuplicates keyed on the hash would keep the entry and
+      // drop doc 7 forever, i.e. unbounded state). The re-admitted row
+      // upserts its hash key in the sink, so doc 1's slot now shows 7.
+      val t3 = ts("2024-03-01 13:00:00")
+      input.addData((6L, t3, "watermark pusher"))
+      q.processAllAvailable()
+      input.addData((7L, t3, "alpha beta"))
+      q.processAllAvailable()
     } finally q.stop()
-    val kept = Sinks.registry(sinkId).asScala.values.map(_.getLong(1)).toSet
+    val finalKept = Sinks.registry(sinkId).asScala.values.map(_.getLong(1)).toSet
     Sinks.clear(sinkId)
-    assert(kept == Set(1L, 3L, 5L), s"kept $kept") // first of each content wins
+    assert(finalKept == Set(3L, 5L, 6L, 7L),
+      s"kept $finalKept — 7 must be re-admitted after its hash state expired")
   }
 
   test("streaming near-dup flags cross-batch LSH collisions via signature estimate") {
