@@ -846,8 +846,58 @@ object NearDupCatalog {
           FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
           WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= $JaccardThreshold"""))
 
+  /** The keep/drop DECISION over resolved dup clusters: per cluster, the
+    * survivor is the member with the most content (max whitespace-token
+    * count, ties to the smallest doc_id) — the production "keep best"
+    * policy, vs [[dupClusters]]' structural min-id label and
+    * cleanCorpus's min-id survivor. Emitted per cluster with its member
+    * count and the winning length, so a drop pass is one broadcast
+    * anti-join of keepers against the labeled corpus.
+    *
+    * 100 TB shape: the labels frame is bounded by docs-in-some-pair
+    * (LSH already collapsed the corpus); both policy aggregates key on
+    * cluster_id over that frame, and the max-tokens frame that rides
+    * back in is CLUSTERS-sized — broadcastable by construction.
+    */
+  val dupKeepBest: CatalogEntry = CatalogEntry(
+    "doc_dup_keep_best",
+    (s, d) => {
+      val labels = graft.operators.ConnectedComponents
+        .labelPropagation(lshEdges(s, d), probeEvery = 1)
+        .toDF("doc_id", "cluster_id")
+      val nt = documents(s, d).select(col("doc_id"),
+        size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val j = labels.join(nt, Seq("doc_id"))
+      val m = j.groupBy("cluster_id")
+        .agg(max("n_tokens").as("max_tokens"), count(lit(1)).as("n_members"))
+      j.join(broadcast(m), Seq("cluster_id"))
+        .filter(col("n_tokens") === col("max_tokens"))
+        .groupBy("cluster_id", "max_tokens", "n_members")
+        .agg(min("doc_id").as("keeper_id"))
+        .select(col("cluster_id"), col("keeper_id"), col("n_members"), col("max_tokens"))
+    },
+    Some(
+      raw"""WITH RECURSIVE $lshPairsCtesSql,
+             e AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+                   UNION SELECT doc_b, doc_a FROM lsh_pairs),
+             reach(a, b) AS (SELECT DISTINCT a, a FROM e
+                             UNION
+                             SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+             nt AS (SELECT doc_id,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+             m AS (SELECT l.cluster_id, MAX(n.n_tokens) AS max_tokens,
+                          CAST(COUNT(*) AS BIGINT) AS n_members
+                   FROM labels l JOIN nt n ON n.doc_id = l.doc_id GROUP BY 1)
+           SELECT m.cluster_id, MIN(l.doc_id) AS keeper_id,
+                  MAX(m.n_members) AS n_members, MAX(m.max_tokens) AS max_tokens
+           FROM m JOIN labels l ON l.cluster_id = m.cluster_id
+                JOIN nt n ON n.doc_id = l.doc_id AND n.n_tokens = m.max_tokens
+           GROUP BY m.cluster_id"""))
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, dupSpans,
-    sortedNeighborhood)
+    sortedNeighborhood, dupKeepBest)
 }

@@ -213,4 +213,25 @@ class NearDupSpec extends AnyFunSuite {
     // (Full-recall is not claimed — that is LSH's contract, not SNM's.)
     assert(got.length > 0)
   }
+
+  test("doc_dup_keep_best: one keeper per cluster, keeper is a longest member") {
+    val keep = run("doc_dup_keep_best")
+      .select("cluster_id", "keeper_id", "n_members", "max_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val labels = run("doc_dup_clusters").as[(Long, Long)].collect()
+    val byCluster = labels.groupBy(_._2)
+    assert(keep.map(_._1).toSet == byCluster.keySet, "cluster sets diverge")
+    val nTok = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(expr("split(trim(text), '\\\\s+')")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    keep.foreach { case (c, k, members, maxTok) =>
+      val docs = byCluster(c).map(_._1)
+      assert(docs.contains(k), s"keeper $k not in cluster $c")
+      assert(members == docs.length.toLong)
+      assert(maxTok == docs.map(nTok).max, s"cluster $c: wrong max")
+      assert(nTok(k) == maxTok, s"keeper $k is not a longest member")
+      // Tie-break: smallest id among the longest members.
+      assert(k == docs.filter(d => nTok(d) == maxTok).min)
+    }
+  }
 }
