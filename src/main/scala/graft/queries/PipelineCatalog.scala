@@ -1146,6 +1146,48 @@ object PipelineCatalog {
                         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
                FROM t"""))
 
+  /** Robust outlier detection: per-type MAD flags — |x − median| >
+    * 3·1.4826·MAD (the σ-consistent median-absolute-deviation rule) —
+    * the heavy-tail-safe complement of `events_zscore_outliers`, whose
+    * mean/stddev a single extreme value drags. Medians go through the
+    * exact `percentile` ↔ `quantile_cont` pair already proven
+    * bit-identical by `value_percentiles`; the threshold compare runs on
+    * raw doubles (identical operands → identical IEEE product on both
+    * engines), rounding only the REPORTED med/mad.
+    *
+    * 100 TB shape: two keyed aggregates over the fact table (median,
+    * then MAD of deviations) with the #types-sized stats frames riding
+    * back on broadcasts — the fact table shuffles never; exact
+    * percentiles sort within small per-type groups, approx_percentile
+    * is the heavy-group drop-in (same note as `value_percentiles`).
+    */
+  val madOutliers: CatalogEntry = CatalogEntry(
+    "events_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("med")).as("adev"), col("med"))
+      val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(round(max("med"), 6).as("med"), round(max("mad"), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+    },
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+                 dev AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+                         FROM events e JOIN med m USING (event_type)),
+                 mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                         FROM dev GROUP BY 1)
+            SELECT d.event_type, ROUND(MAX(d.med), 6) AS med, ROUND(MAX(mad.mad), 6) AS mad,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad USING (event_type)
+            GROUP BY d.event_type"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1155,5 +1197,5 @@ object PipelineCatalog {
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
-      piiRedact)
+      piiRedact, madOutliers)
 }
