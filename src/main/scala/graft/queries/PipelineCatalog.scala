@@ -1188,6 +1188,49 @@ object PipelineCatalog {
             FROM dev d JOIN mad USING (event_type)
             GROUP BY d.event_type"""))
 
+  /** Event-time disorder profile: per type, how out-of-order the stream
+    * actually arrives — disorder of an event = running-max(event time in
+    * ARRIVAL order, per user) − its own event time. This is the
+    * statistic that SIZES a watermark: `max_disorder_s` is the delay
+    * that loses nothing, `p99_disorder_s` the delay that loses 1% —
+    * read against `streamingDedup`/windowed aggs' `watermarkDelay` knob.
+    * Arrival order is `event_id` (the ingest sequence the batch table
+    * preserves); a live pipeline would stamp arrival time at the source.
+    *
+    * 100 TB shape: ONE user-partitioned window (running max rides the
+    * per-user sort, never a global order) + one #types-key aggregate.
+    * Exact p99 sorts per-type deviations; approx_percentile is the
+    * heavy-group drop-in (same note as `value_percentiles`).
+    */
+  val disorderProfile: CatalogEntry = CatalogEntry(
+    "events_disorder_profile",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts_s"))
+        .withColumn("disorder_s", max("ts_s").over(w) - col("ts_s"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("disorder_s") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+          max("disorder_s").as("max_disorder_s"),
+          round(expr("percentile(disorder_s, 0.99)"), 6).as("p99_disorder_s"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN disorder_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_out_of_order,
+                   MAX(disorder_s) AS max_disorder_s,
+                   ROUND(quantile_cont(disorder_s, 0.99), 6) AS p99_disorder_s
+            FROM (SELECT event_type,
+                         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS disorder_s
+                  FROM events)
+            GROUP BY event_type"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1197,5 +1240,5 @@ object PipelineCatalog {
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
-      piiRedact, madOutliers)
+      piiRedact, madOutliers, disorderProfile)
 }
