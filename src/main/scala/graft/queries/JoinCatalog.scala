@@ -317,7 +317,53 @@ object JoinCatalog {
                                   WHERE o_orderpriority = '1-URGENT')
              GROUP BY l_returnflag"""))
 
+  /** Market-basket affinity: part pairs that co-occur in the same order,
+    * with support and lift — lift(a,b) = c_ab·N / (c_a·c_b) stays in
+    * exact integers until ONE double division (the same log-free device
+    * as `token_cooccurrence`'s PMI surrogate; log-lift is monotone in
+    * it). Support floor 3 keeps the output to genuinely associated
+    * pairs.
+    *
+    * 100 TB shape: the pair fan-out is per-ORDER quadratic — bounded by
+    * basket size (≤ 13 items here, ~tens in retail), never corpus
+    * quadratic; one shuffle on the order key builds pairs, one on the
+    * pair key counts them. Part frequencies join back keyed on the part
+    * — Catalyst broadcasts while the dimension fits and degrades to a
+    * uniform hash join when it doesn't; neither path re-shuffles pairs
+    * by anything skewed.
+    */
+  val basketPairs: CatalogEntry = CatalogEntry(
+    "lineitem_basket_pairs",
+    (s, d) => {
+      val li = t("lineitem")(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      val pc = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(pc.select(col("pk").as("part_a"), col("c").as("ca")), Seq("part_a"))
+        .join(pc.select(col("pk").as("part_b"), col("c").as("cb")), Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_ab"),
+          round((col("c_ab") * col("n_orders")) / (col("ca") * col("cb")), 6).as("lift"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+                 pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                                  CAST(COUNT(*) AS BIGINT) AS c_ab
+                           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+                 pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+                 n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+            SELECT part_a, part_b, c_ab,
+                   ROUND(CAST(c_ab * n_orders AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+            FROM pairs JOIN pc ca ON ca.pk = part_a
+                 JOIN pc cb ON cb.pk = part_b CROSS JOIN n"""))
+
   val all: Seq[CatalogEntry] =
     Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
-      customerFuzzyMatch, lineitemBloomSemi)
+      customerFuzzyMatch, lineitemBloomSemi, basketPairs)
 }
