@@ -115,9 +115,11 @@ object Text {
     * part can contain digits and dots that the narrower patterns would
     * otherwise bite into. All three are RE2-compatible so the same
     * patterns run on engines with either regex dialect. Per-row
-    * projection, whole-stage codegen'd; no catalog entry because the
-    * synthetic corpus contains no digits — the oracle would be a
-    * vacuous passthrough (see TextSpec for the behavioral contract).
+    * projection, whole-stage codegen'd. Catalog entry: `doc_pii_redact`
+    * (PipelineCatalog.piiRedact), which derives a deterministic
+    * PII-bearing suffix in both engines so the oracle is non-vacuous on
+    * the digit-free synthetic corpus; the replacement-order contract is
+    * pinned in TextSpec.
     */
   def redactPii(text: Column): Column =
     regexp_replace(

@@ -299,8 +299,12 @@ object JoinCatalog {
   val lineitemBloomSemi: CatalogEntry = CatalogEntry(
     "lineitem_bloom_semi",
     (s, d) => {
+      // The key set is read three times (count for sizing, bloom build,
+      // semi-join probe) — cache it so the orders scan runs once; the
+      // broadcast handle lives as long as the returned plan (the udf
+      // closes over it), reclaimed by the context's GC-driven cleanup.
       val keys = t("orders")(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey").cache()
       val bf = keys.stat.bloomFilter("o_orderkey", math.max(keys.count(), 1000L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bc.value.mightContain(k))

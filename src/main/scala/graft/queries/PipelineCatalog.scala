@@ -557,7 +557,7 @@ object PipelineCatalog {
     (s, d) => {
       val cleaned = qualityDedup(documents(s, d))
       val train = cleaned.filter(
-        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2) < "e6")
+        TrainPrepCatalog.splitHx(col("doc_id")) < TrainPrepCatalog.TrainBound)
       TrainPrepCatalog.chunkTokens(
         train.select(col("doc_id"), col("source"), Text.normTokens(col("text")).as("toks")),
         "doc_id", "source")
@@ -569,7 +569,7 @@ object PipelineCatalog {
                              FROM q) WHERE rn = 1),
                   train AS (SELECT doc_id, source, $normToksSql AS toks
                             FROM keep
-                            WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6')
+                            WHERE ${TrainPrepCatalog.splitHxSql("doc_id")} < '${TrainPrepCatalog.TrainBound}')
              SELECT doc_id, source, g AS chunk_start,
                     array_to_string(toks[g+1 : g+${TrainPrepCatalog.ChunkLen}], ' ') AS chunk_text,
                     CAST(LEAST(${TrainPrepCatalog.ChunkLen}, len(toks) - g) AS BIGINT) AS n_tokens

@@ -36,22 +36,37 @@ object TrainPrepCatalog {
     * (≈ 90/5/5). Hash of the id, not the row position — stable under
     * re-sharding, re-ordering, and incremental appends, which is the
     * property a reproducible training split actually needs.
+    *
+    * THE split definition: salt + bounds live here once and are shared
+    * by every consumer (`split_token_divergence`, PipelineCatalog's
+    * train-prep composite) — a drift monitor measuring a different split
+    * than the one assigned would silently lie.
     */
+  private[queries] val SplitSalt = "split|"
+  private[queries] val TrainBound = "e6"
+  private[queries] val ValBound = "f3"
+
+  /** The two-hex-char split hash of a doc_id column (Spark side). */
+  private[queries] def splitHx(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit(SplitSalt), id.cast("string"))), 1, 2)
+
+  /** Same hash in DuckDB SQL over a doc_id expression. */
+  private[queries] def splitHxSql(id: String): String =
+    s"substr(md5('$SplitSalt' || CAST($id AS VARCHAR)), 1, 2)"
+
   val splitAssign: CatalogEntry = CatalogEntry(
     "doc_split_assign",
     (s, d) => documents(s, d).select(
-      col("doc_id"),
-      substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2).as("hx"))
+      col("doc_id"), splitHx(col("doc_id")).as("hx"))
       .select(col("doc_id"),
-        when(col("hx") < "e6", "train")
-          .when(col("hx") < "f3", "val")
+        when(col("hx") < TrainBound, "train")
+          .when(col("hx") < ValBound, "val")
           .otherwise("test").as("split")),
-    Some("""SELECT doc_id,
-                   CASE WHEN hx < 'e6' THEN 'train'
-                        WHEN hx < 'f3' THEN 'val'
+    Some(s"""SELECT doc_id,
+                   CASE WHEN hx < '$TrainBound' THEN 'train'
+                        WHEN hx < '$ValBound' THEN 'val'
                         ELSE 'test' END AS split
-            FROM (SELECT doc_id,
-                         substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+            FROM (SELECT doc_id, ${splitHxSql("doc_id")} AS hx
                   FROM documents)"""))
 
   /** Repetition screening: duplicate word-bigram fraction per document
@@ -385,41 +400,53 @@ object TrainPrepCatalog {
     * approach 2⁶³/N; the decimal widening is where the oracle's HUGEINT
     * would go when they don't.
     */
+  /** The divergence computation as a LAZY frame, caches registered into
+    * `caches` — the entry materializes it (localCheckpoint) and releases
+    * them; PlanSpec inspects THIS frame's plan, because the entry's
+    * checkpoint erases the join topology from the executed plan.
+    */
+  private[graft] def splitDivergenceFrame(docs: DataFrame,
+      caches: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val hx = splitHx(col("doc_id"))
+    val toks = docs
+      .select(when(hx < TrainBound, "train").when(hx < ValBound, "val").as("split"),
+        explode(Text.normTokens(col("text"))).as("tok"))
+      .filter(col("split").isNotNull)
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv")).cache()
+    caches += cnt
+    // The |c_t·N_v − c_v·N_t| sum needs the totals alongside every
+    // token row: broadcast the 1-row totals back onto the count vector.
+    val totals = cnt.agg(sum("ct").as("nt"), sum("cv").as("nv"))
+    val tv = cnt.crossJoin(broadcast(totals))
+      .agg(sum(abs(col("ct") * col("nv") - col("cv") * col("nt"))).as("num"),
+        first(col("nt")).as("nt"), first(col("nv")).as("nv"))
+      .select(round(col("num") / (lit(2.0) * col("nt") * col("nv")), 6).as("tv_distance"))
+    val stats = cnt.agg(
+      sum("ct").as("n_train_tokens"), sum("cv").as("n_val_tokens"),
+      sum(when(col("ct") > 0, 1L).otherwise(0L)).as("vocab_train"),
+      sum(when(col("cv") > 0, 1L).otherwise(0L)).as("vocab_val"),
+      sum(when(col("ct") > 0 && col("cv") > 0, 1L).otherwise(0L)).as("vocab_shared"))
+    stats.crossJoin(tv)
+  }
+
   val splitDivergence: CatalogEntry = CatalogEntry(
     "split_token_divergence",
     (s, d) => {
-      val hx = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
-      val toks = documents(s, d)
-        .select(when(hx < "e6", "train").when(hx < "f3", "val").as("split"),
-          explode(Text.normTokens(col("text"))).as("tok"))
-        .filter(col("split").isNotNull)
-      val cnt = toks.groupBy("tok").agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv")).cache()
-      // The |c_t·N_v − c_v·N_t| sum needs the totals alongside every
-      // token row: broadcast the 1-row totals back onto the count vector.
-      val totals = cnt.agg(sum("ct").as("nt"), sum("cv").as("nv"))
-      val tv = cnt.crossJoin(broadcast(totals))
-        .agg(sum(abs(col("ct") * col("nv") - col("cv") * col("nt"))).as("num"),
-          first(col("nt")).as("nt"), first(col("nv")).as("nv"))
-        .select(round(col("num") / (lit(2.0) * col("nt") * col("nv")), 6).as("tv_distance"))
-      val stats = cnt.agg(
-        sum("ct").as("n_train_tokens"), sum("cv").as("n_val_tokens"),
-        sum(when(col("ct") > 0, 1L).otherwise(0L)).as("vocab_train"),
-        sum(when(col("cv") > 0, 1L).otherwise(0L)).as("vocab_val"),
-        sum(when(col("ct") > 0 && col("cv") > 0, 1L).otherwise(0L)).as("vocab_shared"))
-      val res = stats.crossJoin(tv).localCheckpoint()
-      cnt.unpersist(blocking = false)
+      val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val res = splitDivergenceFrame(documents(s, d), caches).localCheckpoint()
+      caches.foreach(_.unpersist(blocking = false))
       res
     },
     Some(s"""WITH toks AS (
-               SELECT CASE WHEN hx < 'e6' THEN 'train'
-                           WHEN hx < 'f3' THEN 'val' END AS split,
+               SELECT CASE WHEN hx < '$TrainBound' THEN 'train'
+                           WHEN hx < '$ValBound' THEN 'val' END AS split,
                       unnest(t) AS tok
-               FROM (SELECT substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx,
+               FROM (SELECT ${splitHxSql("doc_id")} AS hx,
                             $normToksSql AS t
                      FROM documents)
-               WHERE hx < 'f3'),
+               WHERE hx < '$ValBound'),
              cnt AS (SELECT tok,
                             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
                             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv

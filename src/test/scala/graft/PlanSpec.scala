@@ -331,9 +331,15 @@ class PlanSpec extends AnyFunSuite {
     val lc = plan("emb_label_centroids")
     assert(countOf(lc, "Exchange hashpartitioning") == 1,
       s"emb_label_centroids: expected exactly one hash exchange\n$lc")
-    // The divergence entries' totals ride broadcasts; the count vector is
-    // never re-shuffled through a sort-merge join.
-    val dv = plan("split_token_divergence")
+    // The divergence entry's totals ride broadcasts; the count vector is
+    // never re-shuffled through a sort-merge join. Asserted on the LAZY
+    // pre-checkpoint frame — the entry's localCheckpoint erases the join
+    // topology from the executed plan, which would make this vacuous.
+    val caches = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val dvFrame = graft.queries.TrainPrepCatalog
+      .splitDivergenceFrame(Tables.documents(spark, sf0001), caches)
+    val dv = dvFrame.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist(blocking = false))
     assert(!dv.contains("SortMergeJoin"),
       s"split_token_divergence: totals not broadcast\n$dv")
   }
