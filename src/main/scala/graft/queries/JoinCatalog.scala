@@ -330,30 +330,45 @@ object JoinCatalog {
     *
     * 100 TB shape: the pair fan-out is per-ORDER quadratic — bounded by
     * basket size (≤ 13 items here, ~tens in retail), never corpus
-    * quadratic; one shuffle on the order key builds pairs, one on the
-    * pair key counts them. Part frequencies join back keyed on the part
-    * — Catalyst broadcasts while the dimension fits and degrades to a
-    * uniform hash join when it doesn't; neither path re-shuffles pairs
-    * by anything skewed.
+    * quadratic. Baskets come from ONE collect_set aggregate keyed on the
+    * order (map-side combined); pair expansion is a per-row
+    * transform×slice comprehension over the sorted basket — no
+    * self-join, so the only other shuffles are the two small key
+    * aggregates. A/B vs the distinct+self-join formulation at sf0.1: a
+    * WASH (2.2 vs 2.4 s, within variance) — kept for the simpler
+    * topology: one basket shuffle replaces the join's exchange pair,
+    * the shape that pulls ahead as baskets widen. Part frequencies
+    * join back keyed on the part — Catalyst broadcasts while the
+    * dimension fits and degrades to a uniform hash join when it
+    * doesn't.
     */
   val basketPairs: CatalogEntry = CatalogEntry(
     "lineitem_basket_pairs",
     (s, d) => {
-      val li = t("lineitem")(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      val baskets = t("lineitem")(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
+        .cache()
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(pks,
+               (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                           y -> struct(x AS pa, y AS pb))))""")).as("p"))
+        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)
-      val pc = li.groupBy("pk").agg(count(lit(1)).as("c"))
-      val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-      pairs
+      val pc = baskets.select(explode(col("pks")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val out = pairs
         .join(pc.select(col("pk").as("part_a"), col("c").as("ca")), Seq("part_a"))
         .join(pc.select(col("pk").as("part_b"), col("c").as("cb")), Seq("part_b"))
         .crossJoin(broadcast(n))
         .select(col("part_a"), col("part_b"), col("c_ab"),
           round((col("c_ab") * col("n_orders")) / (col("ca") * col("cb")), 6).as("lift"))
+        .localCheckpoint()
+      baskets.unpersist(blocking = false)
+      out
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
                  pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
