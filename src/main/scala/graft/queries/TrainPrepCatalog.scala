@@ -536,7 +536,38 @@ object TrainPrepCatalog {
              FROM pairs p LEFT JOIN shared s
                ON s.src_a = p.src_a AND s.src_b = p.src_b"""))
 
+  /** Tokenizer fertility per (source, lang): BPE-ish tokens per
+    * whitespace word — the multiplier that converts word counts into
+    * token budgets (cost estimates, packing targets, per-language
+    * sampling correction; fertility far from ~1.3 flags a language the
+    * tokenizer splits badly). Corpus-level ratio of two exact integer
+    * sums with ONE double division — bit-identical cross-engine, the
+    * file-wide device.
+    *
+    * 100 TB shape: both counts are per-row projections folded into one
+    * (source, lang)-keyed aggregate — map-side combined, output sized by
+    * the mix, not the corpus.
+    */
+  val tokenizerFertility: CatalogEntry = CatalogEntry(
+    "doc_tokenizer_fertility",
+    (s, d) => documents(s, d)
+      .select(col("source"), col("lang"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe"),
+        size(Text.wsTokens(col("text"))).cast("long").as("ws"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("bpe").as("bpe_tokens"), sum("ws").as("ws_tokens"))
+      .select(col("source"), col("lang"), col("docs"),
+        col("bpe_tokens"), col("ws_tokens"),
+        round(col("bpe_tokens") / col("ws_tokens"), 6).as("fertility")),
+    Some(raw"""SELECT source, lang, COUNT(*) AS docs,
+                      CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens,
+                      CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
+                      ROUND(CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS DOUBLE)
+                            / SUM(len($toksSql)), 6) AS fertility
+               FROM documents GROUP BY source, lang"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
-    samplePerSource, splitDivergence, sourceDivergence)
+    samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility)
 }
