@@ -1231,6 +1231,81 @@ object PipelineCatalog {
                   FROM events)
             GROUP BY event_type"""))
 
+  /** SCD2 interval build: the change stream folded into slowly-changing-
+    * dimension rows — per user, each event opens a validity interval
+    * [valid_from, valid_to) closed by the NEXT event (epoch seconds;
+    * NULL = current row). The companion statistic is the time-weighted
+    * value mean per user — Σ value·dt / Σ dt over the CLOSED intervals,
+    * the correct average of a step function (the plain row mean
+    * over-weights rapid flappers). Both stay integer/decimal-exact: dt
+    * is a long, value·dt sums in DECIMAL, ONE double division at the
+    * end.
+    *
+    * 100 TB shape: one user-keyed window (lead rides the per-user sort)
+    * and, for the summary, one aggregate over the same shuffle — the
+    * interval table itself is the operator's output contract
+    * (`events_latest_state` is its "current rows only" projection).
+    * Ties (same user, same second) are ordered by event_id — the same
+    * total-order discipline as `user_running_total`.
+    */
+  val scd2Intervals: CatalogEntry = CatalogEntry(
+    "events_scd2_intervals",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_s", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts").cast("long").as("ts_s"))
+        .withColumn("valid_to", lead("ts_s", 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_s").as("valid_from"), col("valid_to"),
+          (coalesce(col("valid_to"), col("ts_s")) - col("ts_s")).as("duration_s"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+                   tss AS valid_from, valid_to,
+                   COALESCE(valid_to, tss) - tss AS duration_s
+            FROM (SELECT user_id, event_id, event_type,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss,
+                         lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 1)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+                           AS valid_to
+                  FROM events)"""))
+
+  /** Time-weighted value mean per user over [[scd2Intervals]]' closed
+    * intervals — see that entry's scaladoc for the exactness argument.
+    */
+  val timeWeightedValue: CatalogEntry = CatalogEntry(
+    "user_time_weighted_value",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_s", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").cast("long").as("ts_s"))
+        .withColumn("dt", lead("ts_s", 1).over(w) - col("ts_s"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum("dt").as("total_s"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)) * col("dt"))
+            .cast("double").as("vdt"))
+        .filter(col("total_s") > 0)
+        .select(col("user_id"), col("total_s"),
+          round(col("vdt") / col("total_s"), 6).as("tw_mean"))
+    },
+    Some(s"""SELECT user_id, CAST(SUM(dt) AS BIGINT) AS total_s,
+                    ROUND(${Exact.sqlToDouble("SUM(CAST(value AS DECIMAL(28,6)) * dt)")}
+                          / CAST(SUM(dt) AS BIGINT), 6) AS tw_mean
+             FROM (SELECT user_id, value,
+                          lead(CAST(FLOOR(epoch(ts)) AS BIGINT), 1)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+                            - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dt
+                   FROM events)
+             WHERE dt IS NOT NULL
+             GROUP BY user_id
+             HAVING SUM(dt) > 0"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1240,5 +1315,5 @@ object PipelineCatalog {
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
-      piiRedact, madOutliers, disorderProfile)
+      piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue)
 }
