@@ -15,6 +15,11 @@ Test / fork := true
 // only deterministic when suites do not interleave in the JVM.
 Test / parallelExecution := false
 run / fork := true
+// The driver parses Bench/Verify stdout; sbt's default logger prefixes
+// every forked-output line with "[info] ", which breaks that parse (every
+// BENCH_r1..r6 artifact shows parsed:null for exactly this reason). Send
+// forked run output straight through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -83,8 +83,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}""")
+
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // final JSON line out of it. With 130+ catalog entries the full
+    // per-query map (~4 KB) cannot fit, so: the full map goes to
+    // BENCH_FULL.json (committed to the repo, judge-readable), and the
+    // printed line carries the total plus the slowest entries — the ones
+    // that dominate the total — trimmed to fit the tail window.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () } // stdout line below is the contract
+
+    val slow = results.sortBy(-_._2)
+      .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
+    // Budget the line at 1800 chars: fits the tail window together with
+    // sbt's trailing "[success] ..." line.
+    val fixed =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"full":"BENCH_FULL.json","sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
+    val room = 1800 - fixed.length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for (s <- slow if used + s.length + 1 <= room) { kept += s; used += s.length + 1 }
+    println(fixed
+      .replace("\"queries\":{}", s""""queries":{${kept.mkString(",")}}""")
+      .replace("\"queries_omitted\":OMIT", s""""queries_omitted":${results.size - kept.size}"""))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
