@@ -29,6 +29,13 @@ object EmbeddingCatalog {
   private val NQueries = 8 // vec_id < NQueries are the query vectors
   private val Planes = 4 // LSH hyperplanes -> 16 buckets
   private val NearDupThreshold = 0.3
+  // SemDeDup prunes at the same cosine as the LSH near-dup family — the
+  // two entries differ in HOW candidates are generated, not in what
+  // counts as a duplicate.
+  private val SemDedupThreshold = 0.3
+  // Gram-matrix integer lattice: floor(x·y·1e9 + 0.5) per row. |x·y| ≤ 1
+  // keeps the per-row term ≤ 1e9 → signed-64 headroom to ~9e9 rows.
+  private val GramScale = 1.0e9
 
   /** Deterministic ±1 hyperplane matrix: sign = parity of the first hex
     * digit of md5(prefix + "p_i"). Same constants are inlined into the
@@ -775,8 +782,111 @@ object EmbeddingCatalog {
                FROM embeddings)
          GROUP BY label, dim"""))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with a frozen k-means coarse
+    * quantizer, then pruning near-duplicate pairs WITHIN each cluster
+    * only — the trick that turns O(n²) all-pairs cosine into
+    * Σ_cells O(|cell|²) with |cell| ≈ n/k. A vector is a duplicate when a
+    * SMALLER-vec_id vector in its cluster has cosine ≥ τ (keep-lowest-id,
+    * the same deterministic keeper rule as the text near-dup family);
+    * cross-cluster near-dups are invisible by design — the documented
+    * recall trade the paper makes at web scale.
+    *
+    * 100 TB shape: assignment against the centroid LITERALS is a per-row
+    * projection (zero shuffles, no centroid join); the only shuffle is
+    * the self-join key `cell`, whose population k is a knob (√n cells
+    * keeps cells near-constant); norms are computed once per row before
+    * the pair loop. Same τ as `emb_near_dup` — that entry buckets by
+    * random hyperplanes, this one by trained cells: LSH trades recall
+    * for independence from training, SemDeDup trades training for
+    * tighter candidate sets.
+    */
+  val semDedup: CatalogEntry = CatalogEntry(
+    "emb_semdedup",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+          cells.getItem(0).getField("cid").cast("long").as("cell"))
+        .withColumn("vn", Vectors.norm(col("embedding")))
+      val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
+        col("embedding").as("qe"), col("vn").as("qn"))
+      val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("vn").as("cn"))
+      val dups = keep.join(cand, "cell")
+        .where(col("keep_id") < col("cand_id"))
+        .where(cosineCol >= lit(SemDedupThreshold))
+        .select(col("cand_id").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
+    },
+    Some {
+      // Same L2 assignment arithmetic as the kmeans-IVF oracle: raw
+      // |v|² − 2 v·c + |c|² orders identically across engines, no ROUND.
+      val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
+        val lst = c.mkString("[", ", ", "]")
+        val cn2 = c.map(x => x * x).sum
+        s"($cid, $lst, $cn2)"
+      }.mkString(", ")
+      val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
+      s"""WITH cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
+            dist AS (SELECT e.vec_id, c.cid, $distE AS d
+                     FROM embeddings e CROSS JOIN cent c),
+            assign AS (SELECT vec_id, cid AS cell FROM (
+                         SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                         FROM dist) WHERE rn = 1),
+            dups AS (SELECT DISTINCT b.vec_id
+                     FROM assign a JOIN assign b
+                       ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     JOIN embeddings q ON q.vec_id = a.vec_id
+                     JOIN embeddings c ON c.vec_id = b.vec_id
+                     WHERE $cosineSql >= $SemDedupThreshold)
+          SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+                 (d.vec_id IS NOT NULL) AS is_dup
+          FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+    })
+
+  /** One-pass Gram matrix X'X over the embedding corpus (upper triangle,
+    * long format) — the moment statistic behind PCA / whitening /
+    * covariance drift monitors, computed by `graft.combine.OuterProductAgg`:
+    * a single scan, map-side partial outer products, one 2080-cell merge —
+    * NEVER the explode+self-join that multiplies the corpus by dim²
+    * before aggregating (64× row blow-up through a shuffle at 100 TB).
+    *
+    * Determinism: per-row products are snapped to a 1e-9 integer lattice
+    * (floor(x·1e9 + 0.5)) and summed as Longs — associative, so partition
+    * count, merge order, and engine cannot move a bit; the oracle replays
+    * the identical lattice arithmetic per cell. The triangle→(i,j)
+    * unflattening is a literal-array projection, not a join.
+    */
+  val gramMatrix: CatalogEntry = CatalogEntry(
+    "emb_gram_matrix",
+    (s, d) => {
+      val agg = udaf(new graft.combine.OuterProductAgg(Dim, GramScale))
+      val iArr = for (i <- 0 until Dim; j <- i until Dim) yield i
+      val jArr = for (i <- 0 until Dim; j <- i until Dim) yield j
+      embeddings(s, d)
+        .agg(agg(col("embedding")).as("tri"))
+        .select(posexplode(col("tri.cells")).as(Seq("pos", "sg")))
+        .select(
+          element_at(typedlit(iArr), col("pos") + 1).cast("long").as("i"),
+          element_at(typedlit(jArr), col("pos") + 1).cast("long").as("j"),
+          round(col("sg") / lit(GramScale), 6).as("g"))
+    },
+    Some(s"""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                    ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[i+1] AS DOUBLE)
+                                               * CAST(e.embedding[j+1] AS DOUBLE)
+                                               * $GramScale + 0.5) AS HUGEINT)) AS DOUBLE)
+                          / $GramScale, 6) AS g
+             FROM embeddings e, range(0, $Dim) ti(i), range(0, $Dim) tj(j)
+             WHERE j >= i
+             GROUP BY i, j"""))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids)
+      labelCentroids, semDedup, gramMatrix)
 }

@@ -181,7 +181,51 @@ object OlapCatalog {
              FROM events
              GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))"""))
 
+  /** 2-D Pareto frontier (skyline) of orders per priority class:
+    * maximize price, minimize date — an order survives when no other
+    * order in its class is both no-later AND no-cheaper (with one
+    * strict). Computed WITHOUT the quadratic dominance self-join: sort
+    * each class by date and compare every row against (a) the running
+    * price max over STRICTLY earlier dates (RANGE … 1 PRECEDING) and
+    * (b) its same-timestamp group max — two window passes over one
+    * shuffle+sort per class. That is the skyline algorithm that holds at
+    * 100 TB: cost is the sort, never |class|² pairs; co-equal rows
+    * (same date, same price, both maximal) are all kept, so the result
+    * is set-deterministic with no tie-break dependence.
+    */
+  val ordersParetoFrontier: CatalogEntry = CatalogEntry(
+    "orders_pareto_frontier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        unix_timestamp(col("o_orderdate")).as("od"),
+        col("o_totalprice").as("price"))
+      val earlier = Window.partitionBy("priority").orderBy("od")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val sameDay = Window.partitionBy("priority", "od")
+      o.withColumn("m1", max(col("price")).over(earlier))
+        .withColumn("m2", max(col("price")).over(sameDay))
+        .where((col("m1").isNull || col("m1") < col("price")) &&
+          col("m2") === col("price"))
+        .select("o_orderkey", "priority", "od", "price")
+    },
+    Some("""SELECT o_orderkey, priority, od, price FROM (
+              SELECT o_orderkey, o_orderpriority AS priority,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS od,
+                     o_totalprice AS price,
+                     MAX(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+                     MAX(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority,
+                                    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS m2
+              FROM orders)
+            WHERE (m1 IS NULL OR m1 < price) AND m2 = price"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
-      eventsTransitions, eventsGroupingSets)
+      eventsTransitions, eventsGroupingSets, ordersParetoFrontier)
 }

@@ -1306,6 +1306,71 @@ object PipelineCatalog {
              GROUP BY user_id
              HAVING SUM(dt) > 0"""))
 
+  /** Per-type linear trend + correlation of value against event time —
+    * the drift statistic of a monitoring layer (is this metric creeping
+    * up?), computed as ONE tiny-key moment aggregate: n, Σx, Σx², Σy,
+    * Σy², Σxy per group in a single scan with map-side combine, then
+    * slope/intercept/Pearson-r derived per group. At 100 TB this is a
+    * one-shuffle query whose reduce side is #event-types rows — the
+    * textbook distributed-regression shape (moments commute, the closed
+    * form does not need the data twice).
+    *
+    * Determinism: x is epoch seconds re-based to 2024-01-01 (exact
+    * BIGINT); every moment is DECIMAL-exact (products of scale-0 and
+    * scale-4 decimals are exact, sums associative); the double phase
+    * derives cov/var/slope/r with the IDENTICAL expression shape in both
+    * engines — identical exact inputs + identical IEEE op sequence
+    * (sqrt is correctly rounded by spec) = identical bits, then ROUND 6.
+    */
+  val eventsValueTrend: CatalogEntry = CatalogEntry(
+    "events_value_trend",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = 1704067200L // 2024-01-01T00:00:00Z
+      val e = Tables.events(s, d).select(col("event_type"),
+        (unix_timestamp(col("ts")) - base).as("x"), col("value"))
+      val vd = col("value").cast(DecimalType(18, 4))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sxd"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxxd"),
+        sum(vd).as("syd"),
+        sum((vd * vd).cast(DecimalType(38, 8))).as("syyd"),
+        sum((col("x").cast(DecimalType(18, 0)) * vd).cast(DecimalType(38, 4))).as("sxyd"))
+      val n = col("n").cast("double")
+      val sx = col("sxd").cast("double")
+      val sxx = col("sxxd").cast("double")
+      val sy = col("syd").cast("double")
+      val syy = col("syyd").cast("double")
+      val sxy = col("sxyd").cast("double")
+      val cov = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      m.select(col("event_type"), col("n"),
+        round(cov / varx, 6).as("slope"),
+        round((sy - (cov / varx) * sx) / n, 6).as("intercept"),
+        round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr"))
+    },
+    Some(s"""WITH e AS (SELECT event_type,
+                               CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+                               value
+                        FROM events),
+                 m AS (SELECT event_type, COUNT(*) AS n,
+                              ${Exact.sqlToDouble("SUM(CAST(x AS DECIMAL(38,0)))")} AS sx,
+                              ${Exact.sqlToDouble("SUM(CAST(x * x AS DECIMAL(38,0)))")} AS sxx,
+                              ${Exact.sqlSum("value", 18, 4)} AS sy,
+                              ${Exact.sqlToDouble(
+                                "SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))")} AS syy,
+                              ${Exact.sqlToDouble(
+                                "SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,4)))")} AS sxy
+                       FROM e GROUP BY event_type)
+             SELECT event_type, n,
+                    ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+                    ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+                    ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+             FROM m"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1315,5 +1380,6 @@ object PipelineCatalog {
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
-      piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue)
+      piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
+      eventsValueTrend)
 }

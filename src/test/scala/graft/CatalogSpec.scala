@@ -342,4 +342,48 @@ class CatalogSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == want, s"bloom semi diverged: $got vs $want")
   }
+
+  test("events_value_trend: moments agree with Spark's own regression aggregates") {
+    val got = run("events_value_trend").collect()
+    assert(got.length == Tables.events(spark, sf0001).select("event_type").distinct().count())
+    val base = 1704067200L
+    val want = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - base).cast("double").as("x"), col("value"))
+      .groupBy("event_type")
+      .agg(corr(col("x"), col("value")).as("r"),
+        (covar_pop(col("x"), col("value")) / var_pop(col("x"))).as("beta"),
+        avg(col("value")).as("my"), avg(col("x")).as("mx"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("r"), r.getAs[Double]("beta"),
+          r.getAs[Double]("my") - r.getAs[Double]("beta") * r.getAs[Double]("mx")))
+      .toMap
+    got.foreach { r =>
+      val (er, ebeta, eint) = want(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("corr") - er) < 1e-4, s"corr off: $r vs $er")
+      assert(math.abs(r.getAs[Double]("slope") - ebeta) <= 1e-6 + 1e-3 * math.abs(ebeta),
+        s"slope off: $r vs $ebeta")
+      assert(math.abs(r.getAs[Double]("intercept") - eint) <= 1e-4 + 1e-3 * math.abs(eint),
+        s"intercept off: $r vs $eint")
+    }
+  }
+
+  test("orders_pareto_frontier: frontier undominated; every other row dominated") {
+    val rows = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate")).as("od"), col("o_totalprice"))
+      .as[(Long, String, Long, Double)].collect()
+    val frontier = run("orders_pareto_frontier")
+      .select("o_orderkey").as[Long].collect().toSet
+    def dominates(a: (Long, String, Long, Double), b: (Long, String, Long, Double)): Boolean =
+      a._3 <= b._3 && a._4 >= b._4 && (a._3 < b._3 || a._4 > b._4)
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      grp.foreach { r =>
+        val dominated = grp.exists(o => dominates(o, r))
+        assert(frontier.contains(r._1) == !dominated,
+          s"order ${r._1}: frontier=${frontier.contains(r._1)} dominated=$dominated")
+      }
+    }
+  }
 }

@@ -147,4 +147,56 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(math.abs(r._1 - direct.sum / direct.length) < 1e-6)
     got.unpersist()
   }
+
+  test("emb_semdedup: dup set matches a brute within-cell recomputation") {
+    val got = run("emb_semdedup").collect()
+    val corpus = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(got.length == corpus.length, "must emit one row per corpus vector")
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val cents = graft.queries.IvfCentroids.kmeans16
+      .map { case (cid, c) => (cid, c.toSeq, c.map(x => x * x).sum) }
+    val assigned = corpus.map { case (id, e) =>
+      val v = e.map(_.toDouble).toSeq
+      val cell = cents.map { case (cid, c, cn2) =>
+        (dot(v, v) - 2.0 * dot(v, c) + cn2, cid)
+      }.min._2
+      (id, v, cell)
+    }
+    val dups = (for {
+      (ai, av, ac) <- assigned
+      (bi, bv, bc) <- assigned
+      if ac == bc && ai < bi
+      cos = dot(av, bv) / (math.sqrt(dot(av, av)) * math.sqrt(dot(bv, bv)))
+      if BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.3
+    } yield bi).toSet
+    assert(dups.nonEmpty, "vacuous fixture: no within-cell near-dups at sf0.001")
+
+    val cellOf = assigned.map(a => a._1 -> a._3.toLong).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cell") == cellOf(id), s"vector $id assigned to wrong cell")
+      assert(r.getAs[Boolean]("is_dup") == dups.contains(id), s"dup flag wrong for $id")
+    }
+  }
+
+  test("emb_gram_matrix: full upper triangle, nonnegative diagonal, lattice-exact cells") {
+    val dim = 64
+    val got = run("emb_gram_matrix").collect()
+    assert(got.length == dim * (dim + 1) / 2)
+    val g = got.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("g")).toMap
+    (0 until dim).foreach(i => assert(g((i.toLong, i.toLong)) >= 0.0, s"negative diagonal at $i"))
+    // Spot cells vs a driver-side replay of the exact integer lattice.
+    val corpus = Tables.embeddings(spark, sf0001)
+      .select("embedding").as[Seq[Float]].collect()
+    def brute(i: Int, j: Int): Double = {
+      val s = corpus.map(e => math.floor(e(i).toDouble * e(j).toDouble * 1e9 + 0.5).toLong).sum
+      BigDecimal(s / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq((0, 0), (0, 63), (7, 23), (63, 63)).foreach { case (i, j) =>
+      assert(g((i.toLong, j.toLong)) == brute(i, j), s"cell ($i,$j) mismatch")
+    }
+  }
 }

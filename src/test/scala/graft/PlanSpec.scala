@@ -343,4 +343,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!dv.contains("SortMergeJoin"),
       s"split_token_divergence: totals not broadcast\n$dv")
   }
+
+  test("moment/skyline/semdedup/gram entries keep their declared scale shapes") {
+    // Gram matrix: ONE pass, no hash shuffle at all — partial outer
+    // products merge through the global-aggregate single partition.
+    val gm = plan("emb_gram_matrix")
+    assert(countOf(gm, "Exchange hashpartitioning") == 0 && !gm.contains("Join"),
+      s"emb_gram_matrix: expected a join-free single-pass aggregate\n$gm")
+    // Trend: one tiny-key moment aggregate — exactly one hash exchange,
+    // never a join or a second scan-wide shuffle.
+    val tr = plan("events_value_trend")
+    assert(countOf(tr, "Exchange hashpartitioning") == 1 && !tr.contains("Join"),
+      s"events_value_trend: expected exactly one hash exchange\n$tr")
+    // Pareto frontier: the two window passes share one shuffle+sort on
+    // the class key (the same-timestamp window's clustering is satisfied
+    // by the coarser partitioning) — and no dominance self-join.
+    val pf = plan("orders_pareto_frontier")
+    assert(countOf(pf, "Exchange hashpartitioning") == 1 && !pf.contains("Join"),
+      s"orders_pareto_frontier: expected one shuffle, no self-join\n$pf")
+    // SemDeDup: centroid assignment is a literal projection (no centroid
+    // join); candidates come from the within-cell equi-join only.
+    val sd = plan("emb_semdedup")
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"),
+      s"emb_semdedup: quadratic join crept in\n$sd")
+  }
 }
