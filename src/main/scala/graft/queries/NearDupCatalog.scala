@@ -896,8 +896,79 @@ object NearDupCatalog {
                 JOIN nt n ON n.doc_id = l.doc_id AND n.n_tokens = m.max_tokens
            GROUP BY m.cluster_id"""))
 
+  /** MinHash estimator calibration on the LSH candidates: per candidate
+    * pair, the signature-agreement estimate (matching components / K, the
+    * unbiased Jaccard estimator MinHash is built on) NEXT TO the exact
+    * sorted-merge Jaccard and their absolute error — index quality
+    * measured as data, the text sibling of `emb_knn_recall`. Unlike
+    * `doc_near_dup_lsh` there is NO threshold: calibration wants the
+    * uncut error distribution, false positives included.
+    *
+    * Cost is the near-dup pipeline's own candidate stage plus two
+    * K-column signature lookups per pair — no extra corpus pass, so the
+    * diagnostic rides at candidate (not corpus) scale. Zero-intersection
+    * candidates cannot exist (equal band hash ⇒ equal min-md5 strings ⇒
+    * a shared shingle), but the oracle still outer-joins the
+    * intersection counts so the two sides agree by construction, not by
+    * that argument.
+    */
+  val lshCalibration: CatalogEntry = CatalogEntry(
+    "doc_lsh_calibration",
+    (s, d) => {
+      val arrays = shingleArraysDF(s, d)
+        .withColumn("shsrt", sort_array(col("shs"))).cache()
+      val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
+      val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
+      val bandStructs = (0 until Bands).map { b =>
+        val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("da") +:
+        (0 until K).map(i => col(s"s$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("db") +:
+        (0 until K).map(i => col(s"s$i").as(s"b$i")): _*)
+      val matches = (0 until K)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "da").join(sb, "db")
+        .join(arrays.select(col("doc_id").as("da"), col("shsrt").as("shs_a")), Seq("da"))
+        .join(arrays.select(col("doc_id").as("db"), col("shsrt").as("shs_b")), Seq("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(matches.cast("double") / lit(K), 6).as("est_sim"),
+          graft.functions.Text.bound(
+            graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
+            round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
+          }.as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est_sim") - col("jaccard")), 6))
+    },
+    Some {
+      val est = (0 until K)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $lshPairsCtesSql
+          SELECT doc_a, doc_b, est_sim, jaccard,
+                 ROUND(ABS(est_sim - jaccard), 6) AS abs_err
+          FROM (SELECT c.da AS doc_a, c.db AS doc_b,
+                       ROUND(CAST(($est) AS DOUBLE) / $K, 6) AS est_sim,
+                       ROUND(COALESCE(ni.n_inter, 0)
+                             / (za.n + zb.n - COALESCE(ni.n_inter, 0)), 6) AS jaccard
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.da
+                JOIN sig b ON b.doc_id = c.db
+                LEFT JOIN ni ON ni.da = c.da AND ni.db = c.db
+                JOIN sz za ON za.doc_id = c.da
+                JOIN sz zb ON zb.doc_id = c.db)"""
+    })
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, dupSpans,
-    sortedNeighborhood, dupKeepBest)
+    sortedNeighborhood, dupKeepBest, lshCalibration)
 }

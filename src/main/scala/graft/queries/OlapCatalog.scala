@@ -225,7 +225,67 @@ object OlapCatalog {
               FROM orders)
             WHERE (m1 IS NULL OR m1 < price) AND m2 = price"""))
 
+  /** Revenue concentration per priority class: Gini coefficient + top-decile
+    * share — the inequality statistics a mixing/billing dashboard reads.
+    * Lorenz arithmetic needs each row's GLOBAL rank within its class, so the
+    * plan is one shuffle+sort per class (row_number + windowed count share
+    * the sort) followed by a tiny-key moment aggregate; at 100 TB the cost
+    * is the per-class sort — there is no rank-free closed form for Gini.
+    *
+    * Exactness: rank·price moments accumulate in DECIMAL (rank is an exact
+    * BIGINT, the scale-0 × scale-4 product is exact); Gini's closed form
+    * G = (2·Σ rn·p − (n+1)·Σp) / (n·Σp) is then TWO exact decimals pushed
+    * through the identical double expression in both engines, ROUND 6.
+    */
+  val ordersRevenueGini: CatalogEntry = CatalogEntry(
+    "orders_revenue_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("priority").orderBy("price", "o_orderkey")
+      val wp = Window.partitionBy("priority")
+      val ranked = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("price"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+      val pd = col("price").cast(DecimalType(18, 4))
+      val m = ranked.groupBy("priority").agg(
+        max("n").as("n"),
+        sum(pd).as("spd"),
+        sum((col("rn").cast(DecimalType(18, 0)) * pd).cast(DecimalType(38, 4))).as("srpd"),
+        sum(when(col("rn") > col("n") - floor(col("n") / lit(10.0)).cast("long"), pd)).as("sptopd"))
+      val sp = col("spd").cast("double")
+      val srp = col("srpd").cast("double")
+      val sptop = col("sptopd").cast("double")
+      m.select(col("priority"), col("n"),
+        round((lit(2.0) * srp - (col("n") + 1).cast("double") * sp)
+          / (col("n").cast("double") * sp), 6).as("gini"),
+        round(sptop / sp, 6).as("top_decile_share"))
+    },
+    Some(s"""WITH r AS (SELECT o_orderpriority AS priority, o_totalprice AS price,
+                               o_orderkey,
+                               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+                               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                        FROM orders),
+                 m AS (SELECT priority, MAX(n) AS n,
+                              SUM(CAST(price AS DECIMAL(18,4))) AS spd,
+                              SUM(CAST(CAST(rn AS DECIMAL(18,0))
+                                       * CAST(price AS DECIMAL(18,4)) AS DECIMAL(38,4))) AS srpd,
+                              SUM(CASE WHEN rn > n - CAST(FLOOR(n / 10.0) AS BIGINT)
+                                       THEN CAST(price AS DECIMAL(18,4)) END) AS sptopd
+                       FROM r GROUP BY priority)
+             SELECT priority, n,
+                    ROUND((2.0 * ${Exact.sqlToDouble("srpd")}
+                           - CAST(n + 1 AS DOUBLE) * ${Exact.sqlToDouble("spd")})
+                          / (CAST(n AS DOUBLE) * ${Exact.sqlToDouble("spd")}), 6) AS gini,
+                    ROUND(${Exact.sqlToDouble("sptopd")} / ${Exact.sqlToDouble("spd")}, 6)
+                      AS top_decile_share
+             FROM m"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
-      eventsTransitions, eventsGroupingSets, ordersParetoFrontier)
+      eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
+      ordersRevenueGini)
 }

@@ -369,6 +369,30 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("orders_revenue_gini: matches a driver-side Lorenz recomputation") {
+    val got = run("orders_revenue_gini").collect()
+      .map(r => r.getAs[String]("priority") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("gini"), r.getAs[Double]("top_decile_share")))
+      .toMap
+    val byClass = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    assert(got.keySet == byClass.keySet)
+    byClass.foreach { case (prio, rows) =>
+      val p = rows.map(_._2).sorted
+      val n = p.length
+      val sp = p.sum
+      val srp = p.zipWithIndex.map { case (v, i) => (i + 1).toDouble * v }.sum
+      val gini = (2.0 * srp - (n + 1) * sp) / (n * sp)
+      val top = p.drop(n - n / 10).sum / sp
+      val (gn, gg, gt) = got(prio)
+      assert(gn == n)
+      assert(math.abs(gg - gini) < 1e-5, s"$prio gini $gg vs $gini")
+      assert(math.abs(gt - top) < 1e-5, s"$prio top share $gt vs $top")
+      assert(gg >= 0.0 && gg < 1.0 && gt > 0.0 && gt < 1.0)
+    }
+  }
+
   test("orders_pareto_frontier: frontier undominated; every other row dominated") {
     val rows = Tables.load(spark, sf0001, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),

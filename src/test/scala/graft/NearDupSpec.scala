@@ -234,4 +234,26 @@ class NearDupSpec extends AnyFunSuite {
       assert(k == docs.filter(d => nTok(d) == maxTok).min)
     }
   }
+
+  test("doc_lsh_calibration: uncut candidates cover the thresholded pairs, same exact jaccard") {
+    val cal = SparkEntry.queries("doc_lsh_calibration")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("est_sim"), r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err")))
+      .toMap
+    assert(cal.nonEmpty)
+    cal.values.foreach { case (est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0)
+      // est is a multiple of 1/12 (12 signature components).
+      assert(math.abs(est * 12 - math.rint(est * 12)) < 1e-4, s"est $est not a k-fraction")
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6, s"abs_err $err vs |$est-$jac|")
+    }
+    // The thresholded near-dup pairs are exactly the calibration rows
+    // with jaccard >= the threshold, with identical exact values.
+    val thresholded = SparkEntry.queries("doc_near_dup_lsh")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(cal.filter(_._2._2 >= 0.5).keySet == thresholded.keySet,
+      "calibration candidates and thresholded pairs diverge")
+    thresholded.foreach { case (k, j) => assert(cal(k)._2 == j, s"jaccard differs on $k") }
+  }
 }
