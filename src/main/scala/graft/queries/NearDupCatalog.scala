@@ -36,6 +36,8 @@ object NearDupCatalog {
   private val Bands = 4 // LSH bands (rows per band = K / Bands = 3)
   private val Rows = K / Bands
   private val JaccardThreshold = 0.5
+  private val CoreK = 2 // k-core order: 2 separates chains from cycles
+  private val KCoreRounds = 6 // fixed peel rounds (oracle unrolls the same 6)
 
   private val shinglesSql =
     raw"""SELECT DISTINCT doc_id, sh FROM (
@@ -967,8 +969,62 @@ object NearDupCatalog {
                 JOIN sz zb ON zb.doc_id = c.db)"""
     })
 
+  /** k-core decomposition of the dup graph (k = 2, the smallest core that
+    * separates dup CHAINS from dup CLIQUES): repeatedly peel nodes of
+    * degree < k, emit the surviving nodes with their residual degree —
+    * the graph-density complement of `doc_graph_triangles` (a node can
+    * have many neighbors yet zero triangles; the 2-core keeps exactly the
+    * cyclic cores where transitive dup resolution is non-trivial).
+    *
+    * The catalog form peels a FIXED $KCoreRounds rounds so the DuckDB
+    * oracle can UNROLL the same rounds as plain CTEs — both engines
+    * compute "the ≥k-bound after R peels" even on an unconverged chain,
+    * so equality is by construction, not by a convergence argument. Each
+    * round is edge-proportional (degree aggregate + two semi joins) and
+    * the edge list is materialized per round (the dupClusters A/B: with
+    * self-referencing rounds the fused plan grows ~5× per round).
+    * Production swaps the fixed bound for the dupClusters-style
+    * one-scalar-per-round fixpoint probe.
+    */
+  val graphKCore: CatalogEntry = CatalogEntry(
+    "doc_graph_kcore",
+    (s, d) => {
+      var e = lshEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
+      for (_ <- 1 to KCoreRounds) {
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= CoreK).select("u")
+        e = e.join(alive, Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select("u", "v").localCheckpoint()
+      }
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("doc_id"), col("core_deg"))
+    },
+    Some {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+      // reference, and each unrolled round references its predecessor ~5
+      // times — 5^rounds re-evaluations of the whole LSH pipeline without
+      // it (observed as an fd-exhaustion error, not just slowness).
+      val rounds = (0 until KCoreRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM (
+                      SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY n),
+            e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+                          WHERE u IN (SELECT n FROM d$r WHERE deg >= $CoreK)
+                            AND v IN (SELECT n FROM d$r WHERE deg >= $CoreK))"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $lshPairsCtesSql,
+            e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs),
+            $rounds
+          SELECT n AS doc_id, deg AS core_deg FROM (
+            SELECT n, COUNT(*) AS deg FROM (
+              SELECT u AS n FROM e$KCoreRounds
+              UNION ALL SELECT v FROM e$KCoreRounds) GROUP BY n)"""
+    })
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
-    dupClusters, dupClustersStar, pagerank, graphTriangles, dupSpans,
+    dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration)
 }

@@ -235,6 +235,22 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_graph_kcore: matches a driver-side replay of six peel rounds") {
+    val got = SparkEntry.queries("doc_graph_kcore")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    var edges = SparkEntry.queries("doc_near_dup_lsh")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def degrees(es: Set[(Long, Long)]): Map[Long, Int] =
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, o) => n -> o.size }
+    for (_ <- 1 to 6) {
+      val deg = degrees(edges)
+      edges = edges.filter(e => deg(e._1) >= 2 && deg(e._2) >= 2)
+    }
+    val want = degrees(edges).map { case (n, dg) => n -> dg.toLong }
+    assert(got == want, s"k-core diverged: got ${got.size} nodes, want ${want.size}")
+    assert(got.nonEmpty, "vacuous fixture: empty 2-core at sf0.001")
+  }
+
   test("doc_lsh_calibration: uncut candidates cover the thresholded pairs, same exact jaccard") {
     val cal = SparkEntry.queries("doc_lsh_calibration")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
