@@ -92,10 +92,14 @@ object Bench {
     // that dominate the total — trimmed to fit the tail window.
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () } // stdout line below is the contract
+    // Subset runs (SPARK_GRAFT_ONLY) are local iteration — never let them
+    // clobber the committed full-catalog artifact.
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        try w.println(fullLine) finally w.close()
+      } catch { case _: Throwable => () } // stdout line below is the contract
+    }
 
     val slow = results.sortBy(-_._2)
       .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }

@@ -1324,33 +1324,7 @@ object PipelineCatalog {
     */
   val eventsValueTrend: CatalogEntry = CatalogEntry(
     "events_value_trend",
-    (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val base = 1704067200L // 2024-01-01T00:00:00Z
-      val e = Tables.events(s, d).select(col("event_type"),
-        (unix_timestamp(col("ts")) - base).as("x"), col("value"))
-      val vd = col("value").cast(DecimalType(18, 4))
-      val m = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("x").cast(DecimalType(38, 0))).as("sxd"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxxd"),
-        sum(vd).as("syd"),
-        sum((vd * vd).cast(DecimalType(38, 8))).as("syyd"),
-        sum((col("x").cast(DecimalType(18, 0)) * vd).cast(DecimalType(38, 4))).as("sxyd"))
-      val n = col("n").cast("double")
-      val sx = col("sxd").cast("double")
-      val sxx = col("sxxd").cast("double")
-      val sy = col("syd").cast("double")
-      val syy = col("syyd").cast("double")
-      val sxy = col("sxyd").cast("double")
-      val cov = n * sxy - sx * sy
-      val varx = n * sxx - sx * sx
-      val vary = n * syy - sy * sy
-      m.select(col("event_type"), col("n"),
-        round(cov / varx, 6).as("slope"),
-        round((sy - (cov / varx) * sx) / n, 6).as("intercept"),
-        round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr"))
-    },
+    (s, d) => Transforms.trendDerive(Transforms.trendMoments(Tables.events(s, d))),
     Some(s"""WITH e AS (SELECT event_type,
                                CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200 AS x,
                                value
@@ -1371,6 +1345,102 @@ object PipelineCatalog {
                           / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
              FROM m"""))
 
+  /** BM25 relevance top-20 for a fixed three-term query — the retrieval
+    * primitive of a RAG/search layer, with the one substitution the
+    * engine's no-libm rule forces: the idf factor is the RAW Robertson
+    * odds (N − df + ½)/(df + ½) instead of its logarithm. For a FIXED
+    * query this is a per-term positive constant, so per-term ranking is
+    * identical and the cross-term mix just weights rare terms more
+    * steeply than log would — documented surrogate, same family as the
+    * PMI and TV-distance substitutions elsewhere in this catalog.
+    *
+    * Scale shape: the token explode is filtered to the query terms
+    * per-row (the scan IS the inverted-index probe — at 100 TB only
+    * matching postings reach the shuffle), tf aggregates on (doc, term),
+    * df and the corpus length stats are tiny broadcasts, and the top-20
+    * is a TakeOrdered — never a global sort materialization. Per-doc
+    * scores sum the ≤3 per-term scores in FIXED term order (conditional
+    * single-element sums), so no float fold order is left to the engine.
+    */
+  val bm25TopK: CatalogEntry = CatalogEntry(
+    "doc_bm25_topk",
+    (s, d) => {
+      val (q1, q2, q3) = ("dup", "scan", "merge")
+      // k1 = 1.2, b = 0.75. k1+1 is written as the LITERAL 2.2, never
+      // computed: 1.2+1.0 in doubles lands exactly on a representability
+      // half-way point, so the computed constant need not equal the
+      // oracle's parsed literal 2.2.
+      val k1 = lit(1.2)
+      val k1p1 = lit(2.2)
+      val b = lit(0.75)
+      val docs = documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.normTokens(col("text")).as("toks"))
+      val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+      val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("suml"))
+        .select(col("nd"), (col("suml").cast("double") / col("nd")).as("avgl"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(q1, q2, q3))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val term = tf.join(broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          ((col("nd") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+        .withColumn("tfn",
+          col("tf").cast("double") * k1p1
+            / (col("tf").cast("double")
+              + k1 * (lit(1.0) - b
+                + b * (col("len").cast("double") / col("avgl")))))
+        .withColumn("ts", col("idf") * col("tfn"))
+      val scored = term.groupBy("doc_id").agg(
+        sum(when(col("tok") === q1, col("ts"))).as("s1"),
+        sum(when(col("tok") === q2, col("ts"))).as("s2"),
+        sum(when(col("tok") === q3, col("ts"))).as("s3"))
+        .select(col("doc_id"),
+          round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+            + coalesce(col("s3"), lit(0.0)), 6).as("score"))
+      scored.orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, $normToksSql AS toks FROM documents),
+                  lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM docs),
+                  stats AS (SELECT COUNT(*) AS nd,
+                                   ${Exact.sqlToDouble("SUM(len)")} / COUNT(*) AS avgl
+                            FROM lens),
+                  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+                           SELECT doc_id, unnest(toks) AS tok FROM docs)
+                         WHERE tok IN ('dup', 'scan', 'merge')
+                         GROUP BY doc_id, tok),
+                  dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+                  term AS (SELECT t.doc_id, t.tok,
+                                  ((CAST(s.nd - d.df AS DOUBLE) + 0.5)
+                                   / (CAST(d.df AS DOUBLE) + 0.5))
+                                  * (CAST(t.tf AS DOUBLE) * 2.2
+                                     / (CAST(t.tf AS DOUBLE)
+                                        + 1.2 * (1.0 - 0.75
+                                          + 0.75 * (CAST(l.len AS DOUBLE) / s.avgl))))
+                                    AS ts
+                           FROM tf t
+                           JOIN dfx d ON d.tok = t.tok
+                           JOIN lens l ON l.doc_id = t.doc_id
+                           CROSS JOIN stats s),
+                  scored AS (SELECT doc_id,
+                                    ROUND(COALESCE(SUM(CASE WHEN tok = 'dup' THEN ts END), 0.0)
+                                          + COALESCE(SUM(CASE WHEN tok = 'scan' THEN ts END), 0.0)
+                                          + COALESCE(SUM(CASE WHEN tok = 'merge' THEN ts END), 0.0), 6)
+                                      AS score
+                             FROM term GROUP BY doc_id)
+             SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+               SELECT doc_id, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+               FROM scored)
+             WHERE rank <= 20"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1381,5 +1451,5 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend)
+      eventsValueTrend, bm25TopK)
 }

@@ -107,6 +107,47 @@ object Transforms {
         count(lit(1)).as("n"))
   }
 
+  /** Per-type regression moment state (n, Σx, Σx², Σy, Σy², Σxy; x = epoch
+    * seconds re-based to 2024-01-01, y = value) — every column is an exact
+    * associative sum (BIGINT counts, DECIMAL sums), so the SAME aggregate
+    * is the batch entry's first phase and a streaming update-mode rolling
+    * state. [[trendDerive]] turns the moments into slope/intercept/r.
+    */
+  def trendMoments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val vd = col("value").cast(DecimalType(18, 4))
+    events
+      .select(col("event_type"), (unix_timestamp(col("ts")) - base).as("x"), col("value"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sxd"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxxd"),
+        sum(vd).as("syd"),
+        sum((vd * vd).cast(DecimalType(38, 8))).as("syyd"),
+        sum((col("x").cast(DecimalType(18, 0)) * vd).cast(DecimalType(38, 4))).as("sxyd"))
+  }
+
+  /** Closed-form OLS + Pearson r over a [[trendMoments]] table. The double
+    * phase has a fixed IEEE expression shape (identical to the DuckDB
+    * oracle's text), so identical exact moments give identical bits.
+    */
+  def trendDerive(m: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val sx = col("sxd").cast("double")
+    val sxx = col("sxxd").cast("double")
+    val sy = col("syd").cast("double")
+    val syy = col("syyd").cast("double")
+    val sxy = col("sxyd").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    m.select(col("event_type"), col("n"),
+      round(cov / varx, 6).as("slope"),
+      round((sy - (cov / varx) * sx) / n, 6).as("intercept"),
+      round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr"))
+  }
+
   /** Flag events > 3σ from their type mean given a [[zscoreStats]] table
     * (broadcast back — the fact side never shuffles). mean/var/z are
     * derived from the exact sums with a fixed IEEE expression shape, so

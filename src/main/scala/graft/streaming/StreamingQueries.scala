@@ -57,7 +57,12 @@ object StreamingQueries {
     // Transforms.keySkewFold over the upserted counts yields the same
     // statistics as the batch events_key_skew entry — the signal that
     // triggers salting before the hot key melts an executor.
-    "events_key_counts" -> Transforms.keyCounts)
+    "events_key_counts" -> Transforms.keyCounts,
+    // Regression moment state (n, Σx, Σx², Σy, Σy², Σxy — exact
+    // BIGINT/DECIMAL sums, all associative): the LIVE side of the
+    // events_value_trend drift monitor; Transforms.trendDerive over the
+    // upserted moments yields the batch entry's slope/intercept/r.
+    "events_trend_moments" -> Transforms.trendMoments)
 
   /** Start an update-mode query with a processing-time trigger (≙ the
     * reference's `combine(fn, intervalMs)` flush cadence) into a foreach

@@ -369,6 +369,24 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_bm25_topk: ranks contiguous, scores descending, rare term dominates") {
+    val got = run("doc_bm25_topk").collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    assert(got.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to got.length).toSeq)
+    val byRank = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, "scores not descending")
+    // The rare query term's idf surrogate is ~70x the common terms' — any
+    // doc containing it must outrank every doc that only has common terms.
+    val hasDup = Tables.documents(spark, sf0001)
+      .filter(array_contains(graft.functions.Text.normTokens(col("text")), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hasDup.nonEmpty, "fixture has no docs with the rare term")
+    val topIds = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id"))
+    val nDup = math.min(hasDup.size, 20)
+    assert(topIds.take(nDup).forall(hasDup.contains),
+      s"rare-term docs do not lead the ranking: ${topIds.take(nDup).toSeq}")
+  }
+
   test("orders_revenue_gini: matches a driver-side Lorenz recomputation") {
     val got = run("orders_revenue_gini").collect()
       .map(r => r.getAs[String]("priority") ->

@@ -187,6 +187,42 @@ class StreamingSpec extends AnyFunSuite {
       "streamed moment state diverges from the batch stats pass")
   }
 
+  test("streaming trend-moment state derives the batch slope/intercept/corr") {
+    import graft.queries.Transforms
+    val value = (i: Long) => (i % 13).toDouble + i.toDouble / 7.0
+    val fb1: Seq[Ev] = (1L to 60L).map(i =>
+      (i, ts(s"2024-06-0${1 + (i % 9).toInt} 0${i % 10}:15:00"), i % 7,
+        if (i % 2 == 0) "view" else "click", value(i), ""))
+    val fb2: Seq[Ev] = (61L to 120L).map(i =>
+      (i, ts(s"2024-06-1${(i % 9).toInt} 1${i % 10}:45:00"), i % 11,
+        if (i % 2 == 0) "view" else "click", value(i), ""))
+    val sinkId = s"trend-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.runUpdating(
+      "events_trend_moments", input.toDF().toDF(eventCols: _*), sink, intervalMs = 50L)
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val moments = Sinks.registry(sinkId).asScala.values.toSeq
+    Sinks.clear(sinkId)
+    val all = (fb1 ++ fb2).toDF(eventCols: _*)
+    val momentSchema = Transforms.trendMoments(all).schema
+    val streamedState = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](moments.asJava), momentSchema)
+    def derived(m: org.apache.spark.sql.DataFrame) =
+      Transforms.trendDerive(m).collect()
+        .map(r => r.getString(0) -> r.toSeq.toList).toMap
+    val streamed = derived(streamedState)
+    val batch = derived(Transforms.trendMoments(all))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streamed trend moments diverge from the batch moment pass")
+  }
+
   test("streaming key-count state folds to the batch skew report") {
     import graft.queries.Transforms
     val fb1: Seq[Ev] = (1L to 60L).map(i =>
