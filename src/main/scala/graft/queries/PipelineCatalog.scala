@@ -20,6 +20,12 @@ object PipelineCatalog {
 
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** CUSUM band half-width, in value units (±H around the global-mean
+    * drift line): 500 separates a persistent shift from random-walk noise
+    * on this corpus (6 / 50 / 509 breaching users at sf0.001/0.01/0.1).
+    */
+  private val CusumH = 500
+
   /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
   private val normSql = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
@@ -1401,11 +1407,14 @@ object PipelineCatalog {
         .select(col("doc_id"),
           round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
             + coalesce(col("s3"), lit(0.0)), 6).as("score"))
-      scored.orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      // Global rank WITHOUT an unpartitioned window (PlanLint's ban): the
+      // top-20 is a TakeOrdered; ranking those 20 rows goes through
+      // GlobalRank (range shuffle + zipWithIndex) like every other global
+      // ordering in this catalog — trivially cheap at 20 rows, and the
+      // plan stays scale-shaped if the cut ever widens.
+      graft.operators.GlobalRank.withRank(
+        scored.orderBy(col("score").desc, col("doc_id")).limit(20),
+        Seq(col("score").desc, col("doc_id")), numPartitions = 2, rankCol = "rank")
     },
     Some(s"""WITH docs AS (SELECT doc_id, $normToksSql AS toks FROM documents),
                   lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM docs),
@@ -1441,6 +1450,80 @@ object PipelineCatalog {
                FROM scored)
              WHERE rank <= 20"""))
 
+  /** CUSUM change-point detection per user: the first event where the
+    * cumulative deviation of the user's values from the GLOBAL mean
+    * leaves the ±H band — the sequential-analysis complement of the
+    * pointwise outlier entries (`events_zscore_outliers` flags single
+    * extremes; CUSUM catches a persistent small shift long before any
+    * single point is extreme). One user-partitioned sort (row_number and
+    * the running sum share it) + a broadcast global-moment scalar + a
+    * first-breach window over the breach rows only.
+    *
+    * Exactness device: the mean is never divided out. S_k = Σv_i − k·μ
+    * is scaled by N: N·S_k = N·cums_k − k·ΣV — every term an exact
+    * DECIMAL product — and the band check compares against H·N, so the
+    * breach set is integer-exact with ZERO divisions (the emitted
+    * deviation divides once, after the fact). Decimal widths are sized
+    * to the catalog corpus (N ≤ 1e10, cums ≤ 1e23/1e4); they widen
+    * mechanically for larger fleets.
+    */
+  val cusumBreach: CatalogEntry = CatalogEntry(
+    "events_cusum_breach",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val vd = col("value").cast(DecimalType(18, 4))
+      val g = Tables.events(s, d).agg(sum(vd).as("sy"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val r = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").cast("long").as("tss"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cums",
+          sum(vd).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(g))
+        .withColumn("numer",
+          (col("n").cast(DecimalType(10, 0)) * col("cums").cast(DecimalType(27, 4)))
+            - (col("k").cast(DecimalType(10, 0)) * col("sy").cast(DecimalType(27, 4))))
+        .filter(abs(col("numer")) >
+          (lit(CusumH).cast(DecimalType(10, 0)) * col("n").cast(DecimalType(10, 0)))
+            .cast(DecimalType(38, 4)))
+        .withColumn("dev",
+          round(col("numer").cast("double") / col("n").cast("double"), 6))
+      r.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("k")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("k").as("breach_k"),
+          col("tss").as("breach_ts"), col("dev"))
+    },
+    Some(s"""WITH g AS (SELECT SUM(CAST(value AS DECIMAL(18,4))) AS sy, COUNT(*) AS n
+                        FROM events),
+                  r AS (SELECT user_id, event_id, tss,
+                               CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+                               SUM(CAST(value AS DECIMAL(18,4)))
+                                 OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cums
+                        FROM (SELECT user_id, event_id, value,
+                                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss
+                              FROM events)
+                        WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+                  br AS (SELECT user_id, k, tss,
+                                (CAST(n AS DECIMAL(10,0)) * CAST(cums AS DECIMAL(27,4)))
+                                - (CAST(k AS DECIMAL(10,0)) * CAST(sy AS DECIMAL(27,4)))
+                                  AS numer,
+                                n
+                         FROM r CROSS JOIN g
+                         WHERE ABS((CAST(n AS DECIMAL(10,0)) * CAST(cums AS DECIMAL(27,4)))
+                                   - (CAST(k AS DECIMAL(10,0)) * CAST(sy AS DECIMAL(27,4))))
+                               > CAST(CAST($CusumH AS DECIMAL(10,0))
+                                      * CAST(n AS DECIMAL(10,0)) AS DECIMAL(38,4)))
+             SELECT user_id, breach_k, breach_ts, dev FROM (
+               SELECT user_id, k AS breach_k, tss AS breach_ts,
+                      ROUND(${Exact.sqlToDouble("numer")} / CAST(n AS DOUBLE), 6) AS dev,
+                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY k) AS rn
+               FROM br)
+             WHERE rn = 1"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1451,5 +1534,5 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend, bm25TopK)
+      eventsValueTrend, bm25TopK, cusumBreach)
 }

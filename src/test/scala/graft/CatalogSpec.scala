@@ -369,6 +369,35 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("events_cusum_breach: matches an exact decimal replay of the band walk") {
+    val got = run("events_cusum_breach").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("breach_k"), r.getAs[Double]("dev"))).toMap
+    val rows = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("long").as("tss"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val sy = rows.map(r => d4(r._4)).sum
+    val n = BigDecimal(rows.length)
+    val h = BigDecimal(500) * n
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      var cums = BigDecimal(0)
+      val breach = ordered.zipWithIndex.flatMap { case (e, i) =>
+        cums += d4(e._4)
+        val numer = n * cums - BigDecimal(i + 1) * sy
+        if (numer.abs > h) Some(((i + 1).toLong, (numer / n).toDouble)) else None
+      }.headOption
+      breach.map(u -> _)
+    }
+    assert(got.keySet == want.keySet, s"breach users diverge: ${got.keySet} vs ${want.keySet}")
+    assert(got.nonEmpty, "vacuous fixture: no CUSUM breaches at sf0.001")
+    want.foreach { case (u, (k, dev)) =>
+      assert(got(u)._1 == k, s"user $u breach position ${got(u)._1} vs $k")
+      assert(math.abs(got(u)._2 - dev) < 1e-4, s"user $u dev ${got(u)._2} vs $dev")
+    }
+  }
+
   test("doc_bm25_topk: ranks contiguous, scores descending, rare term dominates") {
     val got = run("doc_bm25_topk").collect()
     assert(got.length <= 20 && got.nonEmpty)
