@@ -103,10 +103,17 @@ object Bench {
 
     val slow = results.sortBy(-_._2)
       .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
+    // The errors map must share the line budget too — full messages live
+    // in BENCH_FULL.json; the printed line carries at most 8 errors at
+    // 60 chars each, or an unbounded errs would reintroduce the clipped
+    // unparseable line on exactly the runs where diagnostics matter.
+    val errsCompact = (errors.take(8).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" } ++
+      (if (errors.size > 8) Seq(s""""errors_omitted":${errors.size - 8}""") else Nil))
+      .mkString("{", ",", "}")
     // Budget the line at 1800 chars: fits the tail window together with
     // sbt's trailing "[success] ..." line.
     val fixed =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"full":"BENCH_FULL.json","sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"full":"BENCH_FULL.json","sf":${jstr(sfDir)},"errors":$errsCompact,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
     val room = 1800 - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

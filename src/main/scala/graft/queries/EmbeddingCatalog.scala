@@ -807,9 +807,13 @@ object EmbeddingCatalog {
       import graft.functions.Vectors
       val emb = embeddings(s, d)
       val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
+      // Three branches (keep, cand, the final flag join) read the
+      // assignment projection — cache it or the 16-centroid argmin (48
+      // dim-64 dot products per row) evaluates three times.
       val assigned = emb.select(col("vec_id"), col("embedding"),
           cells.getItem(0).getField("cid").cast("long").as("cell"))
         .withColumn("vn", Vectors.norm(col("embedding")))
+        .cache()
       val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
         col("embedding").as("qe"), col("vn").as("qn"))
       val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),

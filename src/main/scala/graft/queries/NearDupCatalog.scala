@@ -81,15 +81,39 @@ object NearDupCatalog {
     */
   private[queries] def lshPairs(s: SparkSession, d: String,
       caches: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val (arrays, _, cand) = lshCandidateStage(s, d, caches)
+    // Exact verification on the two sorted shingle sets — a linear
+    // merge count per candidate pair, no exploded shingle join.
+    cand
+      .join(arrays.select(col("doc_id").as("da"), col("shsrt").as("shs_a")), Seq("da"))
+      .join(arrays.select(col("doc_id").as("db"), col("shsrt").as("shs_b")), Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        graft.functions.Text.bound(
+          graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
+          round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
+        }.as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** The shared candidate stage of the LSH pipeline — (shingle arrays
+    * with a sorted copy, K-column signatures, distinct band-collision
+    * pairs da < db), each cached via `caches`. Consumed THRESHOLDED by
+    * [[lshPairs]] and uncut by the calibration entry, so the index and
+    * its diagnostic cannot drift apart.
+    *
+    * Per-row signatures (array_min over md5 transforms): ZERO shuffles
+    * before the tiny band self-join. Correct performance depends on
+    * Text.wordNgrams let-binding its token array — without it the
+    * tokenizer re-evaluates per array element (measured 10×).
+    * The cached intermediates each feed two plan branches.
+    * shsrt: the shingle set re-sorted lexicographically ONCE per doc, so
+    * pair verification is a zero-allocation linear merge count instead
+    * of a per-pair hash-set intersection.
+    */
+  private def lshCandidateStage(s: SparkSession, d: String,
+      caches: scala.collection.mutable.ListBuffer[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
     def reg(df: DataFrame): DataFrame = { val c = df.cache(); caches += c; c }
-    // Per-row signatures (array_min over md5 transforms): ZERO shuffles
-    // before the tiny band self-join. Correct performance depends on
-    // Text.wordNgrams let-binding its token array — without it the
-    // tokenizer re-evaluates per array element (measured 10×).
-    // The two cached intermediates each feed two plan branches.
-    // shsrt: the shingle set re-sorted lexicographically ONCE per doc, so
-    // pair verification is a zero-allocation linear merge count instead
-    // of a per-pair hash-set intersection.
     val arrays = reg(shingleArraysDF(s, d)
       .withColumn("shsrt", sort_array(col("shs"))))
     val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
@@ -105,17 +129,7 @@ object NearDupCatalog {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // Exact verification on the two sorted shingle sets — a linear
-    // merge count per candidate pair, no exploded shingle join.
-    cand
-      .join(arrays.select(col("doc_id").as("da"), col("shsrt").as("shs_a")), Seq("da"))
-      .join(arrays.select(col("doc_id").as("db"), col("shsrt").as("shs_b")), Seq("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        graft.functions.Text.bound(
-          graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
-          round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
-        }.as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    (arrays, sig, cand)
   }
 
   /** The LSH pipeline as a reusable CTE list ending in `lsh_pairs
@@ -917,21 +931,10 @@ object NearDupCatalog {
   val lshCalibration: CatalogEntry = CatalogEntry(
     "doc_lsh_calibration",
     (s, d) => {
-      val arrays = shingleArraysDF(s, d)
-        .withColumn("shsrt", sort_array(col("shs"))).cache()
-      val sigCols = graft.functions.Text.minhashSignature(col("shs"), K)
-      val sig = arrays.select(col("doc_id") +: sigCols: _*).cache()
-      val bandStructs = (0 until Bands).map { b =>
-        val parts = (0 until Rows).map(r => col(s"s${b * Rows + r}"))
-        struct(lit(b).as("band"), md5(concat(parts: _*)).as("h"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      // Same candidate stage object as lshPairs — the calibration can
+      // never measure a different index than the one in production.
+      val (arrays, sig, cand) =
+        lshCandidateStage(s, d, scala.collection.mutable.ListBuffer.empty)
       val sa = sig.select(col("doc_id").as("da") +:
         (0 until K).map(i => col(s"s$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("db") +:

@@ -1379,8 +1379,11 @@ object PipelineCatalog {
       val k1 = lit(1.2)
       val k1p1 = lit(2.2)
       val b = lit(0.75)
+      // Three plan branches read the tokenized projection (stats, the
+      // lens join, tf) — cache it or the corpus is regex-tokenized 3×.
       val docs = documents(s, d)
         .select(col("doc_id"), graft.functions.Text.normTokens(col("text")).as("toks"))
+        .cache()
       val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
       val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("suml"))
         .select(col("nd"), (col("suml").cast("double") / col("nd")).as("avgl"))
