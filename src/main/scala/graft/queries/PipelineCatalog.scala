@@ -1527,6 +1527,74 @@ object PipelineCatalog {
                FROM br)
              WHERE rn = 1"""))
 
+  /** The curation report: per quality tier (from [[qualityTiers]]), the
+    * signals a data-curation team reads before setting keep thresholds —
+    * doc count, mean length, mean quality, mean intra-doc repetition,
+    * exact-dup losers, repetitive-doc count. Definitions are SINGLE-
+    * SOURCED: the Spark side calls the sibling entries' builders, and the
+    * oracle embeds the sibling entries' own oracle SQL as subqueries — a
+    * drifted formula would break this entry's hash, not just its own.
+    *
+    * Cost: the sibling projections + doc-keyed joins + a 10-row
+    * aggregate. Mean-of-ratio columns re-cast the per-doc 6-dp values to
+    * DECIMAL(10,6) (exact by construction after ROUND 6) so the cross-doc
+    * sums are associative and order-free.
+    */
+  val qualityReport: CatalogEntry = CatalogEntry(
+    "pipeline_quality_report",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.expressions.Window
+      val tiers = qualityTiers.build(s, d).select(col("doc_id"), col("quality_score"), col("tier"))
+      val rep = TrainPrepCatalog.repetition.build(s, d)
+        .select(col("doc_id"), col("dup_frac"), col("repetitive"))
+      val dupFlag = documents(s, d)
+        .select(col("doc_id"), Text.contentHash(col("text")).as("content_hash"))
+        .withColumn("is_dup",
+          col("doc_id") =!= min("doc_id").over(Window.partitionBy("content_hash")))
+        .select("doc_id", "is_dup")
+      val toks = documents(s, d)
+        .select(col("doc_id"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      tiers.join(rep, "doc_id").join(dupFlag, "doc_id").join(toks, "doc_id")
+        .groupBy("tier").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          sum(col("quality_score").cast(DecimalType(10, 6))).as("q_sum"),
+          sum(col("dup_frac").cast(DecimalType(10, 6))).as("df_sum"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("repetitive"), 1L).otherwise(0L)).as("repetitive_docs"))
+        .select(col("tier"), col("n_docs"),
+          round(col("tok_sum").cast("double") / col("n_docs").cast("double"), 6).as("mean_tokens"),
+          round(col("q_sum").cast("double") / col("n_docs").cast("double"), 6).as("mean_quality"),
+          round(col("df_sum").cast("double") / col("n_docs").cast("double"), 6).as("mean_dup_frac"),
+          col("dup_docs"), col("repetitive_docs"))
+    },
+    Some(s"""WITH tiers AS MATERIALIZED (SELECT doc_id, quality_score, tier
+                                         FROM (${qualityTiers.oracle.get})),
+                  rep AS MATERIALIZED (SELECT doc_id, dup_frac, repetitive
+                                       FROM (${TrainPrepCatalog.repetition.oracle.get})),
+                  dupflag AS (SELECT doc_id,
+                                     doc_id != MIN(doc_id) OVER (PARTITION BY content_hash)
+                                       AS is_dup
+                              FROM (SELECT doc_id, md5($normSql) AS content_hash
+                                    FROM documents)),
+                  toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+                           FROM documents)
+             SELECT tier, COUNT(*) AS n_docs,
+                    ROUND(${Exact.sqlToDouble("SUM(n_tokens)")} / CAST(COUNT(*) AS DOUBLE), 6)
+                      AS mean_tokens,
+                    ROUND(${Exact.sqlToDouble("SUM(CAST(quality_score AS DECIMAL(10,6)))")}
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+                    ROUND(${Exact.sqlToDouble("SUM(CAST(dup_frac AS DECIMAL(10,6)))")}
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_dup_frac,
+                    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                    CAST(SUM(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs
+             FROM tiers
+             JOIN rep USING (doc_id)
+             JOIN dupflag USING (doc_id)
+             JOIN toks USING (doc_id)
+             GROUP BY tier"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1537,5 +1605,5 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend, bm25TopK, cusumBreach)
+      eventsValueTrend, bm25TopK, cusumBreach, qualityReport)
 }

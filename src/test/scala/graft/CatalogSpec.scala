@@ -369,6 +369,20 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_quality_report: tiers partition the corpus, quality means non-increasing") {
+    val got = run("pipeline_quality_report").collect().sortBy(_.getAs[Long]("tier"))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(got.map(_.getAs[Long]("tier")).toSeq == (0L to 9L))
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs, "tiers do not partition the corpus")
+    val means = got.map(_.getAs[Double]("mean_quality"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      s"tier quality means not non-increasing: ${means.toSeq}")
+    // Exact-dup losers across tiers must equal the corpus total.
+    val hashDups = nDocs - Tables.documents(spark, sf0001)
+      .select(graft.functions.Text.contentHash(col("text"))).distinct().count()
+    assert(got.map(_.getAs[Long]("dup_docs")).sum == hashDups)
+  }
+
   test("events_cusum_breach: matches an exact decimal replay of the band walk") {
     val got = run("events_cusum_breach").collect()
       .map(r => r.getAs[Long]("user_id") ->
