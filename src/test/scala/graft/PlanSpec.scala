@@ -366,5 +366,16 @@ class PlanSpec extends AnyFunSuite {
     val sd = plan("emb_semdedup")
     assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"),
       s"emb_semdedup: quadratic join crept in\n$sd")
+    // Gini: the rank window and the tier aggregate share ONE class-keyed
+    // shuffle (the aggregate's clustering is satisfied by the window's
+    // partitioning) — and no join anywhere.
+    val gn = plan("orders_revenue_gini")
+    assert(countOf(gn, "Exchange hashpartitioning") == 1 && !gn.contains("Join"),
+      s"orders_revenue_gini: expected one shared shuffle, no join\n$gn")
+    // CUSUM: one user-partitioned sort; the global moment rides a
+    // broadcast (never a shuffle join against the fact stream).
+    val cb = plan("events_cusum_breach")
+    assert(countOf(cb, "Exchange hashpartitioning") == 1 && !cb.contains("SortMergeJoin"),
+      s"events_cusum_breach: expected one user shuffle, broadcast scalar\n$cb")
   }
 }
