@@ -997,6 +997,14 @@ object NearDupCatalog {
         val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         val alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= CoreK).select("u")
+        // Negative result, measured so it is not re-tried: fusing two
+        // peel rounds between checkpoints (the PageRank round-fusion
+        // trade, 45e7014) is SLOWER here — 2.62 s vs 2.16 s isolated at
+        // sf0.1 — because a fused step references its un-cached
+        // predecessor ~5× and recomputes the semi joins; PageRank's
+        // fused frame was a cached rank vector, this one is a join
+        // pipeline. Per-round materialization of the shrinking edge
+        // list is the cheaper trade.
         e = e.join(alive, Seq("u"), "left_semi")
           .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
           .select("u", "v").localCheckpoint()
