@@ -567,7 +567,53 @@ object TrainPrepCatalog {
                             / SUM(len($toksSql)), 6) AS fertility
                FROM documents GROUP BY source, lang"""))
 
+  /** Per-source vocabulary diversity: the Gini–Simpson index
+    * 1 − Σp² = (N² − Σc²)/N² of each source's unigram distribution plus
+    * its raw vocab/token counts — the diversity-collapse monitor a
+    * synthetic-data pipeline watches (mode collapse shows up as Σc²
+    * spiking long before the vocab count moves). Simpson is the
+    * engine-exact stand-in for Shannon entropy: same monotone response
+    * to concentration, but INTEGER-exact until one final division — no
+    * ln() libm divergence (the same substitution family as the PMI and
+    * TV-distance entries).
+    *
+    * Shape: one (source, token) count shuffle, then a source-keyed
+    * rollup of Σc and Σc² — both decimal-exact; N² forms in doubles from
+    * the exact N identically in both engines.
+    */
+  val tokenDiversity: CatalogEntry = CatalogEntry(
+    "source_token_diversity",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(Text.normTokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val m = counts.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2d"))
+      val nd = col("n_tokens").cast("double")
+      m.select(col("source"), col("n_tokens"), col("n_vocab"),
+        round((nd * nd - col("s2d").cast("double")) / (nd * nd), 6)
+          .as("simpson_diversity"))
+    },
+    Some(s"""WITH counts AS (SELECT source, tok, COUNT(*) AS c FROM (
+                              SELECT source, unnest($normToksSql) AS tok
+                              FROM documents)
+                             GROUP BY source, tok),
+                  m AS (SELECT source,
+                               CAST(SUM(c) AS BIGINT) AS n_tokens,
+                               COUNT(*) AS n_vocab,
+                               ${Exact.sqlToDouble("SUM(CAST(c * c AS DECIMAL(38,0)))")} AS s2
+                        FROM counts GROUP BY source)
+             SELECT source, n_tokens, n_vocab,
+                    ROUND((CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) - s2)
+                          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+                      AS simpson_diversity
+             FROM m"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
-    samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility)
+    samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
+    tokenDiversity)
 }

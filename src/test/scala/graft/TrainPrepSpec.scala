@@ -188,4 +188,26 @@ class TrainPrepSpec extends AnyFunSuite {
       .agg(sum("z")).head().getLong(0)
     assert(num == 0L)
   }
+
+  test("source_token_diversity: bounds hold, one source matches a direct recount") {
+    val got = SparkEntry.queries("source_token_diversity")(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"), r.getAs[Double]("simpson_diversity")))
+      .toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (n, v, div) =>
+      assert(n >= v && v >= 1)
+      assert(div >= 0.0 && div < 1.0)
+      // Uniform bound: diversity can never exceed 1 − 1/vocab.
+      assert(div <= 1.0 - 1.0 / v + 1e-9)
+    }
+    val (src, (n, v, div)) = got.head
+    val counts = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("source") === src)
+      .select(explode(graft.functions.Text.normTokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect().map(_.getLong(1))
+    assert(counts.sum == n && counts.length == v)
+    val expect = 1.0 - counts.map(c => c.toDouble * c / n / n).sum
+    assert(math.abs(div - expect) < 1e-6, s"$src diversity $div vs $expect")
+  }
 }
