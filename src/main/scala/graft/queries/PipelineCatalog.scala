@@ -1595,6 +1595,68 @@ object PipelineCatalog {
              JOIN toks USING (doc_id)
              GROUP BY tier"""))
 
+  /** Lag-1 autocorrelation of value per event type — the serial-dependence
+    * statistic that separates a genuinely random stream from a trending /
+    * mean-reverting one (the third leg of the time-series family next to
+    * [[Transforms.trendMoments]] and [[cusumBreach]]). Pearson r over the
+    * (vₜ₋₁, vₜ) pairs of the type's (ts, event_id)-ordered stream: one
+    * type-partitioned sort produces the lag pairs, then a tiny-key moment
+    * aggregate (pair count, Σa, Σb, Σa², Σb², Σab — DECIMAL-exact) and
+    * the same fixed-shape IEEE double closed form as the trend entry.
+    */
+  val autocorrLag1: CatalogEntry = CatalogEntry(
+    "events_autocorr_lag1",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("event_type").orderBy("tss", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("ts").cast("long").as("tss"))
+        .withColumn("prev", lag("value", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val ad = col("prev").cast(DecimalType(18, 4))
+      val bd = col("value").cast(DecimalType(18, 4))
+      val m = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(ad).as("sad"),
+        sum(bd).as("sbd"),
+        sum((ad * ad).cast(DecimalType(38, 8))).as("saad"),
+        sum((bd * bd).cast(DecimalType(38, 8))).as("sbbd"),
+        sum((ad * bd).cast(DecimalType(38, 8))).as("sabd"))
+      val n = col("n_pairs").cast("double")
+      val sa = col("sad").cast("double")
+      val sb = col("sbd").cast("double")
+      val saa = col("saad").cast("double")
+      val sbb = col("sbbd").cast("double")
+      val sab = col("sabd").cast("double")
+      m.select(col("event_type"), col("n_pairs"),
+        round((n * sab - sa * sb)
+          / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6).as("autocorr"))
+    },
+    Some(s"""WITH p AS (SELECT event_type, value,
+                               lag(value, 1) OVER (PARTITION BY event_type
+                                                   ORDER BY tss, event_id) AS prev
+                        FROM (SELECT event_type, event_id, value,
+                                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss
+                              FROM events)),
+                  m AS (SELECT event_type, COUNT(*) AS n_pairs,
+                               ${Exact.sqlSum("prev", 18, 4)} AS sa,
+                               ${Exact.sqlSum("value", 18, 4)} AS sb,
+                               ${Exact.sqlToDouble(
+                                 "SUM(CAST(CAST(prev AS DECIMAL(18,4)) * CAST(prev AS DECIMAL(18,4)) AS DECIMAL(38,8)))")} AS saa,
+                               ${Exact.sqlToDouble(
+                                 "SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))")} AS sbb,
+                               ${Exact.sqlToDouble(
+                                 "SUM(CAST(CAST(prev AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))")} AS sab
+                        FROM p WHERE prev IS NOT NULL GROUP BY event_type)
+             SELECT event_type, n_pairs,
+                    ROUND((CAST(n_pairs AS DOUBLE) * sab - sa * sb)
+                          / (SQRT(CAST(n_pairs AS DOUBLE) * saa - sa * sa)
+                             * SQRT(CAST(n_pairs AS DOUBLE) * sbb - sb * sb)), 6)
+                      AS autocorr
+             FROM m"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1605,5 +1667,5 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend, bm25TopK, cusumBreach, qualityReport)
+      eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1)
 }

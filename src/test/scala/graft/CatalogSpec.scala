@@ -369,6 +369,28 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("events_autocorr_lag1: matches Spark's own corr over the lag pairs") {
+    val got = run("events_autocorr_lag1").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("autocorr"))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts").cast("long"), col("event_id"))
+    val want = Tables.events(spark, sf0001)
+      .withColumn("prev", lag("value", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), corr(col("prev"), col("value")).as("r"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> (r.getAs[Long]("n"), r.getAs[Double]("r")))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, (n, r)) =>
+      assert(n == want(t)._1, s"$t pair count $n vs ${want(t)._1}")
+      assert(math.abs(r - want(t)._2) < 1e-4, s"$t autocorr $r vs ${want(t)._2}")
+      assert(r > -1.0 && r < 1.0)
+    }
+  }
+
   test("pipeline_quality_report: tiers partition the corpus, quality means non-increasing") {
     val got = run("pipeline_quality_report").collect().sortBy(_.getAs[Long]("tier"))
     val nDocs = Tables.documents(spark, sf0001).count()
