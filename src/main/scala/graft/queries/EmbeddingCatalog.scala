@@ -36,6 +36,9 @@ object EmbeddingCatalog {
   // Gram-matrix integer lattice: floor(x·y·1e9 + 0.5) per row. |x·y| ≤ 1
   // keeps the per-row term ≤ 1e9 → signed-64 headroom to ~9e9 rows.
   private val GramScale = 1.0e9
+  // Matryoshka shortlist width: the first 16 of 64 dims (1/4 the scan
+  // bytes); the exact full-width rerank absorbs the recall loss.
+  private val MrlPrefixDim = 16
 
   /** Deterministic ±1 hyperplane matrix: sign = parity of the first hex
     * digit of md5(prefix + "p_i"). Same constants are inlined into the
@@ -889,8 +892,74 @@ object EmbeddingCatalog {
              WHERE j >= i
              GROUP BY i, j"""))
 
+  /** Matryoshka (MRL) prefix ANN — the third leg of the compression trio
+    * next to SQ8 (fewer bits per dim) and PQ (codebooks): shortlist on the
+    * FIRST [[MrlPrefixDim]] dimensions only (Kusupati et al. 2022 — MRL
+    * embeddings front-load information so a prefix is itself a valid
+    * embedding), then rerank the 4K shortlist with the exact full-width
+    * cosine. At 100 TB the shortlist scan reads prefix/dim of the bytes
+    * (16/64 = 1/4 here, same bandwidth win as SQ8 by a different axis) and
+    * composes with it — quantize the prefix for both wins at once. These
+    * embeddings are not MRL-trained, so prefix recall is the pessimistic
+    * floor; the exact rerank absorbs it either way.
+    */
+  val knnMrl: CatalogEntry = CatalogEntry(
+    "emb_knn_mrl",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val candC = 4 * K
+      val corpus = emb.select(col("vec_id").as("cand_id"),
+          slice(col("embedding"), 1, MrlPrefixDim).as("cp"))
+        .withColumn("cpn", Vectors.norm(col("cp")))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, MrlPrefixDim).as("qp"))
+        .withColumn("qpn", Vectors.norm(col("qp")))
+      val pscore = round(
+        Vectors.cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn")), 6)
+      val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), pscore.as("score"))
+      val topc = udaf(new graft.combine.TopNAgg(candC))
+      val cands = scored.groupBy("query_id")
+        .agg(topc(col("score"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("mrl_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("mrl_cand"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some {
+      val candC = 4 * K
+      def dotPfx(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${MrlPrefixDim + 1})]), (acc, v) -> acc + v)"
+      val pcos =
+        s"ROUND(${dotPfx("q.embedding", "c.embedding")} / (SQRT(${dotPfx("q.embedding", "q.embedding")}) * SQRT(${dotPfx("c.embedding", "c.embedding")})), 6)"
+      s"""WITH pscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $pcos AS ps
+                           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                           WHERE q.vec_id < $NQueries),
+            cand AS (SELECT query_id, cand_id FROM (
+                       SELECT query_id, cand_id,
+                              row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, cand_id) AS rn
+                       FROM pscored) WHERE rn <= $candC)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM cand
+            JOIN embeddings c ON c.vec_id = cand.cand_id
+            JOIN embeddings q ON q.vec_id = cand.query_id)
+          WHERE rn <= $K"""
+    })
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, semDedup, gramMatrix)
+      labelCentroids, semDedup, gramMatrix, knnMrl)
 }

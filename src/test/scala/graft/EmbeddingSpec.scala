@@ -148,6 +148,24 @@ class EmbeddingSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("emb_knn_mrl: 5 ranked per query, exact-rerank scores bounded by brute top-1") {
+    val got = run("emb_knn_mrl")
+    val queries = got.select("query_id").distinct().count()
+    assert(got.count() == queries * 5)
+    assert(got.filter(col("query_id") === col("vec_id")).count() == 0)
+    val w = Window.partitionBy("query_id").orderBy("rn")
+    assert(got.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev") < col("score")).count() == 0)
+    // The rerank is the exact cosine, so no MRL top-1 can beat brute's.
+    val brute1 = run("emb_knn_brute").filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect().toMap
+    run("emb_knn_mrl").filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect()
+      .foreach { case (q, s) =>
+        assert(s <= brute1(q) + 1e-9, s"query $q: MRL top-1 $s beats brute ${brute1(q)}")
+      }
+  }
+
   test("emb_semdedup: dup set matches a brute within-cell recomputation") {
     val got = run("emb_semdedup").collect()
     val corpus = Tables.embeddings(spark, sf0001)
