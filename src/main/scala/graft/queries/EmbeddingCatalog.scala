@@ -928,10 +928,14 @@ object EmbeddingCatalog {
       val queriesFull = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         .withColumn("qn", Vectors.norm(col("qe")))
+      // cn is computed AFTER the shortlist join: each candidate appears in
+      // at most NQueries pairs, so the per-pair norm costs ≤ 8 folds per
+      // shortlisted row vs one fold for EVERY corpus row pre-join (the
+      // pre-join rationale applies to many-pairs-per-row joins only).
       val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-        .withColumn("cn", Vectors.norm(col("ce")))
       val rer = corpusFull
         .join(broadcast(cands), col("cand_id") === col("mrl_cand"))
+        .withColumn("cn", Vectors.norm(col("ce")))
         .join(broadcast(queriesFull), Seq("query_id"))
         .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(rer)

@@ -1548,11 +1548,13 @@ object PipelineCatalog {
       val tiers = qualityTiers.build(s, d).select(col("doc_id"), col("quality_score"), col("tier"))
       val rep = TrainPrepCatalog.repetition.build(s, d)
         .select(col("doc_id"), col("dup_frac"), col("repetitive"))
+      // The canonical rule comes from exactDedup's own output (the per-doc
+      // hash projection is the one unavoidable restatement — its
+      // definition is still the shared Text.contentHash).
       val dupFlag = documents(s, d)
         .select(col("doc_id"), Text.contentHash(col("text")).as("content_hash"))
-        .withColumn("is_dup",
-          col("doc_id") =!= min("doc_id").over(Window.partitionBy("content_hash")))
-        .select("doc_id", "is_dup")
+        .join(exactDedup.build(s, d).select("content_hash", "canonical_id"), "content_hash")
+        .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
       val toks = documents(s, d)
         .select(col("doc_id"), size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
       tiers.join(rep, "doc_id").join(dupFlag, "doc_id").join(toks, "doc_id")
@@ -1573,11 +1575,11 @@ object PipelineCatalog {
                                          FROM (${qualityTiers.oracle.get})),
                   rep AS MATERIALIZED (SELECT doc_id, dup_frac, repetitive
                                        FROM (${TrainPrepCatalog.repetition.oracle.get})),
-                  dupflag AS (SELECT doc_id,
-                                     doc_id != MIN(doc_id) OVER (PARTITION BY content_hash)
-                                       AS is_dup
+                  dupflag AS (SELECT h.doc_id, h.doc_id != x.canonical_id AS is_dup
                               FROM (SELECT doc_id, md5($normSql) AS content_hash
-                                    FROM documents)),
+                                    FROM documents) h
+                              JOIN (${exactDedup.oracle.get}) x
+                                ON x.content_hash = h.content_hash),
                   toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
                            FROM documents)
              SELECT tier, COUNT(*) AS n_docs,
@@ -1630,9 +1632,15 @@ object PipelineCatalog {
       val saa = col("saad").cast("double")
       val sbb = col("sbbd").cast("double")
       val sab = col("sabd").cast("double")
-      m.select(col("event_type"), col("n_pairs"),
-        round((n * sab - sa * sb)
-          / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6).as("autocorr"))
+      // Degenerate-group guard: a single-pair or constant-value type has
+      // zero variance on one side → 0/0 = NaN, whose engine encoding is
+      // not portable. Variance terms are exact-input doubles, so the
+      // > 0 membership is bit-deterministic; degenerate groups are
+      // dropped on BOTH sides (autocorrelation is undefined there).
+      m.where((n * saa - sa * sa) > 0 && (n * sbb - sb * sb) > 0)
+        .select(col("event_type"), col("n_pairs"),
+          round((n * sab - sa * sb)
+            / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6).as("autocorr"))
     },
     Some(s"""WITH p AS (SELECT event_type, value,
                                lag(value, 1) OVER (PARTITION BY event_type
@@ -1655,7 +1663,9 @@ object PipelineCatalog {
                           / (SQRT(CAST(n_pairs AS DOUBLE) * saa - sa * sa)
                              * SQRT(CAST(n_pairs AS DOUBLE) * sbb - sb * sb)), 6)
                       AS autocorr
-             FROM m"""))
+             FROM m
+             WHERE (CAST(n_pairs AS DOUBLE) * saa - sa * sa) > 0
+               AND (CAST(n_pairs AS DOUBLE) * sbb - sb * sb) > 0"""))
 
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,

@@ -591,7 +591,8 @@ object TrainPrepCatalog {
       val m = counts.groupBy("source").agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2d"))
+        sum((col("c").cast(DecimalType(18, 0)) * col("c").cast(DecimalType(18, 0)))
+          .cast(DecimalType(38, 0))).as("s2d"))
       val nd = col("n_tokens").cast("double")
       m.select(col("source"), col("n_tokens"), col("n_vocab"),
         round((nd * nd - col("s2d").cast("double")) / (nd * nd), 6)
@@ -604,7 +605,7 @@ object TrainPrepCatalog {
                   m AS (SELECT source,
                                CAST(SUM(c) AS BIGINT) AS n_tokens,
                                COUNT(*) AS n_vocab,
-                               ${Exact.sqlToDouble("SUM(CAST(c * c AS DECIMAL(38,0)))")} AS s2
+                               ${Exact.sqlToDouble("SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS DECIMAL(38,0)))")} AS s2
                         FROM counts GROUP BY source)
              SELECT source, n_tokens, n_vocab,
                     ROUND((CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) - s2)

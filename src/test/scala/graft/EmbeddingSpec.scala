@@ -159,7 +159,7 @@ class EmbeddingSpec extends AnyFunSuite {
     // The rerank is the exact cosine, so no MRL top-1 can beat brute's.
     val brute1 = run("emb_knn_brute").filter(col("rn") === 1)
       .select("query_id", "score").as[(Long, Double)].collect().toMap
-    run("emb_knn_mrl").filter(col("rn") === 1)
+    got.filter(col("rn") === 1)
       .select("query_id", "score").as[(Long, Double)].collect()
       .foreach { case (q, s) =>
         assert(s <= brute1(q) + 1e-9, s"query $q: MRL top-1 $s beats brute ${brute1(q)}")
