@@ -17,8 +17,11 @@ import graft.Tables
   * c_phone, so Q4/Q12/Q21/Q22's original predicates are re-keyed onto
   * columns that exist (noted per query) — the JOIN STRATEGY of each
   * original, which is what matters at 100 TB, is preserved exactly.
-  * Q2/Q9/Q11/Q16/Q20 are out of reach entirely: each is ABOUT partsupp,
-  * and no stand-in table exists.
+  *
+  * The five partsupp queries (Q2/Q9/Q11/Q16/Q20) run against a
+  * deterministic SYNTHETIC partsupp derived identically in both engines
+  * (see [[partsupp]]) — the same derived-column device the corpus uses for
+  * PII suffixes, lifted to a whole table.
   *
   * Scale rules carried over from JoinCatalog: the fact table never
   * broadcasts; date/brand predicates sit directly on scan columns
@@ -520,7 +523,310 @@ object TpchExtCatalog {
                                 AND l3.l_suppkey <> l1.l_suppkey)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
 
+  // ---------------------------------------------------------------------
+  // Synthetic partsupp + the five queries that are ABOUT it
+  // (TPC-H Q2/Q9/Q11/Q16/Q20 — the reference's declared workload,
+  // /root/reference/flink-adcom udfs/LineItemSource.java:86-132).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic `partsupp`: each part gets exactly 4 suppliers
+    * spread evenly over the supplier key space — `ps_suppkey = (p_partkey +
+    * i*(S div 4)) mod S`, i ∈ 0..3, S = |supplier| — which is collision-free
+    * for every S ≥ 4 (3·⌊S/4⌋ < S), mirroring the TPC-H generator's
+    * part×4-supplier shape. `ps_availqty` (1..9999) and the supply cost
+    * (kept as integer CENTS, $1.00..$1000.00) come from integer hash
+    * formulas of the two keys, so the DuckDB oracle rebuilds the identical
+    * table from the same SQL (every partsupp oracle starts with [[psSql]]).
+    * All downstream money math stays on `ps_cost_cents` (BIGINT-exact,
+    * associative) with ONE cast-to-double division by 100 at output time —
+    * the repo's cross-engine float law.
+    *
+    * Scale: S comes from a 1-row broadcast aggregate (no driver action);
+    * the 4× fan-out is a per-row projection after an `explode`. At 100 TB
+    * partsupp would be materialized once as a bucketed table rather than
+    * re-derived per query — the derivation itself is one dim-table scan,
+    * shuffle-free.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame = {
+    val scnt = t("supplier")(s, d).agg(count(lit(1)).cast("long").as("s_cnt"))
+    t("part")(s, d).select("p_partkey")
+      .crossJoin(broadcast(scnt))
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("i"), col("s_cnt"))
+      .withColumn("ps_suppkey",
+        (col("ps_partkey") + col("i") * expr("s_cnt div 4")) % col("s_cnt"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        ((col("ps_partkey") * 37 + col("ps_suppkey") * 101) % 9999 + 1).as("ps_availqty"),
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 59) % 99901 + 100).as("ps_cost_cents"))
+  }
+
+  /** The DuckDB-side twin of [[partsupp]] — prefix for every partsupp
+    * oracle. MATERIALIZED because DuckDB inlines plain CTEs at every
+    * reference (re-deriving the table per mention otherwise).
+    */
+  private val psSql =
+    """WITH sc AS (SELECT COUNT(*)::BIGINT AS s_cnt FROM supplier),
+       ps_raw AS (
+         SELECT p_partkey AS ps_partkey,
+                (p_partkey + g.i * (sc.s_cnt // 4)) % sc.s_cnt AS ps_suppkey
+         FROM part, sc, (VALUES (0),(1),(2),(3)) g(i)),
+       partsupp AS MATERIALIZED (
+         SELECT ps_partkey, ps_suppkey,
+                (ps_partkey * 37 + ps_suppkey * 101) % 9999 + 1 AS ps_availqty,
+                (ps_partkey * 31 + ps_suppkey * 59) % 99901 + 100 AS ps_cost_cents
+         FROM ps_raw)"""
+
+  /** Filtered supplier dim shared by Q2/Q11/Q20: suppliers of one region,
+    * nation name attached. Nation and region broadcast (25 / 5 rows); the
+    * supplier join shuffles — at 100 TB a region-filtered supplier table is
+    * still millions of rows, so no broadcast hint, same rule as Q7/Q21.
+    */
+  private def regionalSuppliers(s: SparkSession, d: String, region: String): DataFrame =
+    t("supplier")(s, d)
+      .join(broadcast(t("nation")(s, d)
+          .join(broadcast(t("region")(s, d).filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+
+  /** TPC-H Q2 (minimum-cost supplier): for STANDARD-type parts, the
+    * EUROPE supplier(s) whose cost equals the regional per-part minimum.
+    * Re-keys vs the original: p_brand stands in for the missing p_mfgr,
+    * `p_type = 'STANDARD'` for the `%BRASS%` suffix match (p_type here is
+    * single-word), and the output drops the address/phone/comment columns
+    * the testdata supplier lacks.
+    *
+    * Shape: the correlated MIN subquery becomes a window MIN partitioned
+    * by ps_partkey over the region-filtered pairs — ONE shuffle on
+    * partkey instead of the aggregate-plus-self-join's two, and the part
+    * filter (1/6) lands before the window cuts in. The final ORDER BY +
+    * LIMIT 100 is a TakeOrderedAndProject (per-partition top-k, no global
+    * sort); the sort key (acctbal, n_name, s_name, p_partkey) is a total
+    * order, so the top-100 SET is deterministic cross-engine.
+    */
+  val tpchQ2: CatalogEntry = CatalogEntry(
+    "tpch_q2",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = regionalSuppliers(s, d, "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val prt = t("part")(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_brand")
+      partsupp(s, d)
+        .join(prt, col("p_partkey") === col("ps_partkey"))
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("min_cents",
+          min(col("ps_cost_cents")).over(Window.partitionBy(col("ps_partkey"))))
+        .filter(col("ps_cost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), (col("ps_cost_cents").cast("double") / 100.0).as("ps_supplycost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some(psSql + """
+      , reg AS (
+        SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name,
+               MIN(ps_cost_cents) OVER (PARTITION BY ps_partkey) AS min_cents
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD')
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             CAST(ps_cost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+      FROM reg JOIN part ON p_partkey = ps_partkey
+      WHERE ps_cost_cents = min_cents
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  /** TPC-H Q9 (product-type profit): profit by supplier nation and order
+    * year over parts named `red …` (the corpus has no `green`). Profit =
+    * Σ rev − Σ cost, with revenue summed in DECIMAL (associative, exact)
+    * and cost summed as BIGINT cents×quantity (l_quantity is an integral
+    * double) — both aggregates exact, then ONE double subtraction/division
+    * pair at output, identical in both engines.
+    *
+    * Shape: the classic 6-table many-join scale-stresser. lineitem
+    * shuffles on partkey (part filter first — 1/8 name selectivity cuts
+    * the fact before anything else), then the 2-key partsupp join rides
+    * the SAME partkey shuffle side, then suppkey and orderkey shuffles;
+    * only nation (25 rows) broadcasts. partsupp never broadcasts — at
+    * 100 TB it is 4×|part| rows.
+    *
+    * The formula-partsupp covers 4 of each part's ~25 lineitem suppliers,
+    * so the pair join keeps a deterministic ~16% slice of the fact — the
+    * join TOPOLOGY (the thing Q9 exists to stress) is unchanged.
+    */
+  val tpchQ9: CatalogEntry = CatalogEntry(
+    "tpch_q9",
+    (s, d) => {
+      val prt = t("part")(s, d).filter(col("p_name").like("red%")).select("p_partkey")
+      val ps = partsupp(s, d).select("ps_partkey", "ps_suppkey", "ps_cost_cents")
+      val sup = t("supplier")(s, d).select("s_suppkey", "s_nationkey")
+      val nat = t("nation")(s, d).select("n_nationkey", "n_name")
+      val ord = t("orders")(s, d).select("o_orderkey", "o_orderdate")
+      t("lineitem")(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(ps, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(revCol.cast(DecimalType(22, 8))).cast("double") -
+          sum(col("ps_cost_cents") * col("l_quantity").cast("long")).cast("double") / 100.0)
+          .as("sum_profit"))
+    },
+    Some(psSql + s"""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             $revSqlSum
+             - CAST(SUM(ps_cost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY 1, 2"""))
+
+  /** TPC-H Q11 (important stock): per-part stock value (cost × availqty,
+    * summed in cents — pure BIGINT) across one region's suppliers, keeping
+    * parts whose value exceeds 2× the average group value. The original's
+    * `> total × 0.0001/SF` threshold is replaced by the self-scaling
+    * integer comparison `value·n_groups > total·2` — same HAVING-scalar-
+    * subquery shape, but non-degenerate at every SF (and region-scoped
+    * rather than nation-scoped: at sf0.001 there are 10 suppliers over 25
+    * nations, so most nations are empty). Bit-exact cross-engine: the only
+    * float op is the final cents→dollars division.
+    *
+    * Shape: pairs shuffle once on suppkey into the regional filter, once
+    * on partkey for the group sum; the grand total is a 1-row broadcast
+    * crossJoin back onto the groups (no second scan of partsupp, no
+    * driver action). At 100 TB the groups frame is |part|-sized — the
+    * total-vs-group comparison moves key+sum pairs only.
+    */
+  val tpchQ11: CatalogEntry = CatalogEntry(
+    "tpch_q11",
+    (s, d) => {
+      val sup = regionalSuppliers(s, d, "ASIA").select("s_suppkey")
+      val grp = partsupp(s, d)
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      val tot = grp.agg(sum("value_cents").as("total_cents"),
+        count(lit(1)).cast("long").as("n_grp"))
+      grp.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("n_grp") > col("total_cents") * 2)
+        .select(col("ps_partkey"), (col("value_cents").cast("double") / 100.0).as("value"))
+        .orderBy(desc("value"))
+    },
+    Some(psSql + """
+      , natps AS (
+        SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
+        FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      grp AS (SELECT ps_partkey, SUM(v_cents) AS value_cents FROM natps GROUP BY 1),
+      tot AS (SELECT SUM(value_cents) AS total_cents, COUNT(*)::BIGINT AS n_grp FROM grp)
+      SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+      FROM grp, tot
+      WHERE value_cents * n_grp > total_cents * 2
+      ORDER BY value DESC"""))
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier count per
+    * (brand, type, size) bucket, excluding one brand, one type, and a
+    * deterministic "complaints" supplier set. Re-keys: `p_type <> 'PROMO'`
+    * for `NOT LIKE 'MEDIUM POLISHED%'` (single-word types), and
+    * `s_suppkey % 7 = 3` stands in for the `%Customer%Complaints%` comment
+    * match (no s_comment column; acctbal<0 would be empty at sf0.001).
+    *
+    * Shape: the NOT IN subquery is a broadcast LEFT ANTI join (the
+    * exclusion set is ~1/7 of a dim table — broadcastable at any SF);
+    * part filters sit on the scan; COUNT(DISTINCT) expands to the
+    * standard two-phase distinct aggregate on the group keys.
+    */
+  val tpchQ16: CatalogEntry = CatalogEntry(
+    "tpch_q16",
+    (s, d) => {
+      val bad = t("supplier")(s, d).filter(col("s_suppkey") % 7 === 3).select("s_suppkey")
+      val prt = t("part")(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      partsupp(s, d)
+        .join(prt, col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "leftanti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some(psSql + """
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      FROM partsupp JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+        AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 3)
+      GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q20 (potential part promotion): EUROPE suppliers holding excess
+    * stock of `red…` parts — availqty above 100× the 1997 shipped quantity
+    * for that exact (part, supplier) pair. Re-keys: availqty runs 1..9999
+    * against per-pair yearly flows of tens, so the original's 0.5×
+    * multiplier (which would pass everything) becomes 100×; s_acctbal
+    * stands in for the missing s_address in the output.
+    *
+    * Shape: the nested IN subqueries become joins then a LEFT SEMI probe —
+    * lineitem pre-aggregates per (partkey, suppkey) in one shuffle
+    * (integral quantities summed as BIGINT), partsupp joins the red-part
+    * filter and the flow on the pair key, and supplier is semi-joined on
+    * the surviving suppkeys. All money/quantity comparisons integer.
+    */
+  val tpchQ20: CatalogEntry = CatalogEntry(
+    "tpch_q20",
+    (s, d) => {
+      val flow = t("lineitem")(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val redParts = t("part")(s, d).filter(col("p_name").like("red%")).select("p_partkey")
+      val excess = partsupp(s, d)
+        .join(redParts, col("p_partkey") === col("ps_partkey"))
+        .join(flow, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("qty") * 100)
+        .select("ps_suppkey")
+      regionalSuppliers(s, d, "EUROPE")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+    Some(psSql + """
+      , flow AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2),
+      excess AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        JOIN flow ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE p_name LIKE 'red%' AND ps_availqty > 100 * qty)
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      ORDER BY s_name"""))
+
   val all: Seq[CatalogEntry] = Seq(
-    tpchQ4, tpchQ7, tpchQ8, tpchQ12, tpchQ13, tpchQ14, tpchQ15, tpchQ17,
-    tpchQ19, tpchQ21, tpchQ22)
+    tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11, tpchQ12, tpchQ13,
+    tpchQ14, tpchQ15, tpchQ16, tpchQ17, tpchQ19, tpchQ20, tpchQ21, tpchQ22)
 }

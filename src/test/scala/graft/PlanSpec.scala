@@ -96,6 +96,30 @@ class PlanSpec extends AnyFunSuite {
       s"tpch_q21: EXISTS+NOT EXISTS pair did not plan as semi+anti\n$q21")
   }
 
+  test("partsupp family: synthetic-table queries keep their claimed shapes") {
+    // Q2: the correlated MIN is a PARTITIONED window (no agg+self-join
+    // second shuffle), and ORDER BY+LIMIT plans as top-k, not global sort.
+    val q2 = plan("tpch_q2")
+    assert(q2.contains("Window"), s"tpch_q2: regional min lost its window form\n$q2")
+    assert(q2.contains("TakeOrderedAndProject"),
+      s"tpch_q2: ORDER BY+LIMIT 100 did not plan as top-k\n$q2")
+    // Q9: nation broadcasts; the red-part name filter reaches the part scan.
+    val q9 = plan("tpch_q9")
+    assert(q9.contains("BroadcastHashJoin"), s"tpch_q9: nation dim not broadcast\n$q9")
+    assert(q9.contains("StartsWith(p_name,red)"),
+      s"tpch_q9: part-name prefix not pushed to the scan\n$q9")
+    // Q11: the grand total rides a 1-row broadcast back onto the groups —
+    // never a CartesianProduct.
+    val q11 = plan("tpch_q11")
+    assert(q11.contains("BroadcastNestedLoopJoin") && !q11.contains("CartesianProduct"),
+      s"tpch_q11: total-vs-group comparison lost its broadcast-singleton form\n$q11")
+    // Q16/Q20: the NOT IN exclusion is an anti join, the IN probe a semi join.
+    assert(plan("tpch_q16").contains("LeftAnti"),
+      "tpch_q16: supplier exclusion did not plan as an anti join")
+    assert(plan("tpch_q20").contains("LeftSemi"),
+      "tpch_q20: excess-stock probe did not plan as a semi join")
+  }
+
   test("Q12's fact-fact join degrades to symmetric shuffles when neither side fits") {
     // Local testdata legitimately broadcasts orders; the 100 TB claim is
     // that NOTHING in the declared plan (hints, repartitioning) prevents
