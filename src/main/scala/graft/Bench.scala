@@ -95,10 +95,18 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — never let them
     // clobber the committed full-catalog artifact.
     if (only.isEmpty) {
+      // stdout line below is the contract; a failed artifact write must
+      // not kill the run, but it must be VISIBLE — a silently-stale
+      // committed BENCH_FULL.json points readers at outdated numbers.
+      // NonFatal only: OOM/interrupt propagate.
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
         try w.println(fullLine) finally w.close()
-      } catch { case _: Throwable => () } // stdout line below is the contract
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WARN: BENCH_FULL.json not updated (${e.getMessage}); " +
+            "the committed artifact is stale — trust the stdout line")
+      }
     }
 
     val slow = results.sortBy(-_._2)

@@ -32,6 +32,11 @@ final class OuterProductAgg(dim: Int, scale: Double)
   override def zero: GramBuf = GramBuf(new Array[Long](len))
 
   override def reduce(b: GramBuf, v: Seq[Float]): GramBuf = {
+    // Fail at the row, not deep in codegen: a short embedding would
+    // otherwise surface as a bare IndexOutOfBoundsException, and a long
+    // one would be silently truncated to the first `dim` components.
+    require(v.length == dim,
+      s"OuterProductAgg(dim=$dim) fed an embedding of length ${v.length}")
     val cells = b.cells
     var idx = 0
     var i = 0

@@ -128,7 +128,16 @@ object Text {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Count of PII matches the redaction would replace. */
+  /** Count of PII matches, the three patterns counted INDEPENDENTLY on
+    * the raw text — deliberately not "number of replacements
+    * [[redactPii]] makes": redaction replaces sequentially, so a phone-
+    * or IP-shaped substring inside an email local part (555-867-5309@x.com)
+    * counts twice here but redacts once (the email replacement consumes
+    * it). Cross-engine equality holds because the oracle mirrors this
+    * exact independent-count formula; on real crawl data read n_pii as
+    * "PII pattern hits", an upper bound on redactions, not a redaction
+    * count.
+    */
   def piiCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
       size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +

@@ -63,6 +63,15 @@ object ConnectedComponents {
     * [[alternatingStar]]). Keep the default 1 when `maxRounds` is a
     * tight diameter budget or the per-round frame is expensive; raise it
     * for shallow graphs where job latency dominates.
+    *
+    * BUDGETING with probeEvery > 1: convergence is only OBSERVED at probe
+    * boundaries, so a fixpoint reached inside the final probe gap at
+    * maxRounds still shows a label-sum change for that gap and trips the
+    * convergence require — even though the labeling is complete (a
+    * probeEvery=1 run within the same budget would succeed). Budget
+    * maxRounds ≥ diameter + 2·probeEvery − 1 rounds so the last probe
+    * closes cleanly. All current call sites pass probeEvery = 1, where
+    * the bound degenerates to the usual diameter + 1.
     */
   def labelPropagation(
       edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1): DataFrame = {

@@ -58,6 +58,11 @@ object PlanLint {
             s"window with empty partition spec: ${w.windowExpressions.map(_.name).mkString(",")}")
         case r: Repartition if r.numPartitions == 1 =>
           findings += Finding("repartition-1", "ERROR", "repartition/coalesce to 1")
+        // repartition(1, col) / repartitionByRange(1, ...) land on a
+        // different node but are the same single-partition funnel.
+        case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
+          findings += Finding("repartition-1", "ERROR",
+            "repartition/repartitionByRange by expression to 1 partition")
         case _ =>
       }
       ()

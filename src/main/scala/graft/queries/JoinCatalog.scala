@@ -300,11 +300,16 @@ object JoinCatalog {
     "lineitem_bloom_semi",
     (s, d) => {
       // The key set is read three times (count for sizing, bloom build,
-      // semi-join probe) — cache it so the orders scan runs once; the
-      // broadcast handle lives as long as the returned plan (the udf
-      // closes over it), reclaimed by the context's GC-driven cleanup.
+      // semi-join probe) — eagerly localCheckpoint the tiny filtered
+      // frame so the orders scan runs once and NOTHING stays in the cache
+      // manager after the entry returns (the session-lifetime cache this
+      // replaces was the r7 hygiene finding; checkpoint blocks are
+      // GC-reclaimed with the frame, house pattern per NearDupCatalog).
+      // The broadcast bloom handle lives as long as the returned plan
+      // (the udf closes over it), reclaimed the same way.
       val keys = t("orders")(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey").cache()
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        .localCheckpoint()
       val bf = keys.stat.bloomFilter("o_orderkey", math.max(keys.count(), 1000L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bc.value.mightContain(k))

@@ -109,6 +109,15 @@ object NearDupCatalog {
     * shsrt: the shingle set re-sorted lexicographically ONCE per doc, so
     * pair verification is a zero-allocation linear merge count instead
     * of a per-pair hash-set intersection.
+    *
+    * The r7 "regression" suspicion on this refactor was re-measured in r8
+    * (isolated bench, sf0.1, three runs): doc_near_dup_lsh 1.69–2.04 s vs
+    * 1.75 s in the r7 full run — and the r6→r7 delta was a uniform ~1.2×
+    * across ALL seven near-dup entries including ones that never touch
+    * this stage (doc_sorted_neighborhood 1.08→1.38 s), i.e. host
+    * throughput swing, not the shared-stage caching. Verdict: keep the
+    * shared stage unconditionally cached (its frames each feed ≥2 plan
+    * branches, and the harness clears the cache between entries).
     */
   private def lshCandidateStage(s: SparkSession, d: String,
       caches: scala.collection.mutable.ListBuffer[DataFrame])
@@ -416,9 +425,18 @@ object NearDupCatalog {
     * The index is computed ONCE: the mode statistic's action materializes
     * the cached bigram index, the chosen pipeline reuses it, and the
     * (tiny, threshold-filtered) pair result is eagerly localCheckpoint'ed
-    * so every internal cache can be released before returning — the
-    * chooser costs one df aggregate over the already-built index, not a
-    * second tokenize pass, and is cache-neutral.
+    * so every internal cache can be released before returning.
+    *
+    * COST, measured (r8, sf0.1, local[32]): the chooser is cache-neutral
+    * in STORAGE (one index materialization either way) but not in
+    * wall-clock — it serializes one extra stat job (the 1/8-sample df
+    * aggregate + head) before the pipeline can be built, worth roughly
+    * 0.3–0.8 s here vs the chooser-less r6 entry (2.55 s → 3.3–4.0 s
+    * isolated across three runs; the r7 full-suite 4.23 s reading was
+    * additionally inflated by the documented ±30% host swing — the same
+    * r6→r7 comparison shows a uniform ~1.2× on near-dup entries that
+    * don't touch this code at all). The stat job count is pinned in
+    * NearDupSpec so a second silent materialization cannot creep in.
     */
   private[graft] def ngramJaccardAuto(docs: DataFrame): DataFrame = {
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]

@@ -332,8 +332,13 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("lineitem_bloom_semi: bloom prefilter changes nothing — equals the plain semi join") {
+    spark.sharedState.cacheManager.clearCache()
     val got = run("lineitem_bloom_semi")
       .select("l_returnflag", "n_items").as[(String, Long)].collect().toMap
+    // The key set rides an eager localCheckpoint, never the cache manager —
+    // nothing may stay cached past the entry (r7 hygiene finding).
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "lineitem_bloom_semi left its key set in the cache manager")
     val keys = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     val want = Tables.lineitem(spark, sf0001)

@@ -10,6 +10,10 @@ class NearDupSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
+  // Spark-job budget for the cost-based Jaccard chooser build (see the
+  // "bounded number of jobs" test): measured count + 1 job of AQE slack.
+  private val JaccardAutoJobBudget = 13
+
   test("doc_near_dup_lsh finds exactly the brute-force pairs >= 0.5 at sf0.001") {
     // Brute-force ground truth: all pairs sharing >= 1 shingle, exact Jaccard.
     val sh = Tables.documents(spark, sf0001)
@@ -122,6 +126,40 @@ class NearDupSpec extends AnyFunSuite {
     // pinned naive plan's.
     val naive = run("doc_ngram_jaccard_prefix").collect().map(_.toSeq).toSet
     assert(out.collect().map(_.toSeq).toSet == naive)
+  }
+
+  test("ngramJaccardAuto: deciding the mode costs a bounded number of jobs") {
+    // The r7 bench regression slipped in because nothing pinned what the
+    // chooser COSTS, only what it chooses. Pin the Spark-job budget of the
+    // whole build: one stat job (sample aggregate + head) plus the
+    // localCheckpoint materialization of the chosen pipeline. A second
+    // silent materialization (a stray count()/collect(), or a lost cache
+    // forcing a rebuild) lands well outside the bound.
+    import graft.queries.NearDupCatalog
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      NearDupCatalog.ngramJaccardAuto(Tables.documents(spark, sf0001))
+      // Listener delivery is async; poll until the count settles.
+      var last = -1
+      var settled = 0
+      while (settled < 5) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) settled += 1 else { settled = 0; last = now }
+      }
+      // Measured: 1 stat job + the checkpoint pipeline's AQE stages. The
+      // bound leaves one job of slack for AQE stage-split variation but
+      // fails on any added materialization (each costs >=2 jobs here).
+      info(s"ngramJaccardAuto build submitted $last Spark jobs")
+      assert(last <= JaccardAutoJobBudget,
+        s"ngramJaccardAuto submitted $last jobs (budget $JaccardAutoJobBudget) — " +
+          "a new eager action or a lost cache reuse crept into the chooser path")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("containment catches a short doc quoted inside a longer one; Jaccard misses it") {

@@ -39,6 +39,12 @@ class PlanLintSpec extends AnyFunSuite {
   test("repartition(1) flagged; normal repartition clean") {
     assert(PlanLint.errors(df.repartition(1)).exists(_.rule == "repartition-1"))
     assert(PlanLint.errors(df.repartition(8)).isEmpty)
+    // The expression forms land on RepartitionByExpression, not
+    // Repartition — the same single-partition funnel must not escape.
+    assert(PlanLint.errors(df.repartition(1, col("k"))).exists(_.rule == "repartition-1"))
+    assert(PlanLint.errors(df.repartitionByRange(1, col("id"))).exists(_.rule == "repartition-1"))
+    assert(PlanLint.errors(df.repartition(8, col("k"))).isEmpty)
+    assert(PlanLint.errors(df.repartitionByRange(8, col("id"))).isEmpty)
   }
 
   test("global sort warns unless it feeds a limit") {
