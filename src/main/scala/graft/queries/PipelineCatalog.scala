@@ -1470,15 +1470,18 @@ object PipelineCatalog {
     * to the catalog corpus (N ≤ 1e10, cums ≤ 1e23/1e4); they widen
     * mechanically for larger fleets.
     */
-  val cusumBreach: CatalogEntry = CatalogEntry(
-    "events_cusum_breach",
-    (s, d) => {
+  /** The batch CUSUM pipeline over an arbitrary events frame — shared by
+    * the catalog entry and StreamingSpec's stream≡batch parity test (the
+    * streaming form in StreamingQueries.streamingCusumBreach replays the
+    * same division-free decimal band test per micro-batch).
+    */
+  private[graft] def cusumBreachOver(events: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val vd = col("value").cast(DecimalType(18, 4))
-      val g = Tables.events(s, d).agg(sum(vd).as("sy"), count(lit(1)).as("n"))
+      val g = events.agg(sum(vd).as("sy"), count(lit(1)).as("n"))
       val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
-      val r = Tables.events(s, d)
+      val r = events
         .select(col("user_id"), col("event_id"), col("value"),
           col("ts").cast("long").as("tss"))
         .withColumn("k", row_number().over(w).cast("long"))
@@ -1498,7 +1501,11 @@ object PipelineCatalog {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("k").as("breach_k"),
           col("tss").as("breach_ts"), col("dev"))
-    },
+  }
+
+  val cusumBreach: CatalogEntry = CatalogEntry(
+    "events_cusum_breach",
+    (s, d) => cusumBreachOver(Tables.events(s, d)),
     Some(s"""WITH g AS (SELECT SUM(CAST(value AS DECIMAL(18,4))) AS sy, COUNT(*) AS n
                         FROM events),
                   r AS (SELECT user_id, event_id, tss,

@@ -25,6 +25,18 @@ final case class BucketState(docs: Seq[SeenDoc])
   */
 final case class NearDupVerdict(doc_id: Long, band: Int, dup_of: Long, est: Double)
 
+/** Per-user CUSUM state: events seen (k), exact running value sum at
+  * scale 4 carried as a STRING (a BigDecimal through the encoder would
+  * re-scale to Spark's default decimal and break exactness), and whether
+  * the band was already breached (a breached user emits once, ever).
+  */
+final case class CusumState(k: Long, cums: String, breached: Boolean)
+
+/** A CUSUM band breach: user, the 1-based event index and timestamp of
+  * the first breach, and the signed deviation S_k (value units, 6 dp).
+  */
+final case class CusumBreach(user_id: Long, breach_k: Long, breach_ts: Long, dev: Double)
+
 object StreamingQueries {
 
   /** The five core rolling aggregations, keyed by catalog name. */
@@ -127,6 +139,78 @@ object StreamingQueries {
           val next = state.getOption.getOrElse(0L) + rows.size
           state.update(next)
           (key, next)
+      }
+  }
+
+  /** Streaming CUSUM breach monitor — the LIVE side of the batch
+    * `events_cusum_breach` entry (PipelineCatalog.cusumBreach): per user,
+    * the first event where the cumulative deviation from a REFERENCE mean
+    * leaves the ±H band. Streaming CUSUM needs the reference as an input
+    * (the batch entry derives μ from the full corpus; a stream cannot see
+    * its own future), so the caller passes the calibration moment
+    * (refSum = Σv, refN = N) from a prior batch pass or a control
+    * channel — re-arming with a fresh moment is a query restart, the same
+    * operational seam as the adaptive trigger controller.
+    *
+    * Exactness: the state carries Σv at scale 4 and the band test is the
+    * batch entry's division-free form N·S_k = N·cums − k·Σv compared to
+    * H·N — every term an exact BigDecimal product, so a replay of an
+    * in-order stream reproduces the batch breach set BIT-FOR-BIT (dev
+    * rounds through the same HALF_UP-6 the batch side uses;
+    * StreamingSpec asserts set equality). Rows are sorted by
+    * (ts, event_id) WITHIN each micro-batch; cross-batch order is the
+    * caller's replay contract, as in every rolling-state query here.
+    *
+    * 100 TB shape: one `flatMapGroupsWithState` shuffle on user_id;
+    * state is three scalars per user (the running sum — never the
+    * events), and a breached user's state goes cold immediately. Output
+    * is append-mode: a breach is emitted exactly once.
+    */
+  def streamingCusumBreach(
+      events: DataFrame,
+      refSum: java.math.BigDecimal,
+      refN: Long,
+      h: Long = 500L): org.apache.spark.sql.Dataset[CusumBreach] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val sy = refSum.setScale(4, RoundingMode.HALF_UP)
+    val nBd = JBD.valueOf(refN)
+    val band = JBD.valueOf(h).multiply(nBd)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("long").as("tss"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumBreach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, "0.0000", false))
+          val out = Vector.newBuilder[CusumBreach]
+          if (!st.breached) {
+            var k = st.k
+            var cums = new JBD(st.cums)
+            var breached = false
+            val it = rows.toSeq.sortBy(r => (r._4, r._2)).iterator
+            while (it.hasNext && !breached) {
+              val (_, _, v, tss) = it.next()
+              k += 1
+              // Same rounding as the batch side's cast(value AS DECIMAL(18,4)).
+              cums = cums.add(JBD.valueOf(v).setScale(4, RoundingMode.HALF_UP))
+              val numer = nBd.multiply(cums).subtract(JBD.valueOf(k).multiply(sy))
+              if (numer.abs.compareTo(band) > 0) {
+                breached = true
+                val dev = JBD.valueOf(numer.doubleValue() / refN.toDouble)
+                  .setScale(6, RoundingMode.HALF_UP).doubleValue()
+                out += CusumBreach(user, k, tss, dev)
+              }
+            }
+            st = CusumState(k, cums.toPlainString, breached)
+            state.update(st)
+          }
+          out.result().iterator
       }
   }
 

@@ -223,6 +223,44 @@ class StreamingSpec extends AnyFunSuite {
       "streamed trend moments diverge from the batch moment pass")
   }
 
+  test("streaming CUSUM breach replays the batch breach set bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types.DecimalType
+    // Three users with persistently different levels: user 1 sits far
+    // above the global mean (breach at k=1), users 0/2 drift below it
+    // (breach a few events in) — varied breach indices, not a trivial
+    // all-at-k=1 set. Timestamps strictly increase so the two-burst
+    // replay is in order per user (the streaming contract).
+    def ev(i: Long, u: Long, v: Double): Ev =
+      (i, ts(s"2024-07-01 0${i / 10}:0${i % 10}:00"), u, "m", v, "")
+    val fb1: Seq[Ev] = (1L to 30L).map(i => ev(i, i % 3, if (i % 3 == 1) 1000.0 else (i % 5).toDouble))
+    val fb2: Seq[Ev] = (31L to 60L).map(i => ev(i, i % 3, if (i % 3 == 1) 900.0 else (i % 7).toDouble))
+    val all = (fb1 ++ fb2).toDF(eventCols: _*)
+    // Calibration moment = the full replay's global moment, exactly what
+    // the batch entry derives internally — so the two sides see one μ.
+    val g = all.agg(sum(col("value").cast(DecimalType(18, 4))).as("sy"),
+      count(lit(1)).as("n")).head()
+    val input = MemoryStream[Ev](spark)
+    val name = s"cusum${System.nanoTime()}"
+    val q = StreamingQueries.streamingCusumBreach(
+        input.toDF().toDF(eventCols: _*), g.getDecimal(0), g.getLong(1))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(fb1: _*)
+      q.processAllAvailable()
+      input.addData(fb2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toSeq.toList).toSet
+    val want = graft.queries.PipelineCatalog.cusumBreachOver(all)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "fixture produced no batch breaches — test is vacuous")
+    assert(got == want,
+      s"streamed CUSUM breaches diverge from batch:\n got $got\nwant $want")
+    // Exactly-once: a breached user never re-emits across later batches.
+    assert(got.size == got.map(_.head).size, "a user emitted more than one breach")
+  }
+
   test("streaming key-count state folds to the batch skew report") {
     import graft.queries.Transforms
     val fb1: Seq[Ev] = (1L to 60L).map(i =>
