@@ -531,22 +531,35 @@ object EmbeddingCatalog {
     "emb_knn_recall",
     (s, d) => {
       val b = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
-      val l = knnLsh.build(s, d).select(col("query_id"), col("vec_id"))
-        .withColumn("hit", lit(1))
-      b.join(l, Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
-        .select(col("query_id"), col("k"), col("hits"),
-          round(col("hits") / lit(K.toDouble), 6).as("recall"))
+      // One row per (index, query): the LSH index and the MRL-over-IVF
+      // composition, each against the same brute-force truth.
+      def recallOf(idx: String, approx: DataFrame): DataFrame = {
+        val l = approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+        b.join(l, Seq("query_id", "vec_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(lit(idx).as("idx"), col("query_id"), col("k"), col("hits"),
+            round(col("hits") / lit(K.toDouble), 6).as("recall"))
+      }
+      recallOf("lsh", knnLsh.build(s, d))
+        .unionByName(recallOf("mrl_ivf", knnMrlIvf.build(s, d)))
     },
     Some(s"""WITH brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
-                  lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql) tl)
-             SELECT b.query_id, COUNT(*) AS k,
+                  lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql) tl),
+                  mrlivf AS (SELECT query_id, vec_id FROM ($mrlIvfOracleSql) tm)
+             SELECT 'lsh' AS idx, b.query_id, COUNT(*) AS k,
                     CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
                     ROUND(COUNT(l.vec_id) / CAST($K AS DOUBLE), 6) AS recall
              FROM brute b LEFT JOIN lsh l
                ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+             GROUP BY b.query_id
+             UNION ALL
+             SELECT 'mrl_ivf' AS idx, b.query_id, COUNT(*) AS k,
+                    CAST(COUNT(m.vec_id) AS BIGINT) AS hits,
+                    ROUND(COUNT(m.vec_id) / CAST($K AS DOUBLE), 6) AS recall
+             FROM brute b LEFT JOIN mrlivf m
+               ON m.query_id = b.query_id AND m.vec_id = b.vec_id
              GROUP BY b.query_id"""))
 
   private val PqM = 8 // subspaces
@@ -962,8 +975,108 @@ object EmbeddingCatalog {
           WHERE rn <= $K"""
     })
 
+  /** Oracle for [[knnMrlIvf]]: the IVF-kmeans assignment CTEs (same frozen
+    * centroid literals and fold arithmetic as emb_knn_ivf_kmeans) feeding
+    * the MRL prefix shortlist and full-width rerank. Also embedded by
+    * [[knnRecall]]'s mrl_ivf row.
+    */
+  private lazy val mrlIvfOracleSql: String = {
+    val candC = 4 * K
+    val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
+      val lst = c.mkString("[", ", ", "]")
+      val cn2 = c.map(x => x * x).sum
+      s"($cid, $lst, $cn2)"
+    }.mkString(", ")
+    val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
+    def dotPfx(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${MrlPrefixDim + 1})]), (acc, v) -> acc + v)"
+    val pcos =
+      s"ROUND(${dotPfx("q.embedding", "c.embedding")} / (SQRT(${dotPfx("q.embedding", "q.embedding")}) * SQRT(${dotPfx("c.embedding", "c.embedding")})), 6)"
+    s"""WITH cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
+          dist AS (SELECT e.vec_id, c.cid, $distE AS d
+                   FROM embeddings e CROSS JOIN cent c),
+          assign AS (SELECT vec_id, cid AS cell FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM dist) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                       FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes),
+          pscored AS (SELECT p.query_id, a.vec_id AS cand_id, $pcos AS ps
+                      FROM probes p
+                      JOIN assign a ON a.cell = p.probe_cell
+                      JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+                      JOIN embeddings q ON q.vec_id = p.query_id),
+          cand AS (SELECT query_id, cand_id FROM (
+                     SELECT query_id, cand_id,
+                            row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, cand_id) AS rn
+                     FROM pscored) WHERE rn <= $candC)
+        SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                 row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM cand
+          JOIN embeddings c ON c.vec_id = cand.cand_id
+          JOIN embeddings q ON q.vec_id = cand.query_id)
+        WHERE rn <= $K"""
+  }
+
+  /** MRL prefix shortlist WITHIN probed IVF cells — the production
+    * composition of [[knnMrl]] (which shortlists by prefix over the whole
+    * corpus, a deliberate n×q baseline) and [[knnIvfKmeans]] (which prunes
+    * by cell but scores full-width): queries probe their [[IvfProbes]]
+    * nearest k-means cells, the prefix-dim cosine ranks ONLY rows in those
+    * cells, and the exact full-width cosine reranks the per-query
+    * shortlist. At 100 TB the candidate scan touches probes/cells of the
+    * rows AND prefix/dim of each row's bytes (2/16 × 16/64 = 1/128 of the
+    * brute-force arithmetic here) — the two pruning axes multiply, which
+    * is why real MRL deployments run exactly this shape (ADANNS, Rege et
+    * al. 2023). Cell assignment stays a per-row projection against frozen
+    * centroid literals (zero shuffles before the top-k aggregate), and
+    * both shortlist and rerank joins broadcast query-sized frames only.
+    */
+  val knnMrlIvf: CatalogEntry = CatalogEntry(
+    "emb_knn_mrl_ivf",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val candC = 4 * K
+      val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
+      val corpus = emb.select(col("vec_id").as("cand_id"),
+          slice(col("embedding"), 1, MrlPrefixDim).as("cp"),
+          cells.getItem(0).getField("cid").cast("long").as("cell"))
+        .withColumn("cpn", Vectors.norm(col("cp")))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, MrlPrefixDim).as("qp"),
+          explode(slice(cells, 1, IvfProbes)).as("probe"))
+        .select(col("query_id"), col("qp"), col("probe.cid").cast("long").as("probe_cell"))
+        .withColumn("qpn", Vectors.norm(col("qp")))
+      val pscore = round(
+        Vectors.cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn")), 6)
+      val scored = corpus.join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), pscore.as("score"))
+      val topc = udaf(new graft.combine.TopNAgg(candC))
+      val cands = scored.groupBy("query_id")
+        .agg(topc(col("score"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("mrl_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("mrl_cand"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some(mrlIvfOracleSql))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, semDedup, gramMatrix, knnMrl)
+      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf)
 }

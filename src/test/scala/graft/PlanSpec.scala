@@ -77,6 +77,14 @@ class PlanSpec extends AnyFunSuite {
     // and probe selection are literal-based per-row work.
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"unexpected shuffles in trained-IVF plan\n$p")
+    // The MRL-over-IVF composition adds exactly one more aggregate (the
+    // prefix shortlist top-k) — cell assignment and prefix slicing stay
+    // per-row projections, queries broadcast, the corpus never sort-merges.
+    val m = plan("emb_knn_mrl_ivf")
+    assert(countOf(m, "Exchange hashpartitioning") == 2,
+      s"unexpected shuffles in MRL-over-IVF plan\n$m")
+    assert(m.contains("BroadcastExchange") && !m.contains("SortMergeJoin"),
+      s"emb_knn_mrl_ivf: query side not broadcast or corpus sort-merged\n$m")
   }
 
   test("existence tests plan as semi/anti joins, never materializing matches") {
