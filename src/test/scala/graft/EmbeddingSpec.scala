@@ -112,19 +112,24 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(assigned.filter(col("cell").isNull || col("cell") < 0 || col("cell") > 15).count() == 0)
   }
 
-  test("emb_knn_recall: one row per query, hits bounded by k, matches a direct recount") {
+  test("emb_knn_recall: one row per (index, query), hits bounded by k, matches a direct recount") {
     val got = run("emb_knn_recall").cache()
     val queries = run("emb_knn_brute").select("query_id").distinct().count()
-    assert(got.count() == queries)
+    // Two indexed rows per query: lsh and mrl_ivf.
+    assert(got.count() == 2 * queries)
+    assert(got.select("idx").distinct().count() == 2)
     assert(got.filter(col("k") =!= 5 || col("hits") < 0 || col("hits") > col("k") ||
       col("recall") < 0 || col("recall") > 1).count() == 0)
-    // Direct recount: intersection of the two result sets per query.
+    // Direct recount per index: intersection of the result sets per query.
     val b = run("emb_knn_brute").select("query_id", "vec_id")
-    val l = run("emb_knn_lsh").select("query_id", "vec_id")
-    val inter = b.intersect(l).groupBy("query_id").count()
-    assert(got.join(inter, Seq("query_id"), "left")
-      .filter(coalesce(col("count"), lit(0L)) =!= col("hits")).count() == 0,
-      "recall hits diverge from a direct set intersection")
+    Seq("lsh" -> "emb_knn_lsh", "mrl_ivf" -> "emb_knn_mrl_ivf").foreach {
+      case (idx, entry) =>
+        val inter = b.intersect(run(entry).select("query_id", "vec_id"))
+          .groupBy("query_id").count()
+        assert(got.filter(col("idx") === idx).join(inter, Seq("query_id"), "left")
+          .filter(coalesce(col("count"), lit(0L)) =!= col("hits")).count() == 0,
+          s"$idx recall hits diverge from a direct set intersection")
+    }
     got.unpersist()
   }
 
