@@ -26,6 +26,11 @@ object PipelineCatalog {
     */
   private val CusumH = 500
 
+  /** The fixed BM25 query, shared by the batch entry and the streaming
+    * term-state fold (Transforms.bm25TermState / bm25Fold).
+    */
+  private[graft] val Bm25Terms = Seq("dup", "scan", "merge")
+
   /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
   private val normSql = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
@@ -1371,7 +1376,7 @@ object PipelineCatalog {
   val bm25TopK: CatalogEntry = CatalogEntry(
     "doc_bm25_topk",
     (s, d) => {
-      val (q1, q2, q3) = ("dup", "scan", "merge")
+      val Seq(q1, q2, q3) = PipelineCatalog.Bm25Terms
       // k1 = 1.2, b = 0.75. k1+1 is written as the LITERAL 2.2, never
       // computed: 1.2+1.0 in doubles lands exactly on a representability
       // half-way point, so the computed constant need not equal the

@@ -210,4 +210,71 @@ object Transforms {
     sum(when(col("t_purchase") > col("t_view") &&
              col("t_view") > col("t_signup"), 1L).otherwise(0L))
       .as("n_signup_view_purchase"))
+
+  /** BM25 retrieval state at (doc_id, tok) grain — ONE associative count
+    * aggregate, so the same plan is a batch pass and an update-mode
+    * streaming rolling state (the [[zscoreStats]] device applied to
+    * retrieval): each query-term occurrence feeds its (doc, term) tf row,
+    * and EVERY token also feeds the doc's `*` sentinel row, whose count IS
+    * the doc length — which is how df, N and avgdl (all the global BM25
+    * ingredients) become folds over this one state table instead of a
+    * second corpus pass ([[bm25Fold]]). ≤ |query|+1 state rows per doc.
+    *
+    * The sentinel counts `count(orig)` (nulls skipped), so a document
+    * whose tokenizer yields nothing still registers with len 0 via the
+    * explode_outer null row — N must count every doc, not every doc with
+    * tokens.
+    */
+  def bm25TermState(docs: DataFrame): DataFrame = {
+    val qs = PipelineCatalog.Bm25Terms
+    docs
+      .select(col("doc_id"),
+        explode_outer(graft.functions.Text.normTokens(col("text"))).as("orig"))
+      .select(col("doc_id"), col("orig"),
+        explode(when(col("orig").isin(qs: _*), array(col("orig"), lit("*")))
+          .otherwise(array(lit("*")))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(col("orig")).as("tf"))
+  }
+
+  /** BM25 top-20 from a [[bm25TermState]] table — the same arithmetic, in
+    * the same IEEE expression shape, as the `doc_bm25_topk` entry (raw
+    * Robertson-odds idf, k1 = 1.2, b = 0.75, k1+1 written as the literal
+    * 2.2, fixed term order), so folding the batch state reproduces the
+    * entry's rows bit-for-bit and the streamed state replays it
+    * (StreamingSpec asserts both).
+    */
+  def bm25Fold(state: DataFrame): DataFrame = {
+    val Seq(q1, q2, q3) = PipelineCatalog.Bm25Terms
+    val k1 = lit(1.2)
+    val k1p1 = lit(2.2)
+    val b = lit(0.75)
+    val lens = state.filter(col("tok") === "*")
+      .select(col("doc_id"), col("tf").as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("suml"))
+      .select(col("nd"), (col("suml").cast("double") / col("nd")).as("avgl"))
+    val tf = state.filter(col("tok") =!= "*")
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val term = tf.join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        ((col("nd") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * k1p1
+          / (col("tf").cast("double")
+            + k1 * (lit(1.0) - b + b * (col("len").cast("double") / col("avgl")))))
+      .withColumn("ts", col("idf") * col("tfn"))
+    val scored = term.groupBy("doc_id").agg(
+      sum(when(col("tok") === q1, col("ts"))).as("s1"),
+      sum(when(col("tok") === q2, col("ts"))).as("s2"),
+      sum(when(col("tok") === q3, col("ts"))).as("s3"))
+      .select(col("doc_id"),
+        round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+          + coalesce(col("s3"), lit(0.0)), 6).as("score"))
+    graft.operators.GlobalRank.withRank(
+      scored.orderBy(col("score").desc, col("doc_id")).limit(20),
+      Seq(col("score").desc, col("doc_id")), numPartitions = 2, rankCol = "rank")
+  }
 }

@@ -261,6 +261,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == got.map(_.head).size, "a user emitted more than one breach")
   }
 
+  test("streaming BM25 term state folds to the batch top-k entry bit-for-bit") {
+    import graft.queries.Transforms
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val entry = SparkEntry.queries("doc_bm25_topk")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    // The state fold and the entry's direct pipeline are two routes to
+    // the same ranking — batch state first.
+    val batchState = Transforms.bm25TermState(docs)
+    val fromBatch = Transforms.bm25Fold(batchState).collect().map(_.toSeq.toList).toSet
+    assert(fromBatch == entry,
+      "folding the batch term state diverges from the doc_bm25_topk entry")
+    // Then the streamed state: replay the corpus in two bursts through
+    // the update-mode aggregate and fold the upserted rows.
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"bm25-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (doc_id, tok)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Transforms.bm25TermState(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Sinks.registry(sinkId).asScala.values.toSeq
+    Sinks.clear(sinkId)
+    val streamedState = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](streamed.asJava),
+      batchState.schema)
+    val fromStream = Transforms.bm25Fold(streamedState).collect().map(_.toSeq.toList).toSet
+    assert(fromStream == entry,
+      "folding the STREAMED term state diverges from the doc_bm25_topk entry")
+  }
+
   test("streaming key-count state folds to the batch skew report") {
     import graft.queries.Transforms
     val fb1: Seq[Ev] = (1L to 60L).map(i =>
