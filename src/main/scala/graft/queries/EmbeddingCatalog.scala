@@ -112,6 +112,57 @@ object EmbeddingCatalog {
         col("col.value").as("score"), (col("pos") + 1).cast("long").as("rn"))
   }
 
+  private val ShortlistC = 4 * K // shortlist width of the approx→rerank family
+
+  /** Shared shortlist→exact-rerank tail of the approximate-scoring ANN
+    * family ([[knnSq8]], [[knnMrl]], [[knnMrlIvf]]): bound the
+    * approx-scored (query_id, cand_id, score) pairs to [[ShortlistC]]
+    * per query with the bounded-heap TopNAgg, then rerank ONLY the
+    * shortlist with the exact full-width cosine and keep the final
+    * top-K. The candidate norm is computed AFTER the shortlist join:
+    * each candidate appears in at most [[NQueries]] pairs, so the
+    * per-pair fold costs ≤ NQueries folds per SHORTLISTED row vs one
+    * fold for EVERY corpus row pre-join (the pre-join rationale applies
+    * to many-pairs-per-row joins only).
+    */
+  private def shortlistRerank(emb: DataFrame, scored: DataFrame): DataFrame = {
+    import graft.functions.Vectors
+    val topc = udaf(new graft.combine.TopNAgg(ShortlistC))
+    val cands = scored.groupBy("query_id")
+      .agg(topc(col("score"), col("cand_id")).as("top"))
+      .select(col("query_id"), explode(col("top.entries")).as("e"))
+      .select(col("query_id"), col("e.event_id").as("short_cand"))
+    val queriesFull = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+    val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val rer = corpusFull
+      .join(broadcast(cands), col("cand_id") === col("short_cand"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+      .join(broadcast(queriesFull), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+    topKPerQuery(rer)
+  }
+
+  /** Oracle counterpart of [[shortlistRerank]]: the `cand` CTE bounding
+    * `scoredCte` to [[ShortlistC]] rows per query by `scoreCol`, plus the
+    * exact-cosine rerank SELECT. Callers prepend their scoring CTEs
+    * (`WITH ..., <this>`), keeping the tail byte-identical across the
+    * family so a rerank change cannot drift one oracle.
+    */
+  private def shortlistRerankSql(scoredCte: String, scoreCol: String): String =
+    s"""cand AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY $scoreCol DESC, cand_id) AS rn
+                   FROM $scoredCte) WHERE rn <= $ShortlistC)
+        SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
+                 row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM cand
+          JOIN embeddings c ON c.vec_id = cand.cand_id
+          JOIN embeddings q ON q.vec_id = cand.query_id)
+        WHERE rn <= $K"""
+
   /** Brute-force exact cosine top-K: the small query set broadcasts against
     * the corpus — one linear scan, no shuffle of the corpus, map-side
     * bounded top-K then a K-row-per-query merge. At 100 TB this IS the
@@ -383,6 +434,44 @@ object EmbeddingCatalog {
           SELECT vec_a, vec_b, cosine FROM ($branches) WHERE cosine >= $NearDupThreshold"""
     })
 
+  /** cent/dist/assign/probes CTE block of the frozen-kmeans IVF oracles
+    * ([[knnIvfKmeans]] and the MRL-over-IVF composition): centroid VALUES
+    * literals from the frozen model, KMeans.sqDist's arithmetic
+    * (|v|² − 2 v·c + |c|² with left-fold dot products — bit-identical
+    * across engines, so the raw distance orders identically and needs no
+    * ROUND), nearest-cell assignment, and each query's [[IvfProbes]]
+    * nearest probe cells. One definition so a centroid or distance change
+    * cannot drift one oracle and not the other.
+    */
+  private lazy val ivfAssignCtes: String = {
+    val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
+      val lst = c.mkString("[", ", ", "]")
+      val cn2 = c.map(x => x * x).sum // same Scala left fold Spark's literal uses
+      s"($cid, $lst, $cn2)"
+    }.mkString(", ")
+    val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
+    s"""cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
+        dist AS (SELECT e.vec_id, c.cid, $distE AS d
+                 FROM embeddings e CROSS JOIN cent c),
+        assign AS (SELECT vec_id, cid AS cell FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                     FROM dist) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                     FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes)"""
+  }
+
+  /** Prefix-dim ([[MrlPrefixDim]]) dot product / cosine between
+    * `q.embedding` and `c.embedding` — the MRL scoring shared by
+    * [[knnMrl]]'s oracle and the MRL-over-IVF oracle.
+    */
+  private def dotPfxSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${MrlPrefixDim + 1})]), (acc, v) -> acc + v)"
+  private lazy val prefixCosSql: String =
+    s"ROUND(${dotPfxSql("q.embedding", "c.embedding")} / (SQRT(${dotPfxSql("q.embedding", "q.embedding")}) * SQRT(${dotPfxSql("c.embedding", "c.embedding")})), 6)"
+
   /** IVF with the TRAINED coarse quantizer — [[knnIvf]]'s structure with
     * the sampled centroids replaced by the frozen k-means model
     * ([[IvfCentroids.kmeans16]], produced by graft.operators.KMeans.fit).
@@ -413,27 +502,8 @@ object EmbeddingCatalog {
         .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(scored)
     },
-    Some {
-      // Same L2 distance arithmetic as KMeans.sqDist: |v|² − 2 v·c + |c|²
-      // with left-fold dot products — bit-identical across engines, so the
-      // raw (unrounded) distance orders identically and needs no ROUND.
-      val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
-        val lst = c.mkString("[", ", ", "]")
-        val cn2 = c.map(x => x * x).sum // same Scala left fold Spark's literal uses
-        s"($cid, $lst, $cn2)"
-      }.mkString(", ")
-      val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
-      s"""WITH cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
-            dist AS (SELECT e.vec_id, c.cid, $distE AS d
-                     FROM embeddings e CROSS JOIN cent c),
-            assign AS (SELECT vec_id, cid AS cell FROM (
-                         SELECT vec_id, cid,
-                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                         FROM dist) WHERE rn = 1),
-            probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
-                         SELECT vec_id, cid,
-                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                         FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes)
+    Some(
+      s"""WITH $ivfAssignCtes
           SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
             SELECT p.query_id, a.vec_id, $cosineSql AS score,
                    row_number() OVER (PARTITION BY p.query_id ORDER BY $cosineSql DESC, a.vec_id) AS rn
@@ -441,8 +511,7 @@ object EmbeddingCatalog {
             JOIN assign a ON a.cell = p.probe_cell
             JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
             JOIN embeddings q ON q.vec_id = p.query_id)
-          WHERE rn <= $K"""
-    })
+          WHERE rn <= $K"""))
 
   /** Scalar-quantized (int8) ANN with exact rerank — the
     * memory-bandwidth scale path (Faiss's SQ8 / IndexScalarQuantizer
@@ -465,7 +534,6 @@ object EmbeddingCatalog {
     (s, d) => {
       import org.apache.spark.sql.Column
       val emb = embeddings(s, d)
-      val candC = 4 * K
       val mx = emb.agg(
         max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
       def quant(v: Column): Column =
@@ -478,24 +546,9 @@ object EmbeddingCatalog {
         lit(0L), (acc, v) => acc + v)
       val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"), iscore.cast("double").as("score"))
-      val topc = udaf(new graft.combine.TopNAgg(candC))
-      val cands = scored.groupBy("query_id")
-        .agg(topc(col("score"), col("cand_id")).as("top"))
-        .select(col("query_id"), explode(col("top.entries")).as("e"))
-        .select(col("query_id"), col("e.event_id").as("sq_cand"))
-      val queriesFull = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
-      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
-      val rer = corpusFull
-        .join(broadcast(cands), col("cand_id") === col("sq_cand"))
-        .join(broadcast(queriesFull), Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
-      topKPerQuery(rer)
+      shortlistRerank(emb, scored)
     },
     Some {
-      val candC = 4 * K
       val absList = s"[abs(CAST(embedding[i] AS DOUBLE)) for i in range(1, ${Dim + 1})]"
       val q8List =
         s"[CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE) / m) AS INT) for i in range(1, ${Dim + 1})]"
@@ -506,17 +559,7 @@ object EmbeddingCatalog {
             iscored AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id, $idot AS iscore
                         FROM q8 qq JOIN q8 cc ON cc.vec_id != qq.vec_id
                         WHERE qq.vec_id < $NQueries),
-            cand AS (SELECT query_id, cand_id FROM (
-                       SELECT query_id, cand_id,
-                              row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, cand_id) AS rn
-                       FROM iscored) WHERE rn <= $candC)
-          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
-            SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
-                   row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
-            FROM cand
-            JOIN embeddings c ON c.vec_id = cand.cand_id
-            JOIN embeddings q ON q.vec_id = cand.query_id)
-          WHERE rn <= $K"""
+            ${shortlistRerankSql("iscored", "iscore")}"""
     })
 
   /** ANN quality measured as data, not guessed: per-query recall@K of
@@ -530,7 +573,13 @@ object EmbeddingCatalog {
   val knnRecall: CatalogEntry = CatalogEntry(
     "emb_knn_recall",
     (s, d) => {
+      // The brute-force truth feeds BOTH recallOf branches of the union;
+      // left lazy it would execute the full scan+score+top-k subtree once
+      // per branch. localCheckpoint materializes it eagerly (K rows per
+      // query — tiny) with no cache-manager residue (house pattern, cf.
+      // lineitem_bloom_semi).
       val b = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
       // One row per (index, query): the LSH index and the MRL-over-IVF
       // composition, each against the same brute-force truth.
       def recallOf(idx: String, approx: DataFrame): DataFrame = {

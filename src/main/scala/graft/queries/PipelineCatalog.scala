@@ -1480,7 +1480,7 @@ object PipelineCatalog {
     * streaming form in StreamingQueries.streamingCusumBreach replays the
     * same division-free decimal band test per micro-batch).
     */
-  private[graft] def cusumBreachOver(events: DataFrame): DataFrame = {
+  private[graft] def cusumBreachOver(events: DataFrame, h: Long = CusumH.toLong): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val vd = col("value").cast(DecimalType(18, 4))
@@ -1497,7 +1497,7 @@ object PipelineCatalog {
           (col("n").cast(DecimalType(10, 0)) * col("cums").cast(DecimalType(27, 4)))
             - (col("k").cast(DecimalType(10, 0)) * col("sy").cast(DecimalType(27, 4))))
         .filter(abs(col("numer")) >
-          (lit(CusumH).cast(DecimalType(10, 0)) * col("n").cast(DecimalType(10, 0)))
+          (lit(h).cast(DecimalType(10, 0)) * col("n").cast(DecimalType(10, 0)))
             .cast(DecimalType(38, 4)))
         .withColumn("dev",
           round(col("numer").cast("double") / col("n").cast("double"), 6))

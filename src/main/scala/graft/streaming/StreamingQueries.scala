@@ -197,8 +197,17 @@ object StreamingQueries {
             while (it.hasNext && !breached) {
               val (_, _, v, tss) = it.next()
               k += 1
-              // Same rounding as the batch side's cast(value AS DECIMAL(18,4)).
-              cums = cums.add(JBD.valueOf(v).setScale(4, RoundingMode.HALF_UP))
+              // Mirror the batch side's non-ANSI cast(value AS DECIMAL(18,4)):
+              // NaN/Infinity and overflow (>14 integer digits after HALF_UP-4)
+              // cast to NULL there — the row still takes a k (row_number counts
+              // it) and the band test still runs on it, but the running sum is
+              // unchanged. Without this guard a NaN kills the stream
+              // (new BigDecimal("NaN") throws) and an overflowing value
+              // diverges from the batch breach set.
+              if (!v.isNaN && !v.isInfinite) {
+                val d = JBD.valueOf(v).setScale(4, RoundingMode.HALF_UP)
+                if (d.precision - d.scale <= 14) cums = cums.add(d)
+              }
               val numer = nBd.multiply(cums).subtract(JBD.valueOf(k).multiply(sy))
               if (numer.abs.compareTo(band) > 0) {
                 breached = true

@@ -261,6 +261,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == got.map(_.head).size, "a user emitted more than one breach")
   }
 
+  test("streaming CUSUM matches batch on NaN/Infinity/overflow values") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types.DecimalType
+    // Hostile values: the batch side's non-ANSI cast(value AS
+    // DECIMAL(18,4)) turns NaN, ±Infinity and >14-integer-digit doubles
+    // into NULL (the row keeps its row_number; the running sum skips it).
+    // The stream must not crash on them and must reproduce the same
+    // breach set.
+    def ev(i: Long, u: Long, v: Double): Ev =
+      (i, ts(s"2024-07-01 0${i / 10}:0${i % 10}:00"), u, "m", v, "")
+    val hostile: Seq[Ev] = Seq(
+      ev(1, 0, 5.0), ev(2, 0, Double.NaN), ev(3, 0, 900.0),
+      ev(4, 1, Double.PositiveInfinity), ev(5, 1, 1.0e15), ev(6, 1, 2.0),
+      ev(7, 2, -3.0), ev(8, 2, Double.NegativeInfinity), ev(9, 2, 1.0))
+    val all = hostile.toDF(eventCols: _*)
+    val g = all.agg(sum(col("value").cast(DecimalType(18, 4))).as("sy"),
+      count(lit(1)).as("n")).head()
+    val input = MemoryStream[Ev](spark)
+    val name = s"cusumh${System.nanoTime()}"
+    val q = StreamingQueries.streamingCusumBreach(
+        input.toDF().toDF(eventCols: _*), g.getDecimal(0), g.getLong(1), h = 50L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(hostile.take(5): _*)
+      q.processAllAvailable()
+      input.addData(hostile.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toSeq.toList).toSet
+    val want = graft.queries.PipelineCatalog.cusumBreachOver(all, h = 50L)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "hostile fixture produced no batch breaches — vacuous")
+    assert(got == want,
+      s"streamed CUSUM diverges from batch on hostile values:\n got $got\nwant $want")
+  }
+
   test("streaming BM25 term state folds to the batch top-k entry bit-for-bit") {
     import graft.queries.Transforms
     val docs = Tables.documents(spark, TestSpark.sf0001)
