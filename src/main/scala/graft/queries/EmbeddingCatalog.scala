@@ -970,7 +970,6 @@ object EmbeddingCatalog {
     (s, d) => {
       import graft.functions.Vectors
       val emb = embeddings(s, d)
-      val candC = 4 * K
       val corpus = emb.select(col("vec_id").as("cand_id"),
           slice(col("embedding"), 1, MrlPrefixDim).as("cp"))
         .withColumn("cpn", Vectors.norm(col("cp")))
@@ -982,93 +981,27 @@ object EmbeddingCatalog {
         Vectors.cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn")), 6)
       val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"), pscore.as("score"))
-      val topc = udaf(new graft.combine.TopNAgg(candC))
-      val cands = scored.groupBy("query_id")
-        .agg(topc(col("score"), col("cand_id")).as("top"))
-        .select(col("query_id"), explode(col("top.entries")).as("e"))
-        .select(col("query_id"), col("e.event_id").as("mrl_cand"))
-      val queriesFull = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .withColumn("qn", Vectors.norm(col("qe")))
-      // cn is computed AFTER the shortlist join: each candidate appears in
-      // at most NQueries pairs, so the per-pair norm costs ≤ 8 folds per
-      // shortlisted row vs one fold for EVERY corpus row pre-join (the
-      // pre-join rationale applies to many-pairs-per-row joins only).
-      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val rer = corpusFull
-        .join(broadcast(cands), col("cand_id") === col("mrl_cand"))
-        .withColumn("cn", Vectors.norm(col("ce")))
-        .join(broadcast(queriesFull), Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
-      topKPerQuery(rer)
+      shortlistRerank(emb, scored)
     },
-    Some {
-      val candC = 4 * K
-      def dotPfx(a: String, b: String): String =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${MrlPrefixDim + 1})]), (acc, v) -> acc + v)"
-      val pcos =
-        s"ROUND(${dotPfx("q.embedding", "c.embedding")} / (SQRT(${dotPfx("q.embedding", "q.embedding")}) * SQRT(${dotPfx("c.embedding", "c.embedding")})), 6)"
-      s"""WITH pscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $pcos AS ps
+    Some(
+      s"""WITH pscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $prefixCosSql AS ps
                            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
                            WHERE q.vec_id < $NQueries),
-            cand AS (SELECT query_id, cand_id FROM (
-                       SELECT query_id, cand_id,
-                              row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, cand_id) AS rn
-                       FROM pscored) WHERE rn <= $candC)
-          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
-            SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
-                   row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
-            FROM cand
-            JOIN embeddings c ON c.vec_id = cand.cand_id
-            JOIN embeddings q ON q.vec_id = cand.query_id)
-          WHERE rn <= $K"""
-    })
+            ${shortlistRerankSql("pscored", "ps")}"""))
 
   /** Oracle for [[knnMrlIvf]]: the IVF-kmeans assignment CTEs (same frozen
     * centroid literals and fold arithmetic as emb_knn_ivf_kmeans) feeding
     * the MRL prefix shortlist and full-width rerank. Also embedded by
     * [[knnRecall]]'s mrl_ivf row.
     */
-  private lazy val mrlIvfOracleSql: String = {
-    val candC = 4 * K
-    val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
-      val lst = c.mkString("[", ", ", "]")
-      val cn2 = c.map(x => x * x).sum
-      s"($cid, $lst, $cn2)"
-    }.mkString(", ")
-    val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
-    def dotPfx(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${MrlPrefixDim + 1})]), (acc, v) -> acc + v)"
-    val pcos =
-      s"ROUND(${dotPfx("q.embedding", "c.embedding")} / (SQRT(${dotPfx("q.embedding", "q.embedding")}) * SQRT(${dotPfx("c.embedding", "c.embedding")})), 6)"
-    s"""WITH cent(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
-          dist AS (SELECT e.vec_id, c.cid, $distE AS d
-                   FROM embeddings e CROSS JOIN cent c),
-          assign AS (SELECT vec_id, cid AS cell FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM dist) WHERE rn = 1),
-          probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
-                       SELECT vec_id, cid,
-                              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                       FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes),
-          pscored AS (SELECT p.query_id, a.vec_id AS cand_id, $pcos AS ps
+  private lazy val mrlIvfOracleSql: String =
+    s"""WITH $ivfAssignCtes,
+          pscored AS (SELECT p.query_id, a.vec_id AS cand_id, $prefixCosSql AS ps
                       FROM probes p
                       JOIN assign a ON a.cell = p.probe_cell
                       JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
                       JOIN embeddings q ON q.vec_id = p.query_id),
-          cand AS (SELECT query_id, cand_id FROM (
-                     SELECT query_id, cand_id,
-                            row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, cand_id) AS rn
-                     FROM pscored) WHERE rn <= $candC)
-        SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
-          SELECT cand.query_id, c.vec_id AS vec_id, $cosineSql AS score,
-                 row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
-          FROM cand
-          JOIN embeddings c ON c.vec_id = cand.cand_id
-          JOIN embeddings q ON q.vec_id = cand.query_id)
-        WHERE rn <= $K"""
-  }
+          ${shortlistRerankSql("pscored", "ps")}"""
 
   /** MRL prefix shortlist WITHIN probed IVF cells — the production
     * composition of [[knnMrl]] (which shortlists by prefix over the whole
@@ -1089,7 +1022,6 @@ object EmbeddingCatalog {
     (s, d) => {
       import graft.functions.Vectors
       val emb = embeddings(s, d)
-      val candC = 4 * K
       val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
       val corpus = emb.select(col("vec_id").as("cand_id"),
           slice(col("embedding"), 1, MrlPrefixDim).as("cp"),
@@ -1106,21 +1038,7 @@ object EmbeddingCatalog {
       val scored = corpus.join(broadcast(queries),
           col("cell") === col("probe_cell") && col("cand_id") =!= col("query_id"))
         .select(col("query_id"), col("cand_id"), pscore.as("score"))
-      val topc = udaf(new graft.combine.TopNAgg(candC))
-      val cands = scored.groupBy("query_id")
-        .agg(topc(col("score"), col("cand_id")).as("top"))
-        .select(col("query_id"), explode(col("top.entries")).as("e"))
-        .select(col("query_id"), col("e.event_id").as("mrl_cand"))
-      val queriesFull = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .withColumn("qn", Vectors.norm(col("qe")))
-      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      val rer = corpusFull
-        .join(broadcast(cands), col("cand_id") === col("mrl_cand"))
-        .withColumn("cn", Vectors.norm(col("ce")))
-        .join(broadcast(queriesFull), Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
-      topKPerQuery(rer)
+      shortlistRerank(emb, scored)
     },
     Some(mrlIvfOracleSql))
 

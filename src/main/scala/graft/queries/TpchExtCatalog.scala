@@ -722,7 +722,9 @@ object TpchExtCatalog {
       grp.crossJoin(broadcast(tot))
         .filter(col("value_cents") * col("n_grp") > col("total_cents") * 2)
         .select(col("ps_partkey"), (col("value_cents").cast("double") / 100.0).as("value"))
-        .orderBy(desc("value"))
+        // ps_partkey tiebreaker: value alone is not a total order (ties are
+        // data-dependent across SFs) and the driver's hash is order-sensitive.
+        .orderBy(desc("value"), col("ps_partkey"))
     },
     Some(psSql + """
       , natps AS (
@@ -736,7 +738,7 @@ object TpchExtCatalog {
       SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
       FROM grp, tot
       WHERE value_cents * n_grp > total_cents * 2
-      ORDER BY value DESC"""))
+      ORDER BY value DESC, ps_partkey"""))
 
   /** TPC-H Q16 (parts/supplier relationship): distinct supplier count per
     * (brand, type, size) bucket, excluding one brand, one type, and a

@@ -10,9 +10,28 @@ class NearDupSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
-  // Spark-job budget for the cost-based Jaccard chooser build (see the
-  // "bounded number of jobs" test): measured count + 1 job of AQE slack.
-  private val JaccardAutoJobBudget = 13
+  /** Jobs submitted while `build` runs, settled after async listener
+    * delivery (poll until the count is stable for 500 ms).
+    */
+  private def countSparkJobs(build: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      build
+      var last = -1
+      var settled = 0
+      while (settled < 5) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) settled += 1 else { settled = 0; last = now }
+      }
+      last
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 
   test("doc_near_dup_lsh finds exactly the brute-force pairs >= 0.5 at sf0.001") {
     // Brute-force ground truth: all pairs sharing >= 1 shingle, exact Jaccard.
@@ -130,36 +149,36 @@ class NearDupSpec extends AnyFunSuite {
 
   test("ngramJaccardAuto: deciding the mode costs a bounded number of jobs") {
     // The r7 bench regression slipped in because nothing pinned what the
-    // chooser COSTS, only what it chooses. Pin the Spark-job budget of the
-    // whole build: one stat job (sample aggregate + head) plus the
-    // localCheckpoint materialization of the chosen pipeline. A second
-    // silent materialization (a stray count()/collect(), or a lost cache
-    // forcing a rebuild) lands well outside the bound.
+    // chooser COSTS, only what it chooses. A fixed absolute job budget
+    // proved environment-sensitive (AQE stage-split changes across Spark
+    // upgrades shift it within legitimate behavior), so the bound is
+    // DIFFERENTIAL: build the same pipeline with the mode pinned (what
+    // the chooser picks on this corpus — naive) in the same session, and
+    // bound the chooser's overhead relative to it. AQE/config drift moves
+    // both measurements together and cancels; a new eager action in the
+    // chooser path (a stray count()/collect(), or a lost cache forcing a
+    // rebuild) costs >=2 extra jobs and lands outside the slack.
     import graft.queries.NearDupCatalog
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    val docs = Tables.documents(spark, sf0001)
+    // Same terminal action (localCheckpoint) as the auto path, and a cache
+    // reset before EACH build so neither side rides a cached index left by
+    // an earlier test or the other build (canonicalized-plan matching
+    // would silently skip the index-materialization jobs for whichever
+    // build runs second — or first, when a prior test cached the index).
+    spark.catalog.clearCache()
+    val baseline = countSparkJobs {
+      NearDupCatalog.ngramJaccardFrom(docs, prefixFilter = false).localCheckpoint()
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      NearDupCatalog.ngramJaccardAuto(Tables.documents(spark, sf0001))
-      // Listener delivery is async; poll until the count settles.
-      var last = -1
-      var settled = 0
-      while (settled < 5) {
-        Thread.sleep(100)
-        val now = jobs.get()
-        if (now == last) settled += 1 else { settled = 0; last = now }
-      }
-      // Measured: 1 stat job + the checkpoint pipeline's AQE stages. The
-      // bound leaves one job of slack for AQE stage-split variation but
-      // fails on any added materialization (each costs >=2 jobs here).
-      info(s"ngramJaccardAuto build submitted $last Spark jobs")
-      assert(last <= JaccardAutoJobBudget,
-        s"ngramJaccardAuto submitted $last jobs (budget $JaccardAutoJobBudget) — " +
-          "a new eager action or a lost cache reuse crept into the chooser path")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    spark.catalog.clearCache()
+    val auto = countSparkJobs { NearDupCatalog.ngramJaccardAuto(docs) }
+    spark.catalog.clearCache()
+    info(s"pinned-naive build: $baseline jobs; auto build: $auto jobs")
+    // Expected overhead: the 1/8-sample df aggregate + head (1-2 jobs).
+    // Slack of 3 tolerates one AQE stage-split of the stat job but fails
+    // on an added materialization (>=2 jobs beyond the stat's own 2).
+    assert(auto - baseline <= 3,
+      s"ngramJaccardAuto submitted $auto jobs vs $baseline pinned (delta ${auto - baseline}) — " +
+        "a new eager action or a lost cache reuse crept into the chooser path")
   }
 
   test("containment catches a short doc quoted inside a longer one; Jaccard misses it") {
