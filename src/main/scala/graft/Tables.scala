@@ -46,16 +46,30 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read it as raw nanos (legacy conf) and convert
-    * to a proper TimestampType via integer division — NOT float division:
-    * 2024 epoch-nanos (~1.7e18) exceeds a double's 53-bit mantissa, so
-    * `(ts/1000).cast(long)` would corrupt timestamps. `DIV` stays integral.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations; branch on the READ type so both load identically:
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it outright; the
+    *    legacy conf surfaces raw nanos as LongType, converted to
+    *    TimestampType via integer division — NOT float division: 2024
+    *    epoch-nanos (~1.7e18) exceeds a double's 53-bit mantissa, so
+    *    `(ts/1000).cast(long)` would corrupt timestamps. `DIV` stays
+    *    integral.
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast to TimestampType under the pinned UTC session
+    *    zone — the same instant, and the column type every downstream
+    *    window/watermark/oracle expression was written against.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     ensureSessionConfs(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -37,8 +37,11 @@ object PipelineCatalog {
   /** Whitespace tokens of the trimmed text (no empty tokens). */
   private val toksSql = raw"string_split_regex(trim(text), '\s+')"
 
-  /** Tokens of the NORMALIZED text (mirror of Text.normTokens). */
-  private val normToksSql = s"string_split_regex($normSql, ' ')"
+  /** Tokens of the NORMALIZED text (mirror of Text.normTokens).
+    * `private[queries]`: ScaleCatalog interpolates the same snippet so
+    * the two catalogs' oracles cannot drift apart.
+    */
+  private[queries] val normToksSql = s"string_split_regex($normSql, ' ')"
 
   // Declared BEFORE every entry that interpolates them into an oracle
   // string: object vals initialize in declaration order, and an entry
@@ -1483,15 +1486,28 @@ object PipelineCatalog {
   private[graft] def cusumBreachOver(events: DataFrame, h: Long = CusumH.toLong): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
-      val vd = col("value").cast(DecimalType(18, 4))
+      // TRY_CAST, not cast: the documented hostile-value contract (NaN /
+      // ±Infinity / >14-integer-digit values become NULL — the row keeps
+      // its row_number, the running sum skips it) is non-ANSI cast
+      // behavior; under Spark 4's default ANSI mode a plain cast would
+      // instead throw mid-aggregate. The streaming fold replays exactly
+      // these semantics (StreamingQueries.streamingCusumBreach).
+      val vd = expr("try_cast(value AS DECIMAL(18,4))")
       val g = events.agg(sum(vd).as("sy"), count(lit(1)).as("n"))
       val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
       val r = events
         .select(col("user_id"), col("event_id"), col("value"),
           col("ts").cast("long").as("tss"))
         .withColumn("k", row_number().over(w).cast("long"))
+        // COALESCE to 0: a prefix of all-NULL values (every one rejected
+        // by the try_cast) must leave the running sum at ZERO — the
+        // streaming fold's state starts at 0 and skips rejected rows, and
+        // SUM-over-window would instead be NULL until the first castable
+        // value, silently suppressing the band test on those rows.
         .withColumn("cums",
-          sum(vd).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          coalesce(
+            sum(vd).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit(0).cast(DecimalType(18, 4))))
         .crossJoin(broadcast(g))
         .withColumn("numer",
           (col("n").cast(DecimalType(10, 0)) * col("cums").cast(DecimalType(27, 4)))

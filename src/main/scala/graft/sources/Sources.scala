@@ -152,9 +152,18 @@ object Sources {
       .schema(spark.read.parquet(path).schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$sfDir/{$table}.parquet")
-    if (table == "events")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    // events.ts normalization must match Tables.events exactly (both disk
+    // encodings — INT64 raw nanos or TIMESTAMP_NTZ micros — land on
+    // TimestampType; see Tables.events for the two-generation history).
+    if (table == "events") raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    } else raw
   }
 
   /** Test-data producer (util/MqttDataProducer.java analogue): pushes

@@ -262,8 +262,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming CUSUM matches batch on NaN/Infinity/overflow values") {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
     // Hostile values: the batch side's non-ANSI cast(value AS
     // DECIMAL(18,4)) turns NaN, ±Infinity and >14-integer-digit doubles
     // into NULL (the row keeps its row_number; the running sum skips it).
@@ -276,7 +275,7 @@ class StreamingSpec extends AnyFunSuite {
       ev(4, 1, Double.PositiveInfinity), ev(5, 1, 1.0e15), ev(6, 1, 2.0),
       ev(7, 2, -3.0), ev(8, 2, Double.NegativeInfinity), ev(9, 2, 1.0))
     val all = hostile.toDF(eventCols: _*)
-    val g = all.agg(sum(col("value").cast(DecimalType(18, 4))).as("sy"),
+    val g = all.agg(sum(expr("try_cast(value AS DECIMAL(18,4))")).as("sy"),
       count(lit(1)).as("n")).head()
     val input = MemoryStream[Ev](spark)
     val name = s"cusumh${System.nanoTime()}"
