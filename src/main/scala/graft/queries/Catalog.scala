@@ -11,5 +11,5 @@ object Catalog {
     ReferenceCatalog.all ++ PipelineCatalog.all ++ TrainPrepCatalog.all ++
       NearDupCatalog.all ++ EmbeddingCatalog.all ++ MultimodalCatalog.all ++
       SensorCatalog.all ++ SqlCatalog.all ++ JoinCatalog.all ++ TpchExtCatalog.all ++
-      OlapCatalog.all
+      OlapCatalog.all ++ ScaleCatalog.all
 }

@@ -1042,8 +1042,99 @@ object EmbeddingCatalog {
     },
     Some(mrlIvfOracleSql))
 
+  /** Power-iteration fixed point: [[PcaIters]] matvec steps on the
+    * [[gramMatrix]] lattice (integers end-to-end), direction re-scaled to
+    * ∞-norm [[PcaScale]] each step by a TRUNCATING division — BigInt `/`
+    * in Scala and `//` in DuckDB both truncate toward zero, so the two
+    * engines walk bit-identical integer vectors. Embedding coordinates
+    * re-enter the projection on their own [[PcaProjScale]] lattice.
+    */
+  private val PcaIters = 8
+  private val PcaScale = 10000L
+  private val PcaProjScale = "1000000"
+
+  /** Leading-principal-component projection — the "all-but-the-top"
+    * whitening signal (Mu & Viswanath 2018: dominant directions of an
+    * embedding cloud carry corpus-level, not semantic, information; ABTT
+    * removes them) and the 1-D PCA curriculum/outlier axis. Each vector
+    * reports its coordinate `pc1` along the dominant eigenvector of the
+    * un-centered Gram matrix, computed as:
+    *
+    *  1. ONE distributed pass: the [[OuterProductAgg]] lattice Gram —
+    *     dim(dim+1)/2 exact Longs, map-side combined (the gramMatrix
+    *     entry's aggregate, reused);
+    *  2. driver-side power iteration on that FIXED dim×dim summary —
+    *     scale-independent state like a collected AQE statistic, O(k·dim²)
+    *     BigInt work, NOT a per-row driver loop;
+    *  3. ONE distributed projection: per-row integer dot of the lattice
+    *     embedding with the broadcast integer direction, inside
+    *     whole-stage codegen (zip_with/aggregate — no shuffle, no UDF).
+    *
+    * Exactness: every arithmetic step through the final dot product is
+    * integer (lattice floor-snaps, BigInt/HUGEINT matvecs, truncating
+    * rescale); the single closing division by lattice²  is one
+    * correctly-rounded IEEE op. The oracle replays the identical
+    * iteration as [[PcaIters]] unrolled CTE triples (matvec, ∞-norm,
+    * rescale) — the PageRank unroll device, here over a 64-row vector
+    * table. At 100 TB only step 1 touches the corpus.
+    */
+  val pcaProject: CatalogEntry = CatalogEntry(
+    "emb_pca_project",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val agg = udaf(new graft.combine.OuterProductAgg(Dim, GramScale))
+      val cells = emb.agg(agg(col("embedding")).as("t"))
+        .select(col("t.cells")).head().getSeq[Long](0)
+      // Symmetrize the upper triangle: idx(i≤j) = Σ_{r<i}(dim−r) + (j−i).
+      def tri(i: Int, j: Int): Long = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        cells(a * Dim - a * (a - 1) / 2 + (b - a))
+      }
+      var v = Array.fill(Dim)(BigInt(PcaScale))
+      (1 to PcaIters).foreach { _ =>
+        val w = Array.tabulate(Dim)(i =>
+          (0 until Dim).map(j => BigInt(tri(i, j)) * v(j)).sum)
+        val m = w.map(_.abs).max
+        if (m > 0) v = w.map(x => x * PcaScale / m) // BigInt /: truncates, = DuckDB //
+      }
+      val vLit = typedlit(v.map(_.toLong).toSeq)
+      val ps = aggregate(
+        zip_with(col("embedding"), vLit, (x, vv) =>
+          floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long") * vv),
+        lit(0L), (acc, t) => acc + t)
+      emb.select(col("vec_id"), col("label").cast("long").as("label"),
+          round(ps.cast("double") / lit(1.0e10), 6).as("pc1"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val steps = (1 to PcaIters).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (SELECT g.i AS i, SUM(g.gg * p.v) AS w
+                    FROM g JOIN $prev p ON p.i = g.j GROUP BY g.i),
+             m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+             v$k AS (SELECT i, (CAST(w AS HUGEINT) * $PcaScale) // m AS v
+                     FROM w$k, m$k)"""
+      }.mkString(",\n             ")
+      s"""WITH g AS (SELECT t1.i AS i, t2.j AS j,
+                            SUM(CAST(FLOOR(CAST(e.embedding[i+1] AS DOUBLE)
+                                           * CAST(e.embedding[j+1] AS DOUBLE)
+                                           * $GramScale + 0.5) AS HUGEINT)) AS gg
+                     FROM embeddings e, range(0, $Dim) t1(i), range(0, $Dim) t2(j)
+                     GROUP BY 1, 2),
+             v0 AS (SELECT i, CAST($PcaScale AS HUGEINT) AS v FROM range(0, $Dim) t(i)),
+             $steps
+           SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                  ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.d+1] AS DOUBLE)
+                                            * $PcaProjScale + 0.5) AS HUGEINT)
+                                 * vf.v) AS DOUBLE) / 1.0E10, 6) AS pc1
+           FROM embeddings e, range(0, $Dim) t(d)
+           JOIN v$PcaIters vf ON vf.i = t.d
+           GROUP BY e.vec_id, e.label
+           ORDER BY e.vec_id"""
+    })
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf)
+      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject)
 }

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Text
+
+/** Operators whose POINT is the at-scale execution pattern: bounded-memory
+  * sketching with an exact rescan, data-layout optimization for scan
+  * pruning, and decayed (recency-weighted) aggregates. Each entry is the
+  * small-data-correct form of a technique that only pays off at 100 TB —
+  * the scaladoc of each spells out the scale mapping.
+  *
+  * Cross-engine determinism follows the house rules (ReferenceCatalog's
+  * Exact doc): integer/decimal arithmetic end-to-end, at most one
+  * correctly-rounded double division per output value, total-order sorts.
+  */
+object ScaleCatalog {
+
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // -------------------------------------------------------------------
+  // Exact distributed heavy hitters (bounded-memory candidates + rescan)
+  // -------------------------------------------------------------------
+
+  /** Misra–Gries counter budget per partition. Any item with global count
+    * above N/(k+1) is guaranteed into the candidate union (see
+    * [[graft.operators.MisraGries]]); the entry reports exactly those
+    * items. On this corpus the bigram vocabulary (916) sits below the
+    * budget at every SF — the sketch is lossless here and the oracle can
+    * be exact; MisraGriesSpec exercises the eviction path the budget
+    * exists for (capacity ≪ vocabulary) and its survival guarantee.
+    */
+  private val HhCapacity = 1024
+
+  /** Exact corpus-wide frequent bigrams — the heavy-hitters pattern that
+    * replaces a full-vocabulary shuffle with a bounded map-side sketch
+    * plus a candidate-only recount:
+    *
+    * pass 1 — `mapPartitions` runs a Misra–Gries sketch with a FIXED
+    * `HhCapacity`-counter budget per partition (memory O(k), any stream
+    * length); the union of survivors is a guaranteed superset of every
+    * item with global count > N/(k+1).
+    * pass 2 — a broadcast LEFT SEMI join restricts the corpus to
+    * candidates and an ordinary exact count/filter finishes the job.
+    *
+    * The final output is EXACT and independent of partitioning even
+    * though the candidate set is not: pass 2 recounts from the raw data,
+    * and the threshold filter discards any below-threshold candidate
+    * noise. At 100 TB pass 1 is shuffle-free (the only shuffled rows are
+    * ≤ partitions × k candidate strings) and pass 2 shuffles only rows
+    * that survive a broadcast semi join on ≤ k keys — versus the naive
+    * plan shuffling the full (item, count) universe. The zipfian corpora
+    * this targets concentrate mass in few items; the guarantee does not
+    * depend on skew, only the usefulness does.
+    */
+  val heavyHitters: CatalogEntry = CatalogEntry(
+    "token_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select(Text.normTokens(col("text")).as("t"))
+      val bigrams = toks.filter(size(col("t")) >= 2)
+        .select(explode(Text.wordNgrams(col("t"), 2)).as("bg"))
+      val cands = bigrams.as[String]
+        .mapPartitions(it => graft.operators.MisraGries.survivors(it, HhCapacity))
+        .toDF("bg").distinct()
+      val n = bigrams.agg(count(lit(1)).as("n_total"))
+      bigrams.join(broadcast(cands), Seq("bg"), "left_semi")
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        // Integer threshold: cnt·(k+1) > N  ⟺  cnt > N/(k+1), no float.
+        .filter(col("cnt") * (HhCapacity + 1) > col("n_total"))
+        .select(col("bg"), col("cnt"),
+          round(col("cnt").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy(desc("cnt"), col("bg"))
+    },
+    Some(s"""WITH src AS (SELECT ${PipelineCatalog.normToksSql} AS tl FROM documents),
+                  items AS (SELECT g[1] || ' ' || g[2] AS bg
+                            FROM (SELECT unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
+                                  FROM src WHERE len(tl) >= 2)),
+                  n AS (SELECT COUNT(*) AS n_total FROM items),
+                  tc AS (SELECT bg, COUNT(*) AS cnt FROM items GROUP BY bg)
+             SELECT bg, cnt, ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+             FROM tc, n
+             WHERE cnt * ${HhCapacity + 1} > n_total
+             ORDER BY cnt DESC, bg"""))
+
+  // -------------------------------------------------------------------
+  // Z-order data layout (scan-pruning file statistics)
+  // -------------------------------------------------------------------
+
+  /** Rows per layout bucket (≙ one output file at write time). */
+  private val ZBucketRows = 1000
+
+  /** Probe predicate whose pruning power the entry measures:
+    * `l_partkey BETWEEN 64 AND 127` — inside the key range at every SF.
+    */
+  private val ProbeLo = 64
+  private val ProbeHi = 127
+
+  /** Bit-interleave of the low 16 bits of two keys (part at even bit
+    * positions, supp at odd) — the Morton/Z-order curve value. Emitted as
+    * a sum of non-overlapping single-bit terms: `+` ≡ `|` here and both
+    * engines parse it identically. 16 bits/key covers the key domains at
+    * these SFs; at larger domains widen the mask or hash-bucket first.
+    * `shift` abstracts the one syntax difference (Spark `shiftleft/
+    * shiftright` functions vs DuckDB `<<`/`>>` operators) so the two
+    * engines share ONE generator and cannot drift.
+    */
+  private def zValueSql(shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    (0 until 16).flatMap { b =>
+      Seq(shl(s"(${shr(s"(l_partkey & 65535)", b)} & 1)", 2 * b),
+        shl(s"(${shr(s"(l_suppkey & 65535)", b)} & 1)", 2 * b + 1))
+    }.mkString("(", " + ", ")")
+
+  private val zSpark: String =
+    zValueSql((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+  private val zDuck: String =
+    zValueSql((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+  /** Z-order layout vs arrival-order layout, measured by the min/max file
+    * statistics a lakehouse scan prunes on: rows are ordered by the
+    * Morton interleave of (l_partkey, l_suppkey), cut into
+    * `ZBucketRows`-row buckets (≙ files), and each bucket reports its key
+    * envelope plus whether the fixed probe predicate could skip it.
+    * Arrival order leaves every bucket's part-envelope full-width
+    * (nothing prunable); Z-order gives each bucket a tight rectangle in
+    * (part, supp) space, so buckets outside the probe range drop out —
+    * the before/after a `OPTIMIZE ... ZORDER BY` issues, computed as a
+    * query so the oracle can check it.
+    *
+    * Scale shape: the global position comes from
+    * [[graft.operators.GlobalRank]] — ONE range shuffle +
+    * `zipWithIndex`, the same machinery a real `OPTIMIZE ... ZORDER BY`
+    * writer uses to lay files along the curve — never a global
+    * (single-partition) window. Everything else is one aggregate over
+    * bucket keys. The z-value itself is pure bit arithmetic inside
+    * whole-stage codegen; the oracle states the identical rank
+    * declaratively (`row_number` — fine at oracle scale, the
+    * single-task plan is exactly what GlobalRank exists to avoid).
+    */
+  val zorderLayout: CatalogEntry = CatalogEntry(
+    "lineitem_zorder",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .withColumn("z", expr(zSpark))
+      def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.GlobalRank.withRank(li, order, numPartitions = 32, "rn")
+          .withColumn("bucket", expr(s"CAST((rn - 1) DIV $ZBucketRows AS BIGINT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+            min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+          .withColumn("layout", lit(name))
+      val natural = layout("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      val zorder = layout("zorder",
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber")))
+      natural.unionByName(zorder)
+        .withColumn("probe_prunable",
+          when(col("max_part") < ProbeLo || col("min_part") > ProbeHi, 1).otherwise(0))
+        .select("layout", "bucket", "n_rows", "min_part", "max_part",
+          "min_supp", "max_supp", "probe_prunable")
+        .orderBy("layout", "bucket")
+    },
+    Some(s"""WITH keyed AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                                   $zDuck AS z
+                            FROM lineitem),
+                  layouts AS (
+                    SELECT 'natural' AS layout,
+                           (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+                             // $ZBucketRows AS bucket,
+                           l_partkey, l_suppkey
+                    FROM keyed
+                    UNION ALL
+                    SELECT 'zorder' AS layout,
+                           (row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1)
+                             // $ZBucketRows AS bucket,
+                           l_partkey, l_suppkey
+                    FROM keyed)
+             SELECT layout, bucket, COUNT(*) AS n_rows,
+                    MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+                    MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+                    CASE WHEN MAX(l_partkey) < $ProbeLo OR MIN(l_partkey) > $ProbeHi
+                         THEN 1 ELSE 0 END AS probe_prunable
+             FROM layouts GROUP BY layout, bucket
+             ORDER BY layout, bucket"""))
+
+  // -------------------------------------------------------------------
+  // Recency-weighted (EWMA) aggregates
+  // -------------------------------------------------------------------
+
+  /** EWMA lookback horizon and the integer weight ladder 2^15 … 2^0 —
+    * i.e. decay α = 1/2 truncated to 16 taps. Integer weights make the
+    * weighted sum EXACT decimal arithmetic in both engines (a float
+    * `pow(1-α, j)` would differ in the last ulp across libms and the
+    * partition-ordered float sum is not associative); the single closing
+    * division num/den is one correctly-rounded IEEE op. Truncation error
+    * vs the infinite-horizon EWMA is ≤ 2^-16 of the weight mass — below
+    * the 6-decimal reporting precision for this value range.
+    */
+  private val EwmaTaps = 16
+
+  /** Per-type exponentially-decayed value smoothing — the "current level"
+    * signal monitoring pipelines keep next to CUSUM (events_cusum_breach
+    * flags persistent shifts; this reports the decayed level itself).
+    * For every event: the 1/2-decay weighted mean of the last 16 values
+    * of its type in (ts, event_id) order, from `lag` taps over ONE keyed
+    * window — no self-join, one shuffle on event_type, state bounded by
+    * the tap count. Streaming form is the same fold with
+    * `s ← (s >> 1) + v·2^15` state per key.
+    *
+    * At 100 TB the only caveat is event_type's low cardinality (the same
+    * skew note as events_salted_agg: a per-(type, time-chunk) re-key
+    * restores parallelism; the taps then overlap chunk boundaries by 16
+    * rows). Arithmetic: value(decimal 18,4) × integer weight summed in
+    * decimal — exact, associative, order-free — then ONE double division
+    * by the integer weight mass of the non-null taps.
+    */
+  val eventsEwma: CatalogEntry = CatalogEntry(
+    "events_ewma",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val zeroDec = lit(0).cast(DecimalType(18, 4))
+      def tap(j: Int) = if (j == 0) col("value") else lag(col("value"), j).over(w)
+      val num = (0 until EwmaTaps).map { j =>
+        coalesce(tap(j).cast(DecimalType(18, 4)), zeroDec) * lit(32768 >> j)
+      }.reduce(_ + _)
+      val den = (0 until EwmaTaps).map { j =>
+        when(tap(j).isNotNull, lit(32768 >> j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tss"), col("value"),
+          round(num.cast("double") / den.cast("long"), 6).as("ewma"))
+        .orderBy("event_id")
+    },
+    Some {
+      def tap(j: Int) = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      val num = (0 until EwmaTaps).map { j =>
+        s"COALESCE(CAST(${tap(j)} AS DECIMAL(18,4)), 0) * ${32768 >> j}"
+      }.mkString(" + ")
+      val den = (0 until EwmaTaps).map { j =>
+        s"CASE WHEN ${tap(j)} IS NOT NULL THEN ${32768 >> j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT event_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss, value,
+                 ROUND(CAST(CAST($num AS VARCHAR) AS DOUBLE) / CAST($den AS BIGINT), 6) AS ewma
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+          ORDER BY event_id"""
+    })
+
+  val all: Seq[CatalogEntry] = Seq(heavyHitters, zorderLayout, eventsEwma)
+}

@@ -222,4 +222,57 @@ class EmbeddingSpec extends AnyFunSuite {
       assert(g((i.toLong, j.toLong)) == brute(i, j), s"cell ($i,$j) mismatch")
     }
   }
+
+  test("emb_pca_project: exact integer replay; direction dominates random Rayleigh quotients") {
+    val dim = 64
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // Driver replay of the exact pipeline: lattice gram → 8 BigInt power
+    // steps (truncating rescale) → lattice projection.
+    val g = Array.ofDim[Long](dim, dim)
+    emb.foreach { case (_, _, e) =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          g(i)(j) += math.floor(e(i).toDouble * e(j).toDouble * 1e9 + 0.5).toLong
+          j += 1
+        }
+        i += 1
+      }
+    }
+    var v = Array.fill(dim)(BigInt(10000))
+    (1 to 8).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => BigInt(g(i)(j)) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0) v = w.map(_ * 10000 / m)
+    }
+    val want = emb.map { case (id, lab, e) =>
+      val ps = (0 until dim).map(d =>
+        math.floor(e(d).toDouble * 1e6 + 0.5).toLong * v(d).toLong).sum
+      (id, lab.toLong,
+        BigDecimal(ps.toDouble / 1.0e10).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = run("emb_pca_project").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "entry diverges from the driver-side integer replay")
+    // Convergence is semantic, not just reproducible: after 8 steps the
+    // direction's Rayleigh quotient v'Gv/v'v must beat seeded random
+    // directions (the dominant eigenvector maximizes it).
+    val gd = g.map(_.map(_ / 1e9))
+    def rayleigh(u: Array[Double]): Double = {
+      val gu = Array.tabulate(dim)(i => (0 until dim).map(j => gd(i)(j) * u(j)).sum)
+      val num = (0 until dim).map(i => u(i) * gu(i)).sum
+      val den = u.map(x => x * x).sum
+      num / den
+    }
+    val rv = rayleigh(v.map(_.toDouble))
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val u = Array.fill(dim)(rnd.nextDouble() - 0.5)
+      assert(rayleigh(u) <= rv + 1e-6,
+        "a random direction beat the power-iteration direction")
+    }
+  }
 }

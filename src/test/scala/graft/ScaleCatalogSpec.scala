@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MisraGries
+
+/** ScaleCatalog: bounded-memory heavy hitters, Z-order layout, EWMA. */
+class ScaleCatalogSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  // ---------------- Misra–Gries kernel (the eviction path the catalog
+  // entry's oversized budget never exercises at test SF) ----------------
+
+  test("MisraGries: survival guarantee under heavy eviction, size bounded") {
+    // Zipf-ish stream: item i appears ~N/i times; vocabulary 200 >> k = 8.
+    val stream = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"item$i"))
+    // Deterministic shuffle so survival can't ride on adversarial order.
+    val rnd = new scala.util.Random(42)
+    val shuffled = rnd.shuffle(stream)
+    val k = 8
+    val out = MisraGries.survivors(shuffled.iterator, k).toSet
+    assert(out.size <= k, s"sketch kept ${out.size} > capacity $k")
+    val n = shuffled.size
+    val counts = shuffled.groupBy(identity).view.mapValues(_.size)
+    val mustSurvive = counts.filter { case (_, c) => c * (k + 1) > n }.keys.toSet
+    assert(mustSurvive.nonEmpty, "test vacuous: no item above n/(k+1)")
+    assert(mustSurvive.subsetOf(out),
+      s"guarantee violated: ${(mustSurvive -- out).mkString(",")} evicted")
+  }
+
+  test("MisraGries: stream shorter than capacity is returned exactly") {
+    val out = MisraGries.survivors(Iterator("a", "b", "a"), 16).toSet
+    assert(out == Set("a", "b"))
+  }
+
+  // ---------------- token_heavy_hitters ----------------
+
+  test("token_heavy_hitters == naive exact count (partition-independent)") {
+    import graft.functions.Text
+    val naive = {
+      val toks = Tables.documents(spark, sf0001)
+        .select(Text.normTokens(col("text")).as("t"))
+      val bigrams = toks.filter(size(col("t")) >= 2)
+        .select(explode(Text.wordNgrams(col("t"), 2)).as("bg"))
+      val n = bigrams.count()
+      bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 1025 > n)
+        .select(col("bg"), col("cnt"),
+          round(col("cnt").cast("double") / n, 6).as("share"))
+    }
+    val got = run("token_heavy_hitters")
+    assert(got.collect().map(_.toSeq).toSet == naive.collect().map(_.toSeq).toSet)
+    assert(got.count() > 0, "vacuous: no frequent bigrams at sf0.001")
+  }
+
+  // ---------------- lineitem_zorder ----------------
+
+  test("lineitem_zorder: per-layout partition of all rows, zorder prunes more") {
+    val out = run("lineitem_zorder").cache()
+    val total = Tables.lineitem(spark, sf0001).count()
+    val perLayout = out.groupBy("layout")
+      .agg(sum("n_rows").as("rows"), sum("probe_prunable").as("prunable"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perLayout("natural")._1 == total && perLayout("zorder")._1 == total,
+      "bucket row counts must partition the table in both layouts")
+    // The whole point of the entry: arrival order leaves full-width key
+    // envelopes (nothing prunable), Z-order gives tight rectangles.
+    assert(perLayout("zorder")._2 > perLayout("natural")._2,
+      s"zorder pruned ${perLayout("zorder")._2} <= natural ${perLayout("natural")._2}")
+    // Envelope sanity: a prunable bucket really is disjoint from the probe.
+    val bad = out.filter(col("probe_prunable") === 1 &&
+      col("max_part") >= 64 && col("min_part") <= 127).count()
+    assert(bad == 0)
+    out.unpersist(blocking = false)
+  }
+
+  // ---------------- events_ewma ----------------
+
+  test("events_ewma matches a driver-side exact replay of the 16-tap fold") {
+    val out = run("events_ewma")
+      .select("event_id", "event_type", "value", "ewma")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // Replay per type in (ts, event_id) order with the same integer
+    // weight ladder in BigDecimal — exact, so the comparison is ==.
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    var checked = 0
+    ev.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.indices.foreach { i =>
+        val taps = (0 until 16).flatMap { j =>
+          if (i - j >= 0) Some((BigDecimal(ordered(i - j)._4).setScale(4), 32768 >> j))
+          else None
+        }
+        val num = taps.map { case (v, w) => v * w }.sum
+        val den = taps.map(_._2).sum
+        val want = BigDecimal(num.toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val got = out(ordered(i)._3)
+        assert(got.getDouble(3) == want,
+          s"event ${ordered(i)._3}: ewma ${got.getDouble(3)} != $want")
+        checked += 1
+      }
+    }
+    assert(checked == out.size)
+  }
+}
