@@ -32,10 +32,18 @@ import scala.collection.mutable
   */
 object MisraGries {
 
-  /** One pass; returns the surviving candidate items (≤ capacity). */
-  def survivors(items: Iterator[String], capacity: Int): Iterator[String] = {
+  /** Fold `items` into an EXISTING counter map under the capacity bound —
+    * the state-carrying form: folding a stream in chunks with the map
+    * carried between calls is identical to one pass over the
+    * concatenation, which is what lets a streaming query keep the sketch
+    * in keyed state (StreamingQueries.heavyHitterSketch) and a batch
+    * mapPartitions run it per split ([[survivors]]).
+    */
+  def foldInto(
+      counters: mutable.HashMap[String, Long],
+      items: Iterator[String],
+      capacity: Int): mutable.HashMap[String, Long] = {
     require(capacity > 0, "capacity must be positive")
-    val counters = mutable.HashMap.empty[String, Long]
     while (items.hasNext) {
       val x = items.next()
       counters.get(x) match {
@@ -51,8 +59,14 @@ object MisraGries {
           dead.foreach(counters.remove)
       }
     }
+    counters
+  }
+
+  /** One pass; returns the surviving candidate items (≤ capacity). */
+  def survivors(items: Iterator[String], capacity: Int): Iterator[String] = {
     // Materialize: the map must not escape lazily past the mapPartitions
     // call that owns it.
-    counters.keys.toVector.iterator
+    foldInto(mutable.HashMap.empty[String, Long], items, capacity)
+      .keys.toVector.iterator
   }
 }

@@ -37,6 +37,9 @@ final case class CusumState(k: Long, cums: String, breached: Boolean)
   */
 final case class CusumBreach(user_id: Long, breach_k: Long, breach_ts: Long, dev: Double)
 
+/** One shard's Misra–Gries counter map (streaming heavy-hitter state). */
+final case class HHSketch(counts: Map[String, Long])
+
 object StreamingQueries {
 
   /** The five core rolling aggregations, keyed by catalog name. */
@@ -221,6 +224,49 @@ object StreamingQueries {
           }
           out.result().iterator
       }
+  }
+
+  /** Streaming heavy-hitter candidates — the live side of the batch
+    * `token_heavy_hitters` entry: items shard by deterministic hash, each
+    * shard folds its arrivals into a Misra–Gries counter map held in
+    * keyed state ([[graft.operators.MisraGries.foldInto]] — chunked
+    * folding with a carried map IS the one-pass sketch, so micro-batch
+    * boundaries cannot change the result), and every trigger re-emits
+    * the shard's current sketch in update mode.
+    *
+    * Guarantees that survive streaming: each shard's state is ≤
+    * `capacity` counters forever (bounded memory at any stream length);
+    * every estimate UNDER-counts (c'(x) ≤ c(x)); and any item whose
+    * count within a shard exceeds n_shard/(capacity+1) owns a counter —
+    * so the emitted union is a candidate superset of the true heavy set,
+    * exactly the superset the batch entry's second pass recounts. A
+    * stream has no second pass; downstream either treats candidates as
+    * approximate (bounded error N_shard/(k+1)) or recounts offline.
+    *
+    * 100 TB/day shape: one shuffle on the shard key; `shards` sets the
+    * parallelism and `shards × capacity` the total state — both knobs,
+    * neither grows with the stream.
+    */
+  def heavyHitterSketch(
+      items: DataFrame,
+      capacity: Int = 64,
+      shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import items.sparkSession.implicits._
+    items.select(col("item")).as[String]
+      .groupByKey(it => math.floorMod(it.hashCode, shards))
+      .flatMapGroupsWithState[HHSketch, (Int, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String],
+            state: org.apache.spark.sql.streaming.GroupState[HHSketch]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(s => m ++= s.counts)
+          graft.operators.MisraGries.foldInto(m, rows, capacity)
+          state.update(HHSketch(m.toMap))
+          m.toVector.sorted.iterator.map { case (it, c) => (shard, it, c) }
+      }
+      .toDF("shard", "item", "est")
   }
 
   /** Streaming sessionization via `session_window`: per-user sessions

@@ -37,6 +37,20 @@ class ScaleCatalogSpec extends AnyFunSuite {
     assert(out == Set("a", "b"))
   }
 
+  test("MisraGries: chunked fold with a carried map equals the one-pass sketch") {
+    // The streaming-state contract: micro-batch boundaries cannot change
+    // the sketch. Fold the same stream whole and in 7 uneven chunks.
+    val stream = (1 to 100).flatMap(i => Seq.fill(500 / i)(s"w$i"))
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(stream)
+    val whole = scala.collection.mutable.HashMap.empty[String, Long]
+    MisraGries.foldInto(whole, shuffled.iterator, 8)
+    val chunked = scala.collection.mutable.HashMap.empty[String, Long]
+    shuffled.grouped(shuffled.size / 7 + 1).foreach(c =>
+      MisraGries.foldInto(chunked, c.iterator, 8))
+    assert(whole.toMap == chunked.toMap)
+  }
+
   // ---------------- token_heavy_hitters ----------------
 
   test("token_heavy_hitters == naive exact count (partition-independent)") {

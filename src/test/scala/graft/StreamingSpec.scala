@@ -333,6 +333,64 @@ class StreamingSpec extends AnyFunSuite {
       "folding the STREAMED term state diverges from the doc_bm25_topk entry")
   }
 
+  test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
+    import graft.functions.Text
+    import org.apache.spark.sql.functions.{col, explode, size => fsize}
+    // The corpus as a bigram item stream, replayed in two bursts.
+    val bigrams = Tables.documents(spark, TestSpark.sf0001)
+      .select(Text.normTokens(col("text")).as("t"))
+      .filter(fsize(col("t")) >= 2)
+      .select(explode(Text.wordNgrams(col("t"), 2)).as("item"))
+      .as[String].collect().toSeq
+    val exact = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.size
+    // The batch entry's threshold (count·1025 > N) — what streaming
+    // candidates must cover.
+    val heavy = exact.filter { case (_, c) => c * 1025 > n }.keySet
+    assert(heavy.nonEmpty, "vacuous: no heavy bigrams at sf0.001")
+    val (b1, b2) = bigrams.splitAt(bigrams.size / 2)
+    val sinkId = s"hh-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (shard, item)
+    val input = MemoryStream[String](spark)
+    // The survival guarantee is PER SHARD: count_s(x) > n_s/(cap+1) keeps
+    // a counter. Shard loads are uneven (hash mass, not item count), so
+    // covering the batch threshold N/1025 ≈ 27 needs the WORST shard's
+    // n_s/(cap+1) below it: with ~27k items the hottest of 16 shards
+    // carries ≲ 3.4k, and capacity 128 puts its threshold at ≈ 26.
+    val capacity = 128
+    val shards = 16
+    val q = StreamingQueries.heavyHitterSketch(
+        input.toDF().toDF("item"), capacity = capacity, shards = shards)
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = Sinks.registry(sinkId).asScala.values
+      .map(r => r.getString(1) -> r.getLong(2)).toSeq
+    Sinks.clear(sinkId)
+    val candidates = emitted.map(_._1).toSet
+    assert(heavy.subsetOf(candidates),
+      s"sketch lost heavy items: ${(heavy -- candidates).mkString(",")}")
+    // The exact per-shard MG guarantee, independent of the sizing above:
+    // every item whose count within its shard exceeds n_s/(cap+1) must
+    // have survived into the emitted union.
+    val byShard = bigrams.groupBy(it => math.floorMod(it.hashCode, shards))
+    byShard.foreach { case (_, items) =>
+      val ns = items.size
+      items.groupBy(identity).view.mapValues(_.size).foreach { case (it, c) =>
+        if (c.toLong * (capacity + 1) > ns)
+          assert(candidates.contains(it), s"per-shard guarantee violated for $it")
+      }
+    }
+    // MG never over-counts — holds for every emission, stale or final.
+    emitted.foreach { case (it, est) =>
+      assert(est <= exact.getOrElse(it, 0L), s"over-count for $it")
+    }
+  }
+
   test("streaming key-count state folds to the batch skew report") {
     import graft.queries.Transforms
     val fb1: Seq[Ev] = (1L to 60L).map(i =>
