@@ -1053,6 +1053,74 @@ object EmbeddingCatalog {
   private val PcaScale = 10000L
   private val PcaProjScale = "1000000"
 
+  /** The fixed-point dominant direction (∞-norm [[PcaScale]]) — ONE
+    * corpus pass (lattice Gram) + BigInt power iteration on the collected
+    * dim×dim summary. Shared by [[pcaProject]] and [[abttResidual]] so
+    * the two entries walk the identical integer vector.
+    */
+  private def pcaDirection(emb: DataFrame): Array[BigInt] = {
+    val agg = udaf(new graft.combine.OuterProductAgg(Dim, GramScale))
+    val cells = emb.agg(agg(col("embedding")).as("t"))
+      .select(col("t.cells")).head().getSeq[Long](0)
+    // Symmetrize the upper triangle: idx(i≤j) = Σ_{r<i}(dim−r) + (j−i).
+    def tri(i: Int, j: Int): Long = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      cells(a * Dim - a * (a - 1) / 2 + (b - a))
+    }
+    var v = Array.fill(Dim)(BigInt(PcaScale))
+    (1 to PcaIters).foreach { _ =>
+      val w = Array.tabulate(Dim)(i =>
+        (0 until Dim).map(j => BigInt(tri(i, j)) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0) v = w.map(x => x * PcaScale / m) // BigInt /: truncates, = DuckDB //
+    }
+    v
+  }
+
+  /** Per-row integer lattice dot with the broadcast direction literal —
+    * Σ_d floor(x_d·[[PcaProjScale]] + 0.5) · v_d as one codegen'd
+    * zip_with/aggregate expression (shuffle-free).
+    */
+  private def latticeDot(v: Array[BigInt]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("embedding"), typedlit(v.map(_.toLong).toSeq), (x, vv) =>
+        floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long") * vv),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Oracle prefix shared by the pcaProject / abttResidual oracles: the
+    * lattice Gram CTE, v0, and the [[PcaIters]] unrolled power-step
+    * triples, ending in `v$PcaIters` — single source so the two SQL
+    * iterations cannot drift apart.
+    */
+  private lazy val pcaCtesSql: String = {
+    val steps = (1 to PcaIters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (SELECT g.i AS i, SUM(g.gg * p.v) AS w
+                  FROM g JOIN $prev p ON p.i = g.j GROUP BY g.i),
+           m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+           v$k AS (SELECT i, (CAST(w AS HUGEINT) * $PcaScale) // m AS v
+                   FROM w$k, m$k)"""
+    }.mkString(",\n             ")
+    s"""g AS (SELECT t1.i AS i, t2.j AS j,
+                     SUM(CAST(FLOOR(CAST(e.embedding[i+1] AS DOUBLE)
+                                    * CAST(e.embedding[j+1] AS DOUBLE)
+                                    * $GramScale + 0.5) AS HUGEINT)) AS gg
+              FROM embeddings e, range(0, $Dim) t1(i), range(0, $Dim) t2(j)
+              GROUP BY 1, 2),
+      v0 AS (SELECT i, CAST($PcaScale AS HUGEINT) AS v FROM range(0, $Dim) t(i)),
+      $steps"""
+  }
+
+  /** Per-vector lattice moments against the final direction, as SQL:
+    * B = Σ_d E_d·v_d (the projection dot) joined per (vec, dim). */
+  private lazy val pcaDotSql: String =
+    s"""SELECT e.vec_id, e.label,
+               SUM(CAST(FLOOR(CAST(e.embedding[t.d+1] AS DOUBLE)
+                              * $PcaProjScale + 0.5) AS HUGEINT) * vf.v) AS b
+        FROM embeddings e, range(0, $Dim) t(d)
+        JOIN v$PcaIters vf ON vf.i = t.d
+        GROUP BY e.vec_id, e.label"""
+
   /** Leading-principal-component projection — the "all-but-the-top"
     * whitening signal (Mu & Viswanath 2018: dominant directions of an
     * embedding cloud carry corpus-level, not semantic, information; ABTT
@@ -1082,59 +1150,76 @@ object EmbeddingCatalog {
     "emb_pca_project",
     (s, d) => {
       val emb = embeddings(s, d)
-      val agg = udaf(new graft.combine.OuterProductAgg(Dim, GramScale))
-      val cells = emb.agg(agg(col("embedding")).as("t"))
-        .select(col("t.cells")).head().getSeq[Long](0)
-      // Symmetrize the upper triangle: idx(i≤j) = Σ_{r<i}(dim−r) + (j−i).
-      def tri(i: Int, j: Int): Long = {
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        cells(a * Dim - a * (a - 1) / 2 + (b - a))
-      }
-      var v = Array.fill(Dim)(BigInt(PcaScale))
-      (1 to PcaIters).foreach { _ =>
-        val w = Array.tabulate(Dim)(i =>
-          (0 until Dim).map(j => BigInt(tri(i, j)) * v(j)).sum)
-        val m = w.map(_.abs).max
-        if (m > 0) v = w.map(x => x * PcaScale / m) // BigInt /: truncates, = DuckDB //
-      }
-      val vLit = typedlit(v.map(_.toLong).toSeq)
-      val ps = aggregate(
-        zip_with(col("embedding"), vLit, (x, vv) =>
-          floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long") * vv),
-        lit(0L), (acc, t) => acc + t)
+      val v = pcaDirection(emb)
       emb.select(col("vec_id"), col("label").cast("long").as("label"),
-          round(ps.cast("double") / lit(1.0e10), 6).as("pc1"))
+          round(latticeDot(v).cast("double") / lit(1.0e10), 6).as("pc1"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $pcaCtesSql,
+             dots AS ($pcaDotSql)
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  ROUND(CAST(b AS DOUBLE) / 1.0E10, 6) AS pc1
+           FROM dots
+           ORDER BY vec_id"""))
+
+  /** All-but-the-top residual norm — the "remove" half of ABTT (Mu &
+    * Viswanath 2018): per vector, the L2 norm of `e − (e·v̂)v̂`, i.e.
+    * what remains after deleting the [[pcaProject]] component. Low
+    * residual = the vector IS mostly the corpus-common direction
+    * (boilerplate/frequency artifacts — prune or re-embed); the
+    * distribution is the whitening diagnostic.
+    *
+    * Arithmetic: three integer lattice moments per row — A = Σ E_d²
+    * (one shuffle-free projection), B = Σ E_d·v_d (the shared
+    * [[latticeDot]]), C = Σ v_d² (a driver-side constant of the
+    * direction) — then residual² = (A − B²/C)/1e12 evaluated with ONE
+    * fixed IEEE op sequence (÷, ×, −, ÷, √: each correctly rounded on
+    * bit-identical inputs, so both engines land the same double;
+    * `greatest(0)` guards the all-top vector whose residual is exactly
+    * 0 from − ulp noise). Corpus cost beyond the Gram pass: one
+    * codegen'd projection, no shuffle, no join.
+    */
+  val abttResidual: CatalogEntry = CatalogEntry(
+    "emb_abtt_residual",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val v = pcaDirection(emb)
+      val cNorm = v.map(x => x * x).sum.toLong // Σ v_d² ≤ 64·1e8 — Long-safe
+      val aMom = aggregate(
+        transform(col("embedding"), x =>
+          graft.functions.Text.bound(
+            floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")) {
+            e => e * e
+          }),
+        lit(0L), (acc, t) => acc + t)
+      val bMom = latticeDot(v)
+      val r2 = (aMom.cast("double") -
+        (bMom.cast("double") / lit(cNorm.toDouble)) * bMom.cast("double")) /
+        lit(1.0e12)
+      emb.select(col("vec_id"), col("label").cast("long").as("label"),
+          round(sqrt(greatest(r2, lit(0.0))), 6).as("resid_norm"))
         .orderBy("vec_id")
     },
     Some {
-      val steps = (1 to PcaIters).map { k =>
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""w$k AS (SELECT g.i AS i, SUM(g.gg * p.v) AS w
-                    FROM g JOIN $prev p ON p.i = g.j GROUP BY g.i),
-             m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
-             v$k AS (SELECT i, (CAST(w AS HUGEINT) * $PcaScale) // m AS v
-                     FROM w$k, m$k)"""
-      }.mkString(",\n             ")
-      s"""WITH g AS (SELECT t1.i AS i, t2.j AS j,
-                            SUM(CAST(FLOOR(CAST(e.embedding[i+1] AS DOUBLE)
-                                           * CAST(e.embedding[j+1] AS DOUBLE)
-                                           * $GramScale + 0.5) AS HUGEINT)) AS gg
-                     FROM embeddings e, range(0, $Dim) t1(i), range(0, $Dim) t2(j)
-                     GROUP BY 1, 2),
-             v0 AS (SELECT i, CAST($PcaScale AS HUGEINT) AS v FROM range(0, $Dim) t(i)),
-             $steps
-           SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-                  ROUND(CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.d+1] AS DOUBLE)
-                                            * $PcaProjScale + 0.5) AS HUGEINT)
-                                 * vf.v) AS DOUBLE) / 1.0E10, 6) AS pc1
-           FROM embeddings e, range(0, $Dim) t(d)
-           JOIN v$PcaIters vf ON vf.i = t.d
-           GROUP BY e.vec_id, e.label
-           ORDER BY e.vec_id"""
+      val eLat = s"CAST(FLOOR(CAST(e.embedding[t.d+1] AS DOUBLE) * $PcaProjScale + 0.5) AS HUGEINT)"
+      s"""WITH $pcaCtesSql,
+             cn AS (SELECT SUM(v * v) AS c FROM v$PcaIters),
+             dots AS ($pcaDotSql),
+             amom AS (SELECT e.vec_id, SUM($eLat * $eLat) AS a
+                      FROM embeddings e, range(0, $Dim) t(d)
+                      GROUP BY e.vec_id)
+           SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+                  ROUND(SQRT(GREATEST(
+                    (CAST(a AS DOUBLE)
+                     - (CAST(b AS DOUBLE) / CAST(c AS DOUBLE)) * CAST(b AS DOUBLE))
+                    / 1.0E12, 0.0)), 6) AS resid_norm
+           FROM dots d JOIN amom USING (vec_id) CROSS JOIN cn
+           ORDER BY d.vec_id"""
     })
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject)
+      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
+      abttResidual)
 }

@@ -257,6 +257,33 @@ class EmbeddingSpec extends AnyFunSuite {
     val got = run("emb_pca_project").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want, "entry diverges from the driver-side integer replay")
+    // ABTT residual from the same direction: exact replay of the fixed
+    // IEEE sequence, plus the geometry it must satisfy.
+    val cNorm = v.map(x => x * x).sum.toLong
+    val wantResid = emb.map { case (id, lab, e) =>
+      val lat = (0 until dim).map(d => math.floor(e(d).toDouble * 1e6 + 0.5).toLong)
+      val a = lat.map(x => x * x).sum
+      val b = (0 until dim).map(d => lat(d) * v(d).toLong).sum
+      val r2 = (a.toDouble - (b.toDouble / cNorm.toDouble) * b.toDouble) / 1.0e12
+      (id, lab.toLong,
+        BigDecimal(math.sqrt(math.max(r2, 0.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val gotResid = run("emb_abtt_residual").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotResid == wantResid,
+      "residual entry diverges from the driver-side replay")
+    // Residual never exceeds the vector norm, and removing the top
+    // component strictly reduces total second moment.
+    val norms = emb.map { case (id, _, e) =>
+      id -> math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+    }.toMap
+    gotResid.foreach { case (id, _, r) =>
+      assert(r <= norms(id) + 1e-6, s"residual above the vector norm for $id")
+    }
+    val sumR2 = gotResid.toSeq.map { case (_, _, r) => r * r }.sum
+    val sumN2 = norms.values.map(x => x * x).sum
+    assert(sumR2 < sumN2, "top-component removal did not reduce total energy")
     // Convergence is semantic, not just reproducible: after 8 steps the
     // direction's Rayleigh quotient v'Gv/v'v must beat seeded random
     // directions (the dominant eigenvector maximizes it).
