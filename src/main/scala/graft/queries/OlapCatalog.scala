@@ -284,8 +284,62 @@ object OlapCatalog {
                       AS top_decile_share
              FROM m"""))
 
+  /** Rolling active users — DAU, trailing-7-day WAU, and stickiness
+    * (DAU/WAU) per calendar day, all EXACT distinct counts. Rolling
+    * COUNT(DISTINCT) does not decompose over a window (sets, not sums),
+    * so the scalable shape is contribution explosion: dedup to
+    * (user, active-day) pairs — the ONLY corpus-sized shuffle — then
+    * each pair contributes to the 7 target days it keeps the user
+    * "weekly active" for, and a second distinct collapses multi-day
+    * users per target window. Work after dedup is bounded by
+    * users × days × 7 (activity-grid-sized, not event-sized); no
+    * quadratic day-range self-join, no HLL approximation (the
+    * `events_approx_distinct` entry covers the sketch path; engagement
+    * reporting wants the exact numbers). Stickiness divides two exact
+    * longs — one correctly-rounded IEEE op, identical in both engines.
+    */
+  val eventsActiveUsers: CatalogEntry = CatalogEntry(
+    "events_active_users",
+    (s, d) => {
+      // Day stays TIMESTAMP (midnight), not DATE: the driver compare
+      // round-trips timestamps losslessly, while parquet DATE surfaces
+      // as a python date object the hash layer cannot align with
+      // DuckDB's datetime64 days.
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val contrib = daily
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + interval 6 days, interval 1 day)"))
+            .as("tday"))
+        .distinct()
+      val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = contrib.groupBy(col("tday").as("day"))
+        .agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT DISTINCT user_id,
+                                  date_trunc('day', ts) AS day
+                           FROM events),
+                 contrib AS (SELECT DISTINCT user_id,
+                                    unnest(generate_series(
+                                      day, day + INTERVAL '6 days',
+                                      INTERVAL '1 day')) AS tday
+                             FROM daily),
+                 dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                         FROM daily GROUP BY day),
+                 wau AS (SELECT tday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+                         FROM contrib GROUP BY tday)
+            SELECT d.day, d.dau, w.wau,
+                   ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+            FROM dau d JOIN wau w USING (day)
+            ORDER BY d.day"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
-      ordersRevenueGini)
+      ordersRevenueGini, eventsActiveUsers)
 }

@@ -498,4 +498,26 @@ class CatalogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events_active_users: DAU/WAU match a driver-side set replay, stickiness bounded") {
+    val out = run("events_active_users").collect()
+      .map(r => r.getTimestamp(0).toLocalDateTime.toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val daily = Tables.events(spark, sf0001)
+      .select(col("user_id"), date_trunc("day", col("ts")))
+      .distinct().as[(Long, java.sql.Timestamp)].collect()
+      .map { case (u, t) => (u, t.toLocalDateTime.toLocalDate) }
+    val byDay = daily.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(out.keySet == byDay.keySet, "output days != active days")
+    byDay.foreach { case (day, users) =>
+      val window = (0 to 6).flatMap(i => byDay.get(day.minusDays(i.toLong))).flatten.toSet
+      val (dau, wau, stick) = out(day)
+      assert(dau == users.size, s"$day dau")
+      assert(wau == window.size, s"$day wau (trailing 7 incl. day)")
+      assert(dau <= wau && stick > 0.0 && stick <= 1.0)
+      assert(stick == BigDecimal(dau.toDouble / wau)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
