@@ -1695,6 +1695,55 @@ object PipelineCatalog {
              WHERE (CAST(n_pairs AS DOUBLE) * saa - sa * sa) > 0
                AND (CAST(n_pairs AS DOUBLE) * sbb - sb * sb) > 0"""))
 
+  /** Intra-document repeated-block removal — the REWRITE companion of the
+    * measurement entries (`doc_repetition` scores repetition,
+    * `doc_dup_spans` inventories cross-doc spans; this one actually
+    * deduplicates text the way a C4/MassiveText cleanup pass does):
+    * the token stream is cut into fixed 2-token blocks and every later
+    * occurrence of an identical block inside the SAME document is
+    * dropped, first kept, order preserved. Keep-first is expressed as
+    * `first-index-of(block) == my-index` — one higher-order filter over
+    * the per-doc block array, no shuffle at all (the whole operator is a
+    * per-row projection; per-doc cost is blocks², bounded by document
+    * length). The oracle mirrors it with list_position over the same
+    * step-2 slices and an ORDER BY i string_agg.
+    */
+  val blockDedup: CatalogEntry = CatalogEntry(
+    "doc_block_dedup",
+    (s, d) => {
+      val out = Text.bound(
+        Text.bound(Text.normTokens(col("text"))) { tl =>
+          transform(
+            sequence(lit(0), floor((size(tl) - 1) / 2).cast("int")),
+            k => concat_ws(" ", slice(tl, k * 2 + 1, lit(2))))
+        }) { cs =>
+        Text.bound(filter(cs, (c, i) => array_position(cs, c) === (i + 1).cast("long"))) {
+          kept =>
+            struct(array_join(kept, " ").as("clean_text"),
+              (size(cs) - size(kept)).cast("long").as("n_dropped"))
+        }
+      }
+      documents(s, d)
+        .select(col("doc_id"), out.getField("clean_text").as("clean_text"),
+          out.getField("n_dropped").as("n_dropped"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $normToksSql AS tl FROM documents),
+                  chunks AS (SELECT doc_id,
+                                    [array_to_string(tl[i : i+1], ' ')
+                                     for i in range(1, len(tl)+1, 2)] AS cs
+                             FROM toks),
+                  flat AS (SELECT doc_id, cs, unnest(cs) AS c,
+                                  generate_subscripts(cs, 1) AS i
+                           FROM chunks),
+                  kept AS (SELECT doc_id, c, i,
+                                  list_position(cs, c) = i AS keep
+                           FROM flat)
+             SELECT doc_id,
+                    string_agg(c, ' ' ORDER BY i) FILTER (WHERE keep) AS clean_text,
+                    CAST(COUNT(*) - COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_dropped
+             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1705,5 +1754,6 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1)
+      eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
+      blockDedup)
 }

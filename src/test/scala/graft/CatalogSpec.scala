@@ -499,6 +499,27 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_block_dedup matches a driver-side keep-first replay") {
+    val out = run("doc_block_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)].collect()
+    assert(out.size == docs.length)
+    var dropped = 0L
+    docs.foreach { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      val blocks = toks.grouped(2).map(_.mkString(" ")).toSeq
+      val kept = blocks.zipWithIndex
+        .filter { case (b, i) => blocks.indexOf(b) == i }.map(_._1)
+      val (clean, n) = out(id)
+      assert(clean == kept.mkString(" "), s"doc $id rewrite mismatch")
+      assert(n == blocks.size - kept.size, s"doc $id drop count")
+      dropped += n
+    }
+    assert(dropped > 0, "vacuous: corpus has no repeated blocks at sf0.001")
+  }
+
   test("events_active_users: DAU/WAU match a driver-side set replay, stickiness bounded") {
     val out = run("events_active_users").collect()
       .map(r => r.getTimestamp(0).toLocalDateTime.toLocalDate ->
