@@ -410,4 +410,40 @@ class PlanSpec extends AnyFunSuite {
     assert(countOf(cb, "Exchange hashpartitioning") == 1 && !cb.contains("SortMergeJoin"),
       s"events_cusum_breach: expected one user shuffle, broadcast scalar\n$cb")
   }
+
+  test("round-9 entries keep their declared scale shapes") {
+    // Heavy hitters: the candidate restriction is a BROADCAST semi join
+    // (≤ partitions × capacity keys) — the item universe never
+    // sort-merges, and the exact recount is the only item-keyed shuffle.
+    val hh = plan("token_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"),
+      s"token_heavy_hitters: candidate semi join not broadcast\n$hh")
+    assert(!hh.contains("SortMergeJoin"),
+      s"token_heavy_hitters: item universe sort-merged\n$hh")
+    // EWMA: the 16 lag taps share ONE keyed window — exactly one hash
+    // exchange, no join, no second sort pass.
+    val ew = plan("events_ewma")
+    assert(countOf(ew, "Exchange hashpartitioning") == 1 && !ew.contains("Join"),
+      s"events_ewma: expected one type-keyed window shuffle\n$ew")
+    assert(countOf(ew, "Window") == 1, s"events_ewma: taps split across windows\n$ew")
+    // PCA projection / ABTT residual: after the Gram pass (its own
+    // entry's shape), the output frame is a pure per-row projection over
+    // the scan — zero exchanges, zero joins, no window.
+    Seq("emb_pca_project", "emb_abtt_residual").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q: projection grew a join/window\n$p")
+    }
+    // Block dedup: a shuffle-free per-row rewrite (the sort is the
+    // presentation orderBy only — no hash exchange, no join).
+    val bd = plan("doc_block_dedup")
+    assert(countOf(bd, "Exchange hashpartitioning") == 0 && !bd.contains("Join"),
+      s"doc_block_dedup: expected a pure projection\n$bd")
+    // Active users: the corpus-sized work is the (user, day) distinct;
+    // everything after is activity-grid-sized. No sort-merge join — the
+    // day-level DAU/WAU frames broadcast.
+    val au = plan("events_active_users")
+    assert(!au.contains("SortMergeJoin"),
+      s"events_active_users: day-level join not broadcast\n$au")
+  }
 }
