@@ -212,8 +212,9 @@ object ScaleCatalog {
     * For every event: the 1/2-decay weighted mean of the last 16 values
     * of its type in (ts, event_id) order, from `lag` taps over ONE keyed
     * window — no self-join, one shuffle on event_type, state bounded by
-    * the tap count. Streaming form is the same fold with
-    * `s ← (s >> 1) + v·2^15` state per key.
+    * the tap count. The live side is
+    * [[graft.streaming.StreamingQueries.streamingEwma]]: the same ≤16-tap
+    * ring as keyed state, BIT-IDENTICAL to this entry (StreamingSpec).
     *
     * At 100 TB the only caveat is event_type's low cardinality (the same
     * skew note as events_salted_agg: a per-(type, time-chunk) re-key

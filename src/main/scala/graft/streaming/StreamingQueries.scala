@@ -40,6 +40,15 @@ final case class CusumBreach(user_id: Long, breach_k: Long, breach_ts: Long, dev
 /** One shard's Misra–Gries counter map (streaming heavy-hitter state). */
 final case class HHSketch(counts: Map[String, Long])
 
+/** Per-type EWMA tap ring: the last ≤16 values in (ts, event_id) order,
+  * newest first — EXACTLY the window the batch `events_ewma` entry reads,
+  * so the streamed smoothing is bit-identical, not merely convergent. */
+final case class EwmaState(taps: Seq[Double])
+
+/** One streamed EWMA observation (same columns as the batch entry). */
+final case class EwmaPoint(
+    event_id: Long, event_type: String, tss: Long, value: Double, ewma: Double)
+
 object StreamingQueries {
 
   /** The five core rolling aggregations, keyed by catalog name. */
@@ -222,6 +231,53 @@ object StreamingQueries {
             st = CusumState(k, cums.toPlainString, breached)
             state.update(st)
           }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming EWMA — the live side of the batch `events_ewma` entry,
+    * and BIT-IDENTICAL to it rather than asymptotically close: the keyed
+    * state is the same ≤16-tap ring the batch window reads (a truncated
+    * EWMA's state IS its taps), and each arrival replays the entry's
+    * exact arithmetic — value snapped to DECIMAL(18,4), integer weight
+    * ladder `32768 >> j`, one closing double division, HALF_UP at 6.
+    * Rows sort by (tss, event_id) within each micro-batch; cross-batch
+    * order is the caller's replay contract, as in every rolling-state
+    * query here. State per key: 16 scalars, forever.
+    */
+  def streamingEwma(events: DataFrame): org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"), col("event_id"), col("value"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("tsu"),
+        org.apache.spark.sql.functions.unix_timestamp(col("ts")).as("tss"))
+      .as[(String, Long, Double, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Double, Long, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          var taps = state.getOption.map(_.taps).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[EwmaPoint]
+          // Micro-precision order key (tsu), second-precision output (tss)
+          // — exactly the batch entry's ORDER BY ts vs unix_timestamp(ts).
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, id, v, _, tss) =>
+            taps = (v +: taps).take(16) // newest first
+            var num = JBD.ZERO
+            var den = 0L
+            taps.zipWithIndex.foreach { case (tv, j) =>
+              num = num.add(JBD.valueOf(tv).setScale(4, RoundingMode.HALF_UP)
+                .multiply(JBD.valueOf(32768L >> j)))
+              den += 32768L >> j
+            }
+            val ewma = JBD.valueOf(num.doubleValue() / den.toDouble)
+              .setScale(6, RoundingMode.HALF_UP).doubleValue()
+            out += EwmaPoint(id, tpe, tss, v, ewma)
+          }
+          state.update(EwmaState(taps))
           out.result().iterator
       }
   }

@@ -333,6 +333,35 @@ class StreamingSpec extends AnyFunSuite {
       "folding the STREAMED term state diverges from the doc_bm25_topk entry")
   }
 
+  test("streaming EWMA replays the batch entry bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // The 16-tap truncation makes the streamed fold EXACT, not merely
+    // convergent: state is the same window the batch entry reads.
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val want = SparkEntry.queries("events_ewma")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq // replay in event-time order
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"ewma-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingEwma(input.toDF().toDF(eventCols: _*))
+      .toDF("event_id", "event_type", "tss", "value", "ewma")
+      .writeStream.outputMode("append").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.values
+      .map(_.toSeq.toList).toSet
+    Sinks.clear(sinkId)
+    assert(got == want, "streamed EWMA diverges from the batch entry")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
