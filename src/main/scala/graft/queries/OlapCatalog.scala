@@ -338,8 +338,89 @@ object OlapCatalog {
             FROM dau d JOIN wau w USING (day)
             ORDER BY d.day"""))
 
+  /** RFM customer segmentation — the classic lifecycle-marketing cut:
+    * per customer recency (days since last order, against the corpus
+    * high-water date), frequency (order count), monetary (exact decimal
+    * revenue), each quintile-scored 1–5 (5 = best), then a fixed
+    * rule-ladder label (champion / loyal / big_spender / at_risk /
+    * hibernating / casual — CASE order is the priority).
+    *
+    * Quintiles use the quality-tiers device: THREE
+    * [[graft.operators.GlobalRank]] passes (range shuffle +
+    * zipWithIndex, never a single-partition NTILE window) over the
+    * customer-cardinality aggregate — each rank's total order pins ties
+    * by custkey, and score = 5 − (rank−1)·5 div n is pure integer
+    * arithmetic. The only corpus-sized work is the one orders→customer
+    * aggregate; everything after is |customers|-sized. Monetary sums in
+    * DECIMAL (exact, associative) and crosses engines through the
+    * varchar-routed double cast (Exact).
+    */
+  val customerRfm: CatalogEntry = CatalogEntry(
+    "customer_rfm",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val hiWater = orders.agg(max("o_orderdate").as("maxd"))
+      val base = orders
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max("o_orderdate").as("lastd"),
+          dsum(col("o_totalprice"), 18, 4).as("monetary"))
+        .crossJoin(broadcast(hiWater))
+        .select(col("c_custkey"), col("n_orders"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
+          col("monetary"))
+      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        ("rr", Seq(col("recency_days").asc, col("c_custkey").asc)),
+        ("fr", Seq(col("n_orders").desc, col("c_custkey").asc)),
+        ("mr", Seq(col("monetary").desc, col("c_custkey").asc)))
+        .foldLeft(base) { case (df, (rc, ord)) =>
+          graft.operators.GlobalRank.withRank(df, ord, numPartitions = 32, rc)
+        }
+      val scored = ranked
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("nn"))))
+        .select(col("c_custkey"), col("recency_days"), col("n_orders"),
+          col("monetary"),
+          expr("CAST(5 - ((rr - 1) * 5) DIV nn AS BIGINT)").as("r_score"),
+          expr("CAST(5 - ((fr - 1) * 5) DIV nn AS BIGINT)").as("f_score"),
+          expr("CAST(5 - ((mr - 1) * 5) DIV nn AS BIGINT)").as("m_score"))
+      scored
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("m_score") >= 4, "big_spender")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("casual"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH base AS (SELECT o_custkey AS c_custkey,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(date_diff('day', MAX(o_orderdate),
+                                   (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+                      AS recency_days,
+                    ${sqlSum("o_totalprice", 18, 4)} AS monetary
+             FROM orders GROUP BY 1),
+             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+             rk AS (SELECT b.*, nn,
+                    ROW_NUMBER() OVER (ORDER BY recency_days ASC, c_custkey) AS rr,
+                    ROW_NUMBER() OVER (ORDER BY n_orders DESC, c_custkey) AS fr,
+                    ROW_NUMBER() OVER (ORDER BY monetary DESC, c_custkey) AS mr
+                    FROM base b CROSS JOIN n)
+           SELECT c_custkey, recency_days, n_orders, monetary,
+                  CAST(5 - ((rr-1)*5)//nn AS BIGINT) AS r_score,
+                  CAST(5 - ((fr-1)*5)//nn AS BIGINT) AS f_score,
+                  CAST(5 - ((mr-1)*5)//nn AS BIGINT) AS m_score,
+                  CASE WHEN 5-((rr-1)*5)//nn >= 4 AND 5-((fr-1)*5)//nn >= 4
+                            AND 5-((mr-1)*5)//nn >= 4 THEN 'champion'
+                       WHEN 5-((fr-1)*5)//nn >= 4 THEN 'loyal'
+                       WHEN 5-((mr-1)*5)//nn >= 4 THEN 'big_spender'
+                       WHEN 5-((rr-1)*5)//nn <= 2 AND 5-((fr-1)*5)//nn >= 3 THEN 'at_risk'
+                       WHEN 5-((rr-1)*5)//nn <= 2 THEN 'hibernating'
+                       ELSE 'casual' END AS segment
+           FROM rk ORDER BY c_custkey"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
-      ordersRevenueGini, eventsActiveUsers)
+      ordersRevenueGini, eventsActiveUsers, customerRfm)
 }

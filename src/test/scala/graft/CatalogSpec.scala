@@ -499,6 +499,40 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("customer_rfm: exact quintile histograms, rule ladder, metric monotonicity") {
+    val rows = run("customer_rfm").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val n = rows.length
+    assert(n == Tables.load(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count())
+    // Every score's population is formula-exact: rank r gets score
+    // 5 − (r−1)·5 div n, independent of the metric values.
+    val want = (1 to n).groupBy(r => 5L - ((r - 1) * 5) / n).view.mapValues(_.size).toMap
+    Seq[((Long, Long, Long, Double, Long, Long, Long, String)) => Long](
+      _._5, _._6, _._7).foreach { f =>
+      assert(rows.groupBy(f).view.mapValues(_.size).toMap == want)
+    }
+    // The segment is a pure function of the scores (CASE order = priority).
+    rows.foreach { case (ck, _, _, _, r, fq, m, seg) =>
+      val wantSeg =
+        if (r >= 4 && fq >= 4 && m >= 4) "champion"
+        else if (fq >= 4) "loyal"
+        else if (m >= 4) "big_spender"
+        else if (r <= 2 && fq >= 3) "at_risk"
+        else if (r <= 2) "hibernating"
+        else "casual"
+      assert(seg == wantSeg, s"customer $ck segment")
+    }
+    // Strictly more orders can never score a lower f quintile.
+    val byFreq = rows.sortBy(_._3)
+    byFreq.sliding(2).foreach {
+      case Array(a, b) if a._3 < b._3 =>
+        assert(a._6 <= b._6, s"f_score not monotone between ${a._1} and ${b._1}")
+      case _ =>
+    }
+  }
+
   test("doc_block_dedup matches a driver-side keep-first replay") {
     val out = run("doc_block_dedup").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
