@@ -360,6 +360,11 @@ object OlapCatalog {
     (s, d) => {
       val orders = Tables.load(s, d, "orders")
       val hiWater = orders.agg(max("o_orderdate").as("maxd"))
+      // localCheckpoint AFTER the one corpus-sized aggregate: the three
+      // GlobalRank passes each run an eager zipWithIndex job, and without
+      // truncation every one of them (plus the final action) would replay
+      // the orders shuffle — 4 corpus passes for a |customers|-sized
+      // frame. Checkpointed, the ranks re-read ~|customers| rows.
       val base = orders
         .groupBy(col("o_custkey").as("c_custkey"))
         .agg(count(lit(1)).as("n_orders"), max("o_orderdate").as("lastd"),
@@ -368,6 +373,7 @@ object OlapCatalog {
         .select(col("c_custkey"), col("n_orders"),
           datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
           col("monetary"))
+        .localCheckpoint()
       val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
         ("rr", Seq(col("recency_days").asc, col("c_custkey").asc)),
         ("fr", Seq(col("n_orders").desc, col("c_custkey").asc)),
