@@ -1052,8 +1052,57 @@ object NearDupCatalog {
               UNION ALL SELECT v FROM e$KCoreRounds) GROUP BY n)"""
     })
 
+  /** Cross-source contamination matrix — provenance over the near-dup
+    * graph: every ≥-threshold LSH pair bucketed by its UNORDERED source
+    * pair (`least/greatest` canonicalization), with each cell's share of
+    * all dup pairs. The diagonal is within-source boilerplate; an
+    * off-diagonal hot cell says one source republishes another — the
+    * signal that decides which source to drop or down-weight before
+    * training (the provenance sibling of `source_divergence_matrix`,
+    * which compares vocabularies, not copies).
+    *
+    * Shape: the edge list is the same flat checkpointed frame the
+    * components/PageRank entries consume; attaching sources is two
+    * doc_id-keyed hash joins against the (doc_id, source) projection —
+    * edge-list-sized work, and at fleet scale the projection would ride
+    * the LSH pipeline's own columns instead (carry `source` through the
+    * signature stage and the joins disappear). The cell aggregate is
+    * |sources|²-bounded; the total rides ONE broadcast scalar.
+    */
+  val sourceDupMatrix: CatalogEntry = CatalogEntry(
+    "source_dup_matrix",
+    (s, d) => {
+      val e = lshEdges(s, d)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      val pairs = e
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      pairs.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH RECURSIVE $lshPairsCtesSql,
+               sp AS (SELECT LEAST(da.source, db.source) AS src_a,
+                             GREATEST(da.source, db.source) AS src_b
+                      FROM lsh_pairs p
+                      JOIN documents da ON da.doc_id = p.doc_a
+                      JOIN documents db ON db.doc_id = p.doc_b),
+               tot AS (SELECT COUNT(*) AS n_total FROM sp)
+             SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS share
+             FROM sp, tot
+             GROUP BY src_a, src_b, n_total
+             ORDER BY src_a, src_b"""))
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
-    sortedNeighborhood, dupKeepBest, lshCalibration)
+    sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -425,8 +426,81 @@ object OlapCatalog {
                        ELSE 'casual' END AS segment
            FROM rk ORDER BY c_custkey"""))
 
+  /** Cohort LTV triangle — the revenue-weighted sibling of
+    * `events_retention`: customers grouped by FIRST-order month, revenue
+    * accumulated by months-since-acquisition, reported as cumulative
+    * lifetime value per cohort member. Reads as: "the 1995-03 cohort was
+    * worth X/customer by month 6".
+    *
+    * Exactness: revenue sums in DECIMAL end-to-end — including the
+    * RUNNING sum, a window over exact decimals (associative, order-free)
+    * — and each (cum, per-customer) pair converts once through the
+    * Exact varchar-routed double cast, then ONE division by the integer
+    * cohort size. Month index is integer year/month arithmetic, immune
+    * to months_between's fractional-day semantics.
+    *
+    * Shape: one customer-keyed aggregate finds cohorts (corpus-sized,
+    * map-combined), one (cohort, month) aggregate collapses to
+    * calendar² rows, and the running window partitions by cohort —
+    * state ∝ months, never orders. Cohort sizes ride a broadcast join.
+    */
+  val ordersCohortLtv: CatalogEntry = CatalogEntry(
+    "orders_cohort_ltv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.load(s, d, "orders")
+      val firsts = orders.groupBy(col("o_custkey"))
+        .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
+      val sizes = firsts.groupBy("cohort_month")
+        .agg(count(lit(1)).as("cohort_size"))
+      val monthly = orders.join(firsts, Seq("o_custkey"))
+        .withColumn("om", date_trunc("month", col("o_orderdate")))
+        .withColumn("month_index",
+          expr("""CAST((year(om) * 12 + month(om))
+                  - (year(cohort_month) * 12 + month(cohort_month)) AS BIGINT)"""))
+        .groupBy("cohort_month", "month_index")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev_dec"))
+      val w = Window.partitionBy("cohort_month").orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .join(broadcast(sizes), Seq("cohort_month"))
+        .select(col("cohort_month"), col("month_index"), col("cohort_size"),
+          col("rev_dec").cast("double").as("period_rev"),
+          col("cum_dec").cast("double").as("cum_rev"),
+          round(col("cum_dec").cast("double") / col("cohort_size"), 6)
+            .as("ltv_per_customer"))
+        .orderBy("cohort_month", "month_index")
+    },
+    Some("""WITH firsts AS (SELECT o_custkey,
+                                   date_trunc('month', MIN(o_orderdate)) AS cohort_month
+                            FROM orders GROUP BY 1),
+                 sizes AS (SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+                           FROM firsts GROUP BY 1),
+                 monthly AS (SELECT f.cohort_month,
+                                    CAST((year(date_trunc('month', o.o_orderdate)) * 12
+                                          + month(date_trunc('month', o.o_orderdate)))
+                                         - (year(f.cohort_month) * 12
+                                            + month(f.cohort_month)) AS BIGINT)
+                                      AS month_index,
+                                    SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
+                             FROM orders o JOIN firsts f USING (o_custkey)
+                             GROUP BY 1, 2),
+                 cum AS (SELECT cohort_month, month_index, rev_dec,
+                                SUM(rev_dec) OVER (PARTITION BY cohort_month
+                                                   ORDER BY month_index
+                                                   ROWS UNBOUNDED PRECEDING) AS cum_dec
+                         FROM monthly)
+            SELECT c.cohort_month, c.month_index, s.cohort_size,
+                   CAST(CAST(c.rev_dec AS VARCHAR) AS DOUBLE) AS period_rev,
+                   CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE) AS cum_rev,
+                   ROUND(CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE) / s.cohort_size, 6)
+                     AS ltv_per_customer
+            FROM cum c JOIN sizes s USING (cohort_month)
+            ORDER BY c.cohort_month, c.month_index"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
-      ordersRevenueGini, eventsActiveUsers, customerRfm)
+      ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv)
 }

@@ -499,6 +499,48 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("source_dup_matrix partitions the LSH pair list by unordered source pair") {
+    val srcOf = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val pairs = run("doc_near_dup_lsh").select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("source_dup_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap == want,
+      "matrix cells diverge from the pair-list replay")
+    assert(got.values.map(_._1).sum == pairs.length, "cells must partition all pairs")
+    val shares = got.values.map(_._2).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
+
+  test("orders_cohort_ltv: triangle accounting identities hold") {
+    val rows = run("orders_cohort_ltv").collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val orders = Tables.load(spark, sf0001, "orders")
+    val nCust = orders.select("o_custkey").distinct().count()
+    val bySize = rows.groupBy(_._1).view.mapValues(_.head._3).toMap
+    assert(bySize.values.sum == nCust, "cohort sizes must partition customers")
+    rows.groupBy(_._1).foreach { case (_, cohort) =>
+      val ordered = cohort.sortBy(_._2)
+      assert(ordered.head._2 == 0L, "every cohort starts at month 0")
+      // Cumulative revenue is the running sum of period revenue and
+      // never decreases; LTV is its exact per-member division.
+      var cum = 0.0
+      ordered.foreach { case (_, _, size, period, cumRev, ltv) =>
+        cum += period
+        assert(math.abs(cumRev - cum) < 1e-4, "cum != running period sum")
+        assert(ltv == BigDecimal(cumRev / size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
   test("customer_rfm: exact quintile histograms, rule ladder, metric monotonicity") {
     val rows = run("customer_rfm").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
