@@ -1217,9 +1217,56 @@ object EmbeddingCatalog {
            ORDER BY d.vec_id"""
     })
 
+  /** Hard-negative mining — for EVERY vector, the most similar vector
+    * with a DIFFERENT label: the pair a contrastive/metric-learning run
+    * trains against (easy negatives teach nothing; the near-boundary
+    * ones carry the gradient). Ties pin to the smallest candidate id
+    * AFTER the 6-dp rounding both engines share, so the argmax is
+    * deterministic; the argmax itself is one struct-max aggregate
+    * (map-side combined — ≤1 candidate ships per partition per query),
+    * never a rank window over the full score list.
+    *
+    * BASELINE shape, deliberately: all-pairs cross-label scan, the exact
+    * authority the approximate paths are measured against (the
+    * emb_near_dup / emb_near_dup_banded split). At fleet scale mine
+    * negatives from a shortlist instead: the banded-LSH or IVF candidate
+    * stage (emb_knn_mrl_ivf's composition) with the label filter pushed
+    * into the candidate join, then this same exact argmax over the
+    * shortlist.
+    */
+  val hardNegatives: CatalogEntry = CatalogEntry(
+    "emb_hard_negatives",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"), col("embedding").as("qe"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
+      val corpus = emb.select(col("vec_id").as("cand_id"),
+          col("label").as("cand_label"), col("embedding").as("ce"))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
+      corpus.join(broadcast(queries), col("cand_label") =!= col("qlabel"))
+        .select(col("query_id"), col("qlabel"), col("cand_id"),
+          col("cand_label"), cosineCol.as("score"))
+        .groupBy(col("query_id").as("vec_id"),
+          col("qlabel").cast("long").as("label"))
+        .agg(max(struct(col("score").as("s"), (-col("cand_id")).as("nc"),
+          col("cand_label").cast("long").as("nl"))).as("m"))
+        .select(col("vec_id"), col("label"), (-col("m.nc")).as("neg_id"),
+          col("m.nl").as("neg_label"), col("m.s").as("score"))
+        .orderBy("vec_id")
+    },
+    Some(s"""SELECT vec_id, label, neg_id, neg_label, score FROM (
+               SELECT q.vec_id AS vec_id, CAST(q.label AS BIGINT) AS label,
+                      c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
+                      $cosineSql AS score,
+                      row_number() OVER (PARTITION BY q.vec_id
+                                         ORDER BY $cosineSql DESC, c.vec_id) AS rn
+               FROM embeddings q JOIN embeddings c ON c.label != q.label)
+             WHERE rn = 1 ORDER BY vec_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
-      abttResidual)
+      abttResidual, hardNegatives)
 }

@@ -223,6 +223,36 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_hard_negatives: cross-label argmax matches a brute replay") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = emb.map { case (id, lab, e) =>
+      val best = emb.filter(_._2 != lab)
+        .map { case (cid, clab, ce) => (cos(e, ce), cid, clab) }
+        .minBy { case (s, cid, _) => (-s, cid) }
+      (id, lab.toLong, best._2, best._3.toLong, best._1)
+    }.toSet
+    val got = run("emb_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == want, "hard negatives diverge from the brute replay")
+    // Every mined negative really is cross-label.
+    got.foreach { case (id, lab, _, nl, _) =>
+      assert(lab != nl, s"vector $id mined a same-label negative")
+    }
+  }
+
   test("emb_pca_project: exact integer replay; direction dominates random Rayleigh quotients") {
     val dim = 64
     val emb = Tables.embeddings(spark, sf0001)
