@@ -1095,10 +1095,21 @@ object EmbeddingCatalog {
   private lazy val pcaCtesSql: String = {
     val steps = (1 to PcaIters).map { k =>
       val prev = if (k == 1) "v0" else s"v${k - 1}"
-      s"""w$k AS (SELECT g.i AS i, SUM(g.gg * p.v) AS w
+      // The m > 0 CASE mirrors pcaDirection's `if (m > 0)` guard: an
+      // all-zero Gram corpus keeps the previous vector in BOTH engines
+      // instead of erroring (÷0) here while Spark keeps the prior v.
+      // The previous value rides through w$k as `pv` (the g row with
+      // j = i carries p.v for i) — v$k referencing $prev directly would
+      // add a second $prev subtree per step and, under CTE inlining,
+      // turn the 8-step unroll from 2^8 into 3^8 Gram-scan copies.
+      s"""w$k AS (SELECT g.i AS i, SUM(g.gg * p.v) AS w,
+                         MAX(CASE WHEN g.j = g.i THEN p.v END) AS pv
                   FROM g JOIN $prev p ON p.i = g.j GROUP BY g.i),
            m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
-           v$k AS (SELECT i, (CAST(w AS HUGEINT) * $PcaScale) // m AS v
+           v$k AS (SELECT i,
+                          CASE WHEN m > 0
+                               THEN (CAST(w AS HUGEINT) * $PcaScale) // m
+                               ELSE pv END AS v
                    FROM w$k, m$k)"""
     }.mkString(",\n             ")
     s"""g AS (SELECT t1.i AS i, t2.j AS j,
@@ -1227,12 +1238,13 @@ object EmbeddingCatalog {
     * never a rank window over the full score list.
     *
     * BASELINE shape, deliberately: all-pairs cross-label scan, the exact
-    * authority the approximate paths are measured against (the
-    * emb_near_dup / emb_near_dup_banded split). At fleet scale mine
-    * negatives from a shortlist instead: the banded-LSH or IVF candidate
-    * stage (emb_knn_mrl_ivf's composition) with the label filter pushed
-    * into the candidate join, then this same exact argmax over the
-    * shortlist.
+    * authority the approximate path is measured against (the
+    * emb_near_dup / emb_near_dup_banded split). The fleet-scale form IS
+    * implemented: [[hardNegativesShortlist]] (`emb_hard_negatives_shortlist`)
+    * mines from the banded-LSH candidate stage with the label filter
+    * pushed into the collision join, and [[hardNegativesRecall]]
+    * (`emb_hard_negatives_recall`) measures its coverage/agreement
+    * against this baseline.
     */
   val hardNegatives: CatalogEntry = CatalogEntry(
     "emb_hard_negatives",
@@ -1255,18 +1267,152 @@ object EmbeddingCatalog {
           col("m.nl").as("neg_label"), col("m.s").as("score"))
         .orderBy("vec_id")
     },
-    Some(s"""SELECT vec_id, label, neg_id, neg_label, score FROM (
-               SELECT q.vec_id AS vec_id, CAST(q.label AS BIGINT) AS label,
-                      c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
-                      $cosineSql AS score,
-                      row_number() OVER (PARTITION BY q.vec_id
-                                         ORDER BY $cosineSql DESC, c.vec_id) AS rn
-               FROM embeddings q JOIN embeddings c ON c.label != q.label)
-             WHERE rn = 1 ORDER BY vec_id"""))
+    Some(s"WITH $hnExactCte SELECT vec_id, label, neg_id, neg_label, score" +
+      " FROM hnexact ORDER BY vec_id"))
+
+  /** Deterministic tie-pinned cross-label argmax over a candidate set:
+    * the `WHERE rn = 1` mined-negative CTE shared by the exact oracle
+    * (candidates = every cross-label pair), the shortlist oracle
+    * (candidates = banded-LSH collisions), and both of the recall
+    * oracle's branches — one definition so the argmax tie rule cannot
+    * drift between the baseline and its scale sibling.
+    */
+  private def hnArgmaxSql(cteName: String, fromCands: String): String =
+    s"""$cteName AS (SELECT vec_id, label, neg_id, neg_label, score FROM (
+          SELECT q.vec_id AS vec_id, CAST(q.label AS BIGINT) AS label,
+                 c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
+                 $cosineSql AS score,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rn
+          FROM $fromCands)
+        WHERE rn = 1)"""
+
+  /** Exact-baseline CTE: all-pairs cross-label candidates. */
+  private lazy val hnExactCte: String =
+    hnArgmaxSql("hnexact", "embeddings q JOIN embeddings c ON c.label != q.label")
+
+  /** Shortlist CTE block: banded-LSH candidate generation (the
+    * [[nearDupBanded]] tables, directional, label filter in the collision
+    * join) feeding the shared argmax.
+    */
+  private lazy val hnShortCtes: String = {
+    val bucketCols = (0 until BandTables)
+      .map(t => s"${bucketExprFor(bandedSigns(t), "embedding", oneBased = true)} AS b$t")
+      .mkString(", ")
+    val collide = (0 until BandTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""hnbuck AS (SELECT vec_id, label, embedding, $bucketCols FROM embeddings),
+        hncand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+                   FROM hnbuck a JOIN hnbuck b
+                     ON ($collide) AND a.vec_id != b.vec_id AND a.label != b.label),
+        ${hnArgmaxSql("hnshort",
+          """hncand h JOIN embeddings q ON q.vec_id = h.query_id
+                      JOIN embeddings c ON c.vec_id = h.cand_id""")}"""
+  }
+
+  /** Shortlist-composed hard-negative mining — the fleet-scale form of
+    * [[hardNegatives]]: candidates come from the banded-LSH collision
+    * stage (the [[nearDupBanded]] tables — `BandTables` independent
+    * `BandPlanes`-plane hash tables), with the cross-label filter pushed
+    * INTO the collision join, then the SAME tie-pinned struct-max argmax
+    * the exact baseline runs, over the shortlist only.
+    *
+    * 100 TB shape (the emb_near_dup → emb_near_dup_banded split, applied
+    * to mining): the collision self-join shuffles only (vec_id, label,
+    * table, bucket) tuples — never vectors — keyed on (table, bucket), so
+    * pair work is Σ_tables n²/2^planes ≈ n²/64 instead of the baseline's
+    * label-complement n² broadcast scan, and both knobs (planes ↓ bucket
+    * size, tables ↑ recall) scale independently. Vectors join back to the
+    * DISTINCT candidate pairs by id for exact scoring; the argmax is
+    * map-side combined (≤1 candidate ships per partition per query).
+    * Recall vs the exact baseline is MEASURED, not guessed —
+    * [[hardNegativesRecall]] reports per-label coverage/agreement/gap.
+    * Vectors the bands never pair cross-label are absent here (the
+    * documented approximate trade; coverage quantifies it).
+    */
+  val hardNegativesShortlist: CatalogEntry = CatalogEntry(
+    "emb_hard_negatives_shortlist",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d).cache() // feeds bands + both scoring joins
+      val bands = emb.select(col("vec_id"), col("label"),
+        posexplode(Vectors.hyperplaneBuckets(col("embedding"), bandedSigns)).as(Seq("t", "b")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+            col("a.vec_id") =!= col("b.vec_id") && col("a.label") =!= col("b.label"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
+        .distinct()
+      val withNorm = emb.withColumn("nrm", Vectors.norm(col("embedding")))
+      cand
+        .join(withNorm.select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+        .join(withNorm.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+          col("embedding").as("ce"), col("nrm").as("cn")), Seq("cand_id"))
+        .select(col("query_id"), col("qlabel"), col("cand_id"),
+          col("cand_label"), cosineCol.as("score"))
+        .groupBy(col("query_id").as("vec_id"),
+          col("qlabel").cast("long").as("label"))
+        .agg(max(struct(col("score").as("s"), (-col("cand_id")).as("nc"),
+          col("cand_label").cast("long").as("nl"))).as("m"))
+        .select(col("vec_id"), col("label"), (-col("m.nc")).as("neg_id"),
+          col("m.nl").as("neg_label"), col("m.s").as("score"))
+        .orderBy("vec_id")
+    },
+    Some(s"WITH $hnShortCtes SELECT vec_id, label, neg_id, neg_label, score" +
+      " FROM hnshort ORDER BY vec_id"))
+
+  /** Shortlist-mining quality measured as data (the [[knnRecall]] device
+    * applied to [[hardNegativesShortlist]]): per label, how many vectors
+    * the banded shortlist mined at all (coverage), how often it found the
+    * EXACT hardest negative (agreement), and the mean similarity it gave
+    * up when it didn't (mean_gap, over mined vectors — decimal-summed so
+    * the mean is partition-order-free). Both pipelines are deterministic,
+    * so the report is oracle-checkable; cost is the two underlying runs
+    * plus a |vectors|-sized join — never a third corpus pass.
+    */
+  val hardNegativesRecall: CatalogEntry = CatalogEntry(
+    "emb_hard_negatives_recall",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val exact = hardNegatives.build(s, d)
+        .select(col("vec_id"), col("label"), col("neg_id").as("exact_neg"),
+          col("score").as("exact_score"))
+      val short = hardNegativesShortlist.build(s, d)
+        .select(col("vec_id"), col("neg_id").as("short_neg"),
+          col("score").as("short_score"))
+      exact.join(short, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          count(col("short_neg")).as("n_mined"),
+          sum(when(col("short_neg") === col("exact_neg"), 1).otherwise(0))
+            .cast("long").as("n_exact_match"),
+          sum(when(col("short_neg").isNotNull,
+            col("exact_score").cast(DecimalType(18, 6))
+              - col("short_score").cast(DecimalType(18, 6)))).as("gapsum"))
+        .select(col("label"), col("n_vecs"), col("n_mined"), col("n_exact_match"),
+          round(col("n_mined").cast("double") / col("n_vecs"), 6).as("coverage"),
+          round(col("n_exact_match").cast("double") / col("n_vecs"), 6).as("agreement"),
+          round(col("gapsum").cast("double") / col("n_mined"), 6).as("mean_gap"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $hnExactCte,
+                  $hnShortCtes
+             SELECT e.label, COUNT(*) AS n_vecs,
+                    COUNT(s.neg_id) AS n_mined,
+                    CAST(SUM(CASE WHEN s.neg_id = e.neg_id THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_exact_match,
+                    ROUND(COUNT(s.neg_id) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+                    ROUND(SUM(CASE WHEN s.neg_id = e.neg_id THEN 1 ELSE 0 END)
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS agreement,
+                    ROUND(CAST(SUM(CASE WHEN s.neg_id IS NOT NULL
+                                        THEN CAST(e.score AS DECIMAL(18,6))
+                                             - CAST(s.score AS DECIMAL(18,6)) END)
+                               AS DOUBLE) / COUNT(s.neg_id), 6) AS mean_gap
+             FROM hnexact e LEFT JOIN hnshort s USING (vec_id)
+             GROUP BY e.label ORDER BY e.label"""))
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
-      abttResidual, hardNegatives)
+      abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall)
 }

@@ -1711,11 +1711,18 @@ object PipelineCatalog {
   val blockDedup: CatalogEntry = CatalogEntry(
     "doc_block_dedup",
     (s, d) => {
+      // Empty-token guard: sequence(0, -1) would DESCEND ([0, -1] — two
+      // phantom blocks) for a zero-token doc, while the oracle's range()
+      // comprehension yields none. normTokens never returns an empty
+      // array today (split() keeps one element), but the case must be
+      // DEFINED identically in both engines: zero tokens ⇒ zero blocks.
       val out = Text.bound(
         Text.bound(Text.normTokens(col("text"))) { tl =>
-          transform(
-            sequence(lit(0), floor((size(tl) - 1) / 2).cast("int")),
-            k => concat_ws(" ", slice(tl, k * 2 + 1, lit(2))))
+          when(size(tl) >= 1,
+            transform(
+              sequence(lit(0), floor((size(tl) - 1) / 2).cast("int")),
+              k => concat_ws(" ", slice(tl, k * 2 + 1, lit(2)))))
+            .otherwise(array().cast("array<string>"))
         }) { cs =>
         Text.bound(filter(cs, (c, i) => array_position(cs, c) === (i + 1).cast("long"))) {
           kept =>
@@ -1738,11 +1745,20 @@ object PipelineCatalog {
                            FROM chunks),
                   kept AS (SELECT doc_id, c, i,
                                   list_position(cs, c) = i AS keep
-                           FROM flat)
-             SELECT doc_id,
-                    string_agg(c, ' ' ORDER BY i) FILTER (WHERE keep) AS clean_text,
-                    CAST(COUNT(*) - COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_dropped
-             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+                           FROM flat),
+                  agg AS (SELECT doc_id,
+                                 string_agg(c, ' ' ORDER BY i) FILTER (WHERE keep)
+                                   AS clean_text,
+                                 CAST(COUNT(*) - COUNT(*) FILTER (WHERE keep) AS BIGINT)
+                                   AS n_dropped
+                          FROM kept GROUP BY doc_id)
+             -- LEFT JOIN from chunks keeps a zero-block doc as ('', 0) —
+             -- the same row the Spark guard emits — instead of dropping it.
+             SELECT ch.doc_id,
+                    COALESCE(a.clean_text, '') AS clean_text,
+                    COALESCE(a.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+             FROM chunks ch LEFT JOIN agg a USING (doc_id)
+             ORDER BY ch.doc_id"""))
 
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,

@@ -216,25 +216,38 @@ object ScaleCatalog {
     * [[graft.streaming.StreamingQueries.streamingEwma]]: the same ≤16-tap
     * ring as keyed state, BIT-IDENTICAL to this entry (StreamingSpec).
     *
-    * At 100 TB the only caveat is event_type's low cardinality (the same
-    * skew note as events_salted_agg: a per-(type, time-chunk) re-key
-    * restores parallelism; the taps then overlap chunk boundaries by 16
-    * rows). Arithmetic: value(decimal 18,4) × integer weight summed in
-    * decimal — exact, associative, order-free — then ONE double division
-    * by the integer weight mass of the non-null taps.
+    * At 100 TB the only caveat is event_type's low cardinality — each
+    * type's window serializes into one task. The re-keyed form IS
+    * implemented: [[eventsEwmaSalted]] (`events_ewma_salted`) partitions
+    * the window by (type, time-chunk) with chunk-tail context rows and is
+    * oracle-checked EQUAL to this entry. Arithmetic: value(decimal 18,4)
+    * × integer weight summed in decimal — exact, associative, order-free
+    * — then ONE double division by the integer weight mass of the
+    * non-null taps.
     */
+  /** The 16-tap integer-weight EWMA columns (num, den) over window `w` —
+    * shared by the type-keyed [[eventsEwma]] and the chunk-re-keyed
+    * [[eventsEwmaSalted]] so the tap arithmetic cannot drift between the
+    * serial and parallel forms.
+    */
+  private def ewmaNumDen(w: org.apache.spark.sql.expressions.WindowSpec)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val zeroDec = lit(0).cast(DecimalType(18, 4))
+    def tap(j: Int) = if (j == 0) col("value") else lag(col("value"), j).over(w)
+    val num = (0 until EwmaTaps).map { j =>
+      coalesce(tap(j).cast(DecimalType(18, 4)), zeroDec) * lit(32768 >> j)
+    }.reduce(_ + _)
+    val den = (0 until EwmaTaps).map { j =>
+      when(tap(j).isNotNull, lit(32768 >> j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    (num, den)
+  }
+
   val eventsEwma: CatalogEntry = CatalogEntry(
     "events_ewma",
     (s, d) => {
       val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      val zeroDec = lit(0).cast(DecimalType(18, 4))
-      def tap(j: Int) = if (j == 0) col("value") else lag(col("value"), j).over(w)
-      val num = (0 until EwmaTaps).map { j =>
-        coalesce(tap(j).cast(DecimalType(18, 4)), zeroDec) * lit(32768 >> j)
-      }.reduce(_ + _)
-      val den = (0 until EwmaTaps).map { j =>
-        when(tap(j).isNotNull, lit(32768 >> j)).otherwise(lit(0))
-      }.reduce(_ + _)
+      val (num, den) = ewmaNumDen(w)
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("tss"), col("value"),
@@ -256,5 +269,74 @@ object ScaleCatalog {
           ORDER BY event_id"""
     })
 
-  val all: Seq[CatalogEntry] = Seq(heavyHitters, zorderLayout, eventsEwma)
+  /** Seconds per EWMA re-key chunk (7 days — 5 chunks over the 30-day
+    * test corpus; at fleet scale the width is a knob sized so a (type,
+    * chunk) cell is one healthy task).
+    */
+  private val EwmaChunkSecs = 7L * 86400
+
+  /** [[eventsEwma]] re-keyed for low-cardinality skew — the lag-window
+    * device `events_salted_agg` demonstrates for sums, demonstrated for
+    * WINDOWS WITH TAPS: the corpus-sized window partitions by (type,
+    * time-chunk) instead of type alone, restoring parallelism (5 keys →
+    * 5 × chunks keys; each chunk is one bounded task instead of a
+    * whole-history serial scan). A window with taps needs boundary
+    * context a sum does not, supplied in three chunk-parallel steps:
+    *
+    *  1. per-(type, chunk) TAILS: each chunk's ≤[[EwmaTaps]] newest rows
+    *     (a row-scale window, but keyed by chunk — parallel);
+    *  2. CONTEXT assembly on the tails frame only (taps × chunks rows —
+    *     chunk-granular, broadcast-joined against the distinct chunk
+    *     list): for every target chunk, the [[EwmaTaps]] globally newest
+    *     rows among ALL earlier chunks' tails. Taking the union over all
+    *     earlier chunks (not just chunk−1) keeps the rewrite EXACT even
+    *     when a chunk holds fewer than 16 rows of a type — the
+    *     small-SF/sparse-type case; with ≥16 rows per cell it degenerates
+    *     to the classic "previous chunk's tail" overlap;
+    *  3. the tap window over base ∪ context rows, partitioned by (type,
+    *     chunk); context rows feed lags and are dropped from the output.
+    *
+    * The oracle is [[eventsEwma]]'s UNSALTED SQL verbatim — the entry is
+    * hash-checked EQUAL to the serial form, which is the whole point: the
+    * re-key is a pure execution-strategy rewrite, not a semantics change.
+    * The same device applies to every lag-window entry (autocorr,
+    * value_trend) when a key serializes.
+    */
+  val eventsEwmaSalted: CatalogEntry = CatalogEntry(
+    "events_ewma_salted",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          unix_timestamp(col("ts")).as("tss"), col("value"),
+          floor(unix_timestamp(col("ts")).cast("double") / EwmaChunkSecs)
+            .cast("long").as("ch"))
+      val newestFirst = Seq(col("ts").desc, col("event_id").desc)
+      val tails = base
+        .withColumn("trn", row_number().over(
+          Window.partitionBy("event_type", "ch").orderBy(newestFirst: _*)))
+        .filter(col("trn") <= EwmaTaps).drop("trn")
+      val chunks = base.select(col("event_type").as("ctype"), col("ch").as("tch"))
+        .distinct()
+      val ctx = tails.join(broadcast(chunks),
+          col("event_type") === col("ctype") && col("ch") < col("tch"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("event_type", "tch").orderBy(newestFirst: _*)))
+        .filter(col("crn") <= EwmaTaps)
+        .select(col("event_id"), col("event_type"), col("ts"), col("tss"),
+          col("value"), col("tch").as("ch"))
+        .withColumn("is_ctx", lit(true))
+      val full = base.withColumn("is_ctx", lit(false)).unionByName(ctx)
+      val w = Window.partitionBy("event_type", "ch").orderBy(col("ts"), col("event_id"))
+      val (num, den) = ewmaNumDen(w)
+      full
+        .select(col("event_id"), col("event_type"), col("tss"), col("value"),
+          round(num.cast("double") / den.cast("long"), 6).as("ewma"),
+          col("is_ctx"))
+        .filter(!col("is_ctx")).drop("is_ctx")
+        .orderBy("event_id")
+    },
+    eventsEwma.oracle)
+
+  val all: Seq[CatalogEntry] =
+    Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted)
 }
