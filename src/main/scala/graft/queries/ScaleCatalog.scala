@@ -117,7 +117,9 @@ object ScaleCatalog {
         shl(s"(${shr(s"(l_suppkey & 65535)", b)} & 1)", 2 * b + 1))
     }.mkString("(", " + ", ")")
 
-  private val zSpark: String =
+  // private[graft]: BucketingSpec's write-path proof lays real parquet
+  // files along the same curve and measures row-group pruning.
+  private[graft] val zSpark: String =
     zValueSql((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
   private val zDuck: String =
     zValueSql((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")

@@ -49,6 +49,16 @@ final case class EwmaState(taps: Seq[Double])
 final case class EwmaPoint(
     event_id: Long, event_type: String, tss: Long, value: Double, ewma: Double)
 
+/** One target day's active-user grid (streaming DAU/WAU state): the
+  * distinct users seen ON the day (dau) and within its trailing 7-day
+  * window (wau) — the same (user, day) contribution grid the batch
+  * `events_active_users` entry builds, held as per-day keyed state. */
+final case class ActiveUsersState(dau: Seq[Long], wau: Seq[Long])
+
+/** One streamed DAU/WAU row (same columns as the batch entry). */
+final case class ActiveUsersRow(
+    day: java.sql.Timestamp, dau: Long, wau: Long, stickiness: Double)
+
 object StreamingQueries {
 
   /** The five core rolling aggregations, keyed by catalog name. */
@@ -279,6 +289,83 @@ object StreamingQueries {
           }
           state.update(EwmaState(taps))
           out.result().iterator
+      }
+  }
+
+  /** Streaming DAU/WAU — the live side of the batch `events_active_users`
+    * entry, the always-on engagement board production runs as a stream.
+    * Same contribution-explosion shape as the batch plan: each event
+    * fans out to the 7 target days it keeps its user "weekly active" for
+    * (j = 0 marks the own-day DAU contribution), then per-TARGET-DAY
+    * keyed state holds the distinct-user grid — `dau` = users seen on
+    * the day, `wau` = users seen in its trailing window — and every
+    * update re-emits the day's (dau, wau, dau/wau) row in update mode.
+    * Emission waits for the first own-day user, mirroring the batch
+    * entry's inner dau⋈wau join (a day with trailing-window users but no
+    * own-day activity is not a report row).
+    *
+    * State and eviction: per-day state is bounded by the day's distinct
+    * users (the batch grid row), and the watermark EVICTS it — the
+    * event-time timeout fires once the watermark passes day+7d (no
+    * contribution can reach the day after that), removing the grid row.
+    * Total state ≈ distinct users × 8 live days, forever-bounded by the
+    * watermark horizon, never by stream length. Late events inside the
+    * 7-day watermark re-open nothing (their day's state is still live);
+    * events later than the watermark are dropped upstream — the standard
+    * completeness/latency trade, identical to `windowed_count`'s.
+    *
+    * Determinism: sets fold order-free (size is order-independent), and
+    * stickiness replays the batch arithmetic — one double division,
+    * HALF_UP at 6 — so a full in-watermark replay converges to the batch
+    * entry EXACTLY (StreamingSpec).
+    */
+  def streamingActiveUsers(events: DataFrame)
+      : org.apache.spark.sql.Dataset[ActiveUsersRow] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions.{col, date_trunc, explode, expr, unix_timestamp}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val contrib = events
+      .withWatermark("ts", "7 days")
+      .select(col("user_id"), col("ts"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("daysec"),
+        explode(expr("sequence(0, 6)")).as("j"))
+      // The watermark-tagged ts column must ride into the grouped frame —
+      // event-time timeout resolution requires it (analysis-checked).
+      .select((col("daysec") + col("j") * 86400L).as("tday"),
+        (col("j") === 0).as("own"), col("user_id"), col("ts"))
+      .as[(Long, Boolean, Long, java.sql.Timestamp)]
+    contrib.groupByKey(_._1)
+      .flatMapGroupsWithState[ActiveUsersState, ActiveUsersRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (tday: Long, rows: Iterator[(Long, Boolean, Long, java.sql.Timestamp)],
+            state: org.apache.spark.sql.streaming.GroupState[ActiveUsersState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(ActiveUsersState(Nil, Nil))
+            val dau = scala.collection.mutable.LinkedHashSet(st.dau: _*)
+            val wau = scala.collection.mutable.LinkedHashSet(st.wau: _*)
+            rows.foreach { case (_, own, user, _) =>
+              wau += user
+              if (own) dau += user
+            }
+            state.update(ActiveUsersState(dau.toSeq, wau.toSeq))
+            // Evict once no contribution can reach this day: watermark
+            // past day+7d (+1d margin over the 6-day fan-out; clamped
+            // above the current watermark — required by the API when a
+            // day is already older than the horizon at first sight).
+            val evictAt = math.max((tday + 8 * 86400L) * 1000L,
+              state.getCurrentWatermarkMs() + 60000L)
+            state.setTimeoutTimestamp(evictAt)
+            if (dau.isEmpty) Iterator.empty
+            else {
+              val stick = JBD.valueOf(dau.size.toDouble / wau.size.toDouble)
+                .setScale(6, RoundingMode.HALF_UP).doubleValue()
+              Iterator.single(ActiveUsersRow(
+                new java.sql.Timestamp(tday * 1000L), dau.size.toLong,
+                wau.size.toLong, stick))
+            }
+          }
       }
   }
 

@@ -35,6 +35,53 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered parquet files let the probe predicate skip row groups the natural layout cannot") {
+    // The write-path proof of the lineitem_zorder entry: actually LAY the
+    // files along the curve (range-partition by z ≙ GlobalRank's range
+    // shuffle, one row group per file at this size), then measure what
+    // the scan READS under the entry's probe predicate. Parquet's
+    // row-group stats do the pruning — the scan's numOutputRows is the
+    // rows surviving group-level skip, BEFORE Spark's row filter.
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", expr(graft.queries.ScaleCatalog.zSpark))
+    def write(name: String, order: Seq[org.apache.spark.sql.Column]): String = {
+      val dir = s"$base/$name"
+      li.repartitionByRange(16, order: _*).sortWithinPartitions(order: _*)
+        .drop("z").write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val naturalDir = write("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+    val zorderDir = write("zorder", Seq(col("z"), col("l_orderkey"), col("l_linenumber")))
+    val total = li.count()
+    val matching = li.filter(col("l_partkey").between(64, 127)).count()
+    def scanRead(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(col("l_partkey").between(64, 127))
+      val rows = df.count()
+      df.collect() // execute the scan+filter shape so the metric is real
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("PushedFilters: [IsNotNull(l_partkey), GreaterThanOrEqual(l_partkey,64), LessThanOrEqual(l_partkey,127)]"),
+        s"probe predicate not pushed to parquet:\n$plan")
+      val read = plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (rows, read)
+    }
+    val (nRows, nRead) = scanRead(naturalDir)
+    val (zRows, zRead) = scanRead(zorderDir)
+    // Same answer from both layouts...
+    assert(nRows == matching && zRows == matching)
+    // ...but the natural layout reads everything (every file's part
+    // envelope spans the probe), while the z-order layout skips the
+    // row groups whose (part, supp) rectangle misses it.
+    assert(nRead == total, s"natural layout unexpectedly pruned: read $nRead of $total")
+    assert(zRead < total / 2,
+      s"z-order layout pruned too little: read $zRead of $total (matching=$matching)")
+    assert(zRead >= matching, s"pruning cannot read fewer than the matching rows")
+  }
+
   test("partitioned writes prune whole directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val docs = Tables.documents(spark, sf0001)

@@ -446,4 +446,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!au.contains("SortMergeJoin"),
       s"events_active_users: day-level join not broadcast\n$au")
   }
+
+  test("round-10 entries keep their declared scale shapes") {
+    // Shortlist hard negatives: the candidate stage is an EQUI join on
+    // the band key (t, b) — never the baseline's nested-loop label
+    // complement — and the argmax is a struct-max aggregate, not a rank
+    // window over the full score list.
+    val hs = plan("emb_hard_negatives_shortlist")
+    assert(!hs.contains("BroadcastNestedLoopJoin") && !hs.contains("CartesianProduct"),
+      s"emb_hard_negatives_shortlist: all-pairs join crept in\n$hs")
+    assert(!hs.contains("Window"),
+      s"emb_hard_negatives_shortlist: rank window replaced the argmax aggregate\n$hs")
+    // Salted EWMA: EVERY window partitions by (event_type, chunk) —
+    // the low-cardinality single-key window (the thing the entry
+    // exists to eliminate) must not reappear on any branch.
+    val es = plan("events_ewma_salted")
+    val winSpecs = "windowspecdefinition\\(event_type#\\d+, (\\w+)#".r
+      .findAllMatchIn(es).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(k => k == "ch" || k == "tch"),
+      s"events_ewma_salted: window not chunk-re-keyed (partitions: $winSpecs)\n$es")
+    assert(es.contains("BroadcastHashJoin"),
+      s"events_ewma_salted: chunk-list join not broadcast\n$es")
+    // RFM: quintiles come from GlobalRank passes over the checkpointed
+    // customer aggregate (Scan ExistingRDD) — never an NTILE/rank window
+    // — and the corpus count rides a broadcast.
+    val rf = plan("customer_rfm")
+    assert(!rf.contains("Window"),
+      s"customer_rfm: rank window replaced GlobalRank\n$rf")
+    assert(rf.contains("Scan ExistingRDD"),
+      s"customer_rfm: rank input no longer checkpoint-truncated\n$rf")
+    assert(!rf.contains("SortMergeJoin"),
+      s"customer_rfm: scalar join not broadcast\n$rf")
+    // Cohort LTV: ONE months-bounded running window; cohort sizes join
+    // by broadcast, never a sort-merge against the triangle.
+    val cl = plan("orders_cohort_ltv")
+    assert(countOf(cl, "Window") == 1 && cl.contains("BroadcastHashJoin") &&
+      !cl.contains("SortMergeJoin"),
+      s"orders_cohort_ltv: expected one window + broadcast cohort sizes\n$cl")
+  }
 }

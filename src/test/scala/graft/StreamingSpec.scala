@@ -362,6 +362,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed EWMA diverges from the batch entry")
   }
 
+  test("streaming DAU/WAU converges to the batch active-users triangle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Replayed fully inside the watermark, the per-day user grids fold
+    // to the batch contribution-explosion answer exactly — set size is
+    // arrival-order-free and stickiness replays the batch division.
+    val want = SparkEntry.queries("events_active_users")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"dauwau-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingActiveUsers(input.toDF().toDF(eventCols: _*))
+      .toDF("day", "dau", "wau", "stickiness")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.values.map(_.toSeq.toList).toSet
+    Sinks.clear(sinkId)
+    assert(got == want, "streamed DAU/WAU diverges from the batch entry")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
