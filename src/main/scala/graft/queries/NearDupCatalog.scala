@@ -617,6 +617,15 @@ object NearDupCatalog {
     * pairs may be pruned but can never be the max of a doc that
     * qualifies. ⌈n/2⌉ computes on n/2.0 — exact in binary, no float
     * boundary can shorten a prefix (unlike 3/10, cf. [[prefixSide]]).
+    *
+    * Cost pin (the suite's most expensive entry — re-measured after its
+    * full-suite time drifted 5.77 → 6.96 s over r8→r9): ISOLATED at
+    * sf0.1/local[32] it runs 4.6–5.2 s (median 4.8, 3 runs) — below
+    * both full-suite readings, so the drift is suite-context noise
+    * (cache/JIT pressure from the other 160+ entries), not a plan
+    * regression. The quadratic tail is corpus-degenerate by design
+    * (dense ~30-word vocabulary defeats the prefix prune); the
+    * candidate stage stays a bucket join, never all-pairs.
     */
   private[graft] def containmentCoveredFrom(docs: DataFrame): DataFrame = {
       val perDoc = perDocByDf(bigramIndex(docs)).cache()
