@@ -387,7 +387,50 @@ object JoinCatalog {
             FROM pairs JOIN pc ca ON ca.pk = part_a
                  JOIN pc cb ON cb.pk = part_b CROSS JOIN n"""))
 
+  private val JoinSalt = 8
+
+  /** Salted replicate join — the skew device for JOINS, completing the
+    * toolkit next to `events_salted_agg` (skewed aggregations) and
+    * `events_ewma_salted` (skewed windows). When one join key carries a
+    * large fraction of the fact rows (a hot order, a null-ish default, a
+    * celebrity user), the hash join sends them all to one reducer. Fix:
+    * the FACT side gets a deterministic salt in [0, S) derived from a
+    * row discriminator (l_linenumber — NOT rand(), keeping the operator
+    * re-runnable and oracle-checkable), the DIMENSION side replicates ×S
+    * via an explode over sequence(0, S-1), and the join key becomes
+    * (key, salt) — every hot key now spreads over S reducer partitions.
+    * The shuffle_hash hint keeps the demonstration honest: without it
+    * Catalyst would broadcast the small dimension here and the salt
+    * would be decorative; at 100 TB the dimension (×S) may not fit as a
+    * broadcast relation and this IS the plan. Cost: S× the dimension
+    * shuffle volume — worth it exactly when the hot key's single
+    * partition would otherwise exceed an executor; AQE's skew-join split
+    * covers the sort-merge case at runtime, salting remains the static
+    * device for hash joins and for engines/configs without AQE.
+    * Result ≡ the plain join (the salt is join-local), which is what the
+    * oracle checks.
+    */
+  val saltedJoin: CatalogEntry = CatalogEntry(
+    "lineitem_salted_join",
+    (s, d) => {
+      val fact = t("lineitem")(s, d)
+        .select(col("l_orderkey"), revCol.as("rev"),
+          pmod(hash(col("l_linenumber")), lit(JoinSalt)).as("salt"))
+      val dim = t("orders")(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(JoinSalt - 1))).as("salt"))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""SELECT o_orderpriority, $revSqlSum AS revenue,
+                    CAST(COUNT(*) AS BIGINT) AS n_items
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority"""))
+
   val all: Seq[CatalogEntry] =
     Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
-      customerFuzzyMatch, lineitemBloomSemi, basketPairs)
+      customerFuzzyMatch, lineitemBloomSemi, basketPairs, saltedJoin)
 }

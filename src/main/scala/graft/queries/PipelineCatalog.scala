@@ -1760,6 +1760,106 @@ object PipelineCatalog {
              FROM chunks ch LEFT JOIN agg a USING (doc_id)
              ORDER BY ch.doc_id"""))
 
+  private val CdcMod = 8
+  private val CdcP = 1000000007L
+
+  /** Content-defined chunking dedup (the Rabin/gear-CDC shape rsync and
+    * dedup filesystems use, applied to text): the token stream is cut
+    * where a per-TOKEN hash hits `h(tok) % 8 == 0`, so boundaries are
+    * decided by CONTENT, not position — insert one sentence into a
+    * document and fixed-size blocks all shift (every block after the
+    * edit re-hashes as new), while CDC boundaries re-align immediately
+    * and only the edited chunk changes. Expected chunk length = the
+    * boundary modulus (8 tokens). The entry reports, per document, how
+    * many of its chunks also occur verbatim in ANOTHER document — the
+    * cross-doc boilerplate measure `doc_dup_spans` approximates with
+    * fixed windows, now shift-invariant.
+    *
+    * Execution shape: chunking is a pure per-row fold (one `aggregate`
+    * HOF building the chunk list, a nested fold computing each token's
+    * polynomial hash — all whole-stage-codegen'd, ZERO shuffle to find
+    * boundaries); the only shuffles are the dedup groupBy on the chunk
+    * fingerprint and the per-doc rollup — at 100 TB that is the
+    * irreducible dedup shuffle, carrying md5 fingerprints (16 bytes),
+    * never chunk text. The boundary hash is the house polynomial
+    * (mod 1e9+7, `Text.rollingHash`'s recurrence) applied per token, so
+    * both engines derive identical cut points. Zero-token docs are
+    * DEFINED as zero chunks (LEFT JOIN + COALESCE on both sides,
+    * blockDedup's discipline).
+    */
+  val cdcChunks: CatalogEntry = CatalogEntry(
+    "doc_cdc_chunks",
+    (s, d) => {
+      def tokHash(t: org.apache.spark.sql.Column) =
+        aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % CdcP)
+      val emptyArr = array().cast("array<string>")
+      val chunksCol = aggregate(
+        filter(Text.normTokens(col("text")), t => t =!= ""),
+        struct(emptyArr.as("done"), emptyArr.as("cur")),
+        (acc, t) => Text.bound(concat(acc.getField("cur"), array(t))) { cur2 =>
+          when(tokHash(t) % CdcMod === 0,
+            struct(concat(acc.getField("done"),
+              array(array_join(cur2, " "))).as("done"), emptyArr.as("cur")))
+            .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+        },
+        acc => concat(acc.getField("done"),
+          when(size(acc.getField("cur")) > 0,
+            array(array_join(acc.getField("cur"), " "))).otherwise(emptyArr)))
+      val chunks = documents(s, d)
+        .select(col("doc_id"), explode(chunksCol).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      val nd = chunks.groupBy("fp").agg(countDistinct("doc_id").as("ndocs"))
+      val per = chunks.join(nd, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("ndocs") >= 2, 1)).as("n_dup_chunks"))
+      documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+          when(coalesce(col("n_chunks"), lit(0L)) > 0,
+            round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+            .otherwise(lit(0.0)).as("dup_ratio"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+                                  list_filter($normToksSql, t -> t <> '') AS tl
+                           FROM documents),
+                  flat AS (SELECT doc_id, unnest(tl) AS tok,
+                                  generate_subscripts(tl, 1) AS pos
+                           FROM toks),
+                  marked AS (SELECT doc_id, tok, pos,
+                                    CASE WHEN list_reduce(
+                                           list_prepend(CAST(0 AS BIGINT),
+                                             list_transform(string_split(tok, ''),
+                                               c -> CAST(ascii(c) AS BIGINT))),
+                                           (acc, c) -> (acc * 31 + c) % $CdcP)
+                                         % $CdcMod = 0 THEN 1 ELSE 0 END AS bf
+                             FROM flat),
+                  cid AS (SELECT doc_id, tok, pos,
+                                 COALESCE(SUM(bf) OVER (
+                                   PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                   0) AS chunk_id
+                          FROM marked),
+                  chunks AS (SELECT doc_id, chunk_id,
+                                    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+                             FROM cid GROUP BY doc_id, chunk_id),
+                  nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS ndocs
+                         FROM chunks GROUP BY fp),
+                  per AS (SELECT c.doc_id,
+                                 CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                                 CAST(COUNT(*) FILTER (WHERE ndocs >= 2) AS BIGINT)
+                                   AS n_dup_chunks
+                          FROM chunks c JOIN nd USING (fp) GROUP BY c.doc_id)
+             SELECT d.doc_id,
+                    COALESCE(per.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+                    COALESCE(per.n_dup_chunks, CAST(0 AS BIGINT)) AS n_dup_chunks,
+                    CASE WHEN COALESCE(per.n_chunks, 0) > 0
+                         THEN ROUND(CAST(per.n_dup_chunks AS DOUBLE) / per.n_chunks, 6)
+                         ELSE 0.0 END AS dup_ratio
+             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -1771,5 +1871,5 @@ object PipelineCatalog {
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
-      blockDedup)
+      blockDedup, cdcChunks)
 }

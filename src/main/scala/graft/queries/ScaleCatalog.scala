@@ -339,6 +339,73 @@ object ScaleCatalog {
     },
     eventsEwma.oracle)
 
+  // -------------------------------------------------------------------
+  // Count-Min sketch (bounded-memory frequency estimates, linear/mergeable)
+  // -------------------------------------------------------------------
+
+  private val CmWidth = 32
+  private val CmP = 1000000007L
+  /** One (a, b) affine pair per sketch row: bucket_r(k) = ((k·a + b) mod P)
+    * mod w. Both engines' buckets derive from this one list (the SQL is
+    * generated from it) so the hash family cannot drift.
+    */
+  private val CmHashes: Seq[(Long, Long)] =
+    Seq((31L, 7L), (131L, 101L), (1009L, 9973L), (9176L, 12345L))
+
+  /** Count-Min point estimates vs exact counts — the third sketch in the
+    * family (Misra–Gries `token_heavy_hitters`, HLL `events_approx_distinct`,
+    * KLL `value_p90_sketch`): per-user event counts estimated from a d×w =
+    * 4×32 integer matrix, reported next to the exact count with
+    * the signature one-sided error (overcount ≥ 0 always; CM never
+    * underestimates). Width 32 against 150 keys FORCES collisions, so the
+    * entry exercises the estimator, not a lossless table.
+    *
+    * Everything is integer arithmetic over a fixed public hash family, so
+    * unlike the HLL/KLL entries (engine-specific sketches, checked via
+    * bands) the CM estimate itself is oracle-exact. The sketch is built
+    * from the exact per-key aggregate rather than per-event updates — CM is
+    * linear, so pre-combining duplicate keys is identical to streaming
+    * updates, and the map-side combine does the heavy lifting. At 100 TB:
+    * state is d×w cells regardless of key cardinality, cells broadcast to
+    * the probe (≤ 128 rows), and the only corpus-sized shuffle is the
+    * per-key partial aggregate any exact count needs anyway. The streaming
+    * analogue keeps the same d×w matrix as keyed state.
+    */
+  val countMin: CatalogEntry = CatalogEntry(
+    "events_count_min",
+    (s, d) => {
+      val kc = Tables.events(s, d)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cnt"))
+      val m = kc.select(col("k"), col("cnt"),
+          explode(array(CmHashes.zipWithIndex.map { case ((a, b), r) =>
+            struct(lit(r).as("r"),
+              pmod(pmod(col("k") * a + b, lit(CmP)), lit(CmWidth)).as("bucket"))
+          }: _*)).as("h"))
+        .select(col("k"), col("cnt"), col("h.r").as("r"), col("h.bucket").as("bucket"))
+      val cells = m.groupBy("r", "bucket").agg(sum("cnt").as("cell_sum"))
+      val est = m.join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy("k").agg(min("cell_sum").as("cm_est"))
+      kc.join(est, Seq("k"))
+        .select(col("k").as("user_id"), col("cnt").as("exact_cnt"),
+          col("cm_est"), (col("cm_est") - col("cnt")).as("overcount"))
+    },
+    Some {
+      val hashRows = CmHashes.zipWithIndex
+        .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+      s"""WITH kc AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY user_id),
+               m AS (SELECT k, cnt, r, ((k * a + b) % $CmP) % $CmWidth AS bucket
+                     FROM kc, (VALUES $hashRows) AS h(r, a, b)),
+               cell AS (SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cell_sum
+                        FROM m GROUP BY r, bucket),
+               est AS (SELECT m.k, MIN(cell_sum) AS cm_est
+                       FROM m JOIN cell ON cell.r = m.r AND cell.bucket = m.bucket
+                       GROUP BY m.k)
+           SELECT kc.k AS user_id, kc.cnt AS exact_cnt, est.cm_est,
+                  est.cm_est - kc.cnt AS overcount
+           FROM kc JOIN est ON est.k = kc.k"""
+    })
+
   val all: Seq[CatalogEntry] =
-    Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted)
+    Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted, countMin)
 }

@@ -613,8 +613,173 @@ object TrainPrepCatalog {
                       AS simpson_diversity
              FROM m"""))
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between every
+    * source pair on the per-doc token-count distribution — the
+    * distribution-shape companion to `source_divergence_matrix` (which
+    * compares vocabularies): D = max_x |F_a(x) − F_b(x)|, the standard
+    * monitor for "did this source's length profile shift away from the
+    * others" (a recrawl that truncates pages, a boilerplate change).
+    *
+    * Exactness device: ECDF differences stay RATIONAL — cum_a/n_a −
+    * cum_b/n_b compares as the integer |cum_a·n_b − cum_b·n_a|, so the
+    * max is found in exact arithmetic and only the final statistic
+    * divides once as double (both engines compute the identical
+    * long-product denominator first). Integer headroom: cum·n products
+    * bound by n_a·n_b < 2^63 up to ~3e9 docs per source; beyond that the
+    * same query runs in DECIMAL.
+    *
+    * 100 TB shape: the corpus is touched once (per-(source, x) histogram
+    * with map-side combine); everything after runs on histogram-sized
+    * frames — the ECDF grid is |support| × #sources rows (support =
+    * distinct integer token counts, bounded by max doc length, NOT by
+    * corpus size), the pair join is grid-sized with a total order over
+    * (x, source), and source totals ride a broadcast. The ECDF frame is
+    * localCheckpointed because the pair comparison reads it twice.
+    */
+  val ksDrift: CatalogEntry = CatalogEntry(
+    "source_ks_drift",
+    (s, d) => {
+      val vals = documents(s, d)
+        .select(col("source"), size(Text.normTokens(col("text"))).as("x"))
+      val hist = vals.groupBy("source", "x").agg(count(lit(1)).as("c"))
+      val tot = vals.groupBy("source").agg(count(lit(1)).as("n"))
+      val grid = vals.select("x").distinct()
+      val e = grid.crossJoin(broadcast(tot))
+        .join(hist, Seq("source", "x"), "left")
+        .select(col("source"), col("n"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint()
+      e.as("a").join(e.as("b"),
+          col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("na"), col("b.n").as("nb"),
+          abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dnum"))
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(max("dnum").as("dmax"))
+        .select(col("src_a"), col("src_b"),
+          round(col("dmax").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6).as("ks_stat"))
+    },
+    Some(s"""WITH vals AS (SELECT source, len($normToksSql) AS x FROM documents),
+                  hist AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c
+                           FROM vals GROUP BY source, x),
+                  tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                          FROM vals GROUP BY source),
+                  grid AS (SELECT DISTINCT x FROM vals),
+                  e AS (SELECT t.source, t.n, g.x,
+                               SUM(COALESCE(h.c, 0)) OVER (
+                                 PARTITION BY t.source ORDER BY g.x
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                        FROM grid g CROSS JOIN tot t
+                             LEFT JOIN hist h ON h.source = t.source AND h.x = g.x)
+             SELECT a.source AS src_a, b.source AS src_b,
+                    ROUND(CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+                          / CAST(MAX(a.n) * MAX(b.n) AS DOUBLE), 6) AS ks_stat
+             FROM e a JOIN e b ON a.x = b.x AND a.source < b.source
+             GROUP BY a.source, b.source"""))
+
+  private val BpeK = 5
+
+  /** BPE vocabulary induction — the first `BpeK` merges of byte-pair
+    * encoding trained on the corpus word-frequency table, exactly the
+    * Sennrich et al. 2016 procedure every production tokenizer
+    * (GPT-2/LLaMA-style BPE) starts from: count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent pair corpus-wide
+    * (ties broken lexicographically — pinned in BOTH engines), rewrite
+    * every word greedily left-to-right, repeat. The output is the merge
+    * table itself (rank, pair, merged symbol, pair count) — the artifact
+    * a tokenizer ships.
+    *
+    * Distribution shape (the KMeans discipline): the corpus is touched
+    * ONCE — the word-count aggregate collapses 100 TB of text into a
+    * vocabulary-sized frame (map-side combined), and all `BpeK`
+    * iterations run on that frame: pair counting is a per-row index
+    * comprehension + one vocabulary-sized aggregate, the argmax is ONE
+    * driver row per iteration (legitimate model traffic, like KMeans
+    * centroids), and the merge rewrite is a per-row fold
+    * (whole-stage-codegen'd HOF) whose greedy leftmost-first semantics
+    * the fold gives for free. Each iteration localCheckpoints the
+    * re-written vocabulary to truncate lineage. The oracle unrolls the
+    * same K iterations as chained CTEs (pair CTE → 1-row argmax CTE →
+    * rewrite CTE with the identical list fold), so both engines walk the
+    * same merge path symbol-for-symbol. Assumes K ≪ reachable merges
+    * (an exhausted corpus would end the Spark loop and the CTE chain
+    * differently — at K=5 on any real corpus this is vacuous).
+    */
+  val bpeMerges: CatalogEntry = CatalogEntry(
+    "token_bpe_merges",
+    (s, d) => {
+      val emptyArr = array().cast("array<string>")
+      var words = documents(s, d)
+        .select(explode(filter(Text.normTokens(col("text")), t => t =!= "")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), filter(split(col("w"), ""), c => c =!= "").as("sym"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (k <- 1 to BpeK) {
+        val top = words.filter(size(col("sym")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("sym")) - 1),
+            i => struct(element_at(col("sym"), i).as("a"),
+              element_at(col("sym"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((k.toLong, a, b, a + b, c))
+        words = words.select(col("cnt"),
+          aggregate(col("sym"), emptyArr,
+            (acc, sv) =>
+              // CaseWhen evaluates branches in order: element_at(acc, -1)
+              // only runs once acc is non-empty (ANSI-safe).
+              when(size(acc) === 0, concat(acc, array(sv)))
+                .otherwise(when(element_at(acc, -1) === lit(a) && sv === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(sv))))).as("sym"))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    },
+    Some {
+      val w0 =
+        s"""w0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                          list_filter(string_split(w, ''), c -> c <> '') AS sym
+                   FROM (SELECT unnest(list_filter($normToksSql, t -> t <> '')) AS w
+                         FROM documents)
+                   GROUP BY w)"""
+      val steps = (1 to BpeK).map { k =>
+        s"""p$k AS (SELECT cnt, pr.a AS a, pr.b AS b
+                    FROM (SELECT cnt,
+                                 unnest(list_transform(range(1, len(sym)),
+                                   i -> {'a': sym[i], 'b': sym[i + 1]})) AS pr
+                          FROM w${k - 1} WHERE len(sym) >= 2)),
+             m$k AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
+                     GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+             w$k AS (SELECT cnt, list_reduce(
+                       list_prepend(CAST([] AS VARCHAR[]),
+                         list_transform(sym, s -> [s])),
+                       (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+                                             AND x[1] = m.b
+                                   THEN list_concat(acc[1:len(acc) - 1],
+                                                    [m.a || m.b])
+                                   ELSE list_concat(acc, x) END) AS sym
+                     FROM w${k - 1}, m$k m)"""
+      }.mkString(",\n             ")
+      val rows = (1 to BpeK).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+                   a || b AS merged, c AS pair_count FROM m$k"""
+      }.mkString("\n             UNION ALL ")
+      s"""WITH $w0,
+             $steps
+           $rows"""
+    })
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
-    tokenDiversity)
+    tokenDiversity, ksDrift, bpeMerges)
 }

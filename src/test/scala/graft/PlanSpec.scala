@@ -484,4 +484,42 @@ class PlanSpec extends AnyFunSuite {
       !cl.contains("SortMergeJoin"),
       s"orders_cohort_ltv: expected one window + broadcast cohort sizes\n$cl")
   }
+
+  test("round-10 wave-2 entries keep their declared scale shapes") {
+    // Salted join: the hint must hold — the dimension join stays a
+    // SHUFFLED hash join on (key, salt) (a broadcast would make the salt
+    // decorative), with the ×S replicate visible as a Generate(explode).
+    val sj = plan("lineitem_salted_join")
+    assert(sj.contains("ShuffledHashJoin"),
+      s"lineitem_salted_join: salted join not a shuffled hash join\n$sj")
+    assert(sj.contains("Generate explode"),
+      s"lineitem_salted_join: dimension replicate explode missing\n$sj")
+    // Count-Min: the 128-cell sketch broadcasts into the probe; nothing
+    // sort-merges, no window anywhere.
+    val cm = plan("events_count_min")
+    assert(cm.contains("BroadcastHashJoin") && !cm.contains("SortMergeJoin"),
+      s"events_count_min: sketch cells not broadcast\n$cm")
+    assert(!cm.contains("Window"), s"events_count_min: unexpected window\n$cm")
+    // KS drift: the ECDF grid is checkpoint-truncated before the pair
+    // comparison (Scan ExistingRDD), the per-source cumulative window
+    // runs BEFORE the checkpoint (so no Window in the output plan), and
+    // nothing is a cartesian product.
+    val ks = plan("source_ks_drift")
+    assert(ks.contains("Scan ExistingRDD"),
+      s"source_ks_drift: ECDF grid no longer checkpoint-truncated\n$ks")
+    assert(!ks.contains("Window") && !ks.contains("CartesianProduct"),
+      s"source_ks_drift: window leaked past the checkpoint\n$ks")
+    // CDC chunking: boundaries come from the per-row fold — no window,
+    // no cartesian; the only shuffles are the fingerprint dedup and the
+    // per-doc rollup.
+    val cc = plan("doc_cdc_chunks")
+    assert(!cc.contains("Window") && !cc.contains("CartesianProduct"),
+      s"doc_cdc_chunks: chunking stopped being a per-row fold\n$cc")
+    // BPE merges: the merge table is driver-built model traffic (the
+    // KMeans discipline) — the returned frame is a LocalTableScan, all
+    // corpus work having happened in the per-iteration jobs.
+    val bp = plan("token_bpe_merges")
+    assert(bp.contains("LocalTableScan"),
+      s"token_bpe_merges: merge table is not a local relation\n$bp")
+  }
 }
