@@ -343,14 +343,13 @@ object ScaleCatalog {
   // Count-Min sketch (bounded-memory frequency estimates, linear/mergeable)
   // -------------------------------------------------------------------
 
-  private val CmWidth = 32
-  private val CmP = 1000000007L
-  /** One (a, b) affine pair per sketch row: bucket_r(k) = ((k·a + b) mod P)
-    * mod w. Both engines' buckets derive from this one list (the SQL is
-    * generated from it) so the hash family cannot drift.
+  /** Hash family, width, and modulus live in
+    * [[graft.operators.CountMinSketch]] — shared with the streaming cell
+    * form and the oracle generator below so no surface can drift.
     */
-  private val CmHashes: Seq[(Long, Long)] =
-    Seq((31L, 7L), (131L, 101L), (1009L, 9973L), (9176L, 12345L))
+  private val CmWidth = graft.operators.CountMinSketch.Width
+  private val CmP = graft.operators.CountMinSketch.P
+  private val CmHashes = graft.operators.CountMinSketch.Hashes
 
   /** Count-Min point estimates vs exact counts — the third sketch in the
     * family (Misra–Gries `token_heavy_hitters`, HLL `events_approx_distinct`,
@@ -377,9 +376,9 @@ object ScaleCatalog {
       val kc = Tables.events(s, d)
         .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cnt"))
       val m = kc.select(col("k"), col("cnt"),
-          explode(array(CmHashes.zipWithIndex.map { case ((a, b), r) =>
+          explode(array(CmHashes.indices.map { r =>
             struct(lit(r).as("r"),
-              pmod(pmod(col("k") * a + b, lit(CmP)), lit(CmWidth)).as("bucket"))
+              graft.operators.CountMinSketch.bucketCol(r, col("k")).as("bucket"))
           }: _*)).as("h"))
         .select(col("k"), col("cnt"), col("h.r").as("r"), col("h.bucket").as("bucket"))
       val cells = m.groupBy("r", "bucket").agg(sum("cnt").as("cell_sum"))

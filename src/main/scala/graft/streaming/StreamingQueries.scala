@@ -412,6 +412,37 @@ object StreamingQueries {
       .toDF("shard", "item", "est")
   }
 
+  /** Streaming Count-Min sketch: the cell matrix of the batch
+    * `events_count_min` entry held as keyed state — one Long per
+    * (row, bucket) group, i.e. the full sketch is depth×width cells
+    * REGARDLESS of key cardinality (the definitional bounded-state
+    * sketch; contrast the heavy-hitter MG state which is capacity×shards).
+    * CM is linear, so per-batch increments commute with any arrival
+    * order/split — the final cells equal the batch build bit-for-bit
+    * (StreamingSpec replays the batch entry through
+    * [[graft.operators.CountMinSketch.estimate]] to prove it). Update
+    * mode re-emits a cell whenever it grows; probing (min over rows)
+    * happens wherever the cells are consumed, exactly as in the batch
+    * entry's broadcast probe.
+    */
+  def streamingCountMin(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Int, Int, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import events.sparkSession.implicits._
+    import graft.operators.CountMinSketch
+    events.select(col("user_id")).as[Long]
+      .flatMap(k => CountMinSketch.Hashes.indices
+        .map(r => (r, CountMinSketch.bucket(r, k))))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Int, Int, Long)](GroupStateTimeout.NoTimeout) {
+        case ((r, b), rows, state) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (r, b, c)
+      }
+  }
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

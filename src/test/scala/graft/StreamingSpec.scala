@@ -391,6 +391,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed DAU/WAU diverges from the batch entry")
   }
 
+  test("streaming Count-Min cells replay the batch entry's estimates bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.CountMinSketch
+    // CM is linear: per-batch cell increments commute with any replay
+    // split, so the final streamed cells must probe to EXACTLY the batch
+    // entry's (exact_cnt, cm_est, overcount) rows — not approximately.
+    val want = SparkEntry.queries("events_count_min")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"cm-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (r, bucket)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingCountMin(input.toDF().toDF(eventCols: _*))
+      .toDF("r", "bucket", "cell_sum")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Sinks.clear(sinkId)
+    val exact = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val got = exact.map { case (k, cnt) =>
+      val est = CountMinSketch.estimate(cells, k)
+      List[Any](k, cnt, est, est - cnt)
+    }.toSet
+    assert(got == want, "streamed CM cells diverge from the batch entry")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
