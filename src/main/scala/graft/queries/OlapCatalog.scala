@@ -499,8 +499,112 @@ object OlapCatalog {
             FROM cum c JOIN sizes s USING (cohort_month)
             ORDER BY c.cohort_month, c.month_index"""))
 
+  /** Peak concurrent sessions per day — the capacity-planning metric
+    * ("how many users were on at once, and when") computed EXACTLY by a
+    * sweep line over session intervals: +1 at each session start, −1 one
+    * second after its inclusive end, concurrency = prefix sum of the
+    * deltas in time order, peak = the day's max with `first_peak_s` the
+    * earliest second attaining it (struct-free argmin: a day-level join
+    * against the day's peak).
+    *
+    * The global prefix sum is decomposed scan-style so NO global window
+    * exists (the PlanLint hard rule): deltas aggregate per second, the
+    * running sum partitions BY UTC DAY (epoch-day integer division —
+    * timezone-free and identical in both engines), and each day's
+    * carry-in is the triangular join over the #days-sized daily-total
+    * frame — the same two-level trick a 1000-executor scan uses
+    * (per-partition prefix + broadcast partition offsets), expressed
+    * relationally. Days with no sweep point are absent by definition
+    * (their concurrency is constant; nothing peaks). Sessions reuse the
+    * `user_sessions` gaps-and-islands device (same 30-min gap, same
+    * tie-break), windows partitioned per user.
+    */
+  val peakConcurrency: CatalogEntry = CatalogEntry(
+    "user_peak_concurrency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val gapS = 1800L
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+        .withColumn("new_s",
+          when(lag("tss", 1).over(w).isNull ||
+            col("tss") - lag("tss", 1).over(w) > gapS, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("tss").as("st"), max("tss").as("en"))
+      val del = iv.select(col("st").as("t"), lit(1L).as("d"))
+        .unionByName(iv.select((col("en") + 1).as("t"), lit(-1L).as("d")))
+        .groupBy("t").agg(sum("d").as("d"))
+        .withColumn("day_idx", expr("t div 86400"))
+      val run0 = del.withColumn("run", sum("d").over(
+        Window.partitionBy("day_idx").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = del.groupBy("day_idx").agg(sum("d").as("td")).localCheckpoint()
+      val carry = tot.as("a")
+        .join(broadcast(tot.as("b")), col("b.day_idx") < col("a.day_idx"), "left")
+        .groupBy(col("a.day_idx").as("day_idx"))
+        .agg(coalesce(sum(col("b.td")), lit(0L)).as("c"))
+      val r = run0.join(broadcast(carry), Seq("day_idx"))
+        .select(col("day_idx"), col("t"), (col("run") + col("c")).as("run"))
+        .localCheckpoint()
+      val peak = r.groupBy("day_idx").agg(max("run").as("peak_sessions"))
+      val first = r.as("rr").join(broadcast(peak.as("pk")),
+          col("rr.day_idx") === col("pk.day_idx") &&
+            col("rr.run") === col("pk.peak_sessions"))
+        .groupBy(col("rr.day_idx").as("day_idx"))
+        .agg(min("t").as("first_peak_s"))
+      // Day stays TIMESTAMP (midnight UTC), the events_active_users
+      // convention — parquet DATE surfaces as a python date object the
+      // driver's hash layer cannot align with DuckDB's datetime64.
+      peak.join(broadcast(first), Seq("day_idx"))
+        .select(timestamp_seconds(col("day_idx") * 86400).as("day"),
+          col("peak_sessions"), col("first_peak_s"))
+    },
+    Some("""WITH base AS (SELECT user_id, event_id,
+                                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss FROM events),
+                 flags AS (SELECT user_id, event_id, tss,
+                                  CASE WHEN lag(tss) OVER w IS NULL
+                                            OR tss - lag(tss) OVER w > 1800
+                                       THEN 1 ELSE 0 END AS new_s
+                           FROM base
+                           WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+                 sess AS (SELECT user_id, tss,
+                                 SUM(new_s) OVER (PARTITION BY user_id
+                                                  ORDER BY tss, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS sid
+                          FROM flags),
+                 iv AS (SELECT user_id, sid, MIN(tss) AS st, MAX(tss) AS en
+                        FROM sess GROUP BY user_id, sid),
+                 pts AS (SELECT st AS t, CAST(1 AS BIGINT) AS d FROM iv
+                         UNION ALL SELECT en + 1, CAST(-1 AS BIGINT) FROM iv),
+                 del AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d, t // 86400 AS day_idx
+                         FROM pts GROUP BY t),
+                 run0 AS (SELECT day_idx, t, d,
+                                 SUM(d) OVER (PARTITION BY day_idx ORDER BY t
+                                              ROWS UNBOUNDED PRECEDING) AS run
+                          FROM del),
+                 tot AS (SELECT day_idx, CAST(SUM(d) AS BIGINT) AS td
+                         FROM del GROUP BY day_idx),
+                 carry AS (SELECT a.day_idx, CAST(COALESCE(SUM(b.td), 0) AS BIGINT) AS c
+                           FROM tot a LEFT JOIN tot b ON b.day_idx < a.day_idx
+                           GROUP BY a.day_idx),
+                 r AS (SELECT run0.day_idx, t, run + c AS run
+                       FROM run0 JOIN carry USING (day_idx)),
+                 peak AS (SELECT day_idx, CAST(MAX(run) AS BIGINT) AS peak_sessions
+                          FROM r GROUP BY day_idx),
+                 frst AS (SELECT r.day_idx, MIN(t) AS first_peak_s
+                          FROM r JOIN peak ON peak.day_idx = r.day_idx
+                                          AND r.run = peak.peak_sessions
+                          GROUP BY r.day_idx)
+            SELECT make_timestamp(p.day_idx * 86400 * 1000000) AS day,
+                   p.peak_sessions, f.first_peak_s
+            FROM peak p JOIN frst f ON f.day_idx = p.day_idx"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
-      ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv)
+      ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
+      peakConcurrency)
 }

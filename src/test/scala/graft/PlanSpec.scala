@@ -521,5 +521,13 @@ class PlanSpec extends AnyFunSuite {
     val bp = plan("token_bpe_merges")
     assert(bp.contains("LocalTableScan"),
       s"token_bpe_merges: merge table is not a local relation\n$bp")
+    // Peak concurrency: the prefix sum is day-decomposed (per-day window
+    // + broadcast carry-ins over checkpointed day totals) — no global
+    // window (PlanLint's hard rule), every day-level join broadcast.
+    val pc = plan("user_peak_concurrency")
+    assert(pc.contains("Scan ExistingRDD"),
+      s"user_peak_concurrency: day frames not checkpoint-truncated\n$pc")
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
+      s"user_peak_concurrency: day-level join not broadcast\n$pc")
   }
 }
