@@ -96,6 +96,34 @@ object Text {
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Content-defined chunking over the normalized token stream: a token
+    * whose polynomial hash (the [[rollingHash]] recurrence, applied per
+    * token) satisfies `h % mod == 0` ENDS a chunk, so boundaries are
+    * decided by content, not position — an edit re-aligns at the next
+    * boundary instead of shifting every downstream block (the
+    * rsync/Rabin-CDC property; CdcSpec proves the ≤1-chunk blast
+    * radius). Expected chunk length ≈ `mod` tokens. One per-row fold,
+    * whole-stage-codegen'd; catalog entry `doc_cdc_chunks`.
+    */
+  def cdcChunks(text: Column, mod: Int = 8): Column = {
+    def tokHash(t: Column) =
+      aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    val emptyArr = array().cast("array<string>")
+    aggregate(
+      filter(normTokens(text), t => t =!= ""),
+      struct(emptyArr.as("done"), emptyArr.as("cur")),
+      (acc, t) => bound(concat(acc.getField("cur"), array(t))) { cur2 =>
+        when(tokHash(t) % mod === 0,
+          struct(concat(acc.getField("done"),
+            array(array_join(cur2, " "))).as("done"), emptyArr.as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+      },
+      acc => concat(acc.getField("done"),
+        when(size(acc.getField("cur")) > 0,
+          array(array_join(acc.getField("cur"), " "))).otherwise(emptyArr)))
+  }
+
   /** Count of tokens contained in a fixed word set. */
   def tokensInSet(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

@@ -1790,24 +1790,8 @@ object PipelineCatalog {
   val cdcChunks: CatalogEntry = CatalogEntry(
     "doc_cdc_chunks",
     (s, d) => {
-      def tokHash(t: org.apache.spark.sql.Column) =
-        aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
-          (acc, c) => (acc * 31 + ascii(c)) % CdcP)
-      val emptyArr = array().cast("array<string>")
-      val chunksCol = aggregate(
-        filter(Text.normTokens(col("text")), t => t =!= ""),
-        struct(emptyArr.as("done"), emptyArr.as("cur")),
-        (acc, t) => Text.bound(concat(acc.getField("cur"), array(t))) { cur2 =>
-          when(tokHash(t) % CdcMod === 0,
-            struct(concat(acc.getField("done"),
-              array(array_join(cur2, " "))).as("done"), emptyArr.as("cur")))
-            .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
-        },
-        acc => concat(acc.getField("done"),
-          when(size(acc.getField("cur")) > 0,
-            array(array_join(acc.getField("cur"), " "))).otherwise(emptyArr)))
       val chunks = documents(s, d)
-        .select(col("doc_id"), explode(chunksCol).as("chunk"))
+        .select(col("doc_id"), explode(Text.cdcChunks(col("text"), CdcMod)).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("fp"))
       val nd = chunks.groupBy("fp").agg(countDistinct("doc_id").as("ndocs"))
       val per = chunks.join(nd, Seq("fp"))

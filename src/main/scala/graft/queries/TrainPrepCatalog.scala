@@ -778,8 +778,77 @@ object TrainPrepCatalog {
            $rows"""
     })
 
+  /** The dataset card — the per-source datasheet a corpus release ships
+    * (Datasheets-for-Datasets style): volume (docs, tokens, mean length),
+    * dominant language, exact-duplicate exposure (share of docs whose
+    * normalized content hash occurs ≥2 times CORPUS-WIDE — cross-source
+    * duplication counts against both sources), and the train-split share
+    * under THE split definition (`splitHx` — the same salt/bounds as
+    * `doc_split_assign`, so the card can never disagree with the split).
+    *
+    * One summary artifact composed from four aggregates: the corpus is
+    * touched once to build the per-doc projection (tokens / hash / split
+    * flag — all per-row), the duplicate exposure rides the exact-dedup
+    * groupBy on the 16-byte hash (the irreducible dedup shuffle), and
+    * everything after is source-level — top-lang via the max-count +
+    * max-lang tie-break join (both engines pin ties identically), card
+    * assembly via broadcast joins. Ratios are exact-integer divisions,
+    * ROUND 6, the file-wide device.
+    */
+  val datasetCard: CatalogEntry = CatalogEntry(
+    "pipeline_dataset_card",
+    (s, d) => {
+      val docs = documents(s, d).select(col("source"), col("lang"),
+          size(Text.normTokens(col("text"))).cast("long").as("ntok"),
+          Text.contentHash(col("text")).as("h"),
+          (splitHx(col("doc_id")) < TrainBound).as("is_train"))
+      val dupes = docs.groupBy("h").agg(count(lit(1)).as("nh"))
+      val base = docs.join(dupes, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+          count(when(col("nh") >= 2, 1)).as("n_dup"),
+          count(when(col("is_train"), 1)).as("n_train"))
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val mx = lc.groupBy("source").agg(max("c").as("mc"))
+      val top = lc.join(broadcast(mx), Seq("source"))
+        .filter(col("c") === col("mc"))
+        .groupBy("source").agg(max("lang").as("top_lang"))
+      base.join(broadcast(top), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_tokens"),
+          col("top_lang"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_doc_ratio"),
+          round(col("n_train").cast("double") / col("n_docs"), 6).as("train_share"))
+    },
+    Some(s"""WITH docs AS (SELECT source, lang,
+                                  CAST(len($normToksSql) AS BIGINT) AS ntok,
+                                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                                  ${splitHxSql("doc_id")} AS hx
+                           FROM documents),
+                  dupes AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nh
+                            FROM docs GROUP BY h),
+                  base AS (SELECT source,
+                                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                                  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                                  CAST(COUNT(*) FILTER (WHERE nh >= 2) AS BIGINT) AS n_dup,
+                                  CAST(COUNT(*) FILTER (WHERE hx < '$TrainBound') AS BIGINT)
+                                    AS n_train
+                           FROM docs JOIN dupes USING (h) GROUP BY source),
+                  lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM docs GROUP BY source, lang),
+                  mx AS (SELECT source, MAX(c) AS mc FROM lc GROUP BY source),
+                  top AS (SELECT lc.source, MAX(lang) AS top_lang
+                          FROM lc JOIN mx ON mx.source = lc.source AND lc.c = mx.mc
+                          GROUP BY lc.source)
+             SELECT b.source, b.n_docs, b.n_tokens,
+                    ROUND(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 6) AS mean_doc_tokens,
+                    t.top_lang,
+                    ROUND(CAST(b.n_dup AS DOUBLE) / b.n_docs, 6) AS dup_doc_ratio,
+                    ROUND(CAST(b.n_train AS DOUBLE) / b.n_docs, 6) AS train_share
+             FROM base b JOIN top t ON t.source = b.source"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
-    tokenDiversity, ksDrift, bpeMerges)
+    tokenDiversity, ksDrift, bpeMerges, datasetCard)
 }

@@ -83,6 +83,30 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
   }
 
+  test("cdcChunks: a front insertion perturbs at most the chunk containing the seam") {
+    import spark.implicits._
+    import graft.functions.Text
+    // The Rabin-CDC property the operator exists for: boundaries are
+    // per-token content, so prepending text changes only chunks up to
+    // the first boundary at/after the seam — every later chunk
+    // re-aligns identically. Fixed blocks (doc_block_dedup's cutting)
+    // would shift ALL of them.
+    val base = Tables.documents(spark, sf0001)
+      .select(col("text")).as[String].head(5)
+    base.foreach { t =>
+      val Seq(orig, edited) = Seq(t, "breaking news inserted here " + t)
+        .toDF("text")
+        .select(Text.cdcChunks(col("text")).as("cs"))
+        .as[Seq[String]].collect().toSeq
+      val lost = orig.toSet -- edited.toSet
+      assert(lost.size <= 1,
+        s"CDC blast radius ${lost.size} > 1 chunk for a front edit: $lost")
+      assert(orig.nonEmpty && orig.mkString(" ") ==
+        t.trim.toLowerCase.replaceAll("\\s+", " "),
+        "chunks must partition the normalized text")
+    }
+  }
+
   test("dropNearDuplicates removes pair losers from the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = SparkEntry.queries("doc_near_dup_lsh")(spark, sf0001)

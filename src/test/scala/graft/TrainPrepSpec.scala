@@ -210,4 +210,88 @@ class TrainPrepSpec extends AnyFunSuite {
     val expect = 1.0 - counts.map(c => c.toDouble * c / n / n).sum
     assert(math.abs(div - expect) < 1e-6, s"$src diversity $div vs $expect")
   }
+
+  test("token_bpe_merges: a plain-Scala BPE replays the distributed merge path exactly") {
+    // Third implementation (after the Spark fold and the oracle's CTE
+    // chain): reference BPE in driver-side Scala over the same word
+    // counts — greedy leftmost rewrite, (count desc, pair asc) argmax.
+    val wc = Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(graft.functions.Text.normTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).split("").filter(_.nonEmpty).toVector -> r.getLong(1))
+    var words = wc.toVector
+    val expect = (1 to 5).map { k =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, c) =>
+        sym.sliding(2).filter(_.size == 2).foreach(p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c)
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      words = words.map { case (sym, cnt) =>
+        sym.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.dropRight(1) :+ (a + b)
+          else acc :+ s
+        } -> cnt
+      }
+      (k.toLong, a, b, a + b, c)
+    }
+    val got = run("token_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"merge paths diverge:\n got=$got\nwant=$expect")
+  }
+
+  test("source_ks_drift: bounds, full upper triangle, one pair recounted exactly") {
+    val rows = run("source_ks_drift").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val sources = Tables.documents(spark, TestSpark.sf0001)
+      .select("source").distinct().count().toInt
+    assert(rows.length == sources * (sources - 1) / 2, "not the full upper triangle")
+    rows.foreach { case (a, b, ks) =>
+      assert(a < b && ks >= 0.0 && ks <= 1.0, s"($a,$b) ks=$ks")
+    }
+    // Exact recount of one pair in plain Scala.
+    val (sa, sb, ks) = rows.head
+    val byDoc = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Text.normTokens(col("text"))).as("x"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val va = byDoc.filter(_._1 == sa).map(_._2).sorted
+    val vb = byDoc.filter(_._1 == sb).map(_._2).sorted
+    val grid = (va ++ vb).distinct.sorted
+    val d = grid.map { x =>
+      math.abs(va.count(_ <= x).toDouble / va.length -
+        vb.count(_ <= x).toDouble / vb.length)
+    }.max
+    assert(math.abs(ks - d) < 1e-6, s"($sa,$sb): $ks vs recount $d")
+  }
+
+  test("pipeline_dataset_card: card lines total out against direct per-source recounts") {
+    val card = run("pipeline_dataset_card").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    assert(card.size == docs.select("source").distinct().count())
+    val nBySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_docs") == nBySrc(src))
+      val share = r.getAs[Double]("train_share")
+      val dup = r.getAs[Double]("dup_doc_ratio")
+      assert(share >= 0 && share <= 1 && dup >= 0 && dup <= 1)
+    }
+    // The split share must agree with THE split definition's entry.
+    val trainBySrc = run("doc_split_assign")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("split") === "train")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { case (src, r) =>
+      val want = math.round(trainBySrc.getOrElse(src, 0L).toDouble / nBySrc(src) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("train_share") - want) < 1e-9,
+        s"$src train_share disagrees with doc_split_assign")
+    }
+  }
 }
