@@ -562,6 +562,75 @@ object EmbeddingCatalog {
             ${shortlistRerankSql("iscored", "iscore")}"""
     })
 
+  /** One half (32 bits) of the packed sign code: bit j set iff dimension
+    * `half*32 + j` is strictly positive. Two BIGINT halves rather than one
+    * 64-bit word because DuckDB's `<<` raises on `1 << 63` — the split
+    * keeps every shift literal ≤ 2^31 and both engines in plain signed
+    * arithmetic. Same string drives the Spark expr (0-based element
+    * access) and the oracle (1-based).
+    */
+  private[graft] def bqPackExpr(half: Int, v: String, oneBased: Boolean): String =
+    (0 until 32).map { j =>
+      val idx = half * 32 + j + (if (oneBased) 1 else 0)
+      s"(CASE WHEN CAST($v[$idx] AS DOUBLE) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Scoring CTEs of the binary-quantization oracle: pack each vector to
+    * two sign-bit halves, score every (query, candidate) pair by Hamming
+    * similarity = 64 − popcount(xor) summed over the halves.
+    */
+  private lazy val bqScoredCtes =
+    s"""bq AS (SELECT vec_id,
+                      ${bqPackExpr(0, "embedding", oneBased = true)} AS h0,
+                      ${bqPackExpr(1, "embedding", oneBased = true)} AS h1
+               FROM embeddings),
+        hscored AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id,
+                           CAST(64 - bit_count(xor(qq.h0, cc.h0))
+                                   - bit_count(xor(qq.h1, cc.h1)) AS DOUBLE) AS hscore
+                    FROM bq qq JOIN bq cc ON cc.vec_id != qq.vec_id
+                    WHERE qq.vec_id < $NQueries)"""
+
+  private lazy val bqOracleSql =
+    s"WITH $bqScoredCtes, ${shortlistRerankSql("hscored", "hscore")}"
+
+  /** Binary-quantization ANN (1-bit sign codes — the BQ path of modern
+    * vector stores): each 64-dim vector compresses to ONE 8-byte code
+    * (a sign bit per dimension, packed via [[bqPackExpr]]), the
+    * shortlist scans the corpus in code space with Hamming similarity —
+    * two XOR + POPCNT ops per pair, integer-exact, bit-identical across
+    * engines, no float fold anywhere in the hot loop — and the exact
+    * full-width cosine reranks only the top-[[ShortlistC]] through the
+    * shared [[shortlistRerank]] tail.
+    *
+    * Sign-agreement concentration (Charikar 2002: P[bits agree] =
+    * 1 − θ/π per direction) is what makes 64 axis sign bits a usable
+    * angular proxy; the exact rerank absorbs the quantization loss, and
+    * [[knnRecall]]'s `bq` rows measure that loss as data instead of
+    * asserting it. At 100 TB this is the minimum-bytes shortlist of the
+    * quantization family: 8 B/vector — 32× fewer scan bytes than the
+    * float corpus, 8× fewer than [[knnSq8]] — Hamming ties broken by the
+    * rerank's deterministic (score, vec_id) order, popcount vectorizes,
+    * and the rerank touches ShortlistC·|queries| rows via the broadcast
+    * semi-lookup.
+    */
+  val knnBq: CatalogEntry = CatalogEntry(
+    "emb_knn_bq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val codes = emb.select(col("vec_id"),
+        expr(bqPackExpr(0, "embedding", oneBased = false)).as("h0"),
+        expr(bqPackExpr(1, "embedding", oneBased = false)).as("h1"))
+      val corpus = codes.select(col("vec_id").as("cand_id"),
+        col("h0").as("c0"), col("h1").as("c1"))
+      val queries = codes.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("h0").as("q0"), col("h1").as("q1"))
+      val scored = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          expr("CAST(64 - bit_count(c0 ^ q0) - bit_count(c1 ^ q1) AS DOUBLE)").as("score"))
+      shortlistRerank(emb, scored)
+    },
+    Some(bqOracleSql))
+
   /** ANN quality measured as data, not guessed: per-query recall@K of
     * the LSH index against the exact brute-force answer — the diagnostic
     * every index deployment runs before trusting an approximate path.
@@ -593,10 +662,12 @@ object EmbeddingCatalog {
       }
       recallOf("lsh", knnLsh.build(s, d))
         .unionByName(recallOf("mrl_ivf", knnMrlIvf.build(s, d)))
+        .unionByName(recallOf("bq", knnBq.build(s, d)))
     },
     Some(s"""WITH brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
                   lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql) tl),
-                  mrlivf AS (SELECT query_id, vec_id FROM ($mrlIvfOracleSql) tm)
+                  mrlivf AS (SELECT query_id, vec_id FROM ($mrlIvfOracleSql) tm),
+                  bq AS (SELECT query_id, vec_id FROM ($bqOracleSql) tq)
              SELECT 'lsh' AS idx, b.query_id, COUNT(*) AS k,
                     CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
                     ROUND(COUNT(l.vec_id) / CAST($K AS DOUBLE), 6) AS recall
@@ -609,6 +680,13 @@ object EmbeddingCatalog {
                     ROUND(COUNT(m.vec_id) / CAST($K AS DOUBLE), 6) AS recall
              FROM brute b LEFT JOIN mrlivf m
                ON m.query_id = b.query_id AND m.vec_id = b.vec_id
+             GROUP BY b.query_id
+             UNION ALL
+             SELECT 'bq' AS idx, b.query_id, COUNT(*) AS k,
+                    CAST(COUNT(q.vec_id) AS BIGINT) AS hits,
+                    ROUND(COUNT(q.vec_id) / CAST($K AS DOUBLE), 6) AS recall
+             FROM brute b LEFT JOIN bq q
+               ON q.query_id = b.query_id AND q.vec_id = b.vec_id
              GROUP BY b.query_id"""))
 
   private val PqM = 8 // subspaces
@@ -1412,7 +1490,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall)
 }

@@ -1110,8 +1110,115 @@ object NearDupCatalog {
              GROUP BY src_a, src_b, n_total
              ORDER BY src_a, src_b"""))
 
+  private val WinGram = 3 // winnowing k-gram size (matches the shingle width)
+  private val WinWindow = 4 // consecutive gram hashes per winnowing window
+  private val WinPosScale = 16777216L // 2^24 — far above any per-doc gram count
+  private val WinDfCap = 100 // fingerprints in more docs are boilerplate; drop
+  private val WinMinShared = 2 // report pairs sharing at least this many prints
+
+  /** Winnowing fingerprint overlap (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS selector): hash every positional [[WinGram]]-gram with the
+    * house rolling hash, slide a [[WinWindow]]-hash window over each
+    * document, and keep each window's minimum — rightmost on hash ties,
+    * encoded arithmetically as `MIN(h·2^24 − pos)` so one window-min
+    * aggregate yields both the winning hash and the tie rule (no nested
+    * window-over-window). Windows are "prefix-padded": every gram
+    * position closes a window (frames shorter than W at the start), i.e.
+    * winnowing after padding the hash stream with +∞ — docs shorter than
+    * one full window still fingerprint, and both engines state the same
+    * frame (`ROWS BETWEEN W−1 PRECEDING AND CURRENT ROW`). Unlike the
+    * set-based shingle family above, selected prints carry POSITIONAL
+    * evidence: winnowing guarantees any shared run of ≥ W+K−1 tokens
+    * yields a shared print, so `shared` lower-bounds copied-run count —
+    * the plagiarism/quote detector, not a similarity estimate.
+    *
+    * Scale: selection is per-row (one window shuffle on doc_id);
+    * candidate generation is a fingerprint-bucket equi-join — never
+    * all-pairs — after a df-cap ([[WinDfCap]]) kills boilerplate hot
+    * keys, the same ubiquity guard the heavy-hitter entries apply.
+    * Overlap denominators use the POST-cap print sets, so the ratio is
+    * consistent with the join domain. The 3-use `kept` frame is tiny
+    * (prints, not grams) and localCheckpoint'd once.
+    */
+  val winnowOverlap: CatalogEntry = CatalogEntry(
+    "doc_winnow_overlap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Text
+      val grams = documents(s, d)
+        .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
+        .filter(size(col("tl")) >= WinGram)
+        .select(col("doc_id"),
+          posexplode(Text.wordNgrams(col("tl"), WinGram)).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Text.rollingHash(col("g")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(WinWindow - 1), Window.currentRow)
+      val kept = grams
+        .select(col("doc_id"),
+          min(col("h") * WinPosScale - col("pos")).over(w).as("wk"))
+        .select(col("doc_id"),
+          expr(s"(wk + ${WinPosScale - 1}) DIV $WinPosScale").as("h"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val rare = kept.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinDfCap).select("h")
+      val capped = kept.join(rare, Seq("h"), "left_semi")
+        .localCheckpoint(eager = true)
+      val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinMinShared)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+            .as("overlap"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      // DuckDB's range() rejects lateral column bounds, so positions ride
+      // a {'pos', 'g'} struct comprehension (0-based pos to match Spark's
+      // posexplode); the hash body is the doc_fingerprint rolling-hash
+      // mirror applied to the gram string.
+      val gramHashSql =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(lower(trim(pg.g)), ''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)"""
+      s"""WITH toks AS (SELECT doc_id, ${PipelineCatalog.normToksSql} AS tl FROM documents),
+            grams AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, $gramHashSql AS h
+                      FROM (SELECT doc_id,
+                              unnest([{'pos': i - 1, 'g': array_to_string(tl[i:i+${WinGram - 1}], ' ')}
+                                      for i in range(1, len(tl) - ${WinGram - 2})]) AS pg
+                            FROM toks WHERE len(tl) >= $WinGram)),
+            sel AS (SELECT doc_id,
+                           MIN(h * $WinPosScale - pos) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN ${WinWindow - 1} PRECEDING AND CURRENT ROW) AS wk
+                    FROM grams),
+            fps AS (SELECT DISTINCT doc_id,
+                           (wk + ${WinPosScale - 1}) // $WinPosScale AS h FROM sel),
+            rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM fps GROUP BY h)
+                     WHERE df <= $WinDfCap),
+            kept AS (SELECT doc_id, h FROM fps WHERE h IN (SELECT h FROM rare)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS shared
+                   FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= $WinMinShared)
+          SELECT doc_a, doc_b, shared,
+                 ROUND(CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap
+          FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+                  JOIN sz sb ON sb.doc_id = pr.doc_b
+          ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
-    sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix)
+    sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
+    winnowOverlap)
 }

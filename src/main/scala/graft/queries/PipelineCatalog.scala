@@ -296,6 +296,64 @@ object PipelineCatalog {
              WHERE c_ab >= 5
              ORDER BY assoc DESC, tok_a, tok_b LIMIT 20"""))
 
+  private val FluencyScale = 1000000L // integer-lattice probability scale
+
+  /** Per-document fluency score under the corpus's own MLE bigram model —
+    * the transcendental-free analog of perplexity-based quality filtering
+    * (CCNet scores documents with a 5-gram KenLM; here the model is the
+    * corpus bigram table and the score is the mean conditional
+    * probability instead of its log, which ranks garbled text the same
+    * way without an `ln()` whose last bit differs across engines). Each
+    * bigram position contributes `floor(1e6·c(xy)/c(x·))` — one exact
+    * integer division on exact counts — so the per-doc sum is a BIGINT,
+    * partition-order-free, and the single closing division is one
+    * correctly-rounded IEEE op in both engines. Docs with < 2 tokens
+    * have no bigram evidence and are omitted (scoring them 0 would
+    * conflate "unscorable" with "maximally disfluent").
+    *
+    * 100 TB shape: bigram counts are one (x,y)-keyed aggregation of the
+    * token stream; the left marginal c(x·) is re-aggregated OFF the
+    * count table (vocabulary²-bounded), never a second corpus pass; the
+    * per-position score join keys on (x,y) against that same table —
+    * corpus-linear work, and the marginal table is broadcastable at any
+    * scale (vocabulary-bounded).
+    */
+  val bigramFluency: CatalogEntry = CatalogEntry(
+    "doc_bigram_fluency",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
+      val bg = toks.filter(size(col("tl")) >= 2)
+        .select(col("doc_id"), explode(Text.wordNgrams(col("tl"), 2)).as("bgs"))
+        .select(col("doc_id"),
+          split(col("bgs"), " ").getItem(0).as("x"),
+          split(col("bgs"), " ").getItem(1).as("y"))
+      val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val cx = cxy.groupBy("x").agg(sum("c_xy").as("c_x"))
+      bg.join(cxy, Seq("x", "y"))
+        .join(cx, Seq("x"))
+        .select(col("doc_id"), expr(s"(c_xy * $FluencyScale) DIV c_x").as("sc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("sc").as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ssum").cast("double") /
+            (col("n_bigrams") * FluencyScale).cast("double"), 6).as("fluency"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH src AS (SELECT doc_id, $normToksSql AS tl FROM documents),
+                  bg AS (SELECT doc_id, g[1] AS x, g[2] AS y
+                         FROM (SELECT doc_id,
+                                 unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
+                               FROM src WHERE len(tl) >= 2)),
+                  cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+                  cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+                  sc AS (SELECT doc_id, (c_xy * $FluencyScale) // c_x AS sc
+                         FROM bg JOIN cxy USING (x, y) JOIN cx USING (x))
+             SELECT doc_id, COUNT(*) AS n_bigrams,
+                    ROUND(CAST(SUM(sc) AS DOUBLE) /
+                          CAST(COUNT(*) * $FluencyScale AS DOUBLE), 6) AS fluency
+             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -1855,5 +1913,5 @@ object PipelineCatalog {
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
-      blockDedup, cdcChunks)
+      blockDedup, cdcChunks, bigramFluency)
 }

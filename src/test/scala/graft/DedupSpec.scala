@@ -107,6 +107,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_winnow_overlap: a long shared token run is caught, disjoint docs are not") {
+    // The winnowing guarantee (Schleimer 2003 §3): any shared run of
+    // >= W + K - 1 = 6 tokens yields at least one shared fingerprint.
+    // The 16-token run here yields several, clearing the shared >= 2
+    // reporting floor; the disjoint-vocabulary doc must produce nothing.
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    val sharedRun = (10 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (1L, "alpha beta gamma delta " + sharedRun + " epsilon zeta"),
+      (2L, (1 to 30).map(i => s"other$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"tok$i").mkString(" ")) // identical to doc 0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s1").as("source"), length(col("text")).cast("long").as("n_chars"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("doc_winnow_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.contains((0L, 1L)), s"shared-run pair missed: ${got.keySet}")
+    assert(got((0L, 3L))._2 == 1.0, "identical docs must overlap 1.0")
+    // Doc 3 is byte-identical to doc 0, so its sharing with doc 1 matches.
+    assert(got((1L, 3L))._1 == got((0L, 1L))._1)
+    assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      "disjoint-vocabulary doc produced a pair")
+  }
+
   test("dropNearDuplicates removes pair losers from the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = SparkEntry.queries("doc_near_dup_lsh")(spark, sf0001)

@@ -115,14 +115,15 @@ class EmbeddingSpec extends AnyFunSuite {
   test("emb_knn_recall: one row per (index, query), hits bounded by k, matches a direct recount") {
     val got = run("emb_knn_recall").cache()
     val queries = run("emb_knn_brute").select("query_id").distinct().count()
-    // Two indexed rows per query: lsh and mrl_ivf.
-    assert(got.count() == 2 * queries)
-    assert(got.select("idx").distinct().count() == 2)
+    // Three indexed rows per query: lsh, mrl_ivf, and bq.
+    assert(got.count() == 3 * queries)
+    assert(got.select("idx").distinct().count() == 3)
     assert(got.filter(col("k") =!= 5 || col("hits") < 0 || col("hits") > col("k") ||
       col("recall") < 0 || col("recall") > 1).count() == 0)
     // Direct recount per index: intersection of the result sets per query.
     val b = run("emb_knn_brute").select("query_id", "vec_id")
-    Seq("lsh" -> "emb_knn_lsh", "mrl_ivf" -> "emb_knn_mrl_ivf").foreach {
+    Seq("lsh" -> "emb_knn_lsh", "mrl_ivf" -> "emb_knn_mrl_ivf",
+      "bq" -> "emb_knn_bq").foreach {
       case (idx, entry) =>
         val inter = b.intersect(run(entry).select("query_id", "vec_id"))
           .groupBy("query_id").count()
@@ -331,5 +332,34 @@ class EmbeddingSpec extends AnyFunSuite {
       assert(rayleigh(u) <= rv + 1e-6,
         "a random direction beat the power-iteration direction")
     }
+  }
+
+  test("bq sign packing: popcount of the packed halves equals the positive-dim count") {
+    import graft.queries.EmbeddingCatalog
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val bad = emb.select(
+      expr(EmbeddingCatalog.bqPackExpr(0, "embedding", oneBased = false)).as("h0"),
+      expr(EmbeddingCatalog.bqPackExpr(1, "embedding", oneBased = false)).as("h1"),
+      size(filter(col("embedding"), x => x.cast("double") > 0)).as("npos"))
+      .filter(expr("bit_count(h0) + bit_count(h1)") =!= col("npos"))
+    assert(bad.count() == 0, "packed sign bits disagree with a direct positive-dim recount")
+  }
+
+  test("emb_knn_bq: 5 ranked per query, exact-rerank scores bounded by brute top-1") {
+    val got = run("emb_knn_bq")
+    val queries = got.select("query_id").distinct().count()
+    assert(got.count() == queries * 5)
+    assert(got.filter(col("query_id") === col("vec_id")).count() == 0)
+    val w = Window.partitionBy("query_id").orderBy("rn")
+    assert(got.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev") < col("score")).count() == 0)
+    // The rerank is the exact cosine, so no BQ top-1 can beat brute's.
+    val brute1 = run("emb_knn_brute").filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect().toMap
+    got.filter(col("rn") === 1)
+      .select("query_id", "score").as[(Long, Double)].collect()
+      .foreach { case (q, s) =>
+        assert(s <= brute1(q) + 1e-9, s"query $q: BQ top-1 $s beats brute ${brute1(q)}")
+      }
   }
 }

@@ -530,4 +530,30 @@ class PlanSpec extends AnyFunSuite {
     assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
       s"user_peak_concurrency: day-level join not broadcast\n$pc")
   }
+
+  test("round-10 wave-3 entries keep their declared scale shapes") {
+    // BQ ANN: the Hamming shortlist scan scores the packed codes against
+    // the BROADCAST query codes (the brute/SQ8 linear-scan pattern — a
+    // nested-loop against 8 broadcast rows, never a corpus sort-merge or
+    // cartesian), and both popcount halves run inside the scan.
+    val bq = plan("emb_knn_bq")
+    assert(!bq.contains("SortMergeJoin") && !bq.contains("CartesianProduct"),
+      s"emb_knn_bq: corpus-side shuffle crept into the code scan\n$bq")
+    assert(bq.contains("bit_count"),
+      s"emb_knn_bq: Hamming popcount not in the scan\n$bq")
+    // Winnowing: selection is ONE doc_id-partitioned window (never
+    // unpartitioned); the print frames are checkpoint-truncated; the
+    // pair stage is an equi join on the fingerprint, not a nested loop.
+    val wn = plan("doc_winnow_overlap")
+    assert(wn.contains("Scan ExistingRDD"),
+      s"doc_winnow_overlap: print set no longer checkpoint-truncated\n$wn")
+    assert(!wn.contains("BroadcastNestedLoopJoin") && !wn.contains("CartesianProduct"),
+      s"doc_winnow_overlap: pair stage stopped being a bucket equi join\n$wn")
+    // Fluency: per-position scores join on token keys — no window, no
+    // nested loop, no cartesian anywhere.
+    val fl = plan("doc_bigram_fluency")
+    assert(!fl.contains("Window") && !fl.contains("CartesianProduct") &&
+      !fl.contains("BroadcastNestedLoopJoin"),
+      s"doc_bigram_fluency: unexpected window/nested-loop\n$fl")
+  }
 }

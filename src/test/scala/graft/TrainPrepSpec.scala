@@ -294,4 +294,30 @@ class TrainPrepSpec extends AnyFunSuite {
         s"$src train_share disagrees with doc_split_assign")
     }
   }
+
+  test("doc_bigram_fluency: a plain-Scala bigram model replays the lattice scores exactly") {
+    val norm = (t: String) => t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val corpus = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)).split(" ").toSeq).toMap
+    val bigrams = corpus.values.toSeq.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+    val cxy = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = corpus.collect { case (id, t) if t.length >= 2 =>
+      // The exact arithmetic the entry performs: BIGINT lattice sum, one
+      // IEEE double division, Spark's HALF_UP 6-decimal round.
+      val scores = t.zip(t.tail).map(bg => cxy(bg) * 1000000L / cx(bg._1))
+      val f = BigDecimal(scores.sum.toDouble / (scores.length * 1000000L).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> (t.length - 1L, f)
+    }
+    val got = run("doc_bigram_fluency").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet, "scored doc sets differ")
+    want.foreach { case (id, (n, f)) =>
+      assert(got(id)._1 == n, s"doc $id: bigram count ${got(id)._1} != $n")
+      assert(got(id)._2 == f, s"doc $id: fluency ${got(id)._2} != $f")
+    }
+  }
 }
