@@ -1110,6 +1110,61 @@ object NearDupCatalog {
              GROUP BY src_a, src_b, n_total
              ORDER BY src_a, src_b"""))
 
+  /** Train/eval leakage through NEAR-duplicates: every ≥-threshold LSH
+    * pair bucketed by its unordered split pair (THE split definition —
+    * [[TrainPrepCatalog.splitAssign]] composed verbatim, oracle CTEs
+    * included, so this audit can never measure a different split than
+    * the one assigned). The split hash keys on doc_id, not content, so
+    * duplicated CONTENT lands in independent splits — off-diagonal
+    * cells with `leaked = true` are eval rows whose near-twin is in
+    * train, the contamination that silently inflates held-out metrics
+    * (a content-keyed split would fix exact dups but still not
+    * near-dups; this matrix measures the real exposure either way).
+    * The expected cross-split share under independence is
+    * 2·(0.9·0.05 + 0.9·0.05 + 0.05·0.05) ≈ 9.5% of dup pairs — a
+    * pipeline gate alerts when the TRAIN-EVAL cells are nonzero at all.
+    *
+    * Shape: rides the shared checkpointed LSH edge list (the
+    * components/PageRank frame); split labels are per-row md5
+    * projections attached by two doc_id-keyed joins (at fleet scale the
+    * label rides the signature stage's own columns instead); the cell
+    * aggregate is 3²-bounded and the total is ONE broadcast scalar —
+    * the `source_dup_matrix` shape pointed at the split axis.
+    */
+  val splitLeakage: CatalogEntry = CatalogEntry(
+    "doc_split_leakage",
+    (s, d) => {
+      val e = lshEdges(s, d)
+      val sp = TrainPrepCatalog.splitAssign.build(s, d)
+      val pairs = e
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      pairs.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          (col("split_a") =!= col("split_b")).as("leaked"),
+          round(col("n_pairs").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy("split_a", "split_b")
+    },
+    Some {
+      val splitSql = TrainPrepCatalog.splitAssign.oracle.get
+      s"""WITH RECURSIVE $lshPairsCtesSql,
+            sp AS (SELECT LEAST(pa.split, pb.split) AS split_a,
+                          GREATEST(pa.split, pb.split) AS split_b
+                   FROM lsh_pairs p
+                   JOIN ($splitSql) pa ON pa.doc_id = p.doc_a
+                   JOIN ($splitSql) pb ON pb.doc_id = p.doc_b),
+            tot AS (SELECT COUNT(*) AS n_total FROM sp)
+          SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 split_a <> split_b AS leaked,
+                 ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS share
+          FROM sp, tot GROUP BY split_a, split_b, n_total
+          ORDER BY split_a, split_b"""
+    })
+
   private val WinGram = 3 // winnowing k-gram size (matches the shingle width)
   private val WinWindow = 4 // consecutive gram hashes per winnowing window
   private val WinPosScale = 16777216L // 2^24 — far above any per-doc gram count
@@ -1220,5 +1275,5 @@ object NearDupCatalog {
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
-    winnowOverlap)
+    winnowOverlap, splitLeakage)
 }

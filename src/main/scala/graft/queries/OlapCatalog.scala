@@ -602,9 +602,102 @@ object OlapCatalog {
                    p.peak_sessions, f.first_peak_s
             FROM peak p JOIN frst f ON f.day_idx = p.day_idx"""))
 
+  /** Sequential-pattern mining over user event streams, restricted to
+    * CONTIGUOUS length-3 type sequences — the restriction is the scale
+    * design: general subsequence support (PrefixSpan/SPAM) is
+    * combinatorial in stream length, while contiguous n-grams cost one
+    * lead-window pass, LINEAR in events. Support counts DISTINCT users
+    * (a loop-happy user must not dominate the ranking), so the pipeline
+    * is window → per-user distinct → types³-bounded aggregate → global
+    * top-10 (TakeOrdered, never a full sort), ties broken
+    * lexicographically.
+    */
+  val eventsSeqTrigrams: CatalogEntry = CatalogEntry(
+    "events_seq_trigrams",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"), col("event_type").as("t1"), col("t2"), col("t3"))
+        .distinct()
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    },
+    Some("""WITH tri AS (
+              SELECT DISTINCT user_id, t1, t2, t3 FROM (
+                SELECT user_id, event_type AS t1,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS t2,
+                       lead(event_type, 2) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS t3
+                FROM events)
+              WHERE t3 IS NOT NULL)
+            SELECT t1, t2, t3, COUNT(*) AS support
+            FROM tri GROUP BY t1, t2, t3
+            ORDER BY support DESC, t1, t2, t3 LIMIT 10"""))
+
+  /** Inter-purchase cadence per market segment: exact percentiles of the
+    * per-customer day gaps between consecutive orders — the
+    * replenishment-cycle report behind churn alarms ("customer is 2×
+    * past their segment's p90 gap") and demand forecasting. Gap values
+    * depend only on each customer's sorted date multiset, so the
+    * (o_orderdate, o_orderkey) tie-break pins plan determinism without
+    * affecting the statistics.
+    *
+    * Scale: ONE custkey-keyed shuffle serves both the lag window and the
+    * segment join (same key — the join reuses the window's
+    * partitioning rather than re-shuffling the gap rows); the aggregate
+    * has 5 groups. Exact `percentile` holds because per-GROUP data is
+    * segment-sized; the sketch swap at extreme scale is the
+    * `value_p90_sketch` device, already in the catalog.
+    */
+  val customerOrderGaps: CatalogEntry = CatalogEntry(
+    "customer_order_gaps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev", lag("o_orderdate", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
+            .cast("long").as("gap_days"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+      gaps.join(seg, Seq("o_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_days").as("min_gap"),
+          round(expr("percentile(gap_days, 0.5)"), 6).as("median_gap"),
+          round(expr("percentile(gap_days, 0.9)"), 6).as("p90_gap"),
+          max("gap_days").as("max_gap"))
+        .orderBy("segment")
+    },
+    Some("""WITH g AS (SELECT o_custkey,
+                              date_diff('day',
+                                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS DATE),
+                                CAST(o_orderdate AS DATE)) AS gap_days
+                       FROM orders),
+                 sg AS (SELECT c.c_mktsegment AS segment, gap_days
+                        FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+                        WHERE gap_days IS NOT NULL)
+            SELECT segment, COUNT(*) AS n_gaps,
+                   MIN(gap_days) AS min_gap,
+                   ROUND(quantile_cont(gap_days, 0.5), 6) AS median_gap,
+                   ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap,
+                   MAX(gap_days) AS max_gap
+            FROM sg GROUP BY segment ORDER BY segment"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
-      peakConcurrency)
+      peakConcurrency, eventsSeqTrigrams, customerOrderGaps)
 }

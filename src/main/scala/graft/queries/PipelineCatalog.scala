@@ -461,41 +461,90 @@ object PipelineCatalog {
     "es" -> Seq("el", "la", "los", "que", "y", "es", "una"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
 
+  /** Adds `pred_lang` + `best_score` (and the per-language scores) to a
+    * documents frame — the ONE scoring/argmax definition shared by
+    * [[langId]] and [[langIdConfusion]], so the confusion matrix cannot
+    * drift from the classifier it claims to audit.
+    */
+  private def withLangPred(df: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang",
+        Text.tokensInSet(Text.normTokens(col("text")), words).cast("long"))
+    }
+    val best = langProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
+    val pred = langProfiles.foldRight(lit("und")) { case ((lang, _), els) =>
+      when(col(s"score_$lang") === col("best_score") && col("best_score") > 0, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("best_score", best).withColumn("pred_lang", pred)
+  }
+
+  /** Oracle mirror of [[withLangPred]]: doc_id, declared lang, pred_lang,
+    * best_score over `documents`. Shared by both oracles.
+    */
+  private val langPredSql: String = {
+    val scoreSelects = langProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      raw"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ($list))) AS BIGINT) AS score_$lang"
+    }
+    val bestExpr = langProfiles.map(p => s"score_${p._1}").reduce((a, b) => s"GREATEST($a, $b)")
+    val predExpr = langProfiles.foldRight("'und'") { case ((lang, _), els) =>
+      s"CASE WHEN score_$lang = best_score AND best_score > 0 THEN '$lang' ELSE $els END"
+    }
+    s"""SELECT doc_id, lang, $predExpr AS pred_lang, best_score FROM (
+          SELECT *, $bestExpr AS best_score FROM (
+            SELECT doc_id, lang, text,
+           ${scoreSelects.mkString(",\n           ")}
+            FROM documents))"""
+  }
+
   /** Language ID via per-language stopword hit counts; argmax with a fixed
     * priority tie-break (profile order). Per-row projection. Documents
     * with no hits in any profile are labeled 'und'.
     */
   val langId: CatalogEntry = CatalogEntry(
     "doc_lang_id",
+    (s, d) => withLangPred(documents(s, d))
+      .select(col("doc_id"), col("pred_lang"), col("best_score")),
+    Some(s"SELECT doc_id, pred_lang, best_score FROM ($langPredSql)"))
+
+  /** Language-ID confusion matrix: the detector's predictions cross-
+    * tabulated against the corpus's DECLARED lang column, with each
+    * cell's share of its declared-language row — the per-language
+    * precision/recall picture that says whether a lang filter is about
+    * to throw away the wrong documents (the detector audit every
+    * multilingual pipeline runs before filtering on predictions).
+    *
+    * Scale: scoring is the same per-row projection as [[langId]] —
+    * declared lang rides the SAME scan (no join back on doc_id, which
+    * would shuffle the corpus twice); both aggregates are bounded by
+    * langs × (langs+1) cells, and the row-total rides a broadcast join.
+    */
+  val langIdConfusion: CatalogEntry = CatalogEntry(
+    "lang_id_confusion",
     (s, d) => {
-      val base = documents(s, d)
-      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          Text.tokensInSet(Text.normTokens(col("text")), words).cast("long"))
-      }
-      val best = langProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
-      val pred = langProfiles.foldRight(lit("und")) { case ((lang, _), els) =>
-        when(col(s"score_$lang") === col("best_score") && col("best_score") > 0, lit(lang)).otherwise(els)
-      }
-      scored.withColumn("best_score", best)
-        .withColumn("pred_lang", pred)
-        .select(col("doc_id"), col("pred_lang"), col("best_score"))
+      // The cell frame feeds BOTH the row totals and the final join; left
+      // lazy, each branch would re-run the scoring scan over the corpus
+      // (Spark does not CTE-share DataFrame subtrees). localCheckpoint
+      // materializes the langs×(langs+1) cells once — the knnRecall
+      // device.
+      val per = withLangPred(documents(s, d))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(eager = true)
+      val tot = per.groupBy("lang").agg(sum("n_docs").cast("long").as("n_lang"))
+      per.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_lang"), 6).as("share"))
+        .orderBy("lang", "pred_lang")
     },
-    Some {
-      val scoreSelects = langProfiles.map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        raw"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ($list))) AS BIGINT) AS score_$lang"
-      }
-      val bestExpr = langProfiles.map(p => s"score_${p._1}").reduce((a, b) => s"GREATEST($a, $b)")
-      val predExpr = langProfiles.foldRight("'und'") { case ((lang, _), els) =>
-        s"CASE WHEN score_$lang = best_score AND best_score > 0 THEN '$lang' ELSE $els END"
-      }
-      s"""SELECT doc_id, $predExpr AS pred_lang, best_score FROM (
-            SELECT *, $bestExpr AS best_score FROM (
-              SELECT doc_id, text,
-             ${scoreSelects.mkString(",\n             ")}
-              FROM documents))"""
-    })
+    Some(s"""WITH p AS ($langPredSql),
+                  per AS (SELECT lang, pred_lang, COUNT(*) AS n_docs
+                          FROM p GROUP BY 1, 2),
+                  tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+                          FROM per GROUP BY lang)
+             SELECT per.lang AS lang, pred_lang, n_docs,
+                    ROUND(CAST(n_docs AS DOUBLE) / n_lang, 6) AS share
+             FROM per JOIN tot ON tot.lang = per.lang
+             ORDER BY per.lang, pred_lang"""))
 
   // -------------------------------------------------------------------
   // Document fingerprinting
@@ -1913,5 +1962,5 @@ object PipelineCatalog {
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
-      blockDedup, cdcChunks, bigramFluency)
+      blockDedup, cdcChunks, bigramFluency, langIdConfusion)
 }

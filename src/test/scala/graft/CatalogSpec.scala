@@ -617,4 +617,70 @@ class CatalogSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("events_seq_trigrams: supports descend, bounded by users; top row recounted") {
+    val got = run("events_seq_trigrams").collect()
+    assert(got.length == 10)
+    val sup = got.map(_.getAs[Long]("support")).toSeq
+    assert(sup == sup.sortBy(-_), "supports not descending")
+    assert(sup.forall(s => s > 0 && s <= nDrivers))
+    // Plain-Scala recount of the winner: users whose time-ordered stream
+    // contains the contiguous type trigram.
+    val top = (got.head.getAs[String]("t1"), got.head.getAs[String]("t2"),
+      got.head.getAs[String]("t3"))
+    val streams = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.sortBy(r =>
+        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+        .map(_.getAs[String]("event_type")).toSeq)
+    val want = streams.count { case (_, ts) =>
+      ts.sliding(3).exists(w => w.length == 3 && (w(0), w(1), w(2)) == top)
+    }
+    assert(got.head.getAs[Long]("support") == want,
+      s"top trigram support ${got.head.getAs[Long]("support")} != recount $want")
+  }
+
+  test("customer_order_gaps: 5 segments, ordered stats, gap total = orders - customers") {
+    val got = run("customer_order_gaps").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val (mn, md, p90, mx) = (r.getAs[Long]("min_gap"), r.getAs[Double]("median_gap"),
+        r.getAs[Double]("p90_gap"), r.getAs[Long]("max_gap"))
+      assert(mn <= md && md <= p90 && p90 <= mx, s"stats out of order: $r")
+    }
+    val orders = Tables.orders(spark, sf0001)
+    val want = orders.count() - orders.select("o_custkey").distinct().count()
+    assert(got.map(_.getAs[Long]("n_gaps")).sum == want,
+      "every customer contributes n_i - 1 gaps")
+  }
+
+  test("lang_id_confusion: cells recount the lang-id join; declared-lang rows normalize") {
+    val got = run("lang_id_confusion").collect()
+    val want = run("doc_lang_id")
+      .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang").count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) -> r.getAs[Long]("count"))
+      .toMap
+    assert(got.map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang"))
+      -> r.getAs[Long]("n_docs")).toMap == want, "cells != independent join recount")
+    got.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"lang $l shares sum to $s")
+    }
+  }
+
+  test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
+    val got = run("doc_split_leakage").collect()
+    val pairTotal = run("doc_near_dup_lsh").count()
+    assert(got.map(_.getAs[Long]("n_pairs")).sum == pairTotal,
+      "leakage cells do not partition the dup pair set")
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("leaked") ==
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+    }
+    val shares = got.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
 }

@@ -556,4 +556,38 @@ class PlanSpec extends AnyFunSuite {
       !fl.contains("BroadcastNestedLoopJoin"),
       s"doc_bigram_fluency: unexpected window/nested-loop\n$fl")
   }
+
+  test("round-10 wave-4 entries keep their declared scale shapes") {
+    // Sequence trigrams: both leads share ONE user-keyed window; no join
+    // anywhere (support is a distinct + aggregate, the top-10 a
+    // TakeOrdered).
+    val st = plan("events_seq_trigrams")
+    assert(countOf(st, "Window") == 1 && !st.contains("Join"),
+      s"events_seq_trigrams: expected one user window, no join\n$st")
+    // Order gaps: the custkey shuffle feeds the window AND the segment
+    // join (same key — no re-shuffle of the gap rows); the dimension
+    // broadcasts; exactly two hash exchanges total (custkey + segment).
+    val og = plan("customer_order_gaps")
+    assert(countOf(og, "Window") == 1 && og.contains("BroadcastHashJoin") &&
+      !og.contains("SortMergeJoin"),
+      s"customer_order_gaps: window/join shape drifted\n$og")
+    assert(countOf(og, "Exchange hashpartitioning") == 2,
+      s"customer_order_gaps: gap rows re-shuffled for the join\n$og")
+    // Lang confusion: declared lang rides the scoring scan, and the
+    // scan runs ONCE — at cell-checkpoint time — so the returned plan
+    // reads the checkpointed cells (no FileScan at all) and the
+    // row-total join broadcasts.
+    val lc = plan("lang_id_confusion")
+    assert(countOf(lc, "FileScan parquet") == 0 && lc.contains("Scan ExistingRDD"),
+      s"lang_id_confusion: cell frame no longer checkpoint-truncated\n$lc")
+    assert(!lc.contains("SortMergeJoin"),
+      s"lang_id_confusion: row-total join not broadcast\n$lc")
+    // Split leakage: rides the checkpointed LSH edge list; the split
+    // joins are never a nested loop/cartesian.
+    val sl = plan("doc_split_leakage")
+    assert(sl.contains("Scan ExistingRDD"),
+      s"doc_split_leakage: edge list no longer checkpoint-truncated\n$sl")
+    assert(!sl.contains("CartesianProduct"),
+      s"doc_split_leakage: cartesian crept in\n$sl")
+  }
 }
