@@ -925,6 +925,71 @@ object EmbeddingCatalog {
                FROM embeddings)
          GROUP BY label, dim"""))
 
+  private val OutlierK = 3 // flagged vectors per label
+
+  /** Per-label embedding outliers — the mislabel/contamination audit of
+    * a labeled corpus: the [[OutlierK]] vectors LEAST cosine-similar to
+    * their own label's centroid (a vector far from its class center is
+    * a labeling error, an ingestion glitch, or genuinely hard — all
+    * three are what a data-cleaning pass reviews first). Composes
+    * [[labelCentroids]] verbatim (same ordered-fold means, oracle CTE
+    * included), so the audit can never disagree with the published
+    * centroids.
+    *
+    * Determinism: centroid components are the 6-dp rounded ordered-fold
+    * means; the score is one left-fold dot over the fixed dim order and
+    * one rounded division — the house cosine contract. Ties break by
+    * vec_id via TopNAgg's (value, event_id) order, mirrored by the
+    * oracle's row_number.
+    *
+    * Scale: summary + rescan (the heavy-hitter economics) — one corpus
+    * pass builds the labels×dims centroid grid (checkpointed, tiny), one
+    * pass scores every vector against its own label's BROADCAST centroid
+    * array; the bottom-K is a bounded-heap aggregate shipping ≤ K rows
+    * per partition per label, never a corpus-wide rank window.
+    */
+  val centroidOutliers: CatalogEntry = CatalogEntry(
+    "emb_centroid_outliers",
+    (s, d) => {
+      import graft.functions.Vectors
+      val centArr = labelCentroids.build(s, d)
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          x => x.getField("centroid")).as("ce"))
+        .localCheckpoint(eager = true)
+      val low = udaf(new graft.combine.TopNAgg(OutlierK))
+      embeddings(s, d)
+        .join(broadcast(centArr), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          round(Vectors.cosineWithNorms(
+            col("embedding").cast("array<double>"), col("ce"),
+            Vectors.norm(col("embedding").cast("array<double>")),
+            Vectors.norm(col("ce"))), 6).as("cos"))
+        .groupBy("label")
+        .agg(low(-col("cos"), col("vec_id")).as("top"))
+        .select(col("label"), posexplode(col("top.entries")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.event_id").as("vec_id"), (-col("col.value")).as("cos"))
+        .orderBy("label", "rnk")
+    },
+    Some {
+      val centSql = labelCentroids.oracle.get
+      val dotEC =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST(e.embedding[i] AS DOUBLE) * c.ce[i] for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+      val dotCC =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [c.ce[i] * c.ce[i] for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+      s"""WITH cent AS ($centSql),
+            ca AS (SELECT label, list(centroid ORDER BY dim) AS ce FROM cent GROUP BY label),
+            scored AS (SELECT e.label, e.vec_id,
+                              ROUND($dotEC / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT($dotCC)), 6) AS cos
+                       FROM embeddings e JOIN ca c ON c.label = e.label),
+            r AS (SELECT label, vec_id, cos,
+                         row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rnk
+                  FROM scored)
+          SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
+          FROM r WHERE rnk <= $OutlierK ORDER BY label, rnk"""
+    })
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with a frozen k-means coarse
     * quantizer, then pruning near-duplicate pairs WITHIN each cluster
@@ -1491,6 +1556,6 @@ object EmbeddingCatalog {
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
+      labelCentroids, centroidOutliers, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall)
 }

@@ -55,6 +55,15 @@ final case class EwmaPoint(
   * `events_active_users` entry builds, held as per-day keyed state. */
 final case class ActiveUsersState(dau: Seq[Long], wau: Seq[Long])
 
+/** Per-user sequence-mining state: the last two event types (oldest
+  * first) and the trigram keys this user already contributed — bounded
+  * by |types|³, never by stream length.
+  */
+final case class TrigramState(lastTwo: Seq[String], seen: Seq[String])
+
+/** One new (user, contiguous type trigram) observation. */
+final case class TrigramIncrement(user_id: Long, t1: String, t2: String, t3: String)
+
 /** One streamed DAU/WAU row (same columns as the batch entry). */
 final case class ActiveUsersRow(
     day: java.sql.Timestamp, dau: Long, wau: Long, stickiness: Double)
@@ -660,6 +669,54 @@ object StreamingQueries {
           }
           prev.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Streaming sequence mining — the live side of `events_seq_trigrams`.
+    * Per-user keyed state holds the last two event types plus the set of
+    * trigram keys this user has ALREADY contributed (support counts
+    * distinct users, so each (user, trigram) must emit exactly once);
+    * an arriving event closes a contiguous trigram with the two
+    * remembered types and emits an increment iff it is new for the user.
+    * Downstream, support is a plain streaming count over the increments
+    * and the top-10 is the batch tail — replayed fully, the increment
+    * multiset aggregates to the batch entry EXACTLY (StreamingSpec).
+    *
+    * State per user is bounded by |types|³ + 2 — the type vocabulary is
+    * an operational constant (5 here), so state never grows with stream
+    * length. Micro-batch groups sort by (ts, event_id), the batch
+    * window's exact order; cross-batch ordering is the per-key in-order
+    * delivery contract shared by every rolling-state query here.
+    */
+  def streamingSeqTrigrams(
+      events: DataFrame): org.apache.spark.sql.Dataset[TrigramIncrement] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TrigramState, TrigramIncrement](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[TrigramState]) =>
+          val st = state.getOption.getOrElse(TrigramState(Seq.empty, Seq.empty))
+          var last = st.lastTwo // oldest first, ≤ 2 entries
+          var seen = st.seen.toSet
+          val out = Vector.newBuilder[TrigramIncrement]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, _, tpe) =>
+            if (last.length == 2) {
+              val key = s"${last.head} ${last(1)} $tpe"
+              if (!seen(key)) {
+                seen += key
+                out += TrigramIncrement(user, last.head, last(1), tpe)
+              }
+            }
+            last = (last :+ tpe).takeRight(2)
+          }
+          state.update(TrigramState(last, seen.toSeq.sorted))
+          out.result().iterator
       }
   }
 

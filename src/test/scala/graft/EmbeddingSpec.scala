@@ -334,6 +334,35 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_centroid_outliers: bottom-3 recounted off the published centroids") {
+    val got = run("emb_centroid_outliers").collect()
+      .groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toList)
+      .toMap
+    val cent = run("emb_label_centroids").collect()
+      .groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("dim"))
+        .map(_.getAs[Double]("centroid")).toArray).toMap
+    val byLabel = graft.Tables.embeddings(spark, sf0001).collect()
+      .groupBy(_.getAs[Int]("label"))
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, vs) =>
+      val c = cent(l)
+      val nc = math.sqrt(c.indices.foldLeft(0.0)((a, i) => a + c(i) * c(i)))
+      val scored = vs.map { r =>
+        val e = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        val dot = e.indices.foldLeft(0.0)((a, i) => a + e(i) * c(i))
+        val ne = math.sqrt(e.indices.foldLeft(0.0)((a, i) => a + e(i) * e(i)))
+        val cos = BigDecimal(dot / (ne * nc))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getAs[Long]("vec_id"), cos)
+      }
+      val want = scored.sortBy { case (id, s) => (s, id) }.take(3).toList
+      assert(got(l) == want, s"label $l outliers diverge from the recount")
+    }
+  }
+
   test("bq sign packing: popcount of the packed halves equals the positive-dim count") {
     import graft.queries.EmbeddingCatalog
     val emb = graft.Tables.embeddings(spark, sf0001)

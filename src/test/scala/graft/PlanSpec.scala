@@ -589,5 +589,13 @@ class PlanSpec extends AnyFunSuite {
       s"doc_split_leakage: edge list no longer checkpoint-truncated\n$sl")
     assert(!sl.contains("CartesianProduct"),
       s"doc_split_leakage: cartesian crept in\n$sl")
+    // Centroid outliers: summary + rescan — the centroid grid is
+    // checkpointed and BROADCAST into the scoring scan; the bottom-K is
+    // a bounded-heap aggregate, never a rank window.
+    val co = plan("emb_centroid_outliers")
+    assert(co.contains("Scan ExistingRDD") && co.contains("BroadcastHashJoin"),
+      s"emb_centroid_outliers: centroid grid not checkpointed+broadcast\n$co")
+    assert(!co.contains("Window") && !co.contains("SortMergeJoin"),
+      s"emb_centroid_outliers: rank window / corpus sort-merge crept in\n$co")
   }
 }

@@ -391,6 +391,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed DAU/WAU diverges from the batch entry")
   }
 
+  test("streaming sequence trigrams replay to the batch top-10 exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Each (user, trigram) emits exactly once (per-user seen-set state),
+    // so counting increments per trigram IS the distinct-user support;
+    // ranked with the batch tie rule the replay must equal the entry.
+    val want = SparkEntry.queries("events_seq_trigrams")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toList
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"seqtri-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 4) // key = the whole increment
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingSeqTrigrams(input.toDF().toDF(eventCols: _*))
+      .toDF("user_id", "t1", "t2", "t3")
+      .writeStream.outputMode("append").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val incs = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3")))
+      .toSeq
+    Sinks.clear(sinkId)
+    val got = incs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(10)
+      .map { case ((a, b, c), s) => List(a, b, c, s) }
+    assert(got == want, "streamed trigram supports diverge from the batch entry")
+  }
+
   test("streaming Count-Min cells replay the batch entry's estimates bit-for-bit") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.CountMinSketch
