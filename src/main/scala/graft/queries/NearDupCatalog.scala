@@ -1110,6 +1110,66 @@ object NearDupCatalog {
              GROUP BY src_a, src_b, n_total
              ORDER BY src_a, src_b"""))
 
+  private val LpaRounds = 4 // synchronous label-propagation rounds (unrolled oracle)
+
+  /** Label-propagation communities (Raghavan 2007) over the near-dup
+    * graph — the DENSITY view next to the connectivity family: connected
+    * components ([[dupClusters]]) merge everything reachable, LPA
+    * instead converges on locally-dominant labels, splitting a chain of
+    * weakly-bridged boilerplate families where CC reports one blob.
+    * Each node adopts the most frequent label among its neighbors
+    * (min-label on frequency ties — deterministic), synchronously, for a
+    * FIXED [[LpaRounds]] rounds so the DuckDB oracle can unroll the same
+    * rounds as plain CTEs — both engines compute "labels after R
+    * synchronous rounds" even where LPA would oscillate, so equality is
+    * by construction (the [[graphKCore]] discipline).
+    *
+    * Per-round cost is edge-proportional: one neighbor-label join, a
+    * (node, label) count whose size is bounded by Σ distinct neighbor
+    * labels, and a struct-max argmax — never a rank window over the
+    * graph. Each round's label frame is localCheckpoint'd (the
+    * [[dupClusters]] lineage discipline); the argmax aggregate replaces
+    * the oracle's per-node row_number, same (count DESC, label ASC)
+    * order.
+    */
+  val lpaCommunities: CatalogEntry = CatalogEntry(
+    "doc_lpa_communities",
+    (s, d) => {
+      val e = lshEdges(s, d)
+      val sym = e.select(col("doc_a").as("n"), col("doc_b").as("m"))
+        .union(e.select(col("doc_b").as("n"), col("doc_a").as("m")))
+        .localCheckpoint(eager = true)
+      var lbl = sym.select(col("n")).distinct().select(col("n"), col("n").as("lbl"))
+      for (_ <- 1 to LpaRounds) {
+        lbl = sym
+          .join(lbl.select(col("n").as("m"), col("lbl")), Seq("m"))
+          .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+          .groupBy("n")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("mx"))
+          .select(col("n"), (-col("mx.nl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.select(col("n").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rounds = (0 until LpaRounds).map { r =>
+        s"""l${r + 1} AS MATERIALIZED (SELECT n, lbl FROM (
+              SELECT cn.n, cn.lbl,
+                     row_number() OVER (PARTITION BY cn.n
+                                        ORDER BY cn.c DESC, cn.lbl) AS rk
+              FROM (SELECT e.n, l.lbl, COUNT(*) AS c
+                    FROM e JOIN l$r l ON l.n = e.m GROUP BY 1, 2) cn)
+            WHERE rk = 1)"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $lshPairsCtesSql,
+            e AS MATERIALIZED (SELECT doc_a AS n, doc_b AS m FROM lsh_pairs
+                               UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+            l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM e),
+            $rounds
+          SELECT n AS doc_id, lbl AS community FROM l$LpaRounds ORDER BY doc_id"""
+    })
+
   /** Train/eval leakage through NEAR-duplicates: every ≥-threshold LSH
     * pair bucketed by its unordered split pair (THE split definition —
     * [[TrainPrepCatalog.splitAssign]] composed verbatim, oracle CTEs
@@ -1275,5 +1335,5 @@ object NearDupCatalog {
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
-    winnowOverlap, splitLeakage)
+    winnowOverlap, splitLeakage, lpaCommunities)
 }

@@ -671,6 +671,31 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("orders_rollup_incremental: merged view equals a direct recompute") {
+    import graft.queries.Exact
+    val got = run("orders_rollup_incremental").collect().map(_.toSeq.toList).toList
+    val want = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice"), 18, 4).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .collect().map(_.toSeq.toList).toList
+    assert(got == want, "base+delta merge diverges from the full recompute")
+  }
+
+  test("doc_lpa_communities: labels stay within connected components; node set matches") {
+    val lpa = run("doc_lpa_communities").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = run("doc_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // Labels only travel along edges, so a node's community label must be
+    // a node of ITS component — for any round count.
+    assert(lpa.keySet == cc.keySet, "LPA node universe != component universe")
+    lpa.foreach { case (n, com) =>
+      assert(cc.contains(com) && cc(com) == cc(n),
+        s"node $n adopted label $com from another component")
+    }
+  }
+
   test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
     val got = run("doc_split_leakage").collect()
     val pairTotal = run("doc_near_dup_lsh").count()

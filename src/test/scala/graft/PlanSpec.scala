@@ -597,5 +597,18 @@ class PlanSpec extends AnyFunSuite {
       s"emb_centroid_outliers: centroid grid not checkpointed+broadcast\n$co")
     assert(!co.contains("Window") && !co.contains("SortMergeJoin"),
       s"emb_centroid_outliers: rank window / corpus sort-merge crept in\n$co")
+    // IVM merge: a groups-keyed outer join — view-sized, never a nested
+    // loop; no window anywhere.
+    val iv = plan("orders_rollup_incremental")
+    assert(!iv.contains("CartesianProduct") && !iv.contains("BroadcastNestedLoopJoin") &&
+      !iv.contains("Window"),
+      s"orders_rollup_incremental: merge stopped being a keyed join\n$iv")
+    // LPA: rounds are checkpoint-truncated; the argmax is a struct-max
+    // aggregate, not a rank window.
+    val lp = plan("doc_lpa_communities")
+    assert(lp.contains("Scan ExistingRDD"),
+      s"doc_lpa_communities: rounds no longer checkpoint-truncated\n$lp")
+    assert(!lp.contains("Window") && !lp.contains("CartesianProduct"),
+      s"doc_lpa_communities: rank window / cartesian crept in\n$lp")
   }
 }
