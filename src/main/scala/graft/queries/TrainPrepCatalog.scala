@@ -745,37 +745,125 @@ object TrainPrepCatalog {
       merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
     },
     Some {
-      val w0 =
-        s"""w0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-                          list_filter(string_split(w, ''), c -> c <> '') AS sym
-                   FROM (SELECT unnest(list_filter($normToksSql, t -> t <> '')) AS w
-                         FROM documents)
-                   GROUP BY w)"""
-      val steps = (1 to BpeK).map { k =>
-        s"""p$k AS (SELECT cnt, pr.a AS a, pr.b AS b
-                    FROM (SELECT cnt,
-                                 unnest(list_transform(range(1, len(sym)),
-                                   i -> {'a': sym[i], 'b': sym[i + 1]})) AS pr
-                          FROM w${k - 1} WHERE len(sym) >= 2)),
-             m$k AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
-                     GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
-             w$k AS (SELECT cnt, list_reduce(
-                       list_prepend(CAST([] AS VARCHAR[]),
-                         list_transform(sym, s -> [s])),
-                       (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-                                             AND x[1] = m.b
-                                   THEN list_concat(acc[1:len(acc) - 1],
-                                                    [m.a || m.b])
-                                   ELSE list_concat(acc, x) END) AS sym
-                     FROM w${k - 1}, m$k m)"""
-      }.mkString(",\n             ")
       val rows = (1 to BpeK).map { k =>
         s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
                    a || b AS merged, c AS pair_count FROM m$k"""
       }.mkString("\n             UNION ALL ")
-      s"""WITH $w0,
-             $steps
+      s"""WITH $bpeChainSql
            $rows"""
+    })
+
+  /** The greedy leftmost-first rewrite of one merge step, as DuckDB list
+    * SQL over a `sym` column — shared by the merge chain (weighted
+    * vocabulary) and the encode chain (distinct words).
+    */
+  private def bpeFoldSql(mCte: String): String =
+    s"""list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]),
+            list_transform(sym, s -> [s])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $mCte.a
+                                AND x[1] = $mCte.b
+                      THEN list_concat(acc[1:len(acc) - 1],
+                                       [$mCte.a || $mCte.b])
+                      ELSE list_concat(acc, x) END)"""
+
+  /** The w0→wK / m1..mK BPE-induction CTE chain (word-frequency table,
+    * per-step pair argmax, greedy rewrite) — ONE generator for both the
+    * merge-table oracle and the encode oracle, so the two cannot drift.
+    */
+  private lazy val bpeChainSql: String = {
+    val w0 =
+      s"""w0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                        list_filter(string_split(w, ''), c -> c <> '') AS sym
+                 FROM (SELECT unnest(list_filter($normToksSql, t -> t <> '')) AS w
+                       FROM documents)
+                 GROUP BY w)"""
+    val steps = (1 to BpeK).map { k =>
+      s"""p$k AS (SELECT cnt, pr.a AS a, pr.b AS b
+                  FROM (SELECT cnt,
+                               unnest(list_transform(range(1, len(sym)),
+                                 i -> {'a': sym[i], 'b': sym[i + 1]})) AS pr
+                        FROM w${k - 1} WHERE len(sym) >= 2)),
+           m$k AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM p$k
+                   GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+           w$k AS (SELECT cnt, ${bpeFoldSql("m")} AS sym
+                   FROM w${k - 1}, m$k m)"""
+    }.mkString(",\n             ")
+    s"""$w0,
+             $steps"""
+  }
+
+  /** BPE ENCODING with the induced merges — the apply half of the
+    * tokenizer pair ([[bpeMerges]] learns the table; this entry runs it
+    * over the corpus and reports per-source symbol compression, the
+    * fertility metric by which tokenizers are compared). The merge table
+    * arrives as [[BpeK]] driver rows (the KMeans model-traffic
+    * discipline, composed from `token_bpe_merges` verbatim); encoding
+    * then happens at the DISTINCT-WORD level — each vocabulary word is
+    * rewritten once through the rank-ordered greedy folds — and the
+    * corpus rejoins the encoded lengths by word. At 100 TB that is the
+    * only sane shape: the fold runs |vocab| times, not |corpus tokens|
+    * times, and the (word → length) table is vocabulary-sized. The
+    * oracle rides the SAME m1..mK argmax CTEs as the merge oracle plus a
+    * v-chain over distinct words, so learn and apply cannot diverge.
+    */
+  val bpeEncode: CatalogEntry = CatalogEntry(
+    "token_bpe_encode",
+    (s, d) => {
+      val emptyArr = array().cast("array<string>")
+      val merges = bpeMerges.build(s, d).orderBy("merge_rank")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val docsW = documents(s, d).select(col("source"),
+        filter(Text.normTokens(col("text")), t => t =!= "").as("ws"))
+      var vocab = docsW.select(explode(col("ws")).as("w")).distinct()
+        .select(col("w"), filter(split(col("w"), ""), c => c =!= "").as("sym"))
+        .localCheckpoint()
+      for ((a, b) <- merges) {
+        vocab = vocab.select(col("w"),
+          aggregate(col("sym"), emptyArr,
+            (acc, sv) =>
+              when(size(acc) === 0, concat(acc, array(sv)))
+                .otherwise(when(element_at(acc, -1) === lit(a) && sv === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(sv))))).as("sym"))
+          .localCheckpoint()
+      }
+      val enc = vocab.select(col("w"),
+        size(col("sym")).cast("long").as("n_sym"),
+        size(filter(split(col("w"), ""), c => c =!= "")).cast("long").as("n_chr"))
+      docsW.select(col("source"), explode(col("ws")).as("w"))
+        .join(enc, Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_chr").as("n_chars"), sum("n_sym").as("n_symbols"))
+        .select(col("source"), col("n_words"), col("n_chars"), col("n_symbols"),
+          round(col("n_chars").cast("double") / col("n_symbols"), 6).as("compression"))
+        .orderBy("source")
+    },
+    Some {
+      val vSteps = (1 to BpeK).map { k =>
+        s"""v$k AS (SELECT w, ${bpeFoldSql("m")} AS sym
+                    FROM v${k - 1}, m$k m)"""
+      }.mkString(",\n             ")
+      s"""WITH $bpeChainSql,
+             v0 AS (SELECT DISTINCT w,
+                           list_filter(string_split(w, ''), c -> c <> '') AS sym
+                    FROM (SELECT unnest(list_filter($normToksSql, t -> t <> '')) AS w
+                          FROM documents)),
+             $vSteps,
+             enc AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_sym,
+                            CAST(len(list_filter(string_split(w, ''), c -> c <> '')) AS BIGINT) AS n_chr
+                     FROM v$BpeK),
+             dw AS (SELECT source, unnest(list_filter($normToksSql, t -> t <> '')) AS w
+                    FROM documents)
+           SELECT source, COUNT(*) AS n_words,
+                  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+                  CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+                  ROUND(CAST(CAST(SUM(n_chr) AS BIGINT) AS DOUBLE)
+                        / CAST(SUM(n_sym) AS BIGINT), 6) AS compression
+           FROM dw JOIN enc USING (w)
+           GROUP BY source ORDER BY source"""
     })
 
   /** The dataset card — the per-source datasheet a corpus release ships
@@ -847,8 +935,75 @@ object TrainPrepCatalog {
                     ROUND(CAST(b.n_train AS DOUBLE) / b.n_docs, 6) AS train_share
              FROM base b JOIN top t ON t.source = b.source"""))
 
+  /** Positional phrase search — the query class a doc-level inverted
+    * index (`token_postings`) cannot answer: exact adjacent-phrase
+    * occurrences located by POSITION intersection. The phrase itself is
+    * derived in-query (the corpus's most frequent bigram, min-phrase on
+    * count ties via a min-struct argmax — no corpus-specific literals
+    * baked into the entry), then the token stream is pruned to the two
+    * phrase terms' positional postings and joined on
+    * (doc_id, pos + 1 = pos) — the classic positional-index phrase
+    * algorithm, executed as a pair of filtered scans and one equi join.
+    *
+    * 100 TB shape: the phrase argmax is a (bigram)-keyed count + a
+    * 1-row reduction; the postings filters prune the exploded token
+    * stream to two terms' rows BEFORE any shuffle (predicate on the
+    * scan), and the intersection join keys on (doc_id, pos) — work is
+    * postings-sized, never corpus². The phrase scalar rides a broadcast
+    * 1-row cross join, the house scalar pattern.
+    */
+  val phraseSearch: CatalogEntry = CatalogEntry(
+    "doc_phrase_search",
+    (s, d) => {
+      import graft.functions.Text
+      val toksArr = documents(s, d)
+        .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
+      val top = toksArr.filter(size(col("tl")) >= 2)
+        .select(explode(Text.wordNgrams(col("tl"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("m"))
+        .select(col("m.bg").as("phrase"))
+      val toks = toksArr
+        .select(col("doc_id"), posexplode(col("tl")).as(Seq("pos", "tok")))
+        .crossJoin(broadcast(top))
+      val first = toks
+        .filter(col("tok") === split(col("phrase"), " ").getItem(0))
+        .select(col("doc_id"), col("phrase"), col("pos").as("pa"))
+      val second = toks
+        .filter(col("tok") === split(col("phrase"), " ").getItem(1))
+        .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+      first.join(second,
+          col("doc_b") === col("doc_id") && col("pb") === col("pa") + 1)
+        .groupBy("doc_id", "phrase")
+        .agg(count(lit(1)).as("n_occ"), min(col("pa")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH src AS (SELECT doc_id, $normToksSql AS tl FROM documents),
+                  bgc AS (SELECT g AS bg, COUNT(*) AS c FROM (
+                            SELECT unnest([array_to_string(tl[i:i+1], ' ')
+                                           for i in range(1, len(tl))]) AS g
+                            FROM src WHERE len(tl) >= 2)
+                          GROUP BY g),
+                  top AS (SELECT bg AS phrase FROM bgc
+                          ORDER BY c DESC, bg LIMIT 1),
+                  toks AS (SELECT doc_id, CAST(pt.pos AS INT) AS pos, pt.t AS tok
+                           FROM (SELECT doc_id,
+                                   unnest([{'pos': i - 1, 't': tl[i]}
+                                           for i in range(1, len(tl) + 1)]) AS pt
+                                 FROM src)),
+                  fa AS (SELECT t.doc_id, p.phrase, t.pos AS pa
+                         FROM toks t, top p
+                         WHERE t.tok = string_split(p.phrase, ' ')[1]),
+                  fb AS (SELECT t.doc_id, t.pos AS pb
+                         FROM toks t, top p
+                         WHERE t.tok = string_split(p.phrase, ' ')[2])
+             SELECT fa.doc_id, fa.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                    CAST(MIN(fa.pa) AS BIGINT) AS first_pos
+             FROM fa JOIN fb ON fb.doc_id = fa.doc_id AND fb.pb = fa.pa + 1
+             GROUP BY fa.doc_id, fa.phrase ORDER BY fa.doc_id"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
-    tokenDiversity, ksDrift, bpeMerges, datasetCard)
+    tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard, phraseSearch)
 }

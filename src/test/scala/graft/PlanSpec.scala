@@ -610,5 +610,16 @@ class PlanSpec extends AnyFunSuite {
       s"doc_lpa_communities: rounds no longer checkpoint-truncated\n$lp")
     assert(!lp.contains("Window") && !lp.contains("CartesianProduct"),
       s"doc_lpa_communities: rank window / cartesian crept in\n$lp")
+    // Phrase search: the positional intersection is an equi join on
+    // (doc, pos+1) — never a cartesian; the phrase scalar rides the
+    // 1-row broadcast pattern.
+    val ph = plan("doc_phrase_search")
+    assert(!ph.contains("CartesianProduct"),
+      s"doc_phrase_search: positional join degenerated\n$ph")
+    // BPE encode: the encoded vocabulary is checkpoint-truncated (the
+    // fold ran |vocab| times at checkpoint time); no window anywhere.
+    val be = plan("token_bpe_encode")
+    assert(be.contains("Scan ExistingRDD") && !be.contains("Window"),
+      s"token_bpe_encode: vocabulary no longer checkpoint-truncated\n$be")
   }
 }

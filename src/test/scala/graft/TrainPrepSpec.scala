@@ -242,6 +242,58 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got == expect, s"merge paths diverge:\n got=$got\nwant=$expect")
   }
 
+  test("token_bpe_encode: a plain-Scala encode over the learned merges recounts every source") {
+    val merges = run("token_bpe_merges").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) { case (sym, (a, b)) =>
+        sym.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.dropRight(1) :+ (a + b)
+          else acc :+ s
+        }
+      }
+    val norm = (t: String) => t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val bySource = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .flatMap(r => norm(r.getString(1)).split(" ").filter(_.nonEmpty)
+        .map(w => r.getString(0) -> w))
+      .groupBy(_._1)
+    val want = bySource.map { case (src, ws) =>
+      val words = ws.map(_._2)
+      val chars = words.map(_.length.toLong).sum
+      val syms = words.map(w => encode(w).length.toLong).sum
+      src -> (words.length.toLong, chars, syms,
+        BigDecimal(chars.toDouble / syms)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = run("token_bpe_encode").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want, s"encode recount diverges:\n got=$got\nwant=$want")
+  }
+
+  test("doc_phrase_search: a plain-Scala scan recounts the argmax phrase and its hits") {
+    val norm = (t: String) => t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)).split(" ").toSeq)
+    val bigrams = docs.flatMap { case (_, t) =>
+      if (t.length >= 2) t.zip(t.tail).map(p => s"${p._1} ${p._2}") else Seq.empty
+    }
+    val phrase = bigrams.groupBy(identity).view.mapValues(_.size)
+      .toSeq.minBy { case (bg, c) => (-c, bg) }._1
+    val Array(w1, w2) = phrase.split(" ")
+    val want = docs.flatMap { case (id, t) =>
+      val hits = t.indices.dropRight(1).filter(i => t(i) == w1 && t(i + 1) == w2)
+      if (hits.nonEmpty) Some(id -> (phrase, hits.length.toLong, hits.min.toLong))
+      else None
+    }.toMap
+    val got = run("doc_phrase_search").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"phrase hits diverge (phrase=$phrase)")
+  }
+
   test("source_ks_drift: bounds, full upper triangle, one pair recounted exactly") {
     val rows = run("source_ks_drift").collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
