@@ -925,6 +925,125 @@ object EmbeddingCatalog {
                FROM embeddings)
          GROUP BY label, dim"""))
 
+  private val MmrC = 10 // candidate pool per query for the MMR re-rank
+  private val MmrK = 5 // diversified selections per query
+  // λ and (1−λ) as SEPARATE literals: `1 - 0.7` computed in Scala is
+  // 0.30000000000000004, while the oracle's parsed `0.3` is not — both
+  // engines must see the same decimal text.
+  private val MmrLambda = "0.7"
+  private val MmrPenalty = "0.3"
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    * redundancy-aware retrieval tail a RAG stack runs after ANN: from
+    * each query's top-[[MmrC]] relevance candidates, greedily pick
+    * [[MmrK]] maximizing `λ·rel − (1−λ)·max-sim-to-already-picked`, so
+    * near-duplicate passages don't crowd the context window. The greedy
+    * loop is UNROLLED ([[MmrK]] fixed steps) over frames that are
+    * (queries × C)-sized — candidate pool, pairwise candidate sims
+    * (C²·queries rows), per-step anti join + max-penalty aggregate +
+    * struct-min argmax — so determinism is by construction and the
+    * oracle replays the identical steps as chained CTEs with
+    * row_number argmaxes.
+    *
+    * 100 TB shape: the corpus is touched exactly once (the relevance
+    * scan, the brute/BQ linear pattern); everything after operates on
+    * checkpointed candidate frames whose size is query-count-bounded,
+    * independent of corpus size. MMR scores round at 6 off
+    * already-rounded rel/sim inputs — one multiply-subtract sequence,
+    * identical text literals both engines.
+    */
+  val mmrRerank: CatalogEntry = CatalogEntry(
+    "emb_mmr_rerank",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val withNorm = emb.withColumn("nrm", Vectors.norm(col("embedding")))
+      val queries = withNorm.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val corpus = withNorm.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val topc = udaf(new graft.combine.TopNAgg(MmrC))
+      val rel = corpus.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("rel"))
+        .groupBy("query_id").agg(topc(col("rel"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("cand_id"), col("e.value").as("rel"))
+        .localCheckpoint(eager = true)
+      val cv = corpus.join(broadcast(rel.select("query_id", "cand_id")), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("ce"), col("cn"))
+        .localCheckpoint(eager = true)
+      val sims = cv.select(col("query_id"), col("cand_id").as("ca"),
+          col("ce").as("qe"), col("cn").as("qn"))
+        .join(cv.select(col("query_id"), col("cand_id").as("cb"), col("ce"), col("cn")),
+          Seq("query_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"), cosineCol.as("sim"))
+        .localCheckpoint(eager = true)
+      var selected = rel.groupBy("query_id")
+        .agg(min(struct((-col("rel")).as("nr"), col("cand_id").as("c"))).as("m"))
+        .select(col("query_id"), col("m.c").as("cand_id"), lit(1L).as("step"))
+        .localCheckpoint(eager = true)
+      for (k <- 2 to MmrK) {
+        val unsel = rel.join(selected.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        val simToSel = sims
+          .join(selected.select(col("query_id"), col("cand_id").as("cb")), Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca").as("cand_id"))
+          .agg(max(col("sim")).as("ms"))
+        val pick = unsel.join(simToSel, Seq("query_id", "cand_id"))
+          .select(col("query_id"), col("cand_id"),
+            round(expr(s"$MmrLambda * rel - $MmrPenalty * ms"), 6).as("mmr"))
+          .groupBy("query_id")
+          .agg(min(struct((-col("mmr")).as("nm"), col("cand_id").as("c"))).as("m"))
+          .select(col("query_id"), col("m.c").as("cand_id"), lit(k.toLong).as("step"))
+        selected = selected.unionByName(pick).localCheckpoint(eager = true)
+      }
+      selected.join(rel, Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("step"), col("cand_id").as("vec_id"), col("rel"))
+        .orderBy("query_id", "step")
+    },
+    Some {
+      val simSql =
+        s"ROUND(${dotSql("ea.embedding", "eb.embedding")} / (SQRT(${dotSql("ea.embedding", "ea.embedding")}) * SQRT(${dotSql("eb.embedding", "eb.embedding")})), 6)"
+      val steps = (2 to MmrK).map { k =>
+        s"""s$k AS (SELECT query_id, cand_id, $k AS step FROM (
+                SELECT r.query_id, r.cand_id,
+                       row_number() OVER (PARTITION BY r.query_id
+                         ORDER BY ROUND($MmrLambda * r.rel - $MmrPenalty * ms.m, 6) DESC,
+                                  r.cand_id) AS rk
+                FROM rel r
+                JOIN (SELECT si.query_id, si.ca AS cand_id, MAX(si.sim) AS m
+                      FROM sims si JOIN sel${k - 1} s
+                        ON s.query_id = si.query_id AND s.cand_id = si.cb
+                      GROUP BY 1, 2) ms
+                  ON ms.query_id = r.query_id AND ms.cand_id = r.cand_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+                                  WHERE s2.query_id = r.query_id
+                                    AND s2.cand_id = r.cand_id)) WHERE rk = 1),
+            sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+      }.mkString(",\n            ")
+      s"""WITH rel AS (SELECT query_id, cand_id, rel FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cosineSql AS rel,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $cosineSql DESC, c.vec_id) AS rn
+                FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < $NQueries) WHERE rn <= $MmrC),
+            sims AS (SELECT r1.query_id, r1.cand_id AS ca, r2.cand_id AS cb, $simSql AS sim
+                     FROM rel r1
+                     JOIN rel r2 ON r2.query_id = r1.query_id AND r2.cand_id != r1.cand_id
+                     JOIN embeddings ea ON ea.vec_id = r1.cand_id
+                     JOIN embeddings eb ON eb.vec_id = r2.cand_id),
+            s1 AS (SELECT query_id, cand_id, 1 AS step FROM (
+                     SELECT query_id, cand_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rk FROM rel) WHERE rk = 1),
+            sel1 AS (SELECT * FROM s1),
+            $steps
+          SELECT query_id, CAST(step AS BIGINT) AS step, cand_id AS vec_id, rel
+          FROM sel$MmrK JOIN rel USING (query_id, cand_id)
+          ORDER BY query_id, step"""
+    })
+
   private val OutlierK = 3 // flagged vectors per label
 
   /** Per-label embedding outliers — the mislabel/contamination audit of
@@ -1556,6 +1675,6 @@ object EmbeddingCatalog {
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
-      labelCentroids, centroidOutliers, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
+      labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall)
 }

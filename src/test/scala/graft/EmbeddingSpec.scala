@@ -363,6 +363,39 @@ class EmbeddingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_mmr_rerank: a plain-Scala greedy replay matches step-for-step") {
+    val emb = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Long, b: Long) = {
+      val (x, y) = (emb(a), emb(b))
+      r6(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+    }
+    val want = emb.keys.filter(_ < 8).toSeq.sorted.flatMap { q =>
+      val rel = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(q, c)).sortBy { case (c, s) => (-s, c) }.take(10)
+      val relMap = rel.toMap
+      var sel = Vector(rel.minBy { case (c, s) => (-s, c) }._1)
+      for (_ <- 2 to 5) {
+        val pick = rel.map(_._1).filterNot(sel.contains)
+          .map { c =>
+            val ms = sel.map(s0 => cos(c, s0)).max
+            c -> r6(0.7 * relMap(c) - 0.3 * ms)
+          }.minBy { case (c, m) => (-m, c) }._1
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case (c, i) => (q, (i + 1).toLong, c, relMap(c)) }
+    }
+    val got = run("emb_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sorted == want.sorted, "greedy MMR replay diverges")
+  }
+
   test("bq sign packing: popcount of the packed halves equals the positive-dim count") {
     import graft.queries.EmbeddingCatalog
     val emb = graft.Tables.embeddings(spark, sf0001)

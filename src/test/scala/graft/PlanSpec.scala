@@ -621,5 +621,12 @@ class PlanSpec extends AnyFunSuite {
     val be = plan("token_bpe_encode")
     assert(be.contains("Scan ExistingRDD") && !be.contains("Window"),
       s"token_bpe_encode: vocabulary no longer checkpoint-truncated\n$be")
+    // MMR: the corpus scan happened once, at candidate-checkpoint time —
+    // the returned plan reads only checkpointed query-bounded frames.
+    val mm = plan("emb_mmr_rerank")
+    assert(countOf(mm, "FileScan parquet") == 0 && mm.contains("Scan ExistingRDD"),
+      s"emb_mmr_rerank: candidate frames no longer checkpoint-truncated\n$mm")
+    assert(!mm.contains("Window") && !mm.contains("CartesianProduct"),
+      s"emb_mmr_rerank: rank window / cartesian crept in\n$mm")
   }
 }
