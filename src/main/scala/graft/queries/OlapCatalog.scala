@@ -743,10 +743,120 @@ object OlapCatalog {
                     ${sqlSum("o_totalprice", 18, 4)} AS total
              FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Kaplan–Meier survival curve for time-from-signup-to-first-purchase
+    * (right-censored at the corpus horizon) — the product-analytics
+    * estimator behind "how long until users convert", done properly:
+    * users who never purchase are CENSORED at the last observed
+    * timestamp, not dropped (dropping them biases conversion time low —
+    * the mistake the estimator exists to fix). Standard convention:
+    * deaths at duration d precede censorings at d, so the at-risk set
+    * at d includes same-day leavers.
+    *
+    * Determinism and scale share one device: the per-duration
+    * (deaths, leaving) table is DAY-bounded, so at-risk counts come
+    * from a bounded `dur < dur` self-join (broadcast-declared, the
+    * peak-concurrency day-frame pattern — never a global rank window,
+    * PlanLint's hard rule) and the running product
+    * S(d) = Π (1 − deaths/at_risk) folds a duration-SORTED factor list
+    * per output row — the labelCentroids ordered-fold pattern. Both
+    * engines execute the identical multiply sequence on factors derived
+    * from exact integers, so the unrounded product is bit-identical and
+    * rounding happens once per emitted row. (A single struct-state fold
+    * would be tighter, but DuckDB 1.0 drops list-valued struct fields
+    * across list_reduce iterations — measured; the per-row sorted-list
+    * fold sidesteps the bug and stays day²-bounded.) Corpus-side work
+    * is two event-type filtered aggregates and one user-keyed left
+    * join; everything after is day-bounded.
+    */
+  val userSurvivalKm: CatalogEntry = CatalogEntry(
+    "user_survival_km",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+        .join(su, Seq("user_id"))
+        .filter(col("pts") >= col("signup"))
+        .groupBy("user_id").agg(min("pts").as("purchase"))
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      val durs = su.join(fp, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("purchase").isNotNull,
+            datediff(col("purchase").cast("date"), col("signup").cast("date")))
+            .otherwise(datediff(col("mx").cast("date"), col("signup").cast("date")))
+            .cast("long").as("dur"),
+          col("purchase").isNotNull.as("observed"))
+      val byDur = durs.groupBy("dur").agg(
+        sum(when(col("observed"), 1L).otherwise(0L)).as("deaths"),
+        count(lit(1)).as("leaving"))
+        .localCheckpoint(eager = true)
+      val tot = byDur.agg(sum("leaving").as("n0"))
+      // at_risk(d) = everyone still unresolved at d = n0 − Σ leaving(d' < d).
+      val atRisk = byDur.as("a")
+        .join(broadcast(byDur.select(col("dur").as("bd"), col("leaving").as("bl"))),
+          col("bd") < col("a.dur"), "left")
+        .groupBy(col("a.dur").as("dur"), col("a.deaths").as("deaths"))
+        .agg(sum(coalesce(col("bl"), lit(0L))).as("gone"))
+        .crossJoin(broadcast(tot))
+        .select(col("dur"), col("deaths"),
+          (col("n0") - coalesce(col("gone"), lit(0L))).as("at_risk"))
+        .filter(col("deaths") > 0)
+        .select(col("dur"), col("at_risk"), col("deaths"),
+          (lit(1.0) - col("deaths").cast("double") / col("at_risk").cast("double"))
+            .as("factor"))
+        .localCheckpoint(eager = true)
+      // S(d): fold the dur-sorted factors of every event day ≤ d.
+      atRisk.as("x")
+        .join(broadcast(atRisk.select(col("dur").as("yd"), col("factor").as("yf"))),
+          col("yd") <= col("x.dur"))
+        .groupBy(col("x.dur").as("dur"), col("x.at_risk").as("at_risk"),
+          col("x.deaths").as("deaths"))
+        .agg(sort_array(collect_list(struct(col("yd"), col("yf")))).as("fs"))
+        .select(col("dur"), col("at_risk"), col("deaths"),
+          round(aggregate(col("fs"), lit(1.0),
+            (acc, f) => acc * f.getField("yf")), 6).as("survival"))
+        .orderBy("dur")
+    },
+    Some("""WITH su AS (SELECT user_id, MIN(ts) AS signup FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+                 fp AS (SELECT e.user_id, MIN(e.ts) AS purchase
+                        FROM events e JOIN su ON su.user_id = e.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts >= su.signup
+                        GROUP BY 1),
+                 mx AS (SELECT MAX(ts) AS mx FROM events),
+                 durs AS (SELECT CAST(CASE WHEN fp.purchase IS NOT NULL
+                                 THEN date_diff('day', CAST(su.signup AS DATE),
+                                                CAST(fp.purchase AS DATE))
+                                 ELSE date_diff('day', CAST(su.signup AS DATE),
+                                                CAST(mx.mx AS DATE)) END AS BIGINT) AS dur,
+                                 fp.purchase IS NOT NULL AS observed
+                          FROM su LEFT JOIN fp ON fp.user_id = su.user_id CROSS JOIN mx),
+                 bd AS (SELECT dur,
+                               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+                               CAST(COUNT(*) AS BIGINT) AS leaving
+                        FROM durs GROUP BY dur),
+                 ar AS (SELECT a.dur, a.deaths,
+                               (SELECT CAST(SUM(leaving) AS BIGINT) FROM bd)
+                                 - COALESCE(CAST(SUM(b.leaving) AS BIGINT), 0) AS at_risk
+                        FROM bd a LEFT JOIN bd b ON b.dur < a.dur
+                        GROUP BY a.dur, a.deaths),
+                 f AS (SELECT dur, at_risk, deaths,
+                              CAST(1.0 AS DOUBLE)
+                                - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE) AS factor
+                       FROM ar WHERE deaths > 0)
+            SELECT x.dur, x.at_risk, x.deaths,
+                   ROUND(list_reduce(
+                     list_prepend(CAST(1.0 AS DOUBLE),
+                       (SELECT list(y.factor ORDER BY y.dur) FROM f y
+                        WHERE y.dur <= x.dur)),
+                     (acc, v) -> acc * v), 6) AS survival
+            FROM f x ORDER BY x.dur"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
-      ordersRollupIncremental)
+      ordersRollupIncremental, userSurvivalKm)
 }

@@ -696,6 +696,38 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("user_survival_km: a plain-Scala Kaplan-Meier replays the curve exactly") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    def day(t: java.sql.Timestamp) = t.toLocalDateTime.toLocalDate
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val horizon = ev.map(_._3).max
+    val durs = signup.toSeq.map { case (u, su) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && !e._3.before(su))
+        .map(_._3).sorted.headOption
+      val end = p.getOrElse(horizon)
+      (java.time.temporal.ChronoUnit.DAYS.between(day(su), day(end)), p.isDefined)
+    }
+    val byDur = durs.groupBy(_._1).view.mapValues(g =>
+      (g.count(_._2).toLong, g.size.toLong)).toSeq.sortBy(_._1)
+    var ar = durs.size.toLong
+    var s = 1.0
+    val want = byDur.flatMap { case (d, (deaths, leaving)) =>
+      val row = if (deaths > 0) {
+        s = s * (1.0 - deaths.toDouble / ar.toDouble)
+        Some((d, ar, deaths, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      } else None
+      ar -= leaving
+      row
+    }
+    val got = run("user_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"KM curve diverges:\n got=$got\nwant=$want")
+  }
+
   test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
     val got = run("doc_split_leakage").collect()
     val pairTotal = run("doc_near_dup_lsh").count()

@@ -628,5 +628,13 @@ class PlanSpec extends AnyFunSuite {
       s"emb_mmr_rerank: candidate frames no longer checkpoint-truncated\n$mm")
     assert(!mm.contains("Window") && !mm.contains("CartesianProduct"),
       s"emb_mmr_rerank: rank window / cartesian crept in\n$mm")
+    // Kaplan-Meier: the curve math runs on the checkpointed DAY-bounded
+    // duration table (broadcast-declared bounded self-joins, ordered
+    // factor folds) — no global window, no cartesian.
+    val km = plan("user_survival_km")
+    assert(km.contains("Scan ExistingRDD"),
+      s"user_survival_km: duration table no longer checkpoint-truncated\n$km")
+    assert(!km.contains("Window") && !km.contains("CartesianProduct"),
+      s"user_survival_km: global window / cartesian crept in\n$km")
   }
 }
