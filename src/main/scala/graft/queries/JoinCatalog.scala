@@ -430,7 +430,61 @@ object JoinCatalog {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY o_orderpriority"""))
 
+  /** Entity resolution end-to-end — match → cluster → survive: the fuzzy
+    * match pairs ([[customerFuzzyMatch]] composed verbatim, oracle
+    * included) resolve to entities via connected components — the
+    * alternating large-star/small-star form, NOT round-per-hop label
+    * propagation: sequential name keys make dist-1 chains ("Customer
+    * #000000101" ↔ #102 ↔ …) whose diameter grows with the table, and
+    * at sf0.1 one chain already exceeds a 20-round propagation budget
+    * while the star form closes in O(log d) rounds — then one
+    * golden record survives per entity: "earliest key wins" for
+    * identity fields (struct-min — custkey is unique, so the pick is
+    * total), members listed in numeric order, balances CONSOLIDATED
+    * with the decimal-exact sum. This is the MDM golden-record
+    * pipeline: blocked matching keeps candidate generation linear,
+    * per-round CC cost rides the (tiny) match edge list, and the
+    * survivorship aggregate is entity-keyed.
+    */
+  val customerGoldenRecord: CatalogEntry = CatalogEntry(
+    "customer_golden_record",
+    (s, d) => {
+      import Exact.dsum
+      val pairs = customerFuzzyMatch.build(s, d).select(col("key_a"), col("key_b"))
+        .localCheckpoint(eager = true)
+      val cc = graft.operators.ConnectedComponents.alternatingStar(pairs)
+        .toDF("c_custkey", "entity_id")
+      val recs = t("customer")(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      cc.join(recs, Seq("c_custkey"))
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          min(struct(col("c_custkey"), col("c_name"))).as("g"),
+          concat_ws("|", transform(sort_array(collect_list(col("c_custkey"))),
+            k => k.cast("string"))).as("members"),
+          dsum(col("c_acctbal"), 18, 4).as("total_acctbal"))
+        .select(col("entity_id"), col("n_records"), col("members"),
+          col("g.c_name").as("golden_name"), col("total_acctbal"))
+        .orderBy("entity_id")
+    },
+    Some {
+      val fuzzySql = customerFuzzyMatch.oracle.get
+      s"""WITH RECURSIVE fp AS (SELECT key_a, key_b FROM ($fuzzySql) tf),
+            e AS (SELECT key_a AS a, key_b AS b FROM fp
+                  UNION SELECT key_b, key_a FROM fp),
+            reach(a, b) AS (SELECT DISTINCT a, a FROM e
+                            UNION
+                            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            lab AS (SELECT a AS c_custkey, MIN(b) AS entity_id FROM reach GROUP BY a)
+          SELECT l.entity_id, COUNT(*) AS n_records,
+                 array_to_string(list_sort(list(l.c_custkey)), '|') AS members,
+                 arg_min(c.c_name, c.c_custkey) AS golden_name,
+                 ${Exact.sqlSum("c.c_acctbal", 18, 4)} AS total_acctbal
+          FROM lab l JOIN customer c ON c.c_custkey = l.c_custkey
+          GROUP BY l.entity_id ORDER BY l.entity_id"""
+    })
+
   val all: Seq[CatalogEntry] =
     Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
-      customerFuzzyMatch, lineitemBloomSemi, basketPairs, saltedJoin)
+      customerFuzzyMatch, lineitemBloomSemi, basketPairs, saltedJoin,
+      customerGoldenRecord)
 }

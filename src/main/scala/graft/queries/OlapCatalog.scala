@@ -853,10 +853,93 @@ object OlapCatalog {
                      (acc, v) -> acc * v), 6) AS survival
             FROM f x ORDER BY x.dur"""))
 
+  /** The pooled two-proportion z statistic — ONE text, interpolated into
+    * both the Spark expr and the oracle so the op sequence cannot drift;
+    * every literal carries an explicit DOUBLE cast (DuckDB parses bare
+    * `1.0` as DECIMAL, Spark as its own decimal — the cast pins both).
+    */
+  private val abZExpr =
+    """(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+       sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            * (CAST(1.0 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b))"""
+
+  /** A/B experiment readout: users assigned to arms by salted id hash
+    * (deterministic, re-runnable — the split-assign device; an arm
+    * column would normally come from the experiment service), the
+    * conversion metric is time-bounded — "first purchase within one day
+    * of the user's first activity" (an ever-converted flag saturates to
+    * 100% on a long-enough stream and degenerates the variance; bounded
+    * conversion is what experiments actually measure) — and the
+    * comparison ships as the pooled two-proportion z STATISTIC,
+    * deliberately not a p-value: the normal CDF is a transcendental
+    * whose last bit differs across engines, while z is one fixed
+    * divide/sqrt sequence over exact counts (the file-wide
+    * ln()-avoidance discipline; the analyst thresholds z at 1.96
+    * exactly as they would p at 0.05). A zero pooled variance (all or
+    * none converted) yields NULL, the statistic's honest value there.
+    *
+    * Shape: two user-keyed min-aggregates, a broadcast-sized left join,
+    * a 2-group aggregate, and a 1-row conditional pivot — nothing
+    * scales with event volume but the per-user mins.
+    */
+  val eventsAbTest: CatalogEntry = CatalogEntry(
+    "events_ab_test",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("first_p"))
+      firsts.join(firstP, Seq("user_id"), "left")
+        .select(
+          when(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+            .otherwise("B").as("arm"),
+          when(col("first_p").isNotNull &&
+            col("first_p") <= col("first_ts") + expr("INTERVAL 1 DAY"), 1L)
+            .otherwise(0L).as("converted"))
+        .groupBy("arm").agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+        .agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("c"))).as("c_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("c"))).as("c_b"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round(col("c_a").cast("double") / col("n_a"), 6).as("rate_a"),
+          round(col("c_b").cast("double") / col("n_b"), 6).as("rate_b"),
+          round(expr(s"CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN $abZExpr END"), 6)
+            .as("z"))
+    },
+    Some(s"""WITH firsts AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+                 fp AS (SELECT user_id, MIN(ts) AS first_p FROM events
+                        WHERE event_type = 'purchase' GROUP BY 1),
+                 flags AS (SELECT
+                    CASE WHEN substr(md5('ab|' || CAST(f.user_id AS VARCHAR)), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN 'A' ELSE 'B' END AS arm,
+                    CASE WHEN fp.first_p IS NOT NULL
+                              AND fp.first_p <= f.first_ts + INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END AS converted
+                  FROM firsts f LEFT JOIN fp ON fp.user_id = f.user_id),
+                 per AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(converted) AS BIGINT) AS c
+                         FROM flags GROUP BY arm),
+                 wide AS (SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                                 MAX(CASE WHEN arm = 'A' THEN c END) AS c_a,
+                                 MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                                 MAX(CASE WHEN arm = 'B' THEN c END) AS c_b
+                          FROM per)
+             SELECT n_a, c_a, n_b, c_b,
+                    ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+                    ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+                    ROUND(CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                               THEN $abZExpr END, 6) AS z
+             FROM wide"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
-      ordersRollupIncremental, userSurvivalKm)
+      ordersRollupIncremental, userSurvivalKm, eventsAbTest)
 }

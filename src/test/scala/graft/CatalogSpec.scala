@@ -728,6 +728,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == want, s"KM curve diverges:\n got=$got\nwant=$want")
   }
 
+  test("events_ab_test: arm totals recounted from a plain-Scala hash assignment") {
+    val got = run("events_ab_test").collect()
+    assert(got.length == 1)
+    val r = got.head
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2)))
+    // .toSeq BEFORE mapping to (arm, conv): mapping a Map to pairs
+    // re-keys (and silently dedupes) by the first element.
+    val flags = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val first = rows.map(_._3).min
+      val firstP = rows.filter(_._2 == "purchase").map(_._3).sorted.headOption
+      val conv = firstP.exists(p => p.getTime <= first.getTime + 24L * 3600 * 1000)
+      val arm = if ("01234567".contains(md5hex(s"ab|$u").charAt(0))) "A" else "B"
+      (arm, conv)
+    }
+    assert(r.getAs[Long]("n_a") == flags.count(_._1 == "A"))
+    assert(r.getAs[Long]("n_b") == flags.count(_._1 == "B"))
+    assert(r.getAs[Long]("c_a") == flags.count(f => f._1 == "A" && f._2))
+    assert(r.getAs[Long]("c_b") == flags.count(f => f._1 == "B" && f._2))
+  }
+
+  test("customer_golden_record: entities are consistent with the fuzzy pair graph") {
+    val got = run("customer_golden_record").collect()
+    got.foreach { r =>
+      val members = r.getAs[String]("members").split("\\|").map(_.toLong)
+      assert(members.length == r.getAs[Long]("n_records"))
+      assert(members.min == r.getAs[Long]("entity_id"),
+        "entity label must be the min member key")
+      assert(members.sorted.sameElements(members), "members must list in numeric order")
+    }
+    // Every fuzzy pair's endpoints resolve to the same entity.
+    val ent = got.flatMap { r =>
+      r.getAs[String]("members").split("\\|").map(_.toLong -> r.getAs[Long]("entity_id"))
+    }.toMap
+    run("customer_fuzzy_match").collect().foreach { p =>
+      val (a, b) = (p.getAs[Long]("key_a"), p.getAs[Long]("key_b"))
+      assert(ent.contains(a) && ent(a) == ent(b),
+        s"pair ($a, $b) split across entities")
+    }
+  }
+
   test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
     val got = run("doc_split_leakage").collect()
     val pairTotal = run("doc_near_dup_lsh").count()

@@ -636,5 +636,16 @@ class PlanSpec extends AnyFunSuite {
       s"user_survival_km: duration table no longer checkpoint-truncated\n$km")
     assert(!km.contains("Window") && !km.contains("CartesianProduct"),
       s"user_survival_km: global window / cartesian crept in\n$km")
+    // A/B test: two user-keyed aggregates, no window, no cartesian.
+    val ab = plan("events_ab_test")
+    assert(!ab.contains("Window") && !ab.contains("CartesianProduct"),
+      s"events_ab_test: window/cartesian crept in\n$ab")
+    // Golden record: the match graph rides the checkpointed pair frame;
+    // survivorship is entity-keyed, never a rank window.
+    val gr = plan("customer_golden_record")
+    assert(gr.contains("Scan ExistingRDD"),
+      s"customer_golden_record: components no longer checkpoint-truncated\n$gr")
+    assert(!gr.contains("Window") && !gr.contains("CartesianProduct"),
+      s"customer_golden_record: window/cartesian crept in\n$gr")
   }
 }
