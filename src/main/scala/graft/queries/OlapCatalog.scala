@@ -936,10 +936,58 @@ object OlapCatalog {
                                THEN $abZExpr END, 6) AS z
              FROM wide"""))
 
+  /** Day-of-week seasonality index per event type: the mean value each
+    * ISO weekday runs relative to the type's overall mean — the
+    * calendar profile behind staffing/alerting baselines ("Mondays run
+    * 1.3× on purchases") and the denominator a seasonal anomaly monitor
+    * normalizes by before flagging. ISO weekday deliberately: Spark's
+    * `dayofweek` is Sunday-1 while DuckDB's `dayofweek` is Sunday-0 —
+    * `weekday(ts)+1` / `isodow(ts)` agree (Monday=1).
+    *
+    * Exactness: values snap to DECIMAL(18,4) before ANY sum; type
+    * totals re-aggregate the per-(type,dow) DECIMAL sums (never a
+    * second corpus pass), and each mean/ratio is a fixed two-division
+    * IEEE sequence off decimal-exact numerators (the varchar-routed
+    * decimal→double cast on the oracle side, the Exact device). One
+    * corpus aggregate (the checkpoint boundary), then type×7-bounded
+    * work.
+    */
+  val eventsDowSeasonality: CatalogEntry = CatalogEntry(
+    "events_dow_seasonality",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .select(col("event_type"), expr("weekday(ts) + 1").as("dow"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum("dv").as("sd"))
+        .localCheckpoint(eager = true)
+      val tot = per.groupBy("event_type")
+        .agg(sum("n").as("nt"), sum("sd").as("st"))
+      per.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow").cast("long").as("dow"), col("n"),
+          round(col("sd").cast("double") / col("n"), 6).as("dow_mean"),
+          round((col("sd").cast("double") / col("n"))
+            / (col("st").cast("double") / col("nt")), 6).as("seasonality"))
+        .orderBy("event_type", "dow")
+    },
+    Some(s"""WITH per AS (SELECT event_type, isodow(ts) AS dow,
+                                 CAST(COUNT(*) AS BIGINT) AS n,
+                                 SUM(CAST(value AS DECIMAL(18,4))) AS sd
+                          FROM events GROUP BY 1, 2),
+                  tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt,
+                                 SUM(sd) AS st
+                          FROM per GROUP BY 1)
+             SELECT per.event_type, CAST(per.dow AS BIGINT) AS dow, per.n,
+                    ROUND(${sqlToDouble("sd")} / n, 6) AS dow_mean,
+                    ROUND((${sqlToDouble("sd")} / n) / (${sqlToDouble("st")} / nt), 6)
+                      AS seasonality
+             FROM per JOIN tot USING (event_type)
+             ORDER BY event_type, dow"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
-      ordersRollupIncremental, userSurvivalKm, eventsAbTest)
+      ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality)
 }

@@ -773,6 +773,23 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("events_dow_seasonality: ISO dows, counts total out, weighted index centers on 1") {
+    val got = run("events_dow_seasonality").collect()
+    assert(got.forall(r => (1L to 7L).contains(r.getAs[Long]("dow"))))
+    val byType = got.groupBy(_.getAs[String]("event_type"))
+    val totals = Tables.events(spark, sf0001).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rows) =>
+      val nt = rows.map(_.getAs[Long]("n")).sum
+      assert(nt == totals(t), s"$t: dow counts do not total the type's events")
+      // Σ (n/nt)·seasonality = 1 exactly before rounding; 7 rounded terms
+      // leave at most 7·5e-7 of slack.
+      val w = rows.map(r => r.getAs[Long]("n").toDouble / nt *
+        r.getAs[Double]("seasonality")).sum
+      assert(math.abs(w - 1.0) < 1e-5, s"$t: weighted seasonality $w != 1")
+    }
+  }
+
   test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
     val got = run("doc_split_leakage").collect()
     val pairTotal = run("doc_near_dup_lsh").count()
