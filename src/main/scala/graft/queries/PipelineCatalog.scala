@@ -436,6 +436,47 @@ object PipelineCatalog {
                          // (COUNT(*) OVER ()) AS BIGINT) AS tier
              FROM scored"""))
 
+  /** Quality × duplication contingency — the "is boilerplate also
+    * low-quality?" diagnostic that decides whether dedup and quality
+    * filtering are redundant or complementary on a corpus: per quality
+    * decile (THE tier definition — [[qualityTiers]] composed verbatim,
+    * oracle included), the share of docs that sit in at least one
+    * ≥-threshold near-dup pair. If dup share concentrates in low tiers,
+    * the quality gate already removes most boilerplate and dedup's
+    * marginal value is small; a flat profile means both passes earn
+    * their cost. The pair list is the LSH family's shared derivation
+    * (NearDupCatalog.lshPairs — the decontaminate/clean-corpus
+    * composition direction); the contingency aggregate is
+    * 10-cell-bounded.
+    */
+  val qualityVsDup: CatalogEntry = CatalogEntry(
+    "doc_quality_vs_dup",
+    (s, d) => {
+      val e = NearDupCatalog.lshPairs(s, d)
+      val dupDocs = e.select(col("doc_a").as("doc_id"))
+        .union(e.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      qualityTiers.build(s, d).select(col("doc_id"), col("tier"))
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .select(col("tier"), col("n_docs"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_share"))
+        .orderBy("tier")
+    },
+    Some(s"""WITH RECURSIVE ${NearDupCatalog.lshPairsCtesSql},
+            dd AS (SELECT DISTINCT doc_id FROM (
+                     SELECT doc_a AS doc_id FROM lsh_pairs
+                     UNION ALL SELECT doc_b FROM lsh_pairs)),
+            qt AS (${qualityTiers.oracle.get})
+          SELECT qt.tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 ROUND(CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS dup_share
+          FROM qt LEFT JOIN dd ON dd.doc_id = qt.doc_id
+          GROUP BY qt.tier ORDER BY qt.tier"""))
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenization (letter runs | digit runs | single other-symbol
     * runs — the GPT-2-style split shape). Per-row, no shuffle.
@@ -1962,5 +2003,5 @@ object PipelineCatalog {
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
-      blockDedup, cdcChunks, bigramFluency, langIdConfusion)
+      blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup)
 }

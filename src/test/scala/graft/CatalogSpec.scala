@@ -27,6 +27,11 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog names are unique (a duplicate would silently shadow in SparkEntry's Map)") {
+    val dupes = Catalog.all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate entry names: ${dupes.mkString(", ")}")
+  }
+
   test("entry() flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -788,6 +793,18 @@ class CatalogSpec extends AnyFunSuite {
         r.getAs[Double]("seasonality")).sum
       assert(math.abs(w - 1.0) < 1e-5, s"$t: weighted seasonality $w != 1")
     }
+  }
+
+  test("doc_quality_vs_dup: tiers partition the corpus; dup column recounts the pair graph") {
+    val got = run("doc_quality_vs_dup").collect()
+    assert(got.map(_.getAs[Long]("tier")).sorted.sameElements(0L to 9L))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val pairs = run("doc_near_dup_lsh")
+    val dupDocs = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(got.map(_.getAs[Long]("n_dup")).sum == dupDocs,
+      "per-tier dup counts do not total the pair-graph doc set")
   }
 
   test("doc_split_leakage: cells partition the LSH pair set; leak flag consistent") {
