@@ -89,12 +89,17 @@ object Text {
   def setFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(normTokens(text))), " "))
 
-  /** Order-sensitive rolling polynomial hash over characters, mod 1e9+7. */
-  def rollingHash(text: Column): Column =
-    aggregate(
-      filter(split(lower(trim(text)), ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+  /** Order-sensitive rolling polynomial hash over characters, mod 1e9+7.
+    * Native expression (graft.expressions.RollingHash): the composed
+    * `aggregate(split(...))` fold was value-identical but ran on the
+    * interpreted HOF path and allocated a per-char array per row —
+    * winnowing evaluates it once per positional n-gram (measured there).
+    */
+  def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.expressions.RollingHash(
+      GraftSqlBridge.expression(lower(trim(text)))))
+  }
 
   /** Content-defined chunking over the normalized token stream: a token
     * whose polynomial hash (the [[rollingHash]] recurrence, applied per
@@ -106,9 +111,14 @@ object Text {
     * whole-stage-codegen'd; catalog entry `doc_cdc_chunks`.
     */
   def cdcChunks(text: Column, mod: Int = 8): Column = {
-    def tokHash(t: Column) =
-      aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
-        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    // Same recurrence as rollingHash, applied per TOKEN (tokens are
+    // already normalized — no second lower/trim); the native expression
+    // replaces a fold-within-fold on the interpreted HOF path.
+    def tokHash(t: Column) = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.expressions.RollingHash(
+        GraftSqlBridge.expression(t)))
+    }
     val emptyArr = array().cast("array<string>")
     aggregate(
       filter(normTokens(text), t => t =!= ""),
