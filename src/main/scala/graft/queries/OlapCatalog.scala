@@ -984,10 +984,37 @@ object OlapCatalog {
              FROM per JOIN tot USING (event_type)
              ORDER BY event_type, dow"""))
 
+  /** Ingest-completeness gate (the data-contract check a pipeline runs
+    * before trusting a day's partition): per calendar day, event volume
+    * and the number of DISTINCT hours with any data — a day missing
+    * hours means a collector outage or a late partition, and downstream
+    * aggregates over it silently under-report. One day-keyed aggregate;
+    * the hour set per group is ≤ 24, so the distinct count is
+    * constant-bounded per group. (Missing WHOLE days need a calendar
+    * spine anti join — day-bounded, the KM at-risk device — left to the
+    * alerting layer, which knows the expected range.)
+    */
+  val eventsCompleteDays: CatalogEntry = CatalogEntry(
+    "events_complete_days",
+    (s, d) => Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), hour(col("ts")).as("hr"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("hr")).as("hours_present"))
+      .select(col("day"), col("n_events"), col("hours_present"),
+        (col("hours_present") === 24).as("complete"))
+      .orderBy("day"),
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT EXTRACT(hour FROM ts)) AS BIGINT) AS hours_present,
+                   COUNT(DISTINCT EXTRACT(hour FROM ts)) = 24 AS complete
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
-      ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality)
+      ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality,
+      eventsCompleteDays)
 }
