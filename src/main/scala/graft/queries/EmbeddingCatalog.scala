@@ -1691,9 +1691,39 @@ object EmbeddingCatalog {
              FROM hnexact e LEFT JOIN hnshort s USING (vec_id)
              GROUP BY e.label ORDER BY e.label"""))
 
+  /** The contrastive training-pair set — the dataset artifact a
+    * representation-learning run consumes, assembled from the catalog's
+    * own mining stages composed verbatim (oracles included): positives
+    * are the ≥-threshold near-duplicate pairs ([[nearDupCosine]] — the
+    * "semantically same" signal), negatives are each vector's hardest
+    * cross-label neighbour ([[hardNegatives]] — the pairs a margin loss
+    * learns most from). One frame, `pair_type` labeled, so the trainer
+    * reads a single manifest; costs are the two underlying runs plus a
+    * union — never a third corpus pass.
+    */
+  val contrastivePairs: CatalogEntry = CatalogEntry(
+    "emb_contrastive_pairs",
+    (s, d) => {
+      val pos = nearDupCosine.build(s, d)
+        .select(col("vec_a").as("anchor_id"), col("vec_b").as("other_id"),
+          lit("pos").as("pair_type"), col("cosine").as("sim"))
+      val neg = hardNegatives.build(s, d)
+        .select(col("vec_id").as("anchor_id"), col("neg_id").as("other_id"),
+          lit("neg").as("pair_type"), col("score").as("sim"))
+      pos.unionByName(neg).orderBy("pair_type", "anchor_id", "other_id")
+    },
+    Some(s"""WITH pos AS (${nearDupCosine.oracle.get}),
+                  neg AS (${hardNegatives.oracle.get})
+             SELECT vec_a AS anchor_id, vec_b AS other_id,
+                    'pos' AS pair_type, cosine AS sim FROM pos
+             UNION ALL
+             SELECT vec_id, neg_id, 'neg', score FROM neg
+             ORDER BY pair_type, anchor_id, other_id"""))
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
-      abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall)
+      abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
+      contrastivePairs)
 }
