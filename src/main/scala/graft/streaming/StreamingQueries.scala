@@ -55,6 +55,16 @@ final case class EwmaPoint(
   * `events_active_users` entry builds, held as per-day keyed state. */
 final case class ActiveUsersState(dau: Seq[Long], wau: Seq[Long])
 
+/** Per-type day-of-week seasonality state: 7 slots of (count, exact
+  * decimal value sum — serialized, the CUSUM discipline). Bounded at
+  * 14 scalars per event type, forever.
+  */
+final case class DowSeasonState(ns: Seq[Long], sums: Seq[String])
+
+/** One streamed seasonality row (same columns as the batch entry). */
+final case class DowSeasonRow(
+    event_type: String, dow: Long, n: Long, dow_mean: Double, seasonality: Double)
+
 /** Per-user sequence-mining state: the last two event types (oldest
   * first) and the trigram keys this user already contributed — bounded
   * by |types|³, never by stream length.
@@ -717,6 +727,55 @@ object StreamingQueries {
           }
           state.update(TrigramState(last, seen.toSeq.sorted))
           out.result().iterator
+      }
+  }
+
+  /** Streaming day-of-week seasonality — the live side of the batch
+    * `events_dow_seasonality` entry, and BIT-IDENTICAL to it on a full
+    * in-order replay rather than merely convergent: the keyed state is
+    * the same arithmetic the batch plan aggregates — per (type, dow) an
+    * event count and an EXACT DECIMAL(·,4) value sum (decimal addition
+    * is associative, so micro-batch splits cannot change it) — and every
+    * emission replays the batch entry's closing ops: decimal→double
+    * (correctly rounded both paths), two divisions, HALF_UP at 6. The
+    * seasonality index needs all 7 weekday slots of a TYPE at once, so
+    * state keys on event_type with a 7-slot array (14 scalars per key,
+    * forever) and each update re-emits the type's full dow profile in
+    * update mode — the consumer upserts on (type, dow).
+    */
+  def streamingDowSeasonality(
+      events: DataFrame): org.apache.spark.sql.Dataset[DowSeasonRow] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), expr("weekday(ts) + 1").as("dow"), col("value"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DowSeasonState, DowSeasonRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Int, Double)],
+         state: GroupState[DowSeasonState]) =>
+          val st = state.getOption.getOrElse(
+            DowSeasonState(Seq.fill(7)(0L), Seq.fill(7)("0.0000")))
+          val ns = st.ns.toArray
+          val sums = st.sums.map(new JBD(_)).toArray
+          rows.foreach { case (_, dow, v) =>
+            val i = dow - 1
+            ns(i) += 1
+            sums(i) = sums(i).add(JBD.valueOf(v).setScale(4, RoundingMode.HALF_UP))
+          }
+          state.update(DowSeasonState(ns.toSeq, sums.map(_.toPlainString).toSeq))
+          val nt = ns.sum
+          val stot = sums.reduce(_.add(_))
+          val typeMean = stot.doubleValue() / nt.toDouble
+          (0 until 7).iterator.filter(ns(_) > 0).map { i =>
+            val dm = sums(i).doubleValue() / ns(i).toDouble
+            DowSeasonRow(tpe, (i + 1).toLong, ns(i),
+              JBD.valueOf(dm).setScale(6, RoundingMode.HALF_UP).doubleValue(),
+              JBD.valueOf(dm / typeMean).setScale(6, RoundingMode.HALF_UP).doubleValue())
+          }
       }
   }
 

@@ -425,6 +425,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed trigram supports diverge from the batch entry")
   }
 
+  test("streaming dow seasonality replays the batch entry bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Decimal sums are associative, so any micro-batch split folds to the
+    // batch aggregate exactly; the emission replays the batch divisions.
+    val want = SparkEntry.queries("events_dow_seasonality")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"dowseason-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (event_type, dow)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingDowSeasonality(input.toDF().toDF(eventCols: _*))
+      .toDF("event_type", "dow", "n", "dow_mean", "seasonality")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Sinks.registry(sinkId).asScala.values.map(_.toSeq.toList).toSet
+    Sinks.clear(sinkId)
+    assert(got == want, "streamed seasonality diverges from the batch entry")
+  }
+
   test("streaming Count-Min cells replay the batch entry's estimates bit-for-bit") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.CountMinSketch
