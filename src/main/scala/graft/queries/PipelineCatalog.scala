@@ -477,6 +477,56 @@ object PipelineCatalog {
           FROM qt LEFT JOIN dd ON dd.doc_id = qt.doc_id
           GROUP BY qt.tier ORDER BY qt.tier"""))
 
+  private val FhDims = 16 // feature-hash slots
+
+  /** Signed feature hashing (the hashing trick — Weinberger et al.
+    * 2009): every document becomes a sparse [[FhDims]]-slot
+    * bag-of-words vector with NO vocabulary dictionary — slot = the
+    * token hash's first hex digit, sign = parity of its second, weight
+    * = Σ signs over occurrences (the sign debiases collisions: colliding
+    * tokens cancel in expectation instead of inflating the slot). This
+    * is the classical-ML featurizer (logreg/linear-SVM on text) that
+    * needs no fit step, no broadcast vocabulary, and survives schema
+    * drift — the reason ad-click pipelines run it at exactly this
+    * scale. Output is LONG-FORMAT SPARSE (zero slots dropped): the only
+    * representation whose size tracks content, not dims × docs.
+    *
+    * Exactness: weights are signed INTEGER counts — one (doc, slot)
+    * aggregate, order-free; slot/sign come from md5 hex digits via the
+    * position-in-'0123456789abcdef' device (locate/strpos — argument
+    * orders differ between engines, the position is the same). One
+    * token explode + one uniform (doc_id, dim) shuffle.
+    */
+  val featureHash: CatalogEntry = CatalogEntry(
+    "doc_feature_hash",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), explode(Text.normTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        expr("md5(concat('fh|', tok))").as("h"))
+      .select(col("doc_id"),
+        expr("locate(substring(h, 1, 1), '0123456789abcdef') - 1").cast("long").as("dim"),
+        when(substring(col("h"), 2, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"), 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy("doc_id", "dim"),
+    Some(s"""WITH toks AS (SELECT doc_id, md5('fh|' || tok) AS h
+                           FROM (SELECT doc_id, unnest($normToksSql) AS tok
+                                 FROM documents)
+                           WHERE tok <> ''),
+                  cells AS (SELECT doc_id,
+                                   CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                                        AS BIGINT) AS dim,
+                                   CASE WHEN substr(h, 2, 1) IN ('0','2','4','6','8','a','c','e')
+                                        THEN 1 ELSE -1 END AS sign
+                            FROM toks)
+             SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+             FROM cells GROUP BY doc_id, dim
+             HAVING SUM(sign) <> 0
+             ORDER BY doc_id, dim"""))
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenization (letter runs | digit runs | single other-symbol
     * runs — the GPT-2-style split shape). Per-row, no shuffle.
@@ -2003,5 +2053,6 @@ object PipelineCatalog {
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
-      blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup)
+      blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
+      featureHash)
 }
