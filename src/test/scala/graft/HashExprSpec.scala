@@ -161,4 +161,30 @@ class HashExprSpec extends AnyFunSuite {
       assert(on.map(_.toSeq).toSeq == off.map(_.toSeq).toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("RollingHash equals the composed aggregate(split) fold on the corpus and edge cases") {
+    import spark.implicits._
+    val composed = (c: org.apache.spark.sql.Column) =>
+      aggregate(
+        filter(split(lower(trim(c)), ""), ch => ch =!= ""),
+        lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    val corpus = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val both = corpus.select(col("doc_id"),
+      Text.rollingHash(col("text")).as("native"), composed(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "native rolling hash diverges from the composed fold on the corpus")
+    // Edge cases: empty, whitespace-only, single char, case/trim noise.
+    val edges = Seq("", "   ", "x", "  MiXeD Case\t", "a b  c").toDF("text")
+    val e = edges.select(Text.rollingHash(col("text")).as("n"),
+      composed(col("text")).as("h")).collect()
+    assert(e.forall(r => r.getLong(0) == r.getLong(1)))
+    // Codegen-off path matches codegen-on (both eval strategies).
+    val on = both.select("native").as[Long].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = both.select("native").as[Long].collect().toSeq
+      assert(on == off)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
