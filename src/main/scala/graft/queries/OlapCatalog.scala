@@ -1010,11 +1010,69 @@ object OlapCatalog {
                    COUNT(DISTINCT EXTRACT(hour FROM ts)) = 24 AS complete
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** The churn-model feature store — ONE wide per-customer frame
+    * materialized from the catalog's own operators (the feature-store
+    * pattern: features are computed once, versioned, and served to
+    * every model, never re-derived ad hoc per notebook): the RFM block
+    * ([[customerRfm]] composed verbatim, oracle included — scores,
+    * recency, monetary, behavioural segment), the purchase-cadence
+    * block (tenure span and exact mean inter-order gap; NULL on
+    * single-order customers — "unknown cadence" must stay distinct from
+    * "zero-day cadence"), and the static dimension (market segment).
+    * Mean gap = tenure/(n−1) exactly, since per-customer gaps telescope
+    * — one aggregate, no window, no per-pair work.
+    *
+    * Shape: everything is custkey-keyed — the RFM pipeline's own cost
+    * plus one orders aggregate and two hash joins on the same key; the
+    * output is customer-sized, the serving table a training run
+    * snapshots.
+    */
+  val customerFeatureStore: CatalogEntry = CatalogEntry(
+    "customer_feature_store",
+    (s, d) => {
+      val rfm = customerRfm.build(s, d)
+      val span = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+          max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("n_o"))
+        .select(col("c_custkey"),
+          datediff(col("last_d"), col("first_d")).cast("long").as("tenure_days"),
+          when(col("n_o") > 1,
+            round(datediff(col("last_d"), col("first_d")).cast("double")
+              / (col("n_o") - 1), 6)).as("mean_gap_days"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("mkt_segment"))
+      rfm.join(span, Seq("c_custkey")).join(dim, Seq("c_custkey"))
+        .select(col("c_custkey"), col("mkt_segment"), col("segment").as("rfm_segment"),
+          col("r_score"), col("f_score"), col("m_score"),
+          col("recency_days"), col("n_orders"), col("monetary"),
+          col("tenure_days"), col("mean_gap_days"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH rfm AS (${customerRfm.oracle.get}),
+                 span AS (SELECT o_custkey AS c_custkey,
+                                 CAST(date_diff('day',
+                                   MIN(CAST(o_orderdate AS DATE)),
+                                   MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS tenure_days,
+                                 CASE WHEN COUNT(*) > 1
+                                      THEN ROUND(CAST(date_diff('day',
+                                        MIN(CAST(o_orderdate AS DATE)),
+                                        MAX(CAST(o_orderdate AS DATE))) AS DOUBLE)
+                                        / (COUNT(*) - 1), 6) END AS mean_gap_days
+                          FROM orders GROUP BY 1)
+            SELECT r.c_custkey, c.c_mktsegment AS mkt_segment, r.segment AS rfm_segment,
+                   r.r_score, r.f_score, r.m_score, r.recency_days, r.n_orders,
+                   r.monetary, s.tenure_days, s.mean_gap_days
+            FROM rfm r JOIN span s ON s.c_custkey = r.c_custkey
+            JOIN customer c ON c.c_custkey = r.c_custkey
+            ORDER BY r.c_custkey"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
       ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality,
-      eventsCompleteDays)
+      eventsCompleteDays, customerFeatureStore)
 }
