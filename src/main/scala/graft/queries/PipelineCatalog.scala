@@ -637,6 +637,58 @@ object PipelineCatalog {
              FROM per JOIN tot ON tot.lang = per.lang
              ORDER BY per.lang, pred_lang"""))
 
+  /** The per-document metadata sidecar a curated corpus release ships
+    * next to the text (the document-level companion of
+    * `pipeline_dataset_card`'s source-level datasheet): declared and
+    * DETECTED language, token volume, quality score + decile, exact-dup
+    * flag, and the split assignment — every column produced by the
+    * catalog's own operator composed verbatim (oracles included), so
+    * the manifest can never disagree with the operators a consumer
+    * would run. Downstream filters read THIS frame instead of
+    * re-deriving per notebook — the corpus-side feature store.
+    *
+    * Shape: four doc_id-keyed hash joins plus one content-hash join
+    * over per-row projections; at fleet scale the per-row columns ride
+    * ONE scan (the withLangPred fusion pattern) and only the dup flag
+    * keeps its hash-keyed shuffle — the joins here are the composition
+    * honesty trade the quality-report entry documents.
+    */
+  val docManifest: CatalogEntry = CatalogEntry(
+    "pipeline_doc_manifest",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        size(Text.normTokens(col("text"))).cast("long").as("n_tokens"),
+        Text.contentHash(col("text")).as("content_hash"))
+      val lid = langId.build(s, d).select(col("doc_id"), col("pred_lang"))
+      val qt = qualityTiers.build(s, d)
+        .select(col("doc_id"), col("quality_score"), col("tier"))
+      val dup = exactDedup.build(s, d).select("content_hash", "canonical_id")
+      val split = TrainPrepCatalog.splitAssign.build(s, d)
+      base.join(lid, Seq("doc_id")).join(qt, Seq("doc_id"))
+        .join(split, Seq("doc_id")).join(dup, Seq("content_hash"))
+        .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+          col("n_tokens"), col("quality_score"), col("tier"),
+          (col("doc_id") =!= col("canonical_id")).as("is_exact_dup"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH lid AS ($langPredSql),
+                  qt AS (${qualityTiers.oracle.get}),
+                  dup AS (${exactDedup.oracle.get}),
+                  sp AS (${TrainPrepCatalog.splitAssign.oracle.get}),
+                  base AS (SELECT doc_id, source, lang,
+                                  CAST(len($normToksSql) AS BIGINT) AS n_tokens,
+                                  md5($normSql) AS content_hash
+                           FROM documents)
+             SELECT b.doc_id, b.source, b.lang, lid.pred_lang, b.n_tokens,
+                    qt.quality_score, qt.tier,
+                    b.doc_id <> dup.canonical_id AS is_exact_dup, sp.split
+             FROM base b
+             JOIN lid ON lid.doc_id = b.doc_id
+             JOIN qt ON qt.doc_id = b.doc_id
+             JOIN sp ON sp.doc_id = b.doc_id
+             JOIN dup ON dup.content_hash = b.content_hash
+             ORDER BY b.doc_id"""))
+
   // -------------------------------------------------------------------
   // Document fingerprinting
   // -------------------------------------------------------------------
@@ -2054,5 +2106,5 @@ object PipelineCatalog {
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
-      featureHash)
+      featureHash, docManifest)
 }
