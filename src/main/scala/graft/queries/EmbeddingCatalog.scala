@@ -1691,6 +1691,37 @@ object EmbeddingCatalog {
              FROM hnexact e LEFT JOIN hnshort s USING (vec_id)
              GROUP BY e.label ORDER BY e.label"""))
 
+  /** Label-noise audit: near-duplicate vector pairs whose LABELS
+    * disagree — near-identical content carrying conflicting annotations
+    * is the classic label-noise signature (the pair-level signal
+    * confident-learning methods aggregate), and the cheapest
+    * high-precision review queue an annotation pipeline gets: every
+    * flagged pair is two concrete examples an annotator can adjudicate.
+    * Complements [[centroidOutliers]] (distribution-level suspicion)
+    * with pair-level evidence. Rides [[nearDupCosine]]'s bucketed
+    * candidate stage verbatim (oracle included); labels attach via two
+    * id-keyed joins — at fleet scale the label rides the LSH
+    * projection's own columns instead.
+    */
+  val labelNoisePairs: CatalogEntry = CatalogEntry(
+    "emb_label_noise_pairs",
+    (s, d) => {
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      nearDupCosine.build(s, d)
+        .join(lab.select(col("vec_id").as("vec_a"), col("label").as("label_a")), Seq("vec_a"))
+        .join(lab.select(col("vec_id").as("vec_b"), col("label").as("label_b")), Seq("vec_b"))
+        .filter(col("label_a") =!= col("label_b"))
+        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH nd AS (${nearDupCosine.oracle.get})
+             SELECT nd.vec_a, nd.vec_b, ea.label AS label_a, eb.label AS label_b,
+                    nd.cosine
+             FROM nd JOIN embeddings ea ON ea.vec_id = nd.vec_a
+                     JOIN embeddings eb ON eb.vec_id = nd.vec_b
+             WHERE ea.label <> eb.label
+             ORDER BY nd.vec_a, nd.vec_b"""))
+
   /** The contrastive training-pair set — the dataset artifact a
     * representation-learning run consumes, assembled from the catalog's
     * own mining stages composed verbatim (oracles included): positives
@@ -1725,5 +1756,5 @@ object EmbeddingCatalog {
       knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
-      contrastivePairs)
+      contrastivePairs, labelNoisePairs)
 }
