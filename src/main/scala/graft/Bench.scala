@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+import graft.SessionHygiene.dropEntryState
 import graft.queries.Catalog
 
 /** Benchmark main. Emits ONE JSON line:
@@ -43,7 +44,7 @@ object Bench {
     // (they will be reported from the timed pass).
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache() // similarity queries cache intermediates
+      dropEntryState(spark) // similarity queries cache intermediates
     }
 
     // Per-query time = MIN of SPARK_GRAFT_REPEAT (default 2) executions:
@@ -68,7 +69,7 @@ object Bench {
       // Drop this run's cached intermediates: repetitions must not read
       // the previous run's cache, and 46+ queries must not accumulate
       // heap pressure that perturbs later timings.
-      spark.catalog.clearCache()
+      dropEntryState(spark)
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
     val results = ordered.map { case (name, _) => name -> best(name) }

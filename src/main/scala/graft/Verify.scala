@@ -40,8 +40,9 @@ object Verify {
       }
       // Entries that cache intermediates for intra-query branch reuse
       // (the LSH builders) must not leave them resident across the other
-      // 79 entries' runs.
-      spark.catalog.clearCache()
+      // entries' runs — including localCheckpoint RDD blocks, which
+      // clearCache() alone does not free (round-10 finding #1).
+      SessionHygiene.dropEntryState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,6 +36,54 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ConnectedComponents {
 
+  /** Below this many rows (edges resp. nodes), iteration rounds run on
+    * the small-graph fast path (see [[withSmallGraphConf]]). 2M rows of
+    * 2×long is ~32 MB — trivially single-task work. */
+  private val SmallGraphRows = 2000000L
+
+  /** Rows per shuffle partition on the fast path — sized so the largest
+    * fast-path graph still gets a handful of partitions. */
+  private val SmallGraphRowsPerPartition = 250000L
+
+  /** Iterative rounds over a TINY frame are driver-overhead-bound, not
+    * data-bound (round-10 finding #3). Measured r11 on the golden-record
+    * match graph (sf0.1, ~1k edges, 6 star rounds, min of 2): the
+    * default session conf (32 shuffle partitions, AQE, whole-stage
+    * codegen) costs 3.6–7.3 s and ~60 stage-jobs — AQE turns every
+    * shuffle stage into its own job, each round's fresh plan pays
+    * Catalyst + janino compilation, and 32-task stages pay scheduling
+    * for partitions holding ~30 rows. With parallelism matched to the
+    * data, AQE off (rounds fuse back to one job each) and codegen off
+    * (nothing to amortize a per-round compile against), the same
+    * iteration runs 2.2–2.8 s and 8 jobs. So: when the first
+    * convergence probe shows the frame is small, the remaining rounds
+    * run under that reduced conf, restored on exit (try/finally). At
+    * real scale the threshold simply never fires and rounds keep the
+    * session's AQE/codegen — exactly the regime those features win in.
+    *
+    * The conf flip is SESSION-scoped for its duration: a concurrent
+    * query planned in the same session inside this window would pick up
+    * the reduced parallelism. The harness and catalog run entries
+    * sequentially; callers running parallel queries should isolate with
+    * `spark.newSession()` (conf is per-SessionState).
+    */
+  private def withSmallGraphConf[T](
+      spark: org.apache.spark.sql.SparkSession, rows: Long)(f: => T): T =
+    if (rows >= SmallGraphRows) f
+    else {
+      val conf = spark.conf
+      val keys = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, rows / SmallGraphRowsPerPartition).toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      try f finally saved.foreach { case (k, ov) =>
+        ov match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
+      }
+    }
+
   /** Every edge in both directions, deduplicated, self-loops dropped;
     * columns normalized to (u, v). */
   private def symmetrize(edges: DataFrame): DataFrame = {
@@ -76,35 +124,49 @@ object ConnectedComponents {
   def labelPropagation(
       edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1): DataFrame = {
     require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
-    val sym = symmetrize(edges).localCheckpoint()
+    // Checkpoints are NON-eager throughout: the convergence probe that
+    // immediately follows each one is a full-scan aggregate, so its
+    // action materializes the checkpoint blocks as a side effect — ONE
+    // driver job per round where eager checkpoint + probe paid two.
+    // (Round-10 measured these operators driver-latency-bound, not data
+    // bound; halving the job count is the fix that survives 100 TB,
+    // where per-job overhead still serializes on the driver.)
+    val sym = symmetrize(edges).localCheckpoint(eager = false)
     var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).localCheckpoint(eager = false)
     // coalesce: SUM over an empty frame is null — an edgeless graph must
-    // return an empty labeling, not NPE.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-        .head().getLong(0)
-    var sum = labelSum(labels)
+    // return an empty labeling, not NPE. The probe also returns the row
+    // count — the first probe's count gates the small-graph fast path.
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nNodes, sum0) = probe(labels) // materializes sym + labels checkpoints
+    var sum = sum0
     var converged = false
     var iter = 0
-    while (!converged && iter < maxRounds) {
-      var chain = labels
-      var k = 0
-      while (k < probeEvery && iter < maxRounds) {
-        iter += 1
-        k += 1
-        val prop = sym.join(chain, col("v") === col("node"))
-          .groupBy(col("u")).agg(min("label").as("nbr_min"))
-        chain = chain.join(prop, col("node") === col("u"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    withSmallGraphConf(edges.sparkSession, nNodes) {
+      while (!converged && iter < maxRounds) {
+        var chain = labels
+        var k = 0
+        while (k < probeEvery && iter < maxRounds) {
+          iter += 1
+          k += 1
+          val prop = sym.join(chain, col("v") === col("node"))
+            .groupBy(col("u")).agg(min("label").as("nbr_min"))
+          chain = chain.join(prop, col("node") === col("u"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        }
+        // Hygiene: one resident (checkpointed) frame, bounded plan depth;
+        // the probe's aggregate action writes the checkpoint blocks.
+        val next = chain.localCheckpoint(eager = false)
+        val nextSum = probe(next)._2
+        converged = nextSum == sum
+        sum = nextSum
+        labels = next
       }
-      // Hygiene: one resident (checkpointed) frame, bounded plan depth.
-      val next = chain.localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == sum
-      sum = nextSum
-      labels = next
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds " +
       "(graph diameter exceeds the budget — use alternatingStar)")
@@ -179,28 +241,32 @@ object ConnectedComponents {
     var e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
-    var s = sig(e)
+      .distinct().localCheckpoint(eager = false)
+    var s = sig(e) // the probe materializes the checkpoint (see labelPropagation)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxRounds) {
-      iter += 1
-      // Per-round materialization is LOAD-BEARING here (see
-      // alternatingStar scaladoc): the rewrite references its input ~4
-      // times, so a lazy chain recomputes exponentially.
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val ns = sig(next)
-      converged = ns == s
-      s = ns
-      e = next
+    val out = withSmallGraphConf(edges.sparkSession, s._1) {
+      while (!converged && iter < maxRounds) {
+        iter += 1
+        // Per-round materialization is LOAD-BEARING here (see
+        // alternatingStar scaladoc): the rewrite references its input ~4
+        // times, so a lazy chain recomputes exponentially.
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        val ns = sig(next) // one fused materialize+probe job per round
+        converged = ns == s
+        s = ns
+        e = next
+      }
+      require(converged, s"alternating star did not converge in $maxRounds rounds")
+      // Fixpoint edges form stars centered at component minima: each
+      // node's minimum neighbor (or itself) IS its component label.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
+        // Non-eager: the caller's first action materializes it; lineage is
+        // still truncated to the (already-materialized) fixpoint edges.
+        .localCheckpoint(eager = false)
     }
-    require(converged, s"alternating star did not converge in $maxRounds rounds")
-    // Fixpoint edges form stars centered at component minima: each
-    // node's minimum neighbor (or itself) IS its component label.
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val out = sym.groupBy("u").agg(min("v").as("mv"))
-      .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
-      .localCheckpoint()
     (out, iter)
   }
 }

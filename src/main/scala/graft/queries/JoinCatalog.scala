@@ -451,7 +451,9 @@ object JoinCatalog {
     (s, d) => {
       import Exact.dsum
       val pairs = customerFuzzyMatch.build(s, d).select(col("key_a"), col("key_b"))
-        .localCheckpoint(eager = true)
+        // Non-eager: alternatingStar's first convergence probe is the
+        // action that writes these blocks — no standalone warm-up job.
+        .localCheckpoint(eager = false)
       val cc = graft.operators.ConnectedComponents.alternatingStar(pairs)
         .toDF("c_custkey", "entity_id")
       val recs = t("customer")(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))

@@ -339,6 +339,67 @@ object ScaleCatalog {
     },
     eventsEwma.oracle)
 
+  /** [[PipelineCatalog.autocorrLag1]] under the (type, time-chunk) re-key —
+    * the second demonstration the [[eventsEwmaSalted]] scaladoc promises:
+    * the tail-context device generalizes to every lag-window entry, here
+    * with exactly ONE tap (lag 1), so each target chunk needs only the
+    * globally newest row among all earlier chunks' tails. Pair
+    * generation runs chunk-parallel (a serialized 5-key type window
+    * becomes 5 × chunks bounded tasks); context rows feed lags and are
+    * dropped before the moment aggregate, which was already key-global
+    * and DECIMAL-exact (partition-order-free), so downstream needs no
+    * change at all. Oracle: the UNSALTED entry's SQL verbatim — the
+    * re-key is hash-checked to be a pure execution-strategy rewrite.
+    */
+  val eventsAutocorrSalted: CatalogEntry = CatalogEntry(
+    "events_autocorr_salted",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("ts").cast("long").as("tss"))
+        .withColumn("ch", floor(col("tss").cast("double") / EwmaChunkSecs).cast("long"))
+      val newestFirst = Seq(col("tss").desc, col("event_id").desc)
+      val tails = base
+        .withColumn("trn", row_number().over(
+          Window.partitionBy("event_type", "ch").orderBy(newestFirst: _*)))
+        .filter(col("trn") <= 1).drop("trn")
+      val chunks = base.select(col("event_type").as("ctype"), col("ch").as("tch"))
+        .distinct()
+      val ctx = tails.join(broadcast(chunks),
+          col("event_type") === col("ctype") && col("ch") < col("tch"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("event_type", "tch").orderBy(newestFirst: _*)))
+        .filter(col("crn") <= 1)
+        .select(col("event_type"), col("event_id"), col("value"), col("tss"),
+          col("tch").as("ch"))
+        .withColumn("is_ctx", lit(true))
+      val full = base.withColumn("is_ctx", lit(false)).unionByName(ctx)
+      val w = Window.partitionBy("event_type", "ch").orderBy("tss", "event_id")
+      val pairs = full
+        .withColumn("prev", lag("value", 1).over(w))
+        .filter(!col("is_ctx") && col("prev").isNotNull)
+      val ad = col("prev").cast(DecimalType(18, 4))
+      val bd = col("value").cast(DecimalType(18, 4))
+      val m = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(ad).as("sad"),
+        sum(bd).as("sbd"),
+        sum((ad * ad).cast(DecimalType(38, 8))).as("saad"),
+        sum((bd * bd).cast(DecimalType(38, 8))).as("sbbd"),
+        sum((ad * bd).cast(DecimalType(38, 8))).as("sabd"))
+      val n = col("n_pairs").cast("double")
+      val sa = col("sad").cast("double")
+      val sb = col("sbd").cast("double")
+      val saa = col("saad").cast("double")
+      val sbb = col("sbbd").cast("double")
+      val sab = col("sabd").cast("double")
+      m.where((n * saa - sa * sa) > 0 && (n * sbb - sb * sb) > 0)
+        .select(col("event_type"), col("n_pairs"),
+          round((n * sab - sa * sb)
+            / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6).as("autocorr"))
+    },
+    PipelineCatalog.autocorrLag1.oracle)
+
   // -------------------------------------------------------------------
   // Count-Min sketch (bounded-memory frequency estimates, linear/mergeable)
   // -------------------------------------------------------------------
@@ -406,5 +467,6 @@ object ScaleCatalog {
     })
 
   val all: Seq[CatalogEntry] =
-    Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted, countMin)
+    Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted,
+      eventsAutocorrSalted, countMin)
 }

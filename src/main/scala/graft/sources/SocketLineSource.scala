@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Text-line streaming source over a socket — the engine's analogue of the
   * reference's `MqttDataSource` (udfs/MqttDataSource.java: subscribe a
   * broker topic, optionally stamp ingestion time, honor a "SHUTDOWN"
-  * poison pill). Spark's `socket` source is the idiomatic broker stand-in
-  * (SURVEY §2.1); a Kafka source drops in identically on a real cluster.
+  * poison pill). Spark's `socket` source is the broker stand-in this
+  * environment can integration-test; the production broker path is
+  * [[BrokerSource]] with a [[KafkaTransport]] — same normalized frame,
+  * same downstream pipeline.
   */
 object SocketLineSource {
 
@@ -20,15 +22,8 @@ object SocketLineSource {
     * @param ingestionTime when true, stamp each line with processing time
     *                      (`MqttDataSource`'s optional ingestion timestamping)
     */
-  def lines(spark: SparkSession, host: String, port: Int, ingestionTime: Boolean = true): DataFrame = {
-    val raw = spark.readStream
-      .format("socket")
-      .option("host", host)
-      .option("port", port)
-      .load()
-    if (ingestionTime) raw.select(col("value").as("line"), current_timestamp().as("ingest_ts"))
-    else raw.select(col("value").as("line"))
-  }
+  def lines(spark: SparkSession, host: String, port: Int, ingestionTime: Boolean = true): DataFrame =
+    BrokerSource.lines(spark, SocketTransport(host, port), ingestionTime)
 
   /** The data path: poison pills removed. */
   def dataLines(spark: SparkSession, host: String, port: Int, ingestionTime: Boolean = true): DataFrame =

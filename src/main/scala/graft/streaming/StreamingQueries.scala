@@ -717,7 +717,7 @@ object StreamingQueries {
           val out = Vector.newBuilder[TrigramIncrement]
           rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, _, tpe) =>
             if (last.length == 2) {
-              val key = s"${last.head} ${last(1)} $tpe"
+              val key = s"${last.head}\u0000${last(1)}\u0000$tpe"
               if (!seen(key)) {
                 seen += key
                 out += TrigramIncrement(user, last.head, last(1), tpe)

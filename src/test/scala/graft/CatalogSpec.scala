@@ -27,6 +27,24 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("entry teardown leaves zero persisted RDD blocks (localCheckpoint leak guard)") {
+    // Round-10 finding: `clearCache()` alone does not free localCheckpoint
+    // RDD blocks, so 198 entries × 2 bench passes accumulated them in the
+    // BlockManager and inflated late-catalog timings 2–4.6×. This pins the
+    // fix: after each entry is consumed and torn down with
+    // SessionHygiene.dropEntryState, NO persisted RDDs may remain — an
+    // entry that caches/checkpoints without that being releasable this way
+    // reintroduces the leak class.
+    SessionHygiene.dropEntryState(spark) // other suites' leftovers are not this test's subject
+    Catalog.all.foreach { e =>
+      e.build(spark, sf0001).count()
+      SessionHygiene.dropEntryState(spark)
+      assert(SessionHygiene.persistentRddCount(spark) == 0,
+        s"${e.name}: persisted RDD blocks survived dropEntryState " +
+          s"(${spark.sparkContext.getPersistentRDDs.keys.mkString(",")})")
+    }
+  }
+
   test("catalog names are unique (a duplicate would silently shadow in SparkEntry's Map)") {
     val dupes = Catalog.all.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate entry names: ${dupes.mkString(", ")}")

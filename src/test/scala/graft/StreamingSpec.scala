@@ -398,6 +398,13 @@ class StreamingSpec extends AnyFunSuite {
     // ranked with the batch tie rule the replay must equal the entry.
     val want = SparkEntry.queries("events_seq_trigrams")(spark, TestSpark.sf0001)
       .collect().map(_.toSeq.toList).toList
+    // The global pre-sort here is PART OF THE GUARANTEE, not test
+    // convenience: streamingSeqTrigrams sorts by (ts, event_id) only
+    // within each micro-batch and relies on per-key in-order cross-batch
+    // delivery — the house contract shared by every rolling-state query
+    // in StreamingQueries. An event delivered in a later micro-batch
+    // than a logically later event may produce trigrams the batch entry
+    // would not; exact batch replay is claimed only under this contract.
     val rows = Tables.events(spark, TestSpark.sf0001)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), lit("").as("props"))
