@@ -401,6 +401,168 @@ object ScaleCatalog {
     PipelineCatalog.autocorrLag1.oracle)
 
   // -------------------------------------------------------------------
+  // KMV sketch (bounded-memory distinct-set operations, mergeable)
+  // -------------------------------------------------------------------
+
+  private val KmvK = 256 // sketch size (k minimum hash values per set)
+  /** Hash space: 13 hex chars = 52 bits, chosen ≤ 2^53 so every hash is
+    * EXACT as a double — the bounded-heap sketch aggregate rides
+    * [[graft.combine.TopNAgg]]'s (Double, Long) slot with value = −h,
+    * and a 60-bit hash would silently lose low bits in that cast. */
+  private val KmvSpace = 4503599627370496.0 // 2^52
+  private val KmvSpaceSql = "4503599627370496.0"
+
+  /** KMV distinct-overlap sketch between sources (Bar-Yossef 2002;
+    * Beyer et al. 2007, "On Synopses for Distinct-Value Estimation") —
+    * the SET-OPERATION sketch completing the family (Misra–Gries
+    * frequency, HLL cardinality, KLL quantiles, Count-Min point
+    * lookups): per source, the K smallest hash values of its distinct
+    * word bigrams; per source PAIR, the merged sketch estimates distinct
+    * UNION (the (K−1)·SPACE/v_K estimator on the K-th smallest merged
+    * value) and Jaccard (fraction of merged-sketch values present in
+    * both sides), hence intersection — reported NEXT TO the exact
+    * values, the measured-estimator pattern [[countMin]] established.
+    * When a pair's merged value set has fewer than K members both
+    * sketches were exact, and the estimator degenerates to the exact
+    * union by definition — the test corpus exercises both branches
+    * (~900 distinct bigrams per source vs K = 256).
+    *
+    * 100 TB shape: sketch construction is ONE bounded-heap aggregate
+    * over the distinct gram index — each map partition ships ≤ K values
+    * per source (ObjectHashAggregate partial), never the vocabulary.
+    * Pair work is S²·K on K-row sketches — thousands of sources before
+    * that matters, and entirely corpus-size-independent, which is the
+    * point: the EXACT side (also emitted here) is the thing that costs
+    * a vocabulary-sized join at scale; the sketch replaces it with a
+    * constant-size synopsis per source. Determinism: hashes are md5-hex
+    * prefixes (integer-exact both engines); the only float ops are one
+    * division for the union estimate and one multiply for the
+    * intersection estimate, correctly rounded IEEE in both engines,
+    * rounded once to 6 places.
+    */
+  /** The KMV pipeline over any documents-shaped frame — factored out so
+    * the suite can drive the small-set degenerate branch (merged sketch
+    * under K values ⇒ estimates must EQUAL the exact values), which the
+    * test corpus never hits (~900 distinct bigrams per source > K). */
+  private[graft] def kmvOverlapFrom(docs: DataFrame): DataFrame = {
+      val bgd = docs
+        .select(col("source"),
+          explode(array_distinct(Text.wordNgrams(Text.normTokens(col("text")), 2))).as("bg"))
+        .distinct()
+        .cache()
+      val hv = bgd.select(col("source"),
+          conv(substring(md5(concat(lit("kmv|"), col("bg"))), 1, 13), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      // K smallest per source via the bounded-heap aggregate (value = −h
+      // is exact: 52-bit hash, see KmvSpace). No per-source window sort.
+      val topn = udaf(new graft.combine.TopNAgg(KmvK))
+      val sk = hv.groupBy("source")
+        .agg(topn((-col("h")).cast("double"), col("h")).as("buf"))
+        .select(col("source"), explode(col("buf.entries")).as("e"))
+        .select(col("source"), col("e.event_id").as("h"))
+        .cache()
+      val nsz = bgd.groupBy("source").agg(count(lit(1)).as("n"))
+      val prs = nsz.select(col("source").as("src_a"), col("n").as("na"))
+        .join(nsz.select(col("source").as("src_b"), col("n").as("nb")),
+          col("src_a") < col("src_b"))
+      // Exact pair intersection over the full gram index (the baseline
+      // the sketch replaces at scale); zero-overlap pairs kept via the
+      // left join + coalesce.
+      val exInter = bgd.as("a").join(bgd.as("b"),
+          col("a.bg") === col("b.bg") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("ei"))
+      // Merged pair sketch: tag each sketch value with side membership,
+      // keep the K smallest of the union.
+      val tagged = prs.select(col("src_a"), col("src_b"))
+        .join(sk.select(col("source").as("src_a"), col("h")), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(1L).as("in_a"), lit(0L).as("in_b"))
+        .unionByName(prs.select(col("src_a"), col("src_b"))
+          .join(sk.select(col("source").as("src_b"), col("h")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(0L).as("in_a"), lit(1L).as("in_b")))
+        .groupBy("src_a", "src_b", "h")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      val ranked = tagged.select(col("src_a"), col("src_b"), col("h"),
+        col("in_a"), col("in_b"),
+        row_number().over(
+          Window.partitionBy("src_a", "src_b").orderBy("h")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("src_a", "src_b")).as("merged_n"))
+      val st = ranked.filter(col("rk") <= KmvK)
+        .groupBy("src_a", "src_b")
+        .agg(max("merged_n").as("merged_n"), count(lit(1)).as("m"),
+          max("h").as("vk"), sum(col("in_a") * col("in_b")).as("c"))
+      val euRaw = when(col("merged_n") < KmvK, col("merged_n").cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace) / col("vk"))
+      val out = prs.join(st, Seq("src_a", "src_b"))
+        .join(exInter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          (col("na") + col("nb") - coalesce(col("ei"), lit(0L))).as("exact_union"),
+          coalesce(col("ei"), lit(0L)).as("exact_inter"),
+          round(coalesce(col("ei"), lit(0L))
+            / (col("na") + col("nb") - coalesce(col("ei"), lit(0L))), 6)
+            .as("jaccard_exact"),
+          round(euRaw, 6).as("est_union"),
+          round((col("c") / col("m")) * euRaw, 6).as("est_inter"),
+          round(col("c") / col("m"), 6).as("jaccard_est"))
+        .orderBy("src_a", "src_b")
+        .localCheckpoint()
+      bgd.unpersist(blocking = false)
+      sk.unpersist(blocking = false)
+      out
+  }
+
+  val kmvOverlap: CatalogEntry = CatalogEntry(
+    "source_kmv_overlap",
+    (s, d) => kmvOverlapFrom(documents(s, d)),
+    Some(
+      raw"""WITH bgd AS (SELECT DISTINCT source, bg FROM (
+              SELECT source, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS bg
+              FROM (SELECT source, ${PipelineCatalog.normToksSql} AS t FROM documents))),
+            hv AS (SELECT DISTINCT source,
+                          CAST('0x' || substr(md5('kmv|' || bg), 1, 13) AS BIGINT) AS h
+                   FROM bgd),
+            sk AS (SELECT source, h FROM (
+                     SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+                     FROM hv) WHERE rk <= $KmvK),
+            nsz AS (SELECT source, COUNT(*) AS n FROM bgd GROUP BY source),
+            prs AS (SELECT x.source AS src_a, x.n AS na, y.source AS src_b, y.n AS nb
+                    FROM nsz x JOIN nsz y ON x.source < y.source),
+            ex AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS ei
+                   FROM bgd a JOIN bgd b ON a.bg = b.bg AND a.source < b.source
+                   GROUP BY 1, 2),
+            mu AS (SELECT p.src_a, p.src_b, s.h,
+                          MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+                          MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+                   FROM prs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+                   GROUP BY 1, 2, 3),
+            mr AS (SELECT src_a, src_b, h, in_a, in_b,
+                          row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk,
+                          COUNT(*) OVER (PARTITION BY src_a, src_b) AS merged_n
+                   FROM mu),
+            st AS (SELECT src_a, src_b, MAX(merged_n) AS merged_n,
+                          CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS vk,
+                          CAST(SUM(in_a * in_b) AS BIGINT) AS c
+                   FROM mr WHERE rk <= $KmvK GROUP BY 1, 2)
+          SELECT p.src_a, p.src_b,
+                 p.na + p.nb - COALESCE(ex.ei, 0) AS exact_union,
+                 COALESCE(ex.ei, 0) AS exact_inter,
+                 ROUND(COALESCE(ex.ei, 0) / (p.na + p.nb - COALESCE(ex.ei, 0)), 6)
+                   AS jaccard_exact,
+                 ROUND(CASE WHEN st.merged_n < $KmvK THEN CAST(st.merged_n AS DOUBLE)
+                            ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST($KmvSpaceSql AS DOUBLE) / st.vk END, 6) AS est_union,
+                 ROUND((CAST(st.c AS DOUBLE) / st.m)
+                       * CASE WHEN st.merged_n < $KmvK THEN CAST(st.merged_n AS DOUBLE)
+                              ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST($KmvSpaceSql AS DOUBLE) / st.vk END, 6) AS est_inter,
+                 ROUND(CAST(st.c AS DOUBLE) / st.m, 6) AS jaccard_est
+          FROM prs p JOIN st ON st.src_a = p.src_a AND st.src_b = p.src_b
+               LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+          ORDER BY p.src_a, p.src_b"""))
+
+  // -------------------------------------------------------------------
   // Count-Min sketch (bounded-memory frequency estimates, linear/mergeable)
   // -------------------------------------------------------------------
 
@@ -468,5 +630,5 @@ object ScaleCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted,
-      eventsAutocorrSalted, countMin)
+      eventsAutocorrSalted, countMin, kmvOverlap)
 }

@@ -125,4 +125,45 @@ class ScaleCatalogSpec extends AnyFunSuite {
     }
     assert(checked == out.size)
   }
+
+  // ---------------- KMV distinct-overlap sketch ----------------
+
+  test("KMV: degenerate branch — sketches under K values make estimates EXACT") {
+    // Two tiny sources sharing half their vocabulary: every distinct
+    // bigram fits in the K=256 sketch, so est_union/est_inter/jaccard_est
+    // must equal the exact values bit-for-bit (the estimator's documented
+    // degenerate contract; the test corpus only exercises the >K branch).
+    def text(words: Seq[String]) = words.mkString(" ")
+    val shared = (0 until 10).map(i => s"shared$i")
+    val docs = Seq(
+      (1L, text(shared ++ (0 until 10).map(i => s"aonly$i")), "en", "sA", 0L),
+      (2L, text(shared ++ (0 until 10).map(i => s"bonly$i")), "en", "sB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.queries.ScaleCatalog.kmvOverlapFrom(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (exU, exI) = (row.getAs[Long]("exact_union"), row.getAs[Long]("exact_inter"))
+    assert(exI > 0 && exU > exI, "test vacuous: no partial overlap")
+    assert(row.getAs[Double]("est_union") == exU.toDouble)
+    assert(row.getAs[Double]("est_inter") == exI.toDouble)
+    assert(row.getAs[Double]("jaccard_est") == row.getAs[Double]("jaccard_exact"))
+  }
+
+  test("KMV: estimator branch at sf0.001 — every estimate within 4/sqrt(K) of exact") {
+    // Beyer et al. give ~1/sqrt(K) standard error for the union
+    // estimator; 4 sigma over 190 pairs is a generous but real bound —
+    // a broken hash-space constant or truncation bug lands far outside.
+    val rows = run("source_kmv_overlap").collect()
+    assert(rows.nonEmpty)
+    val bound = 4.0 / math.sqrt(256.0)
+    rows.foreach { r =>
+      val exU = r.getAs[Long]("exact_union").toDouble
+      val relErr = math.abs(r.getAs[Double]("est_union") - exU) / exU
+      assert(relErr <= bound,
+        s"${r.getAs[String]("src_a")}-${r.getAs[String]("src_b")}: " +
+          s"union rel err $relErr exceeds $bound")
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }
