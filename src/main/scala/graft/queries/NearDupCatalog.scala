@@ -646,7 +646,7 @@ object NearDupCatalog {
     */
   /** Prefix-filtered covered computation over an already-cached per-doc
     * frame (no caching or checkpointing here — callers own lifecycle). */
-  private def coveredPrefixPlan(perDoc: DataFrame): DataFrame = {
+  private[graft] def coveredPrefixPlan(perDoc: DataFrame): DataFrame = {
       val subjPrefix = perDoc.select(col("doc_id"), col("source"),
         explode(slice(col("gs"), lit(1),
           (col("n") - ceil(col("n") / 2.0) + 1).cast("int"))).as("bg"))
@@ -681,7 +681,7 @@ object NearDupCatalog {
     * entry scaladoc); on a zipfian corpus the Σ df² fan-out explodes and
     * the prefix form wins — exactly the naive/prefix trade the Jaccard
     * family established. */
-  private def coveredCountedPlan(bg: DataFrame): DataFrame = {
+  private[graft] def coveredCountedPlan(bg: DataFrame): DataFrame = {
       val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Symmetric pair intersections counted ONCE (da < db halves the
       // gram join), mirrored to both directions for the per-subject max.

@@ -637,6 +637,56 @@ object PipelineCatalog {
              FROM per JOIN tot ON tot.lang = per.lang
              ORDER BY per.lang, pred_lang"""))
 
+  /** First-seen n-gram novelty per document — the marginal-diversity
+    * signal a curation order exposes (the complement of the repetition /
+    * dup family: not "how much of this doc exists elsewhere" but "how
+    * much did THIS doc add when it arrived"). Grams are the house
+    * 3-token shingles; a gram's owner is the minimum doc_id containing
+    * it (doc_id = arrival order in this corpus), and a doc's novelty is
+    * the fraction of its distinct grams it owns. Near-1 docs are fresh
+    * content; near-0 docs arrived after their content already existed —
+    * the keep-order-aware variant of a dup score, and the statistic
+    * behind "diminishing data returns" curves over a crawl.
+    *
+    * Scale shape: one gram-keyed shuffle for the MIN owner (map-side
+    * combined), one gram-keyed join back (fan-out = gram df, linear in
+    * the index — never df²), one doc-keyed aggregate. The gram index is
+    * cached once for its two consumers and released after the
+    * checkpoint.
+    */
+  val docNovelty: CatalogEntry = CatalogEntry(
+    "doc_novelty",
+    (s, d) => {
+      val g = documents(s, d)
+        .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("sh"))
+        .cache()
+      val first = g.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val out = g.join(first, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      g.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM (
+              SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS sh
+              FROM (SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                    FROM documents))),
+            f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+          SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+                 ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS novelty
+          FROM sh s JOIN f USING (sh)
+          GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
   /** The per-document metadata sidecar a curated corpus release ships
     * next to the text (the document-level companion of
     * `pipeline_dataset_card`'s source-level datasheet): declared and
@@ -2106,5 +2156,5 @@ object PipelineCatalog {
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
-      featureHash, docManifest)
+      featureHash, docManifest, docNovelty)
 }

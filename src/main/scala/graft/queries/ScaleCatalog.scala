@@ -440,6 +440,19 @@ object ScaleCatalog {
     * intersection estimate, correctly rounded IEEE in both engines,
     * rounded once to 6 places.
     */
+  /** K smallest hash values per source via the bounded-heap aggregate
+    * (value = −h is exact: 52-bit hash, see [[KmvSpace]]). No per-source
+    * window sort over the vocabulary — Catalyst plans this as
+    * ObjectHashAggregate with a partial (map-side) phase, ≤ K values per
+    * source per map partition; PlanSpec pins that shape. */
+  private[graft] def kmvSketch(hv: DataFrame): DataFrame = {
+    val topn = udaf(new graft.combine.TopNAgg(KmvK))
+    hv.groupBy("source")
+      .agg(topn((-col("h")).cast("double"), col("h")).as("buf"))
+      .select(col("source"), explode(col("buf.entries")).as("e"))
+      .select(col("source"), col("e.event_id").as("h"))
+  }
+
   /** The KMV pipeline over any documents-shaped frame — factored out so
     * the suite can drive the small-set degenerate branch (merged sketch
     * under K values ⇒ estimates must EQUAL the exact values), which the
@@ -454,14 +467,7 @@ object ScaleCatalog {
           conv(substring(md5(concat(lit("kmv|"), col("bg"))), 1, 13), 16, 10)
             .cast("long").as("h"))
         .distinct()
-      // K smallest per source via the bounded-heap aggregate (value = −h
-      // is exact: 52-bit hash, see KmvSpace). No per-source window sort.
-      val topn = udaf(new graft.combine.TopNAgg(KmvK))
-      val sk = hv.groupBy("source")
-        .agg(topn((-col("h")).cast("double"), col("h")).as("buf"))
-        .select(col("source"), explode(col("buf.entries")).as("e"))
-        .select(col("source"), col("e.event_id").as("h"))
-        .cache()
+      val sk = kmvSketch(hv).cache()
       val nsz = bgd.groupBy("source").agg(count(lit(1)).as("n"))
       val prs = nsz.select(col("source").as("src_a"), col("n").as("na"))
         .join(nsz.select(col("source").as("src_b"), col("n").as("nb")),

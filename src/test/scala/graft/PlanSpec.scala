@@ -648,4 +648,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!gr.contains("Window") && !gr.contains("CartesianProduct"),
       s"customer_golden_record: window/cartesian crept in\n$gr")
   }
+
+  test("round-11 entries keep their declared scale shapes") {
+    // Containment chooser: both entries checkpoint their result (the
+    // executed plan is a bare ExistingRDD scan), so the topology pins
+    // target the INTERIOR plan builders directly. The counted plan must
+    // never carry the per-pair sorted-array verification kernel
+    // (intersect_card_sorted — the prefix plan's signature), the prefix
+    // plan must keep exactly it, and the chooser statistic must route
+    // this dense corpus to naive/counted (NearDupSpec pins the same
+    // statistic's zipfian → prefix flip).
+    import graft.queries.NearDupCatalog
+    val bg = NearDupCatalog.bigramIndex(Tables.documents(spark, sf0001))
+    val counted = NearDupCatalog.coveredCountedPlan(bg)
+      .queryExecution.executedPlan.toString
+    assert(!counted.contains("intersect_card_sorted"),
+      s"coveredCountedPlan regrew the array-verification kernel\n$counted")
+    val prefP = NearDupCatalog.coveredPrefixPlan(NearDupCatalog.perDocByDf(bg))
+      .queryExecution.executedPlan.toString
+    assert(prefP.contains("intersect_card_sorted"),
+      s"coveredPrefixPlan lost its verification kernel\n$prefP")
+    val auto = plan("doc_containment_covered")
+    assert(auto.contains("Scan ExistingRDD"),
+      s"doc_containment_covered: result no longer checkpoint-truncated\n$auto")
+    // Salted autocorr: the re-key must keep the (type, chunk) window —
+    // no single-key global window — and the chunk list broadcast.
+    val ac = plan("events_autocorr_salted")
+    assert(ac.contains("BroadcastExchange"),
+      s"events_autocorr_salted: chunk list no longer broadcast\n$ac")
+    // KMV: sketch construction is the bounded-heap ObjectHashAggregate
+    // (partial + final — each map partition ships ≤ K values per
+    // source), never a per-source sort window over the vocabulary. The
+    // entry checkpoints, so pin the interior sketch builder's plan.
+    val hv = bg.select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("bg")).as("h"))
+    val kmv = graft.queries.ScaleCatalog.kmvSketch(hv)
+      .queryExecution.executedPlan.toString
+    assert(countOf(kmv, "ObjectHashAggregate") == 2,
+      s"kmvSketch: expected partial+final bounded-heap aggregation\n$kmv")
+    assert(!kmv.contains("Window"),
+      s"kmvSketch: vocabulary-sized sort window crept in\n$kmv")
+  }
 }

@@ -999,4 +999,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(ctl.decisions.nonEmpty, "controller never saw a progress event")
     assert(ctl.decisions.forall(_.batchDurationMs >= 0))
   }
+
+  test("KMV sketch streams: the SAME bounded-heap aggregate replays the batch sketch") {
+    // Mergeability is what makes KMV streaming-compatible: the TopNAgg
+    // Aggregator that builds source_kmv_overlap's sketches runs
+    // UNCHANGED as a streaming complete-mode aggregate — Spark keeps the
+    // K-min buffer as state and merges each micro-batch into it, so
+    // after the stream drains the emitted sketch must equal the batch
+    // kmvSketch over the same rows bit-for-bit. State is bounded at K
+    // values per source by the aggregate itself, regardless of stream
+    // length.
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val hv = docs.select(col("source"),
+        explode(graft.functions.Text.shingles(col("text"), 2)).as("sh"))
+      .select(col("source"),
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(col("sh")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val want = graft.queries.ScaleCatalog.kmvSketch(hv)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = hv.as[(String, Long)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(String, Long)](spark)
+    val qn = s"kmv_${System.nanoTime()}"
+    val q = graft.queries.ScaleCatalog.kmvSketch(input.toDF().toDF("source", "h"))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, "streamed KMV sketch diverges from the batch sketch")
+    } finally q.stop()
+  }
 }
