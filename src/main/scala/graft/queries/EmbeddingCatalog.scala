@@ -746,81 +746,7 @@ object EmbeddingCatalog {
             JOIN embeddings q ON q.vec_id = s.query_id) WHERE rn <= $K"""
     })
 
-  /** ANN quality measured as data, not guessed: per-query recall@K of
-    * the LSH index against the exact brute-force answer — the diagnostic
-    * every index deployment runs before trusting an approximate path.
-    * Both pipelines are deterministic, so recall itself is deterministic
-    * and oracle-checkable. Cost: the two underlying scans plus a
-    * K-rows-per-query join — the comparison is on result sets, never a
-    * third pass over the corpus.
-    */
-  val knnRecall: CatalogEntry = CatalogEntry(
-    "emb_knn_recall",
-    (s, d) => {
-      // The brute-force truth feeds BOTH recallOf branches of the union;
-      // left lazy it would execute the full scan+score+top-k subtree once
-      // per branch. localCheckpoint materializes it eagerly (K rows per
-      // query — tiny) with no cache-manager residue (house pattern, cf.
-      // lineitem_bloom_semi).
-      val b = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
-        .localCheckpoint(eager = true)
-      // One row per (index, query): the LSH index and the MRL-over-IVF
-      // composition, each against the same brute-force truth.
-      def recallOf(idx: String, approx: DataFrame): DataFrame = {
-        val l = approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
-        b.join(l, Seq("query_id", "vec_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("k"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
-          .select(lit(idx).as("idx"), col("query_id"), col("k"), col("hits"),
-            round(col("hits") / lit(K.toDouble), 6).as("recall"))
-      }
-      recallOf("lsh", knnLsh.build(s, d))
-        .unionByName(recallOf("mrl_ivf", knnMrlIvf.build(s, d)))
-        .unionByName(recallOf("bq", knnBq.build(s, d)))
-        .unionByName(recallOf("sq8", knnSq8.build(s, d)))
-        .unionByName(recallOf("pq", knnPq.build(s, d)))
-    },
-    Some(s"""WITH brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
-                  lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql) tl),
-                  mrlivf AS (SELECT query_id, vec_id FROM ($mrlIvfOracleSql) tm),
-                  bq AS (SELECT query_id, vec_id FROM ($bqOracleSql) tq),
-                  sq8 AS (SELECT query_id, vec_id FROM (${knnSq8.oracle.get}) ts),
-                  pq AS (SELECT query_id, vec_id FROM (${knnPq.oracle.get}) tp)
-             SELECT 'lsh' AS idx, b.query_id, COUNT(*) AS k,
-                    CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
-                    ROUND(COUNT(l.vec_id) / CAST($K AS DOUBLE), 6) AS recall
-             FROM brute b LEFT JOIN lsh l
-               ON l.query_id = b.query_id AND l.vec_id = b.vec_id
-             GROUP BY b.query_id
-             UNION ALL
-             SELECT 'mrl_ivf' AS idx, b.query_id, COUNT(*) AS k,
-                    CAST(COUNT(m.vec_id) AS BIGINT) AS hits,
-                    ROUND(COUNT(m.vec_id) / CAST($K AS DOUBLE), 6) AS recall
-             FROM brute b LEFT JOIN mrlivf m
-               ON m.query_id = b.query_id AND m.vec_id = b.vec_id
-             GROUP BY b.query_id
-             UNION ALL
-             SELECT 'bq' AS idx, b.query_id, COUNT(*) AS k,
-                    CAST(COUNT(q.vec_id) AS BIGINT) AS hits,
-                    ROUND(COUNT(q.vec_id) / CAST($K AS DOUBLE), 6) AS recall
-             FROM brute b LEFT JOIN bq q
-               ON q.query_id = b.query_id AND q.vec_id = b.vec_id
-             GROUP BY b.query_id
-             UNION ALL
-             SELECT 'sq8' AS idx, b.query_id, COUNT(*) AS k,
-                    CAST(COUNT(s.vec_id) AS BIGINT) AS hits,
-                    ROUND(COUNT(s.vec_id) / CAST($K AS DOUBLE), 6) AS recall
-             FROM brute b LEFT JOIN sq8 s
-               ON s.query_id = b.query_id AND s.vec_id = b.vec_id
-             GROUP BY b.query_id
-             UNION ALL
-             SELECT 'pq' AS idx, b.query_id, COUNT(*) AS k,
-                    CAST(COUNT(p.vec_id) AS BIGINT) AS hits,
-                    ROUND(COUNT(p.vec_id) / CAST($K AS DOUBLE), 6) AS recall
-             FROM brute b LEFT JOIN pq p
-               ON p.query_id = b.query_id AND p.vec_id = b.vec_id
-             GROUP BY b.query_id"""))
+
 
   /** Filtered ANN — metadata-constrained vector search, the shape every
     * production retrieval system needs ("nearest neighbours WHERE
@@ -1322,6 +1248,64 @@ object EmbeddingCatalog {
       shortlistRerank(emb, scored)
     },
     Some(mrlIvfOracleSql))
+
+  /** ANN quality measured as data, not guessed: per-query recall@K of
+    * EVERY index variant in the catalog against the exact brute-force
+    * answer — the diagnostic every index deployment runs before trusting
+    * an approximate path, covering the full quantization/pruning ladder
+    * (LSH, multiprobe LSH, grid IVF, trained IVF, SQ8, PQ, BQ, MRL, and
+    * the MRL∘IVF composition). All pipelines are deterministic, so
+    * recall itself is deterministic and oracle-checkable. Cost: the
+    * underlying scans plus a K-rows-per-query join per index — the
+    * comparison is on result sets, never an extra pass over the corpus.
+    * (Declared AFTER every index entry it reads: the oracle composes
+    * their SQL at init time.)
+    */
+  val knnRecall: CatalogEntry = {
+    val indexes: Seq[(String, CatalogEntry)] = Seq(
+      "lsh" -> knnLsh, "multiprobe" -> knnLshMultiprobe, "ivf" -> knnIvf,
+      "ivf_kmeans" -> knnIvfKmeans, "sq8" -> knnSq8, "pq" -> knnPq,
+      "bq" -> knnBq, "mrl" -> knnMrl, "mrl_ivf" -> knnMrlIvf)
+    CatalogEntry(
+      "emb_knn_recall",
+      (s, d) => {
+        // The brute-force truth feeds every recallOf branch of the union;
+        // left lazy it would execute the full scan+score+top-k subtree
+        // once per branch. localCheckpoint materializes it eagerly (K
+        // rows per query — tiny) with no cache-manager residue (house
+        // pattern, cf. lineitem_bloom_semi).
+        val b = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
+          .localCheckpoint(eager = true)
+        def recallOf(idx: String, approx: DataFrame): DataFrame = {
+          val l = approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+          b.join(l, Seq("query_id", "vec_id"), "left")
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("k"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+            .select(lit(idx).as("idx"), col("query_id"), col("k"), col("hits"),
+              round(col("hits") / lit(K.toDouble), 6).as("recall"))
+        }
+        indexes.map { case (n, e) => recallOf(n, e.build(s, d)) }
+          .reduce(_ unionByName _)
+      },
+      Some {
+        val ctes = indexes.map { case (n, e) =>
+          s"i_$n AS (SELECT query_id, vec_id FROM (${e.oracle.get}) t_$n)"
+        }.mkString(",\n                  ")
+        val blocks = indexes.map { case (n, _) =>
+          s"""SELECT '$n' AS idx, b.query_id, COUNT(*) AS k,
+                    CAST(COUNT(x.vec_id) AS BIGINT) AS hits,
+                    ROUND(COUNT(x.vec_id) / CAST($K AS DOUBLE), 6) AS recall
+             FROM brute b LEFT JOIN i_$n x
+               ON x.query_id = b.query_id AND x.vec_id = b.vec_id
+             GROUP BY b.query_id"""
+        }.mkString("\n             UNION ALL\n             ")
+        s"""WITH brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
+                  $ctes
+             $blocks"""
+      })
+  }
+
 
   /** Power-iteration fixed point: [[PcaIters]] matvec steps on the
     * [[gramMatrix]] lattice (integers end-to-end), direction re-scaled to
