@@ -44,23 +44,31 @@ object PageRank {
     val links = dir
       .join(dir.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint() // one resident edge list, lineage cut at the source
-    val n = links.select(countDistinct(col("src"))).head().getLong(0)
+    // One probe returns the node count (the base term needs it anyway)
+    // and the edge-row count that gates the small-graph fast path.
+    val probe = links.agg(countDistinct(col("src")), count(lit(1))).head()
+    val n = probe.getLong(0)
+    val nEdgeRows = probe.getLong(1)
     require(n > 0, "PageRank over an empty edge list")
     val base = scale * 15L / 100L / n
     var r = links.select(col("src").as("node")).distinct()
       .withColumn("r", lit(scale / n))
     var iter = 0
-    while (iter < iterations) {
-      val next = links.join(r, col("src") === col("node"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * s) div 100")).as("r"))
-      iter += 1
-      r = if (iter % checkpointEvery == 0 || iter == iterations)
-        next.localCheckpoint()
-      else next
+    // Fixed-round iteration over a small graph is driver/plan-overhead
+    // bound — run rounds under the reduced conf (see SmallGraph).
+    SmallGraph.withSmallGraphConf(edges.sparkSession, nEdgeRows) {
+      while (iter < iterations) {
+        val next = links.join(r, col("src") === col("node"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * s) div 100")).as("r"))
+        iter += 1
+        r = if (iter % checkpointEvery == 0 || iter == iterations)
+          next.localCheckpoint()
+        else next
+      }
     }
     r
   }

@@ -1115,21 +1115,26 @@ object NearDupCatalog {
     "doc_graph_kcore",
     (s, d) => {
       var e = lshEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
-      for (_ <- 1 to KCoreRounds) {
-        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        val alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= CoreK).select("u")
-        // Negative result, measured so it is not re-tried: fusing two
-        // peel rounds between checkpoints (the PageRank round-fusion
-        // trade, 45e7014) is SLOWER here — 2.62 s vs 2.16 s isolated at
-        // sf0.1 — because a fused step references its un-cached
-        // predecessor ~5× and recomputes the semi joins; PageRank's
-        // fused frame was a cached rank vector, this one is a join
-        // pipeline. Per-round materialization of the shrinking edge
-        // list is the cheaper trade.
-        e = e.join(alive, Seq("u"), "left_semi")
-          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .select("u", "v").localCheckpoint()
+      // The edge frame is checkpointed — the gate count is one cheap
+      // scan of resident blocks; peel rounds then run under the
+      // small-graph conf (see operators.SmallGraph).
+      graft.operators.SmallGraph.withSmallGraphConf(s, e.count()) {
+        for (_ <- 1 to KCoreRounds) {
+          val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+          val alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= CoreK).select("u")
+          // Negative result, measured so it is not re-tried: fusing two
+          // peel rounds between checkpoints (the PageRank round-fusion
+          // trade, 45e7014) is SLOWER here — 2.62 s vs 2.16 s isolated at
+          // sf0.1 — because a fused step references its un-cached
+          // predecessor ~5× and recomputes the semi joins; PageRank's
+          // fused frame was a cached rank vector, this one is a join
+          // pipeline. Per-round materialization of the shrinking edge
+          // list is the cheaper trade.
+          e = e.join(alive, Seq("u"), "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+            .select("u", "v").localCheckpoint()
+        }
       }
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
@@ -1235,14 +1240,18 @@ object NearDupCatalog {
         .union(e.select(col("doc_b").as("n"), col("doc_a").as("m")))
         .localCheckpoint(eager = true)
       var lbl = sym.select(col("n")).distinct().select(col("n"), col("n").as("lbl"))
-      for (_ <- 1 to LpaRounds) {
-        lbl = sym
-          .join(lbl.select(col("n").as("m"), col("lbl")), Seq("m"))
-          .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
-          .groupBy("n")
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("mx"))
-          .select(col("n"), (-col("mx.nl")).as("lbl"))
-          .localCheckpoint()
+      // Fixed rounds over the (checkpointed, cheap-to-count) edge frame
+      // run under the small-graph conf (see operators.SmallGraph).
+      graft.operators.SmallGraph.withSmallGraphConf(s, sym.count()) {
+        for (_ <- 1 to LpaRounds) {
+          lbl = sym
+            .join(lbl.select(col("n").as("m"), col("lbl")), Seq("m"))
+            .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+            .groupBy("n")
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("mx"))
+            .select(col("n"), (-col("mx.nl")).as("lbl"))
+            .localCheckpoint()
+        }
       }
       lbl.select(col("n").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
