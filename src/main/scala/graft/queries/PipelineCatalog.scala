@@ -1636,6 +1636,93 @@ object PipelineCatalog {
     * engines — identical exact inputs + identical IEEE op sequence
     * (sqrt is correctly rounded by spec) = identical bits, then ROUND 6.
     */
+  /** Classical additive seasonal decomposition of the per-type hourly
+    * series — trend (centered 25-hour moving average over the DENSE
+    * hourly grid), seasonal (mean detrended value per hour-of-day), and
+    * remainder, the textbook `decompose()` every monitoring stack runs
+    * before alerting on a metric (the trend/seasonality-aware sibling of
+    * [[cusumBreach]] and `events_dow_seasonality`).
+    *
+    * Exactness (the bigram-fluency integer-lattice discipline): hourly
+    * sums ride DECIMAL cents (×10⁴); the trend stays the exact rational
+    * `Σwindow/25·10⁴` (numerator only — never divided mid-pipeline);
+    * detrended values ride the ×25 lattice (`25c − Σ`), seasonal means
+    * the ×25·cnt lattice, so remainder = `(d25·cnt − Σd25)/(25·cnt·10⁴)`
+    * is ONE closing correctly-rounded IEEE division per output value —
+    * identical bits in both engines, no partition-order float sums.
+    * Edge hours without a full centered window are dropped (both
+    * engines state `COUNT(*) OVER == 25`).
+    *
+    * Scale shape: one (type, hour) aggregate, a per-type grid join
+    * (resample pattern), one 25-row window keyed by type — re-keyable by
+    * (type, chunk) with tail context exactly as `events_ewma_salted`
+    * demonstrates if a type serializes — and one (type, hour-of-day)
+    * aggregate joined back broadcast-small.
+    */
+  val seasonalDecompose: CatalogEntry = CatalogEntry(
+    "events_seasonal_decompose",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val hc = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        .groupBy("event_type", "h")
+        .agg((sum(col("v")) * 10000).cast("long").as("c"))
+      val grid = hc.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("g"))
+      val dg = grid.join(hc,
+          grid("event_type") === hc("event_type") && col("g") === col("h"), "left")
+        .select(grid("event_type"), col("g"), coalesce(col("c"), lit(0L)).as("c"))
+      val wnd = Window.partitionBy("event_type").orderBy("g").rowsBetween(-12, 12)
+      val dt = dg
+        .select(col("event_type"), col("g"), col("c"),
+          sum("c").over(wnd).as("tsum"), count(lit(1)).over(wnd).as("twn"))
+        .filter(col("twn") === 25)
+        .withColumn("d25", lit(25L) * col("c") - col("tsum"))
+      val ssn = dt.groupBy(col("event_type").as("stype"), hour(col("g")).as("hod"))
+        .agg(sum("d25").as("ssum"), count(lit(1)).as("scnt"))
+      dt.join(broadcast(ssn),
+          col("event_type") === col("stype") && hour(col("g")) === col("hod"))
+        .select(col("event_type"), col("g").as("hour"),
+          round(col("tsum").cast("double") / lit(250000.0), 6).as("trend"),
+          round(col("ssum").cast("double") / (col("scnt") * lit(250000.0)), 6)
+            .as("seasonal"),
+          round((col("d25") * col("scnt") - col("ssum")).cast("double")
+            / (col("scnt") * lit(250000.0)), 6).as("remainder"))
+        .orderBy("event_type", "hour")
+    },
+    Some(
+      raw"""WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hc GROUP BY 1),
+            grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS g
+                     FROM bounds),
+            dg AS (SELECT g.event_type, g.g, COALESCE(hc.c, 0) AS c
+                   FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.g),
+            tw AS (SELECT event_type, g, c,
+                          CAST(SUM(c) OVER wnd AS BIGINT) AS tsum,
+                          COUNT(*) OVER wnd AS twn
+                   FROM dg WINDOW wnd AS (PARTITION BY event_type ORDER BY g
+                                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+            dt AS (SELECT event_type, g, CAST(25 * c - tsum AS BIGINT) AS d25, tsum
+                   FROM tw WHERE twn = 25),
+            ssn AS (SELECT event_type, EXTRACT(hour FROM g) AS hod,
+                           CAST(SUM(d25) AS BIGINT) AS ssum, COUNT(*) AS scnt
+                    FROM dt GROUP BY 1, 2)
+          SELECT dt.event_type, dt.g AS hour,
+                 ROUND(CAST(dt.tsum AS DOUBLE) / CAST(250000 AS DOUBLE), 6) AS trend,
+                 ROUND(CAST(s.ssum AS DOUBLE) / (s.scnt * CAST(250000 AS DOUBLE)), 6)
+                   AS seasonal,
+                 ROUND(CAST(dt.d25 * s.scnt - s.ssum AS DOUBLE)
+                       / (s.scnt * CAST(250000 AS DOUBLE)), 6) AS remainder
+          FROM dt JOIN ssn s ON s.event_type = dt.event_type
+                            AND s.hod = EXTRACT(hour FROM dt.g)
+          ORDER BY dt.event_type, hour"""))
+
   val eventsValueTrend: CatalogEntry = CatalogEntry(
     "events_value_trend",
     (s, d) => Transforms.trendDerive(Transforms.trendMoments(Tables.events(s, d))),
@@ -2156,5 +2243,5 @@ object PipelineCatalog {
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
-      featureHash, docManifest, docNovelty)
+      featureHash, docManifest, docNovelty, seasonalDecompose)
 }

@@ -837,4 +837,28 @@ class CatalogSpec extends AnyFunSuite {
     val shares = got.map(_.getAs[Double]("share")).sum
     assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
   }
+
+  test("events_seasonal_decompose: components reconstruct the observed hourly series") {
+    // The decomposition's defining identity: observed = trend + seasonal
+    // + remainder, exact on the integer lattice pre-rounding, so the
+    // three independently-rounded outputs reconstruct the hourly cent
+    // sum to within the rounding budget (3 × 5e-7).
+    import org.apache.spark.sql.types.DecimalType
+    val obs = Tables.events(spark, sf0001)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "hour")
+      .agg(sum("v").cast("double").as("observed"))
+    val got = run("events_seasonal_decompose")
+    assert(got.count() > 0)
+    val joined = got.join(obs, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        (coalesce(col("observed"), lit(0.0))
+          - col("trend") - col("seasonal") - col("remainder")).as("gap"))
+      .collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gap")) <= 2e-6,
+        s"${r.get(0)} ${r.get(1)}: decomposition gap ${r.get(2)}")
+    }
+  }
 }
