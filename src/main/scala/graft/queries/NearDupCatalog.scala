@@ -756,6 +756,96 @@ object NearDupCatalog {
           GROUP BY ni.da, za.n
           HAVING MAX(ROUND(n_inter / za.n, 6)) >= 0.5"""))
 
+  private val SpanW = 8 // span width (tokens) — matches doc_dup_spans
+  private val SpanPosScale = 16777216L // 2^24, the winnowing encoding
+
+  /** Span-dedup REWRITE statistics — the decision data of the exact
+    * -substring dedup transform (Lee et al. 2022: remove every repeated
+    * span, keep its first occurrence): for each document, how many of
+    * its [[SpanW]]-token positional grams are repeats of an earlier
+    * occurrence (corpus order = (doc_id, pos), first kept), how many
+    * TOKENS the union of those repeat spans covers, and the keep ratio
+    * after scrubbing. [[dupSpans]] inventories the spans; this entry
+    * says what the rewrite would do to each document.
+    *
+    * Exact union-coverage without an interval fold: positions are
+    * strictly increasing per doc and all spans share width W, so
+    * |∪ [pᵢ, pᵢ+W−1]| = W + Σ min(W, pᵢ − pᵢ₋₁) — one lag window over
+    * the (small) dup-position list, integer arithmetic end to end. The
+    * first-occurrence owner is MIN(doc_id·2²⁴ + pos) per gram — the
+    * winnowing encoding, same injectivity bound, same loud guard.
+    *
+    * Scale: one gram-keyed MIN shuffle (map-combined) + one linear
+    * join back + a doc-keyed window over dup positions only — never
+    * pair-quadratic; the corpus is touched once.
+    */
+  val spanDedup: CatalogEntry = CatalogEntry(
+    "doc_span_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Text
+      val toks = documents(s, d)
+        .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
+        .cache()
+      val grams = toks.filter(size(col("tl")) >= SpanW)
+        .select(col("doc_id"),
+          posexplode(Text.wordNgrams(col("tl"), SpanW)).as(Seq("pos", "g")))
+        .select(col("doc_id"),
+          when(col("pos") < lit(SpanPosScale), col("pos").cast("long"))
+            .otherwise(expr(s"cast(raise_error('doc_span_dedup: gram position >= " +
+              s"$SpanPosScale (2^24); raise SpanPosScale') as bigint)")).as("pos"),
+          col("g"))
+      val own = grams.groupBy("g")
+        .agg(min(col("doc_id") * SpanPosScale + col("pos")).as("o"))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = grams.join(own, Seq("g"))
+        .filter(col("doc_id") * SpanPosScale + col("pos") =!= col("o"))
+        .select(col("doc_id"), col("pos"),
+          lag("pos", 1).over(wd).as("prev"))
+        .select(col("doc_id"),
+          when(col("prev").isNull, lit(SpanW.toLong))
+            .otherwise(least(lit(SpanW.toLong), col("pos") - col("prev"))).as("cv"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_grams"), sum("cv").as("removed"))
+      val out = toks.select(col("doc_id"), size(col("tl")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("removed"), lit(0L)).as("n_tokens_removed"),
+          round((col("n_tokens") - coalesce(col("removed"), lit(0L)))
+            / col("n_tokens"), 6).as("keep_ratio"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      toks.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH toks AS (SELECT doc_id, ${PipelineCatalog.normToksSql} AS tl FROM documents),
+            g AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.g
+                  FROM (SELECT doc_id,
+                          unnest([{'pos': i - 1, 'g': array_to_string(tl[i:i+${SpanW - 1}], ' ')}
+                                  for i in range(1, len(tl) - ${SpanW - 2})]) AS pg
+                        FROM toks WHERE len(tl) >= $SpanW)),
+            own AS (SELECT g, MIN(doc_id * $SpanPosScale + pos) AS o FROM g GROUP BY g),
+            dup AS (SELECT gr.doc_id, gr.pos
+                    FROM g gr JOIN own ON own.g = gr.g
+                    WHERE gr.doc_id * $SpanPosScale + gr.pos <> own.o),
+            cv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+                          CAST(SUM(CASE WHEN prev IS NULL THEN $SpanW
+                                        ELSE LEAST($SpanW, pos - prev) END) AS BIGINT) AS removed
+                   FROM (SELECT doc_id, pos,
+                                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                         FROM dup)
+                   GROUP BY doc_id),
+            nt AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens FROM toks)
+          SELECT nt.doc_id, nt.n_tokens,
+                 COALESCE(cv.n_dup_grams, 0) AS n_dup_grams,
+                 COALESCE(cv.removed, 0) AS n_tokens_removed,
+                 ROUND(CAST(nt.n_tokens - COALESCE(cv.removed, 0) AS DOUBLE)
+                       / nt.n_tokens, 6) AS keep_ratio
+          FROM nt LEFT JOIN cv ON cv.doc_id = nt.doc_id
+          ORDER BY nt.doc_id"""))
+
   /** The prefix-filtered covered plan force-pinned as its own entry,
     * against the SAME oracle — the [[ngramJaccardPrefix]] pattern: both
     * topologies stay oracle-checked every round regardless of what the
@@ -1448,5 +1538,5 @@ object NearDupCatalog {
     containmentCoveredPrefix,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
-    winnowOverlap, splitLeakage, lpaCommunities)
+    winnowOverlap, splitLeakage, lpaCommunities, spanDedup)
 }

@@ -329,4 +329,41 @@ class NearDupSpec extends AnyFunSuite {
       "calibration candidates and thresholded pairs diverge")
     thresholded.foreach { case (k, j) => assert(cal(k)._2 == j, s"jaccard differs on $k") }
   }
+
+  test("doc_span_dedup matches a driver-side first-occurrence + bitmap-union reimplementation") {
+    // Independent check of BOTH tricky pieces: the encoded (doc, pos)
+    // first-occurrence ownership and the lag-window union-coverage
+    // closed form |∪[pᵢ,pᵢ+W−1]| = W + Σ min(W, pᵢ−pᵢ₋₁) — the brute
+    // force here uses an explicit token bitmap instead.
+    val W = 8
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for ((id, text) <- docs) {
+      val tl = text.trim.toLowerCase.split("\\s+").toSeq
+      val dupPos = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (tl.size >= W) (0 to tl.size - W).foreach { p =>
+        val g = tl.slice(p, p + W).mkString(" ")
+        val enc = id * 16777216L + p
+        seen.get(g) match {
+          case None => seen(g) = enc
+          case Some(o) => if (enc != o) dupPos += p.toLong
+        }
+      }
+      val covered = scala.collection.mutable.Set.empty[Long]
+      dupPos.foreach(p => (p until p + W).foreach(covered += _))
+      expected(id) = (tl.size.toLong, dupPos.size.toLong, covered.size.toLong)
+    }
+    val got = SparkEntry.queries("doc_span_dedup")(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    assert(got.exists(_.getAs[Long]("n_dup_grams") > 0), "test vacuous: no dup spans at sf0.001")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, dups, cov) = expected(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id: n_tokens")
+      assert(r.getAs[Long]("n_dup_grams") == dups, s"doc $id: n_dup_grams")
+      assert(r.getAs[Long]("n_tokens_removed") == cov, s"doc $id: coverage")
+    }
+  }
 }
