@@ -1306,6 +1306,52 @@ object EmbeddingCatalog {
       })
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
+    * structurally different indexes — the standard result-merging layer
+    * a production retrieval stack puts over heterogeneous retrievers:
+    * per (query, candidate), rrf = Σ_lists 1/(60 + rank), fused top-K by
+    * that score. Fused here: the data-independent LSH index and the
+    * trained IVF index, whose failure modes are uncorrelated — exactly
+    * the case RRF improves on either member.
+    *
+    * Determinism: each 1/(60+rank) term rides the integer lattice
+    * `10⁹ div (60+rank)` (positive operands, so Spark `div` and DuckDB
+    * `//` agree) and the fused score is the exact BIGINT sum — no float
+    * ever; ties break on vec_id. Cost: the two member shortlists (K
+    * rows per query each) + one (query, cand)-keyed sum — no corpus
+    * pass of its own.
+    */
+  val rankFusion: CatalogEntry = CatalogEntry(
+    "emb_rank_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Seq(knnLsh, knnIvfKmeans).map { e =>
+        e.build(s, d).select(col("query_id"), col("vec_id"),
+          expr("cast(1000000000 div (60 + rn) as bigint)").as("t"))
+      }
+      parts.reduce(_ unionByName _)
+        .groupBy("query_id", "vec_id")
+        .agg(sum("t").as("rrf_scaled"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("rrf_scaled"), col("vec_id"))).cast("long"))
+        .filter(col("rn") <= K)
+        .orderBy("query_id", "rn")
+    },
+    Some(
+      s"""WITH lsh AS (SELECT query_id, vec_id, rn FROM ($lshOracleSql) t1),
+            ivfk AS (SELECT query_id, vec_id, rn FROM (${knnIvfKmeans.oracle.get}) t2),
+            u AS (SELECT query_id, vec_id, 1000000000 // (60 + rn) AS t FROM lsh
+                  UNION ALL
+                  SELECT query_id, vec_id, 1000000000 // (60 + rn) FROM ivfk),
+            f AS (SELECT query_id, vec_id, CAST(SUM(t) AS BIGINT) AS rrf_scaled
+                  FROM u GROUP BY 1, 2)
+          SELECT query_id, vec_id, rrf_scaled, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT query_id, vec_id, rrf_scaled,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_scaled DESC, vec_id) AS rn
+            FROM f) WHERE rn <= $K
+          ORDER BY query_id, rn"""))
 
   /** Power-iteration fixed point: [[PcaIters]] matvec steps on the
     * [[gramMatrix]] lattice (integers end-to-end), direction re-scaled to
@@ -1740,5 +1786,5 @@ object EmbeddingCatalog {
       knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
-      contrastivePairs, labelNoisePairs)
+      contrastivePairs, labelNoisePairs, rankFusion)
 }
