@@ -166,4 +166,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(keys.map(k => k -> spark.conf.getOption(k)) == before,
       "small-graph fast path did not restore the session conf")
   }
+
+  test("small-graph conf is restored even when the iteration body throws") {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    intercept[RuntimeException] {
+      graft.operators.SmallGraph.withSmallGraphConf(spark, 10L) {
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(keys.map(k => k -> spark.conf.getOption(k)) == before,
+      "conf not restored after an exception inside the fast path")
+    // Above the threshold the conf is never touched.
+    graft.operators.SmallGraph.withSmallGraphConf(
+        spark, graft.operators.SmallGraph.SmallGraphRows) {
+      assert(keys.map(k => k -> spark.conf.getOption(k)) == before)
+    }
+  }
 }
