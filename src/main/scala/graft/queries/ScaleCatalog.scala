@@ -474,7 +474,12 @@ object ScaleCatalog {
           col("src_a") < col("src_b"))
       // Exact pair intersection over the full gram index (the baseline
       // the sketch replaces at scale); zero-overlap pairs kept via the
-      // left join + coalesce.
+      // left join + coalesce. Negative result, measured so it is not
+      // re-tried (r11): swapping this Σ df² gram join for per-source
+      // sorted arrays + the merge-count kernel changed nothing (3.47 vs
+      // 3.35 s) — the entry's cost is its stage count, not this join —
+      // and single-row per-source vocabulary arrays break at fleet
+      // scale where the gram join stays linear.
       val exInter = bgd.as("a").join(bgd.as("b"),
           col("a.bg") === col("b.bg") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
