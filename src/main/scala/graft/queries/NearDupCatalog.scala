@@ -645,17 +645,40 @@ object NearDupCatalog {
     * plan wins, and both stay oracle-pinned as entries.
     */
   /** Prefix-filtered covered computation over an already-cached per-doc
-    * frame (no caching or checkpointing here — callers own lifecycle). */
+    * frame (no caching or checkpointing here — callers own lifecycle).
+    *
+    * Now the FULL PPJoin stack (Xiao et al. 2008), not the prefix filter
+    * alone: candidate pairs carry the positions of their first match in
+    * A's df-order, and because both docs' gram lists share the block's
+    * total order (df asc, gram asc — [[perDocByDf]]), every other shared
+    * gram sits after that match in BOTH lists, so
+    * `1 + min(na−1−pa, nb−1−pb)` upper-bounds the true intersection.
+    * Pairs whose bound cannot reach the threshold are pruned BEFORE the
+    * per-pair sorted-array verification — the stage that ships 2×|grams|
+    * strings per pair and dominates this plan (r11 measured the bound
+    * pruning 25% of candidates on this corpus: 760,881 → 572,471).
+    * Exactness: the prune condition is the integer form
+    * `2·bound ≥ na−1`, strictly looser than the post-round threshold
+    * `round(ni/na,6) ≥ 0.5` for any na < 10⁶, so no qualifying pair is
+    * dropped; the min-position aggregate replaces the old distinct (same
+    * shuffle count).
+    */
   private[graft] def coveredPrefixPlan(perDoc: DataFrame): DataFrame = {
-      val subjPrefix = perDoc.select(col("doc_id"), col("source"),
-        explode(slice(col("gs"), lit(1),
-          (col("n") - ceil(col("n") / 2.0) + 1).cast("int"))).as("bg"))
-      val full = perDoc.select(col("doc_id"), col("source"), explode(col("gs")).as("bg"))
+      val subjPrefix = perDoc.select(col("doc_id"), col("source"), col("n").as("na"),
+        posexplode(slice(col("gs"), lit(1),
+          (col("n") - ceil(col("n") / 2.0) + 1).cast("int"))).as(Seq("pa", "bg")))
+      val full = perDoc.select(col("doc_id"), col("source"), col("n").as("nb"),
+        posexplode(col("gs")).as(Seq("pb", "bg")))
       val cand = subjPrefix.as("a").join(full.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
             col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(min(struct(col("pa"), col("pb"))).as("m"),
+          max(col("na")).as("pna"), max(col("nb")).as("pnb"))
+        .filter(lit(2) * (lit(1) +
+            least(col("pna") - 1 - col("m.pa"), col("pnb") - 1 - col("m.pb")))
+          >= col("pna") - 1)
+        .select("da", "db")
       cand
         .join(perDoc.select(col("doc_id").as("da"), col("gsrt").as("gs_a"), col("n").as("na")),
           Seq("da"))
