@@ -361,12 +361,32 @@ object NearDupCatalog {
       // formulation this replaces paid two extra doc_id exchanges and
       // measured 5.8 s vs 2.4 s unfiltered at sf0.1's dense vocabulary).
       val perDoc = { val c = perDocByDf(bg).cache(); caches += c; c }
-      val side = prefixSide(perDoc)
+      // Full PPJoin (Xiao 2008), not the prefix filter alone: the first
+      // joined match's positions (pa, pb) in the shared block total
+      // order bound the true intersection by 1 + min(na−1−pa, nb−1−pb)
+      // — valid because prefixes are DOWNWARD-CLOSED in that order, so
+      // a shared gram ordered before the first joined match would
+      // itself have joined (coveredPrefixPlan has the same argument).
+      // Prune in the integer form 13·bound ≥ 3·(na+nb) − 13, strictly
+      // looser than round(j,6) ≥ 0.3 for na+nb < 2.3M tokens, so no
+      // qualifying pair is dropped; r11 measured it pruning 33% of
+      // candidates (436,005 → 292,151) before the array-shipping
+      // verification stage. The min-position aggregate replaces the
+      // candidate distinct at the same shuffle count.
+      val side = perDoc.select(col("doc_id"), col("source"), col("n"),
+        posexplode(slice(col("gs"), lit(1),
+          (col("n") - ceil((col("n") * 3) / lit(10.0)) + 1).cast("int")))
+          .as(Seq("p", "bg")))
       val cand = side.as("a").join(side.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(min(struct(col("a.p").as("pa"), col("b.p").as("pb"))).as("m"),
+          max(col("a.n")).as("pna"), max(col("b.n")).as("pnb"))
+        .filter(lit(13) * (lit(1) + least(col("pna") - 1 - col("m.pa"),
+            col("pnb") - 1 - col("m.pb")))
+          >= lit(3) * (col("pna") + col("pnb")) - 13)
+        .select("da", "db")
       cand
         .join(perDoc.select(col("doc_id").as("da"), col("gsrt").as("gs_a"), col("n").as("na")),
           Seq("da"))
