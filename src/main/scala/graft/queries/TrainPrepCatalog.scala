@@ -1002,8 +1002,94 @@ object TrainPrepCatalog {
              FROM fa JOIN fb ON fb.doc_id = fa.doc_id AND fb.pb = fa.pa + 1
              GROUP BY fa.doc_id, fa.phrase ORDER BY fa.doc_id"""))
 
+  /** Trigram substring-search index (the pg_trgm architecture): a
+    * candidate document must contain EVERY character trigram of the
+    * search pattern, so an inverted trigram index answers arbitrary
+    * INFIX queries — the case a prefix/B-tree index cannot touch — with
+    * one index join + exact `instr` verification on candidates only.
+    * Patterns are derived in-query (the 5-char infixes of the corpus's
+    * three most frequent ≥5-char tokens — a total-order top-3, no baked
+    * literals), and the entry reports per pattern the candidate count,
+    * the verified match count, and the index's precision: the
+    * trigram-cover condition is NECESSARY but not sufficient (trigrams
+    * may match out of order / non-adjacently), which is exactly the
+    * false-positive rate a deployment needs measured.
+    *
+    * 100 TB shape: the index is text-length-linear and distinct per doc
+    * (one explode + per-row dedup); the candidate join keys on trigram
+    * (patterns-side tiny, broadcast); `instr` runs on candidates only,
+    * never the corpus — the architecture that turns LIKE '%x%' from a
+    * full scan into postings-sized work.
+    */
+  val trigramSearch: CatalogEntry = CatalogEntry(
+    "doc_trigram_search",
+    (s, d) => {
+      import graft.functions.Text
+      val nd = documents(s, d)
+        .select(col("doc_id"), Text.normalize(col("text")).as("t"))
+        .cache()
+      val tg = nd.filter(length(col("t")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")))
+          .as("g"))
+      val pat = documents(s, d)
+        .select(explode(Text.normTokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 5)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(3)
+        .select(substring(col("tok"), 2, 5).as("pattern")).distinct()
+      val ptg = pat.select(col("pattern"), explode(array_distinct(
+          expr("transform(sequence(1, length(pattern) - 2), i -> substring(pattern, i, 3))")))
+          .as("g"))
+      val pn = ptg.groupBy("pattern").agg(count(lit(1)).as("ng"))
+      val cand = tg.join(broadcast(ptg), Seq("g"))
+        .groupBy("pattern", "doc_id").agg(count(lit(1)).as("nm"))
+        .join(broadcast(pn), Seq("pattern"))
+        .filter(col("nm") === col("ng"))
+        .select("pattern", "doc_id")
+      val out = cand.join(nd, Seq("doc_id"))
+        .select(col("pattern"),
+          when(expr("instr(t, pattern)") > 0, 1L).otherwise(0L).as("hit"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_candidates"), sum("hit").as("n_matched"))
+        .select(col("pattern"), col("n_candidates"), col("n_matched"),
+          round(col("n_matched") / col("n_candidates"), 6).as("match_precision"))
+        .orderBy("pattern")
+        .localCheckpoint()
+      nd.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH nd AS (SELECT doc_id,
+                               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                        FROM documents),
+            tg AS (SELECT DISTINCT doc_id, g FROM (
+                     SELECT doc_id, unnest([substr(t, i, 3) for i in range(1, len(t) - 1)]) AS g
+                     FROM nd WHERE len(t) >= 3)),
+            tokc AS (SELECT tok, COUNT(*) AS c FROM (
+                       SELECT unnest($normToksSql) AS tok FROM documents)
+                     WHERE len(tok) >= 5 GROUP BY tok),
+            pat AS (SELECT DISTINCT substr(tok, 2, 5) AS pattern FROM (
+                      SELECT tok FROM tokc ORDER BY c DESC, tok LIMIT 3)),
+            ptg AS (SELECT DISTINCT pattern,
+                           unnest([substr(pattern, i, 3) for i in range(1, len(pattern) - 1)]) AS g
+                    FROM pat),
+            pn AS (SELECT pattern, COUNT(*) AS ng FROM ptg GROUP BY pattern),
+            cand AS (SELECT p.pattern, t.doc_id, COUNT(*) AS nm
+                     FROM ptg p JOIN tg t ON t.g = p.g GROUP BY 1, 2),
+            cv AS (SELECT c.pattern, c.doc_id
+                   FROM cand c JOIN pn ON pn.pattern = c.pattern AND c.nm = pn.ng),
+            ver AS (SELECT cv.pattern,
+                           CASE WHEN instr(nd.t, cv.pattern) > 0 THEN 1 ELSE 0 END AS hit
+                    FROM cv JOIN nd ON nd.doc_id = cv.doc_id)
+          SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 CAST(SUM(hit) AS BIGINT) AS n_matched,
+                 ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS match_precision
+          FROM ver GROUP BY pattern ORDER BY pattern"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
-    tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard, phraseSearch)
+    tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard, phraseSearch,
+    trigramSearch)
 }
