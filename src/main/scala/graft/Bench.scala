@@ -26,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionHygiene.quietCheckpointTeardownLogs()
 
     // Optional focus filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset (each
     // query twice under the warmup pass + timed pass as usual).

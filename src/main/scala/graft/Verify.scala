@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionHygiene.quietCheckpointTeardownLogs()
     new java.io.File(outDir).mkdirs()
     // Optional focus filter, mirroring Bench: SPARK_GRAFT_ONLY=a,b dumps
     // a subset (fast iteration on one entry); a typo'd name exits 2

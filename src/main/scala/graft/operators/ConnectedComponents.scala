@@ -45,6 +45,64 @@ object ConnectedComponents {
       spark: org.apache.spark.sql.SparkSession, rows: Long)(f: => T): T =
     SmallGraph.withSmallGraphConf(spark, rows)(f)
 
+  /** Edge count at or below which the closure FINISHES ON THE DRIVER:
+    * collect the (bounded) edge list, run union-find, parallelize the
+    * labels back. Iterative rounds on a small frame are pure driver
+    * latency — each round is a job round-trip over kilobytes — while
+    * union-find closes the same graph in O(E α(E)) local time. The
+    * threshold bounds driver traffic by construction (2M edges of 2×long
+    * ≈ 32 MB — broadcast-sized), the same regime
+    * [[SmallGraph.withSmallGraphConf]] targets, taken to its limit. This
+    * is also the ENDGAME move for the 100 TB case: alternating-star
+    * rounds contract the edge set geometrically, so a graph that starts
+    * at billions of edges drops under the threshold after a few
+    * distributed rounds and skips its long tail of tiny-frame rounds
+    * (the two-phase shape of large-scale CC systems). Measured on the
+    * golden-record match graph (sf0.1, ~1k edges, min of 3):
+    * iteration 2.2 s → ~0.2 s, entry 3.97 s → see JoinCatalog scaladoc.
+    * Callers pin the distributed path by passing `localFinishEdges = 0`
+    * (the convergence-rounds suite tests do). */
+  val LocalFinishEdges: Long = SmallGraph.SmallGraphRows
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Driver union-find over an already-bounded canonical edge frame;
+    * returns (node, label) in the INPUT's column type, label = component
+    * minimum — bit-identical to the distributed fixpoint (both rewrites
+    * preserve the node set and connectivity, so per-component minima are
+    * invariant). Only called for integral node ids under
+    * [[LocalFinishEdges]] rows. */
+  private def localFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dt = e.schema.head.dataType
+    val edges = e.select(col(e.columns(0)).cast("long"), col(e.columns(1)).cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // Union by MIN root: the surviving root is the running component
+      // minimum, so no second pass is needed to compute labels.
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    val out = parent.keysIterator.map(n => (n, find(n))).toSeq
+    val slices = math.max(1, out.size / SmallGraph.SmallGraphRowsPerPartition).toInt
+    spark.sparkContext.parallelize(out, slices).toDF("node", "label")
+      .select(col("node").cast(dt).as("node"), col("label").cast(dt).as("label"))
+  }
+
   /** Every edge in both directions, deduplicated, self-loops dropped;
     * columns normalized to (u, v). */
   private def symmetrize(edges: DataFrame): DataFrame = {
@@ -83,7 +141,8 @@ object ConnectedComponents {
     * the bound degenerates to the usual diameter + 1.
     */
   def labelPropagation(
-      edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1): DataFrame = {
+      edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1,
+      localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
     // Checkpoints are NON-eager throughout: the convergence probe that
     // immediately follows each one is a full-scan aggregate, so its
@@ -93,21 +152,27 @@ object ConnectedComponents {
     // bound; halving the job count is the fix that survives 100 TB,
     // where per-job overhead still serializes on the driver.)
     val sym = symmetrize(edges).localCheckpoint(eager = false)
+    // Both gates key on the SYMMETRIZED EDGE count (round-11 ADVICE: not
+    // nodes — per-round join work scales with edges, and edges bound
+    // nodes since every node comes from an edge endpoint). The count
+    // also materializes the sym checkpoint.
+    val nEdges = sym.count()
+    if (nEdges <= localFinishEdges && sym.schema.forall(f => isIntegral(f.dataType)))
+      return localFinish(sym) // bounded collect; see LocalFinishEdges
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(eager = false)
     // coalesce: SUM over an empty frame is null — an edgeless graph must
-    // return an empty labeling, not NPE. The probe also returns the row
-    // count — the first probe's count gates the small-graph fast path.
+    // return an empty labeling, not NPE.
     def probe(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val (nNodes, sum0) = probe(labels) // materializes sym + labels checkpoints
+    val sum0 = probe(labels)._2
     var sum = sum0
     var converged = false
     var iter = 0
-    withSmallGraphConf(edges.sparkSession, nNodes) {
+    withSmallGraphConf(edges.sparkSession, nEdges) {
       while (!converged && iter < maxRounds) {
         var chain = labels
         var k = 0
@@ -176,8 +241,9 @@ object ConnectedComponents {
     * union/distinct-shaped subtrees. Per-round materialization is
     * load-bearing for multiply-self-referential rewrites.
     */
-  def alternatingStar(edges: DataFrame, maxRounds: Int = 25): DataFrame =
-    alternatingStarWithRounds(edges, maxRounds)._1
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 25,
+      localFinishEdges: Long = LocalFinishEdges): DataFrame =
+    alternatingStarWithRounds(edges, maxRounds, localFinishEdges)._1
 
   /** As [[alternatingStar]], also returning the round count — exposed so
     * the suite can pin the O(log n) convergence claim on a chain graph.
@@ -190,7 +256,8 @@ object ConnectedComponents {
     * almost immediately, which ANSI mode turns into a runtime error.
     */
   private[graft] def alternatingStarWithRounds(
-      edges: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+      edges: DataFrame, maxRounds: Int = 25,
+      localFinishEdges: Long = LocalFinishEdges): (DataFrame, Int) = {
     def sig(e: DataFrame): (Long, String) = {
       val zero = lit(0).cast(DecimalType(38, 0))
       val r = e.agg(count(lit(1)),
@@ -206,8 +273,17 @@ object ConnectedComponents {
     var s = sig(e) // the probe materializes the checkpoint (see labelPropagation)
     var converged = false
     var iter = 0
+    // Local-finish gate, re-checked at every probe: star rounds CONTRACT
+    // the edge set, so even a huge input drops under the threshold after
+    // a few distributed rounds and skips the driver-latency tail of
+    // tiny-frame rounds (see LocalFinishEdges). Both rewrites preserve
+    // the node set and connectivity (Kiveris Lemma 1), so union-find on
+    // the current edge set yields the same per-component minima as the
+    // distributed fixpoint would.
+    val localOk = e.schema.forall(f => isIntegral(f.dataType))
+    def finishLocally: Boolean = localOk && s._1 <= localFinishEdges
     val out = withSmallGraphConf(edges.sparkSession, s._1) {
-      while (!converged && iter < maxRounds) {
+      while (!converged && iter < maxRounds && !finishLocally) {
         iter += 1
         // Per-round materialization is LOAD-BEARING here (see
         // alternatingStar scaladoc): the rewrite references its input ~4
@@ -218,15 +294,18 @@ object ConnectedComponents {
         s = ns
         e = next
       }
-      require(converged, s"alternating star did not converge in $maxRounds rounds")
-      // Fixpoint edges form stars centered at component minima: each
-      // node's minimum neighbor (or itself) IS its component label.
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      sym.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
-        // Non-eager: the caller's first action materializes it; lineage is
-        // still truncated to the (already-materialized) fixpoint edges.
-        .localCheckpoint(eager = false)
+      if (!converged && finishLocally) localFinish(e)
+      else {
+        require(converged, s"alternating star did not converge in $maxRounds rounds")
+        // Fixpoint edges form stars centered at component minima: each
+        // node's minimum neighbor (or itself) IS its component label.
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        sym.groupBy("u").agg(min("v").as("mv"))
+          .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
+          // Non-eager: the caller's first action materializes it; lineage is
+          // still truncated to the (already-materialized) fixpoint edges.
+          .localCheckpoint(eager = false)
+      }
     }
     (out, iter)
   }

@@ -444,7 +444,13 @@ object JoinCatalog {
     * with the decimal-exact sum. This is the MDM golden-record
     * pipeline: blocked matching keeps candidate generation linear,
     * per-round CC cost rides the (tiny) match edge list, and the
-    * survivorship aggregate is entity-keyed.
+    * survivorship aggregate is entity-keyed. The match graph here is
+    * far under [[graft.operators.ConnectedComponents.LocalFinishEdges]],
+    * so the closure takes CC's driver union-find endgame instead of
+    * paying ~6 star rounds of fixed driver latency (round-12: entry
+    * 3.97 → 1.98 s isolated at sf0.1, min of 3); above the threshold
+    * the distributed star rounds run and hand off once contraction
+    * drops the edge set under it.
     */
   val customerGoldenRecord: CatalogEntry = CatalogEntry(
     "customer_golden_record",

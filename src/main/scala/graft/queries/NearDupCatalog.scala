@@ -830,10 +830,17 @@ object NearDupCatalog {
       val toks = documents(s, d)
         .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
         .cache()
+      // The MIN(doc_id·2^24 + pos) ownership encoding is injective (and
+      // free of silent long wrap) only while pos < 2^24 AND doc_id <
+      // 2^39 — guard BOTH loudly: a wrapped owner would corrupt
+      // first-occurrence decisions while oracle equality masked it.
       val grams = toks.filter(size(col("tl")) >= SpanW)
         .select(col("doc_id"),
           posexplode(Text.wordNgrams(col("tl"), SpanW)).as(Seq("pos", "g")))
-        .select(col("doc_id"),
+        .select(
+          when(col("doc_id") < lit(1L << 39), col("doc_id"))
+            .otherwise(expr(s"cast(raise_error('doc_span_dedup: doc_id >= 2^39; " +
+              s"widen the ownership encoding') as bigint)")).as("doc_id"),
           when(col("pos") < lit(SpanPosScale), col("pos").cast("long"))
             .otherwise(expr(s"cast(raise_error('doc_span_dedup: gram position >= " +
               s"$SpanPosScale (2^24); raise SpanPosScale') as bigint)")).as("pos"),

@@ -1007,9 +1007,10 @@ object TrainPrepCatalog {
     * search pattern, so an inverted trigram index answers arbitrary
     * INFIX queries — the case a prefix/B-tree index cannot touch — with
     * one index join + exact `instr` verification on candidates only.
-    * Patterns are derived in-query (the 5-char infixes of the corpus's
-    * three most frequent ≥5-char tokens — a total-order top-3, no baked
-    * literals), and the entry reports per pattern the candidate count,
+    * Patterns are derived in-query (the up-to-5-char infixes starting
+    * at char 2 — `substring(tok, 2, 5)`, so a 4-char infix for an
+    * exactly-5-char token — of the corpus's three most frequent ≥5-char
+    * tokens: a total-order top-3, no baked literals), and the entry reports per pattern the candidate count,
     * the verified match count, and the index's precision: the
     * trigram-cover condition is NECESSARY but not sufficient (trigrams
     * may match out of order / non-adjacently), which is exactly the

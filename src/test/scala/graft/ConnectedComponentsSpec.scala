@@ -38,8 +38,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }.filter(e => e._1 != e._2)
     val truth = unionFind(edges)
     val df = edges.toDF("a", "b")
+    // Default call = the driver union-find local-finish path (these
+    // graphs are far under LocalFinishEdges); localFinishEdges = 0 pins
+    // the DISTRIBUTED iterations — both must match ground truth.
     assert(labelsOf(ConnectedComponents.labelPropagation(df)) == truth)
     assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth)
+    assert(labelsOf(ConnectedComponents.labelPropagation(df, localFinishEdges = 0)) == truth)
+    assert(labelsOf(ConnectedComponents.alternatingStar(df, localFinishEdges = 0)) == truth)
   }
 
   test("randomized graphs (mixed clumps + a chain tail): both algorithms match union-find") {
@@ -55,13 +60,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val df = edges.toDF("a", "b")
       assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40)) == truth,
         s"propagation diverged from union-find at seed $seed")
+      assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40,
+        localFinishEdges = 0)) == truth,
+        s"distributed propagation diverged from union-find at seed $seed")
       // Fused probing (probeEvery > 1) may run idempotent trailing
       // rounds but must land on the identical fixpoint.
       assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 40,
-        probeEvery = 3)) == truth,
+        probeEvery = 3, localFinishEdges = 0)) == truth,
         s"fused-probe propagation diverged from union-find at seed $seed")
       assert(labelsOf(ConnectedComponents.alternatingStar(df)) == truth,
         s"alternating star diverged from union-find at seed $seed")
+      assert(labelsOf(ConnectedComponents.alternatingStar(df, localFinishEdges = 0)) == truth,
+        s"distributed alternating star diverged from union-find at seed $seed")
     }
   }
 
@@ -71,17 +81,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // budget; the star rewrites collapse it in a handful of rounds.
     val chain = (0L until 64L).map(i => (i, i + 1))
     val df = chain.toDF("a", "b")
-    val (labels, rounds) = ConnectedComponents.alternatingStarWithRounds(df)
+    val (labels, rounds) =
+      ConnectedComponents.alternatingStarWithRounds(df, localFinishEdges = 0)
     info(s"star rounds on a diameter-64 chain: $rounds")
     assert(rounds <= 10, s"star took $rounds rounds — not diameter-independent")
     assert(labelsOf(labels).values.toSet == Set(0L))
     val diameterBound = intercept[IllegalArgumentException] {
-      ConnectedComponents.labelPropagation(df, maxRounds = 20)
+      ConnectedComponents.labelPropagation(df, maxRounds = 20, localFinishEdges = 0)
     }
     assert(diameterBound.getMessage.contains("did not converge"))
     // With the budget matched to the diameter it does finish.
-    assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 65))
-      .values.toSet == Set(0L))
+    assert(labelsOf(ConnectedComponents.labelPropagation(df, maxRounds = 65,
+      localFinishEdges = 0)).values.toSet == Set(0L))
+  }
+
+  test("star endgame: distributed rounds hand off to the local finish mid-iteration") {
+    // A dense clump CONTRACTS under the star rewrites (redundant edges
+    // collapse toward the n−1-edge fixpoint star), so a threshold set
+    // between the fixpoint size and the input size forces ≥1 distributed
+    // round and then the driver union-find endgame — fewer rounds than
+    // the pure-distributed run, identical labels.
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val truth = unionFind(edges)
+    val df = edges.toDF("a", "b")
+    val (distLabels, distRounds) =
+      ConnectedComponents.alternatingStarWithRounds(df, localFinishEdges = 0)
+    val (locLabels, locRounds) =
+      ConnectedComponents.alternatingStarWithRounds(df, localFinishEdges = 60)
+    info(s"endgame handoff: $locRounds rounds vs $distRounds pure-distributed")
+    assert(locRounds >= 1, "threshold below input size must still run distributed rounds")
+    assert(locRounds < distRounds,
+      "the sub-threshold probe should have handed off before distributed convergence")
+    assert(labelsOf(distLabels) == truth)
+    assert(labelsOf(locLabels) == truth)
   }
 
   test("edgeless input: both algorithms return an empty labeling, no NPE") {
@@ -149,7 +183,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     var rounds = 0
     val jobs = countSparkJobs {
-      val (out, r) = ConnectedComponents.alternatingStarWithRounds(edges)
+      val (out, r) =
+        ConnectedComponents.alternatingStarWithRounds(edges, localFinishEdges = 0)
       rounds = r
       out.count()
     }
