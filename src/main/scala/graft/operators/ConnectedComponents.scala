@@ -36,14 +36,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ConnectedComponents {
 
-  /** When the first convergence probe shows the frame is small, the
-    * remaining rounds run under [[SmallGraph.withSmallGraphConf]]'s
-    * reduced conf (parallelism matched to data, AQE off, codegen off),
-    * restored on exit — see that object's scaladoc for the measurements
-    * and the session-scoping caveat. */
-  private def withSmallGraphConf[T](
-      spark: org.apache.spark.sql.SparkSession, rows: Long)(f: => T): T =
-    SmallGraph.withSmallGraphConf(spark, rows)(f)
 
   /** Edge count at or below which the closure FINISHES ON THE DRIVER:
     * collect the (bounded) edge list, run union-find, parallelize the
@@ -52,7 +44,7 @@ object ConnectedComponents {
     * union-find closes the same graph in O(E α(E)) local time. The
     * threshold bounds driver traffic by construction (2M edges of 2×long
     * ≈ 32 MB — broadcast-sized), the same regime
-    * [[SmallGraph.withSmallGraphConf]] targets, taken to its limit. This
+    * [[SmallGraph.sessionFor]] targets, taken to its limit. This
     * is also the ENDGAME move for the 100 TB case: alternating-star
     * rounds contract the edge set geometrically, so a graph that starts
     * at billions of edges drops under the threshold after a few
@@ -144,6 +136,7 @@ object ConnectedComponents {
       edges: DataFrame, maxRounds: Int = 20, probeEvery: Int = 1,
       localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
+    val spark0 = edges.sparkSession
     // Checkpoints are NON-eager throughout: the convergence probe that
     // immediately follows each one is a full-scan aggregate, so its
     // action materializes the checkpoint blocks as a side effect — ONE
@@ -159,7 +152,13 @@ object ConnectedComponents {
     val nEdges = sym.count()
     if (nEdges <= localFinishEdges && sym.schema.forall(f => isIntegral(f.dataType)))
       return localFinish(sym) // bounded collect; see LocalFinishEdges
-    var labels = sym.select(col("u").as("node")).distinct()
+    // Sub-threshold iterations run in a CHILD session carrying the
+    // small-graph profile (see SmallGraph scaladoc) — concurrent queries
+    // on the caller's session are unaffected. The checkpointed sym frame
+    // rebases across sessions for free (shared-context blocks).
+    val sess = SmallGraph.sessionFor(spark0, nEdges)
+    val symS = SmallGraph.rebase(sym, sess)
+    var labels = symS.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(eager = false)
     // coalesce: SUM over an empty frame is null — an edgeless graph must
     // return an empty labeling, not NPE.
@@ -172,31 +171,29 @@ object ConnectedComponents {
     var sum = sum0
     var converged = false
     var iter = 0
-    withSmallGraphConf(edges.sparkSession, nEdges) {
-      while (!converged && iter < maxRounds) {
-        var chain = labels
-        var k = 0
-        while (k < probeEvery && iter < maxRounds) {
-          iter += 1
-          k += 1
-          val prop = sym.join(chain, col("v") === col("node"))
-            .groupBy(col("u")).agg(min("label").as("nbr_min"))
-          chain = chain.join(prop, col("node") === col("u"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        }
-        // Hygiene: one resident (checkpointed) frame, bounded plan depth;
-        // the probe's aggregate action writes the checkpoint blocks.
-        val next = chain.localCheckpoint(eager = false)
-        val nextSum = probe(next)._2
-        converged = nextSum == sum
-        sum = nextSum
-        labels = next
+    while (!converged && iter < maxRounds) {
+      var chain = labels
+      var k = 0
+      while (k < probeEvery && iter < maxRounds) {
+        iter += 1
+        k += 1
+        val prop = symS.join(chain, col("v") === col("node"))
+          .groupBy(col("u")).agg(min("label").as("nbr_min"))
+        chain = chain.join(prop, col("node") === col("u"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       }
+      // Hygiene: one resident (checkpointed) frame, bounded plan depth;
+      // the probe's aggregate action writes the checkpoint blocks.
+      val next = chain.localCheckpoint(eager = false)
+      val nextSum = probe(next)._2
+      converged = nextSum == sum
+      sum = nextSum
+      labels = next
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds " +
       "(graph diameter exceeds the budget — use alternatingStar)")
-    labels
+    SmallGraph.rebase(labels, spark0)
   }
 
   /** One large-star rewrite: for each node u with m = min(N(u) ∪ {u}),
@@ -282,31 +279,34 @@ object ConnectedComponents {
     // distributed fixpoint would.
     val localOk = e.schema.forall(f => isIntegral(f.dataType))
     def finishLocally: Boolean = localOk && s._1 <= localFinishEdges
-    val out = withSmallGraphConf(edges.sparkSession, s._1) {
-      while (!converged && iter < maxRounds && !finishLocally) {
-        iter += 1
-        // Per-round materialization is LOAD-BEARING here (see
-        // alternatingStar scaladoc): the rewrite references its input ~4
-        // times, so a lazy chain recomputes exponentially.
-        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-        val ns = sig(next) // one fused materialize+probe job per round
-        converged = ns == s
-        s = ns
-        e = next
-      }
-      if (!converged && finishLocally) localFinish(e)
-      else {
-        require(converged, s"alternating star did not converge in $maxRounds rounds")
-        // Fixpoint edges form stars centered at component minima: each
-        // node's minimum neighbor (or itself) IS its component label.
-        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        sym.groupBy("u").agg(min("v").as("mv"))
-          .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
-          // Non-eager: the caller's first action materializes it; lineage is
-          // still truncated to the (already-materialized) fixpoint edges.
-          .localCheckpoint(eager = false)
-      }
+    // Sub-threshold rounds run in a child session carrying the
+    // small-graph profile (see SmallGraph scaladoc); the checkpointed
+    // edge frame rebases across sessions for free.
+    val spark0 = edges.sparkSession
+    e = SmallGraph.rebase(e, SmallGraph.sessionFor(spark0, s._1))
+    while (!converged && iter < maxRounds && !finishLocally) {
+      iter += 1
+      // Per-round materialization is LOAD-BEARING here (see
+      // alternatingStar scaladoc): the rewrite references its input ~4
+      // times, so a lazy chain recomputes exponentially.
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val ns = sig(next) // one fused materialize+probe job per round
+      converged = ns == s
+      s = ns
+      e = next
     }
-    (out, iter)
+    val out = if (!converged && finishLocally) localFinish(e)
+    else {
+      require(converged, s"alternating star did not converge in $maxRounds rounds")
+      // Fixpoint edges form stars centered at component minima: each
+      // node's minimum neighbor (or itself) IS its component label.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("node"), least(col("mv"), col("u")).as("label"))
+        // Non-eager: the caller's first action materializes it; lineage is
+        // still truncated to the (already-materialized) fixpoint edges.
+        .localCheckpoint(eager = false)
+    }
+    (SmallGraph.rebase(out, spark0), iter)
   }
 }

@@ -51,25 +51,27 @@ object PageRank {
     val nEdgeRows = probe.getLong(1)
     require(n > 0, "PageRank over an empty edge list")
     val base = scale * 15L / 100L / n
-    var r = links.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(scale / n))
     var iter = 0
     // Fixed-round iteration over a small graph is driver/plan-overhead
-    // bound — run rounds under the reduced conf (see SmallGraph).
-    SmallGraph.withSmallGraphConf(edges.sparkSession, nEdgeRows) {
-      while (iter < iterations) {
-        val next = links.join(r, col("src") === col("node"))
-          .select(col("dst"), expr("r div outdeg").as("c"))
-          .groupBy("dst")
-          .agg(sum(col("c")).as("s"))
-          .select(col("dst").as("node"),
-            (lit(base) + expr("(85 * s) div 100")).as("r"))
-        iter += 1
-        r = if (iter % checkpointEvery == 0 || iter == iterations)
-          next.localCheckpoint()
-        else next
-      }
+    // bound — sub-threshold rounds run in a child session carrying the
+    // small-graph profile (see SmallGraph scaladoc); the checkpointed
+    // link frame rebases across sessions for free.
+    val spark0 = edges.sparkSession
+    val linksS = SmallGraph.rebase(links, SmallGraph.sessionFor(spark0, nEdgeRows))
+    var r = linksS.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(scale / n))
+    while (iter < iterations) {
+      val next = linksS.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * s) div 100")).as("r"))
+      iter += 1
+      r = if (iter % checkpointEvery == 0 || iter == iterations)
+        next.localCheckpoint()
+      else next
     }
-    r
+    SmallGraph.rebase(r, spark0)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 
 /** The small-graph execution profile for iterative frame algorithms
   * (connected components, PageRank, k-core peeling, label propagation).
@@ -19,11 +19,19 @@ import org.apache.spark.sql.SparkSession
   * rounds keep the session's AQE/codegen — exactly the regime those
   * features win in.
   *
-  * The conf flip is SESSION-scoped for its duration (restored in a
-  * finally): a concurrent query planned in the same session inside the
-  * window would pick up the reduced parallelism. The harness and catalog
-  * run entries sequentially; callers running parallel queries should
-  * isolate with `spark.newSession()` (conf is per-SessionState).
+  * Isolation (round-11 ADVICE): the profile lives in a CHILD session
+  * ([[SparkSession.newSession]] — per-SessionState SQL conf, shared
+  * SparkContext/SharedState), never as a mutate-and-restore of the
+  * caller's conf. A query planned concurrently on the caller's session
+  * can no longer inherit tiny-graph parallelism, and two concurrent
+  * iterations cannot race a save/restore. Frames cross sessions via
+  * [[rebase]]; this works because every frame the iteration call sites
+  * move is flat (localCheckpoint-backed or a trivial projection of one)
+  * — cached/checkpointed blocks live in the shared context and transfer
+  * for free. The child session inherits the SparkConf-level settings
+  * (builder-set confs like the session timezone); runtime `SET`s made on
+  * the caller's session after startup are deliberately not copied — the
+  * fast path pins its own execution profile.
   */
 object SmallGraph {
 
@@ -36,21 +44,28 @@ object SmallGraph {
     * fast-path graph still gets a handful of partitions. */
   val SmallGraphRowsPerPartition = 250000L
 
-  /** Run `f` under the small-graph conf when `rows` is below the
-    * threshold; pass through untouched otherwise. */
-  def withSmallGraphConf[T](spark: SparkSession, rows: Long)(f: => T): T =
-    if (rows >= SmallGraphRows) f
+  /** The session iteration rounds should run in: the caller's own
+    * session when `rows` is at or above [[SmallGraphRows]], otherwise a
+    * fresh child session carrying the small-graph profile (parallelism
+    * matched to the data, AQE off, whole-stage codegen off). */
+  def sessionFor(spark: SparkSession, rows: Long): SparkSession =
+    if (rows >= SmallGraphRows) spark
     else {
-      val conf = spark.conf
-      val keys = Seq("spark.sql.shuffle.partitions",
-        "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
-      val saved = keys.map(k => k -> conf.getOption(k))
-      conf.set("spark.sql.shuffle.partitions",
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions",
         math.max(1L, rows / SmallGraphRowsPerPartition).toString)
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.codegen.wholeStage", "false")
-      try f finally saved.foreach { case (k, ov) =>
-        ov match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
-      }
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.codegen.wholeStage", "false")
+      child
     }
+
+  /** Re-root a frame's logical plan onto `to`, so actions on frames
+    * derived from it plan under `to`'s conf. No-op when already there.
+    * Intended for FLAT frames (checkpoint scans / parallelized results /
+    * simple projections of either): their plans carry no session-local
+    * name resolution (temp views, temp functions), so re-analysis under
+    * the target session is trivial. */
+  def rebase(df: DataFrame, to: SparkSession): DataFrame =
+    if (df.sparkSession eq to) df
+    else GraftSqlBridge.ofRows(to, df.queryExecution.logical)
 }

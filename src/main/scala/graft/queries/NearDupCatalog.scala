@@ -1256,9 +1256,12 @@ object NearDupCatalog {
     (s, d) => {
       var e = lshEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
       // The edge frame is checkpointed — the gate count is one cheap
-      // scan of resident blocks; peel rounds then run under the
-      // small-graph conf (see operators.SmallGraph).
-      graft.operators.SmallGraph.withSmallGraphConf(s, e.count()) {
+      // scan of resident blocks; sub-threshold peel rounds run in a
+      // child session carrying the small-graph profile (see
+      // operators.SmallGraph), the final aggregate back on the caller's.
+      e = graft.operators.SmallGraph.rebase(e,
+        graft.operators.SmallGraph.sessionFor(s, e.count()))
+      locally {
         for (_ <- 1 to KCoreRounds) {
           val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
           val alive = sym.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -1276,6 +1279,7 @@ object NearDupCatalog {
             .select("u", "v").localCheckpoint()
         }
       }
+      e = graft.operators.SmallGraph.rebase(e, s)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       sym.groupBy("u").agg(count(lit(1)).as("core_deg"))
         .select(col("u").as("doc_id"), col("core_deg"))
@@ -1379,12 +1383,15 @@ object NearDupCatalog {
       val sym = e.select(col("doc_a").as("n"), col("doc_b").as("m"))
         .union(e.select(col("doc_b").as("n"), col("doc_a").as("m")))
         .localCheckpoint(eager = true)
-      var lbl = sym.select(col("n")).distinct().select(col("n"), col("n").as("lbl"))
       // Fixed rounds over the (checkpointed, cheap-to-count) edge frame
-      // run under the small-graph conf (see operators.SmallGraph).
-      graft.operators.SmallGraph.withSmallGraphConf(s, sym.count()) {
+      // run in the small-graph child session when sub-threshold (see
+      // operators.SmallGraph); the result rebases back to the caller's.
+      val symS = graft.operators.SmallGraph.rebase(sym,
+        graft.operators.SmallGraph.sessionFor(s, sym.count()))
+      var lbl = symS.select(col("n")).distinct().select(col("n"), col("n").as("lbl"))
+      locally {
         for (_ <- 1 to LpaRounds) {
-          lbl = sym
+          lbl = symS
             .join(lbl.select(col("n").as("m"), col("lbl")), Seq("m"))
             .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
             .groupBy("n")
@@ -1393,6 +1400,7 @@ object NearDupCatalog {
             .localCheckpoint()
         }
       }
+      lbl = graft.operators.SmallGraph.rebase(lbl, s)
       lbl.select(col("n").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
     },

@@ -202,22 +202,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       "small-graph fast path did not restore the session conf")
   }
 
-  test("small-graph conf is restored even when the iteration body throws") {
+  test("small-graph profile is session-isolated: caller conf never touched") {
+    import graft.operators.SmallGraph
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.adaptive.enabled", "spark.sql.codegen.wholeStage")
     val before = keys.map(k => k -> spark.conf.getOption(k))
-    intercept[RuntimeException] {
-      graft.operators.SmallGraph.withSmallGraphConf(spark, 10L) {
-        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
-        throw new RuntimeException("boom")
-      }
-    }
+    // Below the threshold: a CHILD session carries the profile; the
+    // caller's session conf is untouched for the whole window (the
+    // round-11 ADVICE concurrency hazard — a mutate-and-restore flip —
+    // is structurally gone, so there is nothing to "restore" on throw).
+    val child = SmallGraph.sessionFor(spark, 10L)
+    assert(!(child eq spark), "sub-threshold rows must get a child session")
+    assert(child.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(child.conf.get("spark.sql.codegen.wholeStage") == "false")
+    assert(child.conf.get("spark.sql.shuffle.partitions") == "1")
     assert(keys.map(k => k -> spark.conf.getOption(k)) == before,
-      "conf not restored after an exception inside the fast path")
-    // Above the threshold the conf is never touched.
-    graft.operators.SmallGraph.withSmallGraphConf(
-        spark, graft.operators.SmallGraph.SmallGraphRows) {
-      assert(keys.map(k => k -> spark.conf.getOption(k)) == before)
-    }
+      "creating the small-graph session mutated the caller's conf")
+    // At/above the threshold the caller's own session is returned.
+    assert(SmallGraph.sessionFor(spark, SmallGraph.SmallGraphRows) eq spark)
+    // Frames rebase child→parent and back; data and schema survive.
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("u", "v").localCheckpoint()
+    val rebased = SmallGraph.rebase(SmallGraph.rebase(df, child), spark)
+    assert(rebased.sparkSession eq spark)
+    assert(rebased.as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
   }
 }
