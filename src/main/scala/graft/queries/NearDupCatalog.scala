@@ -682,6 +682,19 @@ object NearDupCatalog {
     * `round(ni/na,6) ≥ 0.5` for any na < 10⁶, so no qualifying pair is
     * dropped; the min-position aggregate replaces the old distinct (same
     * shuffle count).
+    *
+    * Round 12 adds the remaining PPJoin §3.1 piece, the LENGTH filter
+    * `2·nb ≥ na−1` (ni ≤ nb, so containment ≥ ½ bounds the target's
+    * length from below), placed IN the join condition so short targets
+    * are dropped at the probe, before the candidate aggregate. Measured
+    * on the dense sf0.1 corpus: 1,501,582 → 1,338,535 gram-pair rows
+    * into the aggregate (−11%; the uniform ~40-token doc lengths leave
+    * little to prune here — length variance is what it feeds on). The
+    * final candidate set is UNCHANGED (577,334 either way): with pb ≥ 0
+    * the positional bound `1 + min(na−1−pa, nb−1−pb) ≥ (na−1)/2`
+    * implies `2·nb ≥ na−1`, so the length filter is subsumed at the
+    * candidate stage — its entire value is the earlier placement, one
+    * integer compare per probed row.
     */
   private[graft] def coveredPrefixPlan(perDoc: DataFrame): DataFrame = {
       val subjPrefix = perDoc.select(col("doc_id"), col("source"), col("n").as("na"),
@@ -691,7 +704,14 @@ object NearDupCatalog {
         posexplode(col("gs")).as(Seq("pb", "bg")))
       val cand = subjPrefix.as("a").join(full.as("b"),
           col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
-            col("a.doc_id") =!= col("b.doc_id"))
+            col("a.doc_id") =!= col("b.doc_id") &&
+            // PPJoin LENGTH filter (Xiao 2008 §3.1): ni ≤ nb, so
+            // containment ≥ t needs 2·nb ≥ na (integer-loosened to
+            // na−1, the positional bound's exactness argument). Applied
+            // IN the join condition, it prunes gram-pair rows before
+            // the candidate aggregate ever sees them — short subjects
+            // stop pairing with much-shorter targets at the probe.
+            col("a.na") - 1 <= lit(2) * col("b.nb"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(min(struct(col("pa"), col("pb"))).as("m"),
           max(col("na")).as("pna"), max(col("nb")).as("pnb"))
@@ -776,6 +796,65 @@ object NearDupCatalog {
     caches.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Deterministic ZIPFIAN mirror corpus, derived in-query from the
+    * documents table: doc ids and source blocks are kept, the text is
+    * replaced by 40 tokens drawn from a zipf-ish rank distribution —
+    * token i of doc d is `w⌊4096/(h+1)⌋` where h is the integer value of
+    * the first 3 hex digits of md5(d || ':' || i). With h uniform on
+    * [0, 4096), rank r = ⌊4096/(h+1)⌋ gets probability ≈ 1/(r(r+1)) —
+    * the heavy-head/long-tail profile of natural text (rank 1 carries
+    * ~half the token mass; measured bigram-df CV 1.55 vs the testdata
+    * corpus's ≤ 0.7) — in PURE INTEGER arithmetic both engines evaluate
+    * bit-identically (no pow/log whose libm rounding could disagree at
+    * a floor boundary). This is the fixture that makes the containment
+    * chooser's PREFIX route fire ORGANICALLY under the correctness
+    * gate: the dense testdata corpus routes every auto entry to
+    * counted, so without it the prefix branch was only hash-checked via
+    * the force-pinned entry. */
+  private[graft] def zipfDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr("""array_join(transform(sequence(1, 40), i ->
+        concat('w', cast(4096 div (cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 3), 16, 10) as int) + 1) as string))), ' ')""")
+        .as("text"))
+
+  /** The containment chooser's PREFIX route exercised organically under
+    * the correctness gate: the SAME cost-based pipeline as
+    * [[containmentCovered]], run over [[zipfDocs]] — the df-skew
+    * statistic reads CV ≈ 1.5 on this corpus and routes to the PPJoin
+    * prefix plan at build time, so the auto path's prefix branch is
+    * hash-checked against the mode-independent counted oracle every
+    * round (PlanSpec pins the routing decision and the
+    * intersect_card_sorted kernel in the chosen interior plan; the
+    * force-pinned [[containmentCoveredPrefix]] keeps covering the
+    * kernel on the dense corpus).
+    */
+  val containmentCoveredZipf: CatalogEntry = CatalogEntry(
+    "doc_containment_covered_zipf",
+    (s, d) => containmentCoveredAuto(zipfDocs(documents(s, d))),
+    Some(
+      raw"""WITH zd AS (
+              SELECT doc_id, source,
+                [ 'w' || CAST(CAST(FLOOR(4096.0/((
+                      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),1,1))-1)*256
+                    + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),2,1))-1)*16
+                    + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),3,1))-1) )+1)) AS INT) AS VARCHAR)
+                  FOR i IN range(1,41) ] AS t
+              FROM documents),
+            bg AS (SELECT DISTINCT doc_id, source,
+                     unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bg
+                   FROM zd),
+            sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+            ni AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+                   FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+          SELECT ni.da AS doc_id, za.n AS n_grams,
+                 MAX(ROUND(n_inter / za.n, 6)) AS max_containment,
+                 CAST(SUM(CASE WHEN ROUND(n_inter / za.n, 6) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_half_covering
+          FROM ni JOIN sz za ON za.doc_id = ni.da
+          GROUP BY ni.da, za.n
+          HAVING MAX(ROUND(n_inter / za.n, 6)) >= 0.5"""))
 
   val containmentCovered: CatalogEntry = CatalogEntry(
     "doc_containment_covered",
@@ -1593,7 +1672,7 @@ object NearDupCatalog {
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
     ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
-    containmentCoveredPrefix,
+    containmentCoveredPrefix, containmentCoveredZipf,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
     winnowOverlap, splitLeakage, lpaCommunities, spanDedup)

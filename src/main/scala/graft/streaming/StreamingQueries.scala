@@ -682,6 +682,50 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming first-seen n-gram novelty — the live side of
+    * `doc_novelty`. First-seen ownership is MONOTONE over arrival order
+    * (the owner of a gram is the first document carrying it; later
+    * arrivals can never change it), so the batch entry's MIN(doc_id)
+    * ownership streams as one bit of keyed state per gram: the
+    * gram-keyed `flatMapGroupsWithState` emits a (doc_id, novel) flag
+    * per (doc, gram) the moment the gram first appears — within a
+    * micro-batch the LOWEST doc_id in the group is senior, matching the
+    * batch MIN — and the per-document novelty aggregate runs downstream
+    * of it in the same query (Append-mode state op → streaming agg, the
+    * supported composition). Replayed in doc_id order (doc_id = arrival
+    * order, this corpus's contract and the batch entry's premise), the
+    * drained result equals the batch entry bit-for-bit (StreamingSpec).
+    *
+    * 100 TB shape: state is one long per DISTINCT gram — the same
+    * cardinality the batch entry's gram-keyed MIN shuffle carries, held
+    * as keyed state (RocksDB at scale) instead of a shuffle frame; per
+    * batch the work is gram-keyed state lookups plus a doc-keyed
+    * aggregate, both map-combined, never pair-quadratic.
+    */
+  def streamingNovelty(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flags = docs
+      .select(col("doc_id"), explode(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val docsIn = rows.map(_._1).toSeq.sorted
+          val unowned = state.getOption.isEmpty
+          if (unowned) state.update(docsIn.head)
+          docsIn.map(d => (d, if (unowned && d == docsIn.head) 1L else 0L)).iterator
+      }
+    flags.toDF("doc_id", "novel")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("novel").as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Streaming sequence mining — the live side of `events_seq_trigrams`.
     * Per-user keyed state holds the last two event types plus the set of
     * trigram keys this user has ALREADY contributed (support counts

@@ -694,4 +694,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!kmv.contains("Window"),
       s"kmvSketch: vocabulary-sized sort window crept in\n$kmv")
   }
+
+  test("round-12: the zipf fixture routes the covered chooser to prefix organically") {
+    // doc_containment_covered_zipf exists so the AUTO path's prefix
+    // branch runs under the correctness gate on every round (the dense
+    // testdata corpus routes auto entries to counted; the prefix branch
+    // was previously hash-checked only via the force-pinned entry).
+    // Pin (a) the routing decision on the entry's exact sample
+    // statistic, and (b) the intersect_card_sorted kernel in the chosen
+    // interior plan (the entry's own result is checkpoint-truncated).
+    import graft.queries.NearDupCatalog
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val zbg = NearDupCatalog.bigramIndex(
+      NearDupCatalog.zipfDocs(Tables.documents(spark, sf0001)))
+    val sample = zbg.filter(pmod(xxhash64(col("source"), col("bg")), lit(8)) === 0)
+    assert(NearDupCatalog.ngramMode(sample) == "prefix",
+      "df-skew statistic must route the zipf corpus to the prefix plan")
+    val prefP = NearDupCatalog.coveredPrefixPlan(NearDupCatalog.perDocByDf(zbg))
+      .queryExecution.executedPlan.toString
+    assert(prefP.contains("intersect_card_sorted"),
+      s"zipf prefix plan lost its verification kernel\n$prefP")
+    val auto = plan("doc_containment_covered_zipf")
+    assert(auto.contains("Scan ExistingRDD"),
+      s"doc_containment_covered_zipf: result no longer checkpoint-truncated\n$auto")
+  }
 }

@@ -1000,6 +1000,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ctl.decisions.forall(_.batchDurationMs >= 0))
   }
 
+  test("streaming novelty replays the batch doc_novelty entry bit-for-bit") {
+    // First-seen gram ownership is monotone over arrival order, so
+    // replaying the corpus in doc_id order (= arrival order, the batch
+    // entry's premise) through the gram-keyed state op + doc-keyed agg
+    // must reproduce the batch frame exactly — including ownership
+    // decided ACROSS batch boundaries (3 micro-batches here).
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val want = SparkEntry.queries("doc_novelty")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val rows = docs.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val thirds = rows.grouped(math.max(1, rows.size / 3 + 1)).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val qn = s"novelty_${System.nanoTime()}"
+    val q = graft.streaming.StreamingQueries
+      .streamingNovelty(input.toDF().toDF("doc_id", "text"))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      thirds.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, "streamed novelty diverges from the batch entry")
+    } finally q.stop()
+  }
+
   test("KMV sketch streams: the SAME bounded-heap aggregate replays the batch sketch") {
     // Mergeability is what makes KMV streaming-compatible: the TopNAgg
     // Aggregator that builds source_kmv_overlap's sketches runs
