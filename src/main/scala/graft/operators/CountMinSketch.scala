@@ -31,15 +31,6 @@ object CountMinSketch {
     pmod(pmod(k * a + b, lit(P)), lit(Width))
   }
 
-  /** Same hash family at an explicit width — for CM surfaces whose
-    * accuracy target needs a different w than the point-estimate demo's
-    * deliberately-collision-heavy 32 (the join-size inner-product entry
-    * uses 2^16: inner-product error scales with ‖fA‖₁·‖fB‖₁/w, so a
-    * width sized for per-key counts is hopeless for join sizes). */
-  def bucketColW(r: Int, k: Column, width: Int): Column = {
-    val (a, b) = Hashes(r)
-    pmod(pmod(k * a + b, lit(P)), lit(width))
-  }
 
   /** Point estimate from a materialized cell map ((r, bucket) → sum). */
   def estimate(cells: Map[(Int, Int), Long], k: Long): Long =

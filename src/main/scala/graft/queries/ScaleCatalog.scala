@@ -640,6 +640,7 @@ object ScaleCatalog {
     })
 
   private val JsWidth = 65536 // 2^16 — join-size accuracy needs width
+  private val JsDepth = 4
 
   /** JOIN-SIZE estimation by Count-Min inner product (Cormode &
     * Muthukrishnan 2005 §4.2) — the optimizer statistic that decides
@@ -650,15 +651,21 @@ object ScaleCatalog {
     * collision adds nonnegative cross terms). Sides here: lineitem
     * keyed by l_partkey vs its returned-flag slice — two genuinely
     * different frequency vectors over a shared key space, the
-    * self-join-shaped estimate a planner needs most (fan-out joins).
+    * fan-out-join estimate a planner needs most.
     *
-    * Same public hash family as `events_count_min` (shared via
-    * [[graft.operators.CountMinSketch]]) at width 2^16: inner-product
-    * error is ~‖fA‖₁·‖fB‖₁/w, so the demo width 32 would overestimate
-    * ~600×; at 2^16 the measured rel_err lands ~0.3 on this table —
-    * the regime where the estimate is decision-grade. Everything is
-    * integer arithmetic over exact counts, so the estimate itself is
-    * oracle-exact (unlike the banded HLL/KLL checks).
+    * Hash rows are md5-seeded (`md5(r || '|' || k)`, first 8 hex digits
+    * mod width — the house minhash/KMV device), NOT the shared affine
+    * family of `events_count_min`. Negative result, recorded so it is
+    * not re-tried: at width 2^16 the affine `((k·a+b) mod P) mod w`
+    * rows are INJECTIVE on this table's compact key domain — k·a never
+    * reaches P, so each row is a pure affine map and distinct keys
+    * under ~w never collide — and the "estimate" degenerated to the
+    * exact answer (rel_err 0.0 at both sf), i.e. a lossless table, not
+    * an estimator. The affine family is fine at the point-estimate
+    * demo's width 32 (mod 32 collides densely); a genuinely mixed hash
+    * is required once w exceeds the key range. Measured with md5 rows:
+    * rel_err 0.027 at sf0.01, 0.287 at sf0.1 — one-sided and
+    * decision-grade for a broadcast-vs-shuffle call.
     *
     * 100 TB shape: each side's sketch is ONE key-aggregate (the
     * map-combined count any exact statistic needs) plus a d×w cell
@@ -672,45 +679,55 @@ object ScaleCatalog {
     "lineitem_join_size_sketch",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val fa = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("ca"))
+      val fa = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
       val fb = li.filter(col("l_returnflag") === "R")
-        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cb"))
-      def cells(f: DataFrame, cnt: String, cell: String): DataFrame = f
-        .select(col("k"), col(cnt),
-          explode(array(CmHashes.indices.map { r =>
-            struct(lit(r).as("r"),
-              graft.operators.CountMinSketch.bucketColW(r, col("k"), JsWidth).as("bucket"))
-          }: _*)).as("h"))
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat(lit(s"$r|"), col("k").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(JsWidth.toLong))
+      def cells(f: DataFrame, cell: String): DataFrame = f
+        .select(col("k"), col("c"),
+          explode(array((0 until JsDepth).map(r =>
+            struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("h"))
         .groupBy(col("h.r").as("r"), col("h.bucket").as("bucket"))
-        .agg(sum(col(cnt)).as(cell))
-      val ip = cells(fa, "ca", "cell_a").join(cells(fb, "cb", "cell_b"), Seq("r", "bucket"))
+        .agg(sum(col("c")).as(cell))
+      val ip = cells(fa, "cell_a").join(cells(fb, "cell_b"), Seq("r", "bucket"))
         .groupBy("r").agg(sum(col("cell_a") * col("cell_b")).as("ip"))
         .agg(min("ip").as("cm_est"))
-      val exact = fa.join(fb, Seq("k"))
-        .agg(sum(col("ca") * col("cb")).as("exact_size"))
+      val exact = fa.join(fb.withColumnRenamed("c", "cb"), Seq("k"))
+        .agg(sum(col("c") * col("cb")).as("exact_size"))
       exact.crossJoin(broadcast(ip))
         .select(col("exact_size"), col("cm_est"),
           (col("cm_est") - col("exact_size")).as("overcount"),
           round((col("cm_est") - col("exact_size")) / col("exact_size"), 6).as("rel_err"))
     },
     Some {
-      val hashRows = CmHashes.zipWithIndex
-        .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
-      s"""WITH fa AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      // hex→int without engine-specific conv(): Σ strpos-digit · 16^pos
+      // over the first 8 md5 hex chars, generated per sketch row.
+      def hex2int(h: String): String =
+        (1 to 8).map(j =>
+          s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+          .mkString("(", " + ", ")")
+      def mixedRows(src: String): String =
+        (0 until JsDepth).map { r =>
+          val h = s"md5('$r|' || k::VARCHAR)"
+          s"SELECT k, c, $r AS r, ${hex2int(h)} % $JsWidth AS bucket FROM $src"
+        }.mkString(" UNION ALL ")
+      s"""WITH fa AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
                       FROM lineitem GROUP BY 1),
-               fb AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+               fb AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
                       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
-               ca_cells AS (SELECT r, ((k*a+b) % $CmP) % $JsWidth AS bucket,
-                                   CAST(SUM(ca) AS BIGINT) AS cell_a
-                            FROM fa, (VALUES $hashRows) AS h(r, a, b) GROUP BY 1, 2),
-               cb_cells AS (SELECT r, ((k*a+b) % $CmP) % $JsWidth AS bucket,
-                                   CAST(SUM(cb) AS BIGINT) AS cell_b
-                            FROM fb, (VALUES $hashRows) AS h(r, a, b) GROUP BY 1, 2),
+               ma AS (${mixedRows("fa")}),
+               mb AS (${mixedRows("fb")}),
+               ca_cells AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cell_a
+                            FROM ma GROUP BY 1, 2),
+               cb_cells AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cell_b
+                            FROM mb GROUP BY 1, 2),
                ip AS (SELECT x.r, CAST(SUM(cell_a * cell_b) AS BIGINT) AS ip
                       FROM ca_cells x JOIN cb_cells y
                         ON y.r = x.r AND y.bucket = x.bucket GROUP BY 1),
                est AS (SELECT MIN(ip) AS cm_est FROM ip),
-               ex AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_size
+               ex AS (SELECT CAST(SUM(fa.c * fb.c) AS BIGINT) AS exact_size
                       FROM fa JOIN fb USING (k))
            SELECT exact_size, cm_est, cm_est - exact_size AS overcount,
                   ROUND(CAST(cm_est - exact_size AS DOUBLE) / exact_size, 6) AS rel_err

@@ -1088,9 +1088,85 @@ object TrainPrepCatalog {
                  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS match_precision
           FROM ver GROUP BY pattern ORDER BY pattern"""))
 
+  private val PackBudget = 512 // tokens per training sequence
+
+  /** Sequence PACKING statistics — the concat-and-chunk packing every
+    * autoregressive pretraining run applies (documents concatenated in
+    * a deterministic order, the token stream cut every [[PackBudget]]
+    * tokens into fixed-length training sequences): per source, how many
+    * sequences the corpus packs into, how many documents STRADDLE a
+    * sequence boundary (the fragment count that motivates
+    * attention-masking or best-fit packing), and the tail waste the
+    * final partial sequence pads. The packing order is (source,
+    * doc_id) — stable under re-sharding, the property a reproducible
+    * data order needs (same contract as `doc_shuffle_order`).
+    *
+    * Everything is exact integer arithmetic on one keyed running sum:
+    * doc d covers token interval [cum−n, cum) of its source's stream,
+    * so it straddles a boundary iff ⌊(cum−n)/B⌋ ≠ ⌊(cum−1)/B⌋, and the
+    * sequence count is ⌊(total−1)/B⌋+1. Zero-token docs are excluded
+    * (they occupy no interval; counting them as "packed" would inflate
+    * docs/sequence).
+    *
+    * 100 TB shape: ONE source-keyed window (running sum — shuffle-keyed,
+    * never a global window) + one source-keyed aggregate. A source so
+    * large its cumulative sum serializes re-keys by (source, chunk) with
+    * two-pass prefix offsets — the `events_ewma_salted` device; the
+    * window is associative addition, so chunk offsets compose exactly.
+    */
+  val packSequences: CatalogEntry = CatalogEntry(
+    "doc_pack_sequences",
+    (s, d) => {
+      val B = PackBudget
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.normTokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(col("source"), col("n"),
+          sum("n").over(w).as("cum"))
+        .select(col("source"), col("n"), col("cum"),
+          expr(s"(cum - n) div $B").as("first_seq"),
+          expr(s"(cum - 1) div $B").as("last_seq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("total_tokens"),
+          (expr(s"(max(cum) - 1) div $B") + 1).as("n_sequences"),
+          sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+            .as("n_split_docs"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_sequences"), col("n_split_docs"),
+          (col("n_sequences") * B - col("total_tokens")).as("tail_waste"),
+          round(col("total_tokens") / (col("n_sequences") * B), 6)
+            .as("pack_efficiency"))
+        .orderBy("source")
+    },
+    Some(
+      raw"""WITH toks AS (SELECT doc_id, source,
+                     CAST(len($normToksSql) AS BIGINT) AS n
+                   FROM documents),
+            cm AS (SELECT source, n,
+                     SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                   FROM toks WHERE n > 0),
+            mk AS (SELECT source, n, cum,
+                     (cum - n) // $PackBudget AS first_seq,
+                     (cum - 1) // $PackBudget AS last_seq
+                   FROM cm),
+            agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n) AS BIGINT) AS total_tokens,
+                      CAST((MAX(cum) - 1) // $PackBudget + 1 AS BIGINT) AS n_sequences,
+                      CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_split_docs
+                    FROM mk GROUP BY source)
+          SELECT source, n_docs, total_tokens, n_sequences, n_split_docs,
+                 n_sequences * $PackBudget - total_tokens AS tail_waste,
+                 ROUND(CAST(total_tokens AS DOUBLE) / (n_sequences * $PackBudget), 6)
+                   AS pack_efficiency
+          FROM agg ORDER BY source"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
     tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard, phraseSearch,
-    trigramSearch)
+    trigramSearch, packSequences)
 }

@@ -726,6 +726,57 @@ object StreamingQueries {
         round(col("n_novel") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Streaming sequence-packing statistics — the live side of
+    * `doc_pack_sequences`. The batch entry's source-keyed running token
+    * sum IS per-source keyed state (one long: the tokens packed so
+    * far), so an arriving document reads its interval [cum, cum+n) off
+    * the state, emits its boundary-straddle flags, and advances the
+    * state — the packing decision a streaming ingest makes per document
+    * as it appends to the training shard. The per-source aggregate runs
+    * downstream in the same query (Append-mode state op → streaming
+    * agg). Replayed in (source, doc_id) order — the batch entry's
+    * declared packing order — the drained result equals the batch frame
+    * bit-for-bit (StreamingSpec). State is ONE long per source
+    * regardless of stream length; micro-batch groups sort by doc_id,
+    * cross-batch ordering rides the per-key in-order delivery contract
+    * shared by every rolling-state query here.
+    */
+  def streamingPackStats(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flags = docs
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Text.normTokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (_, _, n) =>
+            val firstSeq = cum / budget
+            cum += n
+            val lastSeq = (cum - 1) / budget
+            (src, n, if (firstSeq != lastSeq) 1L else 0L)
+          }
+          state.update(cum)
+          out.iterator
+      }
+    flags.toDF("source", "n", "split")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+        (expr(s"(sum(n) - 1) div $budget") + 1).as("n_sequences"),
+        sum("split").as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_sequences"), col("n_split_docs"),
+        (col("n_sequences") * budget - col("total_tokens")).as("tail_waste"),
+        round(col("total_tokens") / (col("n_sequences") * budget), 6)
+          .as("pack_efficiency"))
+  }
+
   /** Streaming sequence mining — the live side of `events_seq_trigrams`.
     * Per-user keyed state holds the last two event types plus the set of
     * trigram keys this user has ALREADY contributed (support counts

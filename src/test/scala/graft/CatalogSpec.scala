@@ -861,4 +861,32 @@ class CatalogSpec extends AnyFunSuite {
         s"${r.get(0)} ${r.get(1)}: decomposition gap ${r.get(2)}")
     }
   }
+
+  test("lineitem_join_size_sketch: CM inner product never underestimates") {
+    // The defining one-sided guarantee (Cormode-Muthukrishnan): every
+    // hash collision adds NONNEGATIVE cross terms, so each row's inner
+    // product >= the true join size and so does their min. A negative
+    // overcount would mean the estimator is broken, whatever the oracle
+    // says (both engines would be wrong identically).
+    val r = run("lineitem_join_size_sketch").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) > 0, "exact join size must be positive on this table")
+    assert(row.getLong(1) >= row.getLong(0), "CM estimate underestimated the join size")
+    assert(row.getLong(2) >= 0 && row.getDouble(3) >= 0.0)
+  }
+
+  test("doc_pack_sequences: packing invariants (coverage, waste bounds, split counts)") {
+    val r = run("doc_pack_sequences").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nDocs, total, nSeq, nSplit, waste) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(nSeq == (total - 1) / 512 + 1, "sequence count must be ceil(total/B)")
+      assert(waste >= 0 && waste < 512, "tail waste must be one partial sequence")
+      // A doc can straddle a boundary only where one exists, and every
+      // boundary is straddled by at most one doc.
+      assert(nSplit <= math.min(nDocs, nSeq - 1))
+    }
+  }
 }

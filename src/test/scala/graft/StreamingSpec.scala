@@ -1026,6 +1026,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pack stats replay the batch doc_pack_sequences entry bit-for-bit") {
+    // The packing order is (source, doc_id); replaying docs in doc_id
+    // order (micro-batch groups re-sort per source) must reproduce the
+    // batch per-source packing frame exactly, including sequences cut
+    // ACROSS micro-batch boundaries (the running sum is keyed state).
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+    val want = SparkEntry.queries("doc_pack_sequences")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val rows = docs.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val thirds = rows.grouped(math.max(1, rows.size / 3 + 1)).toSeq
+    val input = MemoryStream[(Long, String, String)](spark)
+    val qn = s"pack_${System.nanoTime()}"
+    val q = graft.streaming.StreamingQueries
+      .streamingPackStats(input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      thirds.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+      assert(got == want, "streamed pack stats diverge from the batch entry")
+    } finally q.stop()
+  }
+
   test("KMV sketch streams: the SAME bounded-heap aggregate replays the batch sketch") {
     // Mergeability is what makes KMV streaming-compatible: the TopNAgg
     // Aggregator that builds source_kmv_overlap's sketches runs
