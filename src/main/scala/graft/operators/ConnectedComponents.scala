@@ -237,6 +237,17 @@ object ConnectedComponents {
     * 4^(k−1)× — Catalyst's exchange reuse does not deduplicate the
     * union/distinct-shaped subtrees. Per-round materialization is
     * load-bearing for multiply-self-referential rewrites.
+    *
+    * Second recorded WASH (round 12): probing only every 2 rounds while
+    * KEEPING per-round checkpoints (the unprobed round materializes
+    * lazily inside the next probe's job, its 4 plan references racing
+    * the block cache) measured 14.3 vs 15.2 s min-of-3 on a 100k-edge
+    * distributed-pinned graph — inside this host's noise band, and paid
+    * for with up to probeEvery−1 extra trailing rounds (18 vs 16 here).
+    * Kept at probe-per-round: simpler, detects convergence earliest,
+    * and the sub-threshold regime where probe latency would actually
+    * dominate is exactly where [[localFinish]] removes the rounds
+    * entirely.
     */
   def alternatingStar(edges: DataFrame, maxRounds: Int = 25,
       localFinishEdges: Long = LocalFinishEdges): DataFrame =
