@@ -43,7 +43,8 @@ object ConnectedComponents {
     * latency — each round is a job round-trip over kilobytes — while
     * union-find closes the same graph in O(E α(E)) local time. The
     * threshold bounds driver traffic by construction (2M edges of 2×long
-    * ≈ 32 MB — broadcast-sized), the same regime
+    * ≈ 32 MB on the wire; a few hundred MB peak on the driver heap —
+    * see [[localFinish]]), the same regime
     * [[SmallGraph.sessionFor]] targets, taken to its limit. This
     * is also the ENDGAME move for the 100 TB case: alternating-star
     * rounds contract the edge set geometrically, so a graph that starts
@@ -67,14 +68,26 @@ object ConnectedComponents {
     * minimum — bit-identical to the distributed fixpoint (both rewrites
     * preserve the node set and connectivity, so per-component minima are
     * invariant). Only called for integral node ids under
-    * [[LocalFinishEdges]] rows. */
+    * [[LocalFinishEdges]] rows.
+    *
+    * Driver memory, stated honestly for the worst case (exactly
+    * LocalFinishEdges = 2M edges, all node ids distinct): the collected
+    * specialized (Long, Long) array is ~80 MB, the LongMap parent table
+    * (primitive keys, open addressing) ~100–150 MB transient, the label
+    * array another ~160 MB — a few hundred MB peak, comparable to a
+    * large broadcast build, sized for the multi-GB driver heaps any
+    * 1000-executor deployment runs. Drivers tuned smaller pass a lower
+    * `localFinishEdges`. (A generic HashMap of boxed Longs measured ~3×
+    * this — hence the primitive structures.) */
   private def localFinish(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val dt = e.schema.head.dataType
+    // Tuple2[Long, Long] is @specialized — the collected array holds
+    // unboxed longs, not boxed java.lang.Longs.
     val edges = e.select(col(e.columns(0)).cast("long"), col(e.columns(1)).cast("long"))
       .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val parent = new scala.collection.mutable.LongMap[Long](edges.length * 2)
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -83,15 +96,19 @@ object ConnectedComponents {
       r
     }
     edges.foreach { case (u, v) =>
-      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-      val (ru, rv) = (find(u), find(v))
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
       // Union by MIN root: the surviving root is the running component
       // minimum, so no second pass is needed to compute labels.
       if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
     }
-    val out = parent.keysIterator.map(n => (n, find(n))).toSeq
-    val slices = math.max(1, out.size / SmallGraph.SmallGraphRowsPerPartition).toInt
-    spark.sparkContext.parallelize(out, slices).toDF("node", "label")
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    parent.foreachKey { n => out(i) = (n, find(n)); i += 1 }
+    val slices = math.max(1, out.length / SmallGraph.SmallGraphRowsPerPartition).toInt
+    spark.sparkContext.parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+        slices).toDF("node", "label")
       .select(col("node").cast(dt).as("node"), col("label").cast(dt).as("label"))
   }
 
@@ -292,9 +309,11 @@ object ConnectedComponents {
     def finishLocally: Boolean = localOk && s._1 <= localFinishEdges
     // Sub-threshold rounds run in a child session carrying the
     // small-graph profile (see SmallGraph scaladoc); the checkpointed
-    // edge frame rebases across sessions for free.
+    // edge frame rebases across sessions for free. Skipped entirely when
+    // the very first probe already routes to the local finish — no
+    // throwaway SessionState for the common tiny-graph case.
     val spark0 = edges.sparkSession
-    e = SmallGraph.rebase(e, SmallGraph.sessionFor(spark0, s._1))
+    if (!finishLocally) e = SmallGraph.rebase(e, SmallGraph.sessionFor(spark0, s._1))
     while (!converged && iter < maxRounds && !finishLocally) {
       iter += 1
       // Per-round materialization is LOAD-BEARING here (see
