@@ -165,7 +165,17 @@ object ConnectedComponents {
     // Both gates key on the SYMMETRIZED EDGE count (round-11 ADVICE: not
     // nodes — per-round join work scales with edges, and edges bound
     // nodes since every node comes from an edge endpoint). The count
-    // also materializes the sym checkpoint.
+    // also materializes the sym checkpoint. Adjudicated (round-13, vs
+    // the r12 ADVICE to fold this into the first probe): the count job
+    // IS the checkpoint materialization, which must happen before any
+    // round regardless, so the standalone job's marginal cost is one
+    // scan of already-stored blocks folded into the first probe's job
+    // instead. Folding the gate value into that probe instead
+    // (sum_distinct(u) alongside the count) was analyzed and rejected:
+    // it adds a distinct shuffle to the gate on BOTH routes (wasted
+    // entirely on the local-finish route, duplicated on the distributed
+    // route when the labels frame materializes its own distinct), i.e.
+    // strictly more work to save one driver round-trip.
     val nEdges = sym.count()
     if (nEdges <= localFinishEdges && sym.schema.forall(f => isIntegral(f.dataType)))
       return localFinish(sym) // bounded collect; see LocalFinishEdges

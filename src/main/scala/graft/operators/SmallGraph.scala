@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 
 /** The small-graph execution profile for iterative frame algorithms
@@ -44,19 +47,41 @@ object SmallGraph {
     * fast-path graph still gets a handful of partitions. */
   val SmallGraphRowsPerPartition = 250000L
 
+  /** Child-session cache, keyed by (SparkContext, shuffle-partition
+    * count). Round-12 shipped `spark.newSession()` PER CALL, which the
+    * r12 audit adjudicated as the real `doc_pagerank` regression
+    * (1.71 → 2.4–3.5 s): every sub-threshold invocation paid a fresh
+    * SessionState (analyzer + optimizer + conf instantiation) plus an
+    * ExecutionListenerBus registration on the shared LiveListenerBus
+    * that was never disposed — iterative catalog entries call this
+    * hundreds of times per run. The profile a child carries is a pure
+    * function of the key, so one session per profile is semantically
+    * identical and amortizes the SessionState to once per JVM. Entries
+    * whose SparkContext has been stopped are dead weight but bounded (a
+    * handful of profiles per context, contexts per JVM ~1) — not worth
+    * an eviction thread. */
+  private val children =
+    new ConcurrentHashMap[(SparkContext, Long), SparkSession]()
+
   /** The session iteration rounds should run in: the caller's own
-    * session when `rows` is at or above [[SmallGraphRows]], otherwise a
-    * fresh child session carrying the small-graph profile (parallelism
-    * matched to the data, AQE off, whole-stage codegen off). */
+    * session when `rows` is at or above [[SmallGraphRows]], otherwise
+    * the cached child session carrying the small-graph profile
+    * (parallelism matched to the data, AQE off, whole-stage codegen
+    * off). Children inherit SparkConf-level settings only — runtime
+    * `SET`s on any caller session are deliberately not copied (see
+    * class scaladoc), which is also what makes cross-caller sharing
+    * sound. */
   def sessionFor(spark: SparkSession, rows: Long): SparkSession =
     if (rows >= SmallGraphRows) spark
     else {
-      val child = spark.newSession()
-      child.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, rows / SmallGraphRowsPerPartition).toString)
-      child.conf.set("spark.sql.adaptive.enabled", "false")
-      child.conf.set("spark.sql.codegen.wholeStage", "false")
-      child
+      val parts = math.max(1L, rows / SmallGraphRowsPerPartition)
+      children.computeIfAbsent((spark.sparkContext, parts), { _ =>
+        val child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        child.conf.set("spark.sql.adaptive.enabled", "false")
+        child.conf.set("spark.sql.codegen.wholeStage", "false")
+        child
+      })
     }
 
   /** Re-root a frame's logical plan onto `to`, so actions on frames

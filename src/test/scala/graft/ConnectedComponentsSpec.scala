@@ -95,6 +95,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       localFinishEdges = 0)).values.toSet == Set(0L))
   }
 
+  test("probeEvery > 1 budgeting: the documented maxRounds bound is a real contract") {
+    // Scaladoc rule (labelPropagation): convergence is only OBSERVED at
+    // probe boundaries, so budget maxRounds ≥ diameter + 2·probeEvery − 1.
+    // Chain 0-1-...-9: diameter 9. With probeEvery = 2 the last label
+    // move (round 9) lands INSIDE the final gap of a 10-round budget —
+    // the probe at 10 sees a changed sum and the convergence require
+    // trips even though the labeling is complete. The same 10-round
+    // budget succeeds at probeEvery = 1, and the documented bound
+    // (9 + 2·2 − 1 = 12) succeeds at probeEvery = 2.
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(labelsOf(ConnectedComponents.labelPropagation(chain, maxRounds = 10,
+      probeEvery = 1, localFinishEdges = 0)).values.toSet == Set(0L))
+    val gapTrap = intercept[IllegalArgumentException] {
+      ConnectedComponents.labelPropagation(chain, maxRounds = 10,
+        probeEvery = 2, localFinishEdges = 0)
+    }
+    assert(gapTrap.getMessage.contains("did not converge"))
+    assert(labelsOf(ConnectedComponents.labelPropagation(chain, maxRounds = 12,
+      probeEvery = 2, localFinishEdges = 0)).values.toSet == Set(0L))
+  }
+
   test("star endgame: distributed rounds hand off to the local finish mid-iteration") {
     // A dense clump CONTRACTS under the star rewrites (redundant edges
     // collapse toward the n−1-edge fixpoint star), so a threshold set

@@ -32,6 +32,15 @@ class PageRankSpec extends AnyFunSuite {
     val b = PageRank.ranks(pairs.toDF("doc_a", "doc_b").repartition(13), 10, Scale)
       .as[(Long, Long)].collect().toMap
     assert(a == b)
+    // Driver endgame ≡ distributed fixpoint, bit-for-bit: every step is
+    // order-free integer floor arithmetic, so the sub-threshold local
+    // power iteration (default route for this graph) must equal the
+    // pinned distributed loop exactly — the contract that lets the
+    // endgame sit silently under every catalog consumer.
+    val dist = PageRank.ranks(pairs.toDF("doc_a", "doc_b"), 10, Scale,
+        localFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(a == dist, "driver endgame diverged from the distributed fixpoint")
     // Within the 4-node component, degree-3 nodes (1, 3) out-rank
     // degree-2 (2, 4); the isolated 2-cycle holds its symmetric fixed
     // point (≈ scale/6 each — an isolated component keeps its mass).
@@ -45,7 +54,11 @@ class PageRankSpec extends AnyFunSuite {
     // misattributed to PageRank.
     spark.sharedState.cacheManager.clearCache()
     val edges = (1L to 20L).map(i => (i, i % 10 + 21L)).toDF("doc_a", "doc_b")
-    PageRank.ranks(edges, iterations = 7, scale = Scale).collect()
+    // Pin the DISTRIBUTED loop — the driver endgame (default route for a
+    // graph this small) allocates nothing cacheable, so it would pass
+    // vacuously.
+    PageRank.ranks(edges, iterations = 7, scale = Scale, localFinishEdges = 0L)
+      .collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "PageRank left frames cached after returning")
   }
