@@ -91,8 +91,9 @@ object Bench {
     // 1.34× up while cal_1t/cal_32t were UNCHANGED — co-tenant pressure
     // lands on the memory subsystem, not the ALUs, and Spark's scan/
     // shuffle/hash workloads are bandwidth-bound. All worker threads
-    // stream-sum a shared 256 MB long array (stride-partitioned), min of
-    // 3 — the scalar that tracks the inflation cal_1t misses.
+    // stream-sum a shared 1 GB long array (range-partitioned; transient,
+    // freed after the probe), min of 3 — the scalar that tracks the
+    // inflation cal_1t misses.
     val calMem = {
       val n = 128 << 20 // 128M longs = 1 GB — aggregate far above L3, so
       val arr = new Array[Long](n) // the sum is DRAM-bound, not cache-bound

@@ -11,7 +11,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(0))(spark, args(1))
-    df.collect()
+    df.count() // materialize (AQE final plan) without shipping rows
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

@@ -896,6 +896,15 @@ object EmbeddingCatalog {
     * independent of corpus size. MMR scores round at 6 off
     * already-rounded rel/sim inputs — one multiply-subtract sequence,
     * identical text literals both engines.
+    *
+    * Timing ADJUDICATION (r13, closes the r12 "drifted with no code
+    * change" flag): r11 full-run 1.42 s → r12 full-run 2.46 s / 2.27 s
+    * isolated, file untouched in between. Re-measured r13 isolated,
+    * min of 5 at sf0.1/local[32], cal_32t 0.502 (host ~12% SLOWER than
+    * the r12 run's 0.447): 1.61 s. A real regression cannot shrink on a
+    * slower host with the code still untouched — the r12 readings were
+    * the documented ±30% host swing, not a plan change. Baseline of
+    * record for this entry: ~1.6 s at cal_32t ≈ 0.5.
     */
   val mmrRerank: CatalogEntry = CatalogEntry(
     "emb_mmr_rerank",

@@ -519,6 +519,44 @@ object NearDupCatalog {
     (s, d) => ngramJaccardFrom(documents(s, d), prefixFilter = true),
     ngramJaccard.oracle)
 
+  /** The Jaccard chooser's PREFIX route exercised ORGANICALLY under the
+    * correctness gate — the [[containmentCoveredZipf]] device extended
+    * to the Jaccard family (round-12 next-step #4): the SAME cost-based
+    * [[ngramJaccardAuto]] pipeline, run over the deterministic zipfian
+    * mirror corpus [[zipfDocs]]. The df-skew statistic reads CV ≈ 1.5
+    * there and routes to the prefix-filtered plan at build time, so the
+    * auto path's prefix branch is hash-checked against the
+    * mode-independent naive-join oracle every round (PlanSpec pins the
+    * routing decision on the entry's exact sample statistic; the
+    * force-pinned [[ngramJaccardPrefix]] keeps covering the prefix
+    * kernel on the dense corpus, where the chooser organically takes
+    * naive). With this, BOTH choosers (containment and Jaccard) have
+    * both branches oracle-exercised through their auto routes.
+    */
+  val ngramJaccardZipf: CatalogEntry = CatalogEntry(
+    "doc_ngram_jaccard_zipf",
+    (s, d) => ngramJaccardAuto(zipfDocs(documents(s, d))),
+    Some(
+      raw"""WITH zd AS (
+              SELECT doc_id, source,
+                [ 'w' || CAST(CAST(FLOOR(4096.0/((
+                      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),1,1))-1)*256
+                    + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),2,1))-1)*16
+                    + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),3,1))-1) )+1)) AS INT) AS VARCHAR)
+                  FOR i IN range(1,41) ] AS t
+              FROM documents),
+            bg AS (SELECT DISTINCT doc_id, source,
+                     unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bg
+                   FROM zd),
+            ni AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+                   FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id)
+          SELECT ni.da AS doc_a, ni.db AS doc_b,
+                 ROUND(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+          FROM ni JOIN sz za ON za.doc_id = ni.da JOIN sz zb ON zb.doc_id = ni.db
+          WHERE ROUND(n_inter / (za.n + zb.n - n_inter), 6) >= 0.3"""))
+
   /** Near-dup CLUSTER resolution: connected components over the LSH pair
     * graph, labeling every involved doc with its component's minimum
     * doc_id — the step that turns a pair list into a per-cluster keep/drop
@@ -1671,7 +1709,8 @@ object NearDupCatalog {
     })
 
   val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
-    ngramJaccard, ngramJaccardPrefix, containmentProfile, containmentCovered,
+    ngramJaccard, ngramJaccardPrefix, ngramJaccardZipf,
+    containmentProfile, containmentCovered,
     containmentCoveredPrefix, containmentCoveredZipf,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
     sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,

@@ -718,4 +718,29 @@ class PlanSpec extends AnyFunSuite {
     assert(auto.contains("Scan ExistingRDD"),
       s"doc_containment_covered_zipf: result no longer checkpoint-truncated\n$auto")
   }
+
+  test("round-13: the zipf fixture routes the JACCARD chooser to prefix organically") {
+    // doc_ngram_jaccard_zipf extends the r12 containment device to the
+    // Jaccard family: the chooser reads the same df-skew statistic off
+    // the zipf corpus's bigram index and must take the PPJoin prefix
+    // plan through the AUTO route, putting that branch under the hash
+    // gate every round (the dense testdata corpus routes the default
+    // entry to naive; doc_ngram_jaccard_prefix force-pins prefix there).
+    import graft.queries.NearDupCatalog
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val zbg = NearDupCatalog.bigramIndex(
+      NearDupCatalog.zipfDocs(Tables.documents(spark, sf0001)))
+    val sample = zbg.filter(pmod(xxhash64(col("source"), col("bg")), lit(8)) === 0)
+    assert(NearDupCatalog.ngramMode(sample) == "prefix",
+      "df-skew statistic must route the zipf corpus's Jaccard entry to prefix")
+    val caches = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val prefP = NearDupCatalog.ngramJaccardFromIndex(zbg, prefixFilter = true, caches)
+      .queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist(blocking = false))
+    assert(prefP.contains("intersect_card_sorted"),
+      s"zipf Jaccard prefix plan lost its merge-count verification kernel\n$prefP")
+    val auto = plan("doc_ngram_jaccard_zipf")
+    assert(auto.contains("Scan ExistingRDD"),
+      s"doc_ngram_jaccard_zipf: result no longer checkpoint-truncated\n$auto")
+  }
 }
