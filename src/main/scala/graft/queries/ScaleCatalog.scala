@@ -639,8 +639,10 @@ object ScaleCatalog {
            FROM kc JOIN est ON est.k = kc.k"""
     })
 
-  private val JsWidth = 65536 // 2^16 — join-size accuracy needs width
-  private val JsDepth = 4
+  // One hash-family definition shared with the streaming cell-state form
+  // and the test probe (see graft.operators.JoinSizeSketch).
+  private val JsWidth = graft.operators.JoinSizeSketch.Width
+  private val JsDepth = graft.operators.JoinSizeSketch.Depth
 
   /** JOIN-SIZE estimation by Count-Min inner product (Cormode &
     * Muthukrishnan 2005 §4.2) — the optimizer statistic that decides
@@ -683,8 +685,7 @@ object ScaleCatalog {
       val fb = li.filter(col("l_returnflag") === "R")
         .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
       def bucket(r: Int): org.apache.spark.sql.Column =
-        pmod(conv(substring(md5(concat(lit(s"$r|"), col("k").cast("string"))), 1, 8),
-          16, 10).cast("long"), lit(JsWidth.toLong))
+        graft.operators.JoinSizeSketch.bucketCol(r, col("k"))
       def cells(f: DataFrame, cell: String): DataFrame = f
         .select(col("k"), col("c"),
           explode(array((0 until JsDepth).map(r =>

@@ -462,6 +462,43 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming sibling of the Count-Min JOIN-SIZE estimator
+    * (`lineitem_join_size_sketch`, ScaleCatalog): BOTH sides' d×w cell
+    * matrices held as keyed state — one Long per (side, row, bucket),
+    * so total state is 2·depth·width cells REGARDLESS of key
+    * cardinality, the planner statistic maintained live instead of
+    * rebuilt per batch. Input: one row per (record, side-membership),
+    * columns (side, k) — a record contributing to both frequency
+    * vectors appears once per side, which is exactly the batch entry's
+    * fa/fb split expressed as rows. CM cells are LINEAR, so per-batch
+    * increments commute with any arrival order/split: the final cells
+    * — and the min-over-rows inner product probed off them via
+    * [[graft.operators.JoinSizeSketch.estimate]] — equal the batch
+    * entry's cm_est bit-for-bit (StreamingSpec replays the catalog
+    * entry to prove it). Update mode re-emits a cell whenever it grows;
+    * the probe joins the two ≤ d·w cell sets wherever they are
+    * consumed, exactly as the batch entry's broadcast probe does.
+    */
+  def streamingJoinSizeCells(rows: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Int, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import rows.sparkSession.implicits._
+    import graft.operators.JoinSizeSketch
+    rows.select(col("side").cast("string"), col("k").cast("long"))
+      .as[(String, Long)]
+      .flatMap { case (side, k) =>
+        (0 until JoinSizeSketch.Depth).map(r => (side, r, JoinSizeSketch.bucket(r, k)))
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Int, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case ((side, r, b), rs, state) =>
+          val c = state.getOption.getOrElse(0L) + rs.size
+          state.update(c)
+          (side, r, b, c)
+      }
+  }
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

@@ -496,6 +496,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed CM cells diverge from the batch entry")
   }
 
+  test("streaming join-size cells replay the batch entry's cm_est bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.JoinSizeSketch
+    // The planner statistic maintained live: both sides' d×w cell
+    // matrices as keyed state. CM cells are linear, so after any
+    // batch split the streamed cells probe to EXACTLY the batch
+    // entry's inner-product estimate (same md5 hash family via
+    // JoinSizeSketch — the one-definition contract).
+    val want = graft.queries.ScaleCatalog.joinSizeSketch
+      .build(spark, TestSpark.sf0001).select("cm_est").head().getLong(0)
+    // One input row per (record, side-membership): side a = every row,
+    // side b = the returned slice — the batch entry's fa/fb split.
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_partkey").cast("long"), col("l_returnflag"))
+      .as[(Long, String)].collect()
+    val rows: Seq[(String, Long)] = li.toSeq.flatMap { case (k, flag) =>
+      if (flag == "R") Seq(("a", k), ("b", k)) else Seq(("a", k))
+    }
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val sinkId = s"jss-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 3) // key = (side, r, bucket)
+    val input = MemoryStream[(String, Long)](spark)
+    val q = StreamingQueries.streamingJoinSizeCells(input.toDF().toDF("side", "k"))
+      .toDF("side", "r", "bucket", "cell")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = Sinks.registry(sinkId).asScala.values
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    Sinks.clear(sinkId)
+    val ca = cells.collect { case ((s, r, b), c) if s == "a" => (r, b) -> c }.toMap
+    val cb = cells.collect { case ((s, r, b), c) if s == "b" => (r, b) -> c }.toMap
+    assert(JoinSizeSketch.estimate(ca, cb) == want,
+      "streamed join-size cells diverge from the batch estimator")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
