@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Common-neighbor link prediction over an undirected (u < v)-oriented
+  * edge list: for every NON-adjacent pair with ≥ `minCommon` common
+  * neighbors, the three classic scores — common-neighbor count,
+  * resource allocation Σ 1/deg(z) (Zhou, Lü & Zhang 2009), and
+  * Adamic–Adar Σ 1/ln(deg(z)) (Adamic & Adar 2003).
+  *
+  * Determinism: each score is an order-independent BIGINT sum of
+  * per-neighbor scaled-integer terms (⌊10⁶/deg⌋ by integer division,
+  * round(10⁶/ln deg) rounded ONCE per term), so cross-engine float
+  * summation order can never flutter an oracle hash. The nearest
+  * round-half boundary of the ln term sits 1.4e-7 away over all
+  * deg ≤ 2·10⁶ (measured), vs ≤ ~2e-10 of possible libm divergence.
+  *
+  * Scale: wedge enumeration is Σ deg² over THROUGH-nodes, so one
+  * celebrity/boilerplate hub generates a quadratic candidate blow-up
+  * while contributing the LEAST evidence (its 1/ln(deg) weight is by
+  * construction the smallest). `hubCap` bounds the fan-out per
+  * through-node row — the standard production device — and the caller's
+  * oracle applies the identical cap, making the pruning part of the
+  * checked semantics rather than a silent approximation. The closing
+  * anti join runs on the (already-oriented) edge list, never all pairs.
+  */
+object LinkPrediction {
+  /** Default through-node degree cap. */
+  val HubCap = 64
+
+  /** Scores over `edges` with columns (u, v), u < v, unique. Output:
+    * (node_a, node_b, cn, ra_scaled, aa_scaled), node_a < node_b. */
+  def scores(edges: DataFrame, hubCap: Int = HubCap, minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col("u"), col("v")).cache()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg.filter(col("deg") <= hubCap), Seq("u"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"), col("x.deg").as("degz"))
+    val cand = wedges.join(e.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    val out = cand.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div degz")).as("ra_scaled"),
+        sum(round(lit(1000000.0) / log(col("degz")), 0).cast("long")).as("aa_scaled"))
+      .filter(col("cn") >= minCommon)
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("cn"), col("ra_scaled"), col("aa_scaled"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+}

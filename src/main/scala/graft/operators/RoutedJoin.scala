@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-routed join — the round-12 Count-Min join statistic
+  * ([[JoinSizeSketch]], `lineitem_join_size_sketch`) closed into an
+  * actual PLAN DECISION: pick the join strategy from sketch-derived
+  * statistics BEFORE paying the shuffle, the call a cost-based planner
+  * makes at 100 TB where a wrong default is a lost cluster-hour.
+  *
+  * Decision ladder (the order a real planner uses):
+  *
+  *  1. '''broadcast''' — if the dimension is small enough to replicate,
+  *     nothing else matters: the fact side never shuffles and skew is
+  *     irrelevant (every executor owns the whole build side). The gate
+  *     here is a row count; in production it is the byte-based
+  *     `autoBroadcastJoinThreshold` read free from file statistics.
+  *  2. '''salted''' — the dimension must shuffle, so fact-side key skew
+  *     now matters: a hot key sends its whole mass to one reducer. The
+  *     hot-key mass is estimated from a Count-Min sketch over a
+  *     deterministic row sample: for each sketch row the heaviest key
+  *     lands in SOME bucket, so `max_bucket cell(r) ≥ f_max`, and
+  *     `min_r max_bucket cell(r)` is the classic CM point upper bound
+  *     on the heaviest frequency (Cormode & Muthukrishnan 2005 §4.1).
+  *     If that bound exceeds [[HotMassThreshold]] of the sampled mass,
+  *     the plan salts: fact rows get a discriminator-derived salt in
+  *     [0, [[Salt]]), the dimension replicates ×Salt, and the hot key
+  *     spreads over Salt reducers (the `lineitem_salted_join` device,
+  *     now chosen by measurement instead of by hand).
+  *  3. '''shuffle''' — no broadcast, no skew: a plain shuffled hash
+  *     join on the key.
+  *
+  * Cost of deciding: ONE aggregate over a 1/[[SampleMod]] hash-sample
+  * of the fact keys whose output can never exceed depth×width cells
+  * (CM is linear, so sampled cells are an unbiased 1/16-scale of the
+  * true cells), plus one dimension count a planner reads from file
+  * stats for free. Same pay-a-small-scan-to-pick-the-plan trade as the
+  * n-gram chooser (`NearDupCatalog.ngramMode`) and AQE's runtime
+  * re-plan — made here at build time because the choice changes the
+  * whole topology. Routes only trade plan shape, never results: all
+  * three produce the identical join output, which is what the oracle
+  * checks (mode-independent SQL).
+  */
+object RoutedJoin {
+  sealed trait Route { def tag: String }
+  case object BroadcastRoute extends Route { val tag = "broadcast" }
+  case object ShuffleRoute extends Route { val tag = "shuffle" }
+  case object SaltedRoute extends Route { val tag = "salted" }
+
+  /** Fact rows are sampled 1-in-SampleMod (deterministic hash of the
+    * discriminator — re-runnable, no rand()). */
+  val SampleMod = 16
+  /** Salt fan-out, matching `lineitem_salted_join`'s S. */
+  val Salt = 8
+  /** Hot-key mass fraction above which the salted route wins. */
+  val HotMassThreshold = 0.2
+  /** Default dimension row ceiling for the broadcast route. Stands in
+    * for the byte-based broadcast threshold (~10 MB at Spark defaults);
+    * catalog entries narrow it where the demo corpus is small. */
+  val BroadcastRowLimit = 1000000L
+
+  /** The router's inputs: sampled fact-row mass, the CM upper bound on
+    * the heaviest key's sampled mass, and the dimension row count. */
+  final case class Stats(sampledRows: Long, hotEst: Long, dimRows: Long) {
+    def hotMass: Double =
+      if (sampledRows == 0L) 0.0 else hotEst.toDouble / sampledRows
+  }
+
+  /** Measure the routing statistics: CM cells over a 1/[[SampleMod]]
+    * sample of fact keys (bounded output: ≤ Depth×Width cells no matter
+    * the key cardinality), and the dimension row count. */
+  def stats(fact: DataFrame, factKey: String, discriminator: Column,
+      dim: DataFrame): Stats = {
+    val depth = JoinSizeSketch.Depth
+    val cells = fact
+      .filter(pmod(xxhash64(discriminator), lit(SampleMod.toLong)) === 0L)
+      .select(col(factKey).cast("long").as("k"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          JoinSizeSketch.bucketCol(r, col("k")).as("bucket"))): _*)).as("h"))
+      .groupBy(col("h.r").as("r"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(row => ((row.getInt(0), row.getLong(1)), row.getLong(2)))
+      .toMap
+    val total = cells.iterator.collect { case ((0, _), c) => c }.sum
+    val hotEst =
+      if (cells.isEmpty) 0L
+      else (0 until depth).map { r =>
+        cells.iterator.collect { case ((rr, _), c) if rr == r => c }
+          .foldLeft(0L)(math.max)
+      }.min
+    Stats(total, hotEst, dim.count())
+  }
+
+  /** Route choice from measured stats — pure, unit-testable. */
+  def choose(st: Stats, hotMassThreshold: Double = HotMassThreshold,
+      broadcastRowLimit: Long = BroadcastRowLimit): Route =
+    if (st.dimRows <= broadcastRowLimit) BroadcastRoute
+    else if (st.hotMass > hotMassThreshold) SaltedRoute
+    else ShuffleRoute
+
+  /** Measure, choose, and build the joined frame. `discriminator` must
+    * be a row-level column of the fact side (it seeds both the stat
+    * sample and the salt — NOT rand(), so the operator is re-runnable
+    * and oracle-checkable). Returns the joined frame plus the route
+    * taken, so callers (and PlanSpec) can pin the decision.
+    */
+  def join(fact: DataFrame, factKey: String, discriminator: Column,
+      dim: DataFrame, dimKey: String,
+      hotMassThreshold: Double = HotMassThreshold,
+      broadcastRowLimit: Long = BroadcastRowLimit): (DataFrame, Route) = {
+    val route = choose(stats(fact, factKey, discriminator, dim),
+      hotMassThreshold, broadcastRowLimit)
+    val joined = route match {
+      case BroadcastRoute =>
+        fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
+      case ShuffleRoute =>
+        fact.join(dim.hint("shuffle_hash"), fact(factKey) === dim(dimKey))
+      case SaltedRoute =>
+        // The shuffle_hash hint keeps the demonstration honest (the
+        // lineitem_salted_join rationale): without it Catalyst would
+        // broadcast a small replicated dim and the salt would be
+        // decorative; at scale the ×Salt dim does not broadcast and
+        // this IS the plan.
+        val f = fact.withColumn("__salt", pmod(hash(discriminator), lit(Salt)))
+        val dd = dim.withColumn("__salt",
+          explode(sequence(lit(0), lit(Salt - 1))))
+        f.join(dd.hint("shuffle_hash"),
+            f(factKey) === dd(dimKey) && f("__salt") === dd("__salt"))
+          .drop("__salt")
+    }
+    (joined, route)
+  }
+}

@@ -387,6 +387,63 @@ object JoinCatalog {
             FROM pairs JOIN pc ca ON ca.pk = part_a
                  JOIN pc cb ON cb.pk = part_b CROSS JOIN n"""))
 
+  /** Link prediction on the co-purchase graph — "parts that SHOULD sell
+    * together but have not yet": nodes are parts, edges are pairs
+    * co-purchased in ≥ 2 orders (the [[basketPairs]] basket-explode
+    * device, support-thresholded), and every NON-adjacent pair sharing
+    * ≥ 2 co-purchase neighbors is scored with the three classic
+    * link-prediction measures — common neighbors, resource allocation
+    * Σ 1/deg, Adamic–Adar Σ 1/ln(deg) — via
+    * [[graft.operators.LinkPrediction]] (scaled-integer BIGINT sums, so
+    * the oracle hash is float-order-proof; scaladoc there has the
+    * boundary-distance measurement). This is the recommendation/
+    * assortment primitive next to [[basketPairs]]' realized affinity.
+    *
+    * 100 TB shape: basket pair fan-out is per-order quadratic (bounded
+    * by basket width), wedge fan-out is Σ deg² through nodes capped at
+    * deg ≤ 64 (hubs pruned — they carry the least Adamic–Adar evidence
+    * and all of the blow-up; the cap is in the oracle, so it is checked
+    * semantics, not silent approximation), and the closing anti join
+    * rides the thresholded edge list. No stage is corpus-quadratic.
+    */
+  val partLinkPrediction: CatalogEntry = CatalogEntry(
+    "part_link_prediction",
+    (s, d) => {
+      import graft.operators.LinkPrediction
+      val edges = t("lineitem")(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
+        .select(explode(expr(
+          """flatten(transform(pks,
+               (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                           y -> struct(x AS u, y AS v))))""")).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+        .select("u", "v")
+      LinkPrediction.scores(edges)
+        .select(col("node_a").as("part_a"), col("node_b").as("part_b"),
+          col("cn"), col("ra_scaled"), col("aa_scaled"))
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+               e AS (SELECT a.pk AS u, b.pk AS v
+                     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+               sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+               deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+               adj AS (SELECT s.u, s.v, d.deg FROM sym s
+                       JOIN deg d ON d.u = s.u
+                       WHERE d.deg <= ${graft.operators.LinkPrediction.HubCap}),
+               wed AS (SELECT x.v AS a, y.v AS b, x.deg AS degz
+                       FROM adj x JOIN adj y ON y.u = x.u AND x.v < y.v),
+               cand AS (SELECT a, b, degz FROM wed
+                        WHERE NOT EXISTS (SELECT 1 FROM e
+                                          WHERE e.u = wed.a AND e.v = wed.b))
+             SELECT a AS part_a, b AS part_b, CAST(COUNT(*) AS BIGINT) AS cn,
+                    CAST(SUM(1000000 // degz) AS BIGINT) AS ra_scaled,
+                    CAST(SUM(CAST(ROUND(1000000 / LN(degz)) AS BIGINT)) AS BIGINT) AS aa_scaled
+             FROM cand GROUP BY a, b HAVING COUNT(*) >= 2"""))
+
   private val JoinSalt = 8
 
   /** Salted replicate join — the skew device for JOINS, completing the
@@ -493,6 +550,6 @@ object JoinCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
-      customerFuzzyMatch, lineitemBloomSemi, basketPairs, saltedJoin,
-      customerGoldenRecord)
+      customerFuzzyMatch, lineitemBloomSemi, basketPairs, partLinkPrediction,
+      saltedJoin, customerGoldenRecord)
 }

@@ -735,7 +735,104 @@ object ScaleCatalog {
            FROM ex, est"""
     })
 
+  // -------------------------------------------------------------------
+  // Sketch-routed join: the CM statistic driving an actual plan choice
+  // -------------------------------------------------------------------
+
+  /** DuckDB text for "first 8 md5 hex digits of `h` as an integer" —
+    * Σ strpos-digit · 16^pos, the engine-neutral hex decode also used by
+    * the join-size oracle above. */
+  private def hex2intSql(h: String): String =
+    (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** The deterministic skew device for the salted-route demo: ~40% of
+    * event rows collapse onto key 1 (md5 draw on event_id — the house
+    * zipf-corpus trick), the rest keep their natural key. Engine side. */
+  private def hotKeyCol: org.apache.spark.sql.Column =
+    when(pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10L)) < 4, lit(1L))
+      .otherwise(col("user_id") + 1)
+
+  /** The same skew device in DuckDB SQL. */
+  private val hotKeySql: String =
+    s"CASE WHEN ${hex2intSql("md5(CAST(event_id AS VARCHAR))")} % 10 < 4 " +
+      "THEN 1 ELSE user_id + 1 END"
+
+  private def routedAgg(s: SparkSession, d: String,
+      key: org.apache.spark.sql.Column,
+      broadcastRowLimit: Long): DataFrame = {
+    import graft.operators.RoutedJoin
+    val fact = Tables.events(s, d).select(key.as("k"), col("event_id"), col("value"))
+    val dim = Tables.load(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val (joined, _) = RoutedJoin.join(fact, "k", col("event_id"),
+      dim, "c_custkey", broadcastRowLimit = broadcastRowLimit)
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value"), 18, 4).as("total_value"))
+  }
+
+  private def routedSql(keySql: String): String =
+    s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ${Exact.sqlSum("value", 18, 4)} AS total_value
+        FROM events JOIN customer ON c_custkey = $keySql
+        GROUP BY c_mktsegment"""
+
+  /** Sketch-routed join, BROADCAST route organic: [[graft.operators.RoutedJoin]]
+    * measures a Count-Min hot-key bound over a 1/16 fact sample plus the
+    * dimension row count, then picks the plan — here the dimension
+    * (customer) sits under the broadcast ceiling, so the fact side never
+    * shuffles for the join and skew is moot. This is round 12's join-size
+    * sketch (`lineitem_join_size_sketch`) closed into the decision it was
+    * built to inform. The oracle is route-independent (all three routes
+    * produce the identical join), and the route taken per corpus is
+    * pinned in PlanSpec; RoutedJoinSpec force-pins every branch on
+    * synthetic frames so none can rot unexercised.
+    *
+    * 100 TB shape: the decision costs one bounded-output sampled
+    * aggregate (≤ depth×width cells regardless of key cardinality) and a
+    * dim count that file statistics give for free — orders of magnitude
+    * cheaper than ONE wrong shuffle of the fact table.
+    */
+  val routedJoinBroadcast: CatalogEntry = CatalogEntry(
+    "events_routed_join",
+    (s, d) => routedAgg(s, d, col("user_id") + 1,
+      graft.operators.RoutedJoin.BroadcastRowLimit),
+    Some(routedSql("user_id + 1")))
+
+  /** Sketch-routed join, SALTED route organic: the fact keys carry a
+    * deterministic 40%-mass hot key (the md5 skew device above), and the
+    * broadcast ceiling is narrowed to 100 rows — standing in for the
+    * byte-based threshold a 10 MB broadcast cap imposes at production
+    * row widths, so the dimension must shuffle at every test sf and the
+    * router faces the real question: does fact skew justify salting?
+    * The CM bound reads ~0.4 ≫ the 0.2 threshold and the salted plan
+    * fires: fact salt from event_id, dim replicated ×8, hot key spread
+    * over 8 reducers. The oracle is the PLAIN join on the same derived
+    * key — salting must be result-invisible.
+    */
+  val routedJoinHot: CatalogEntry = CatalogEntry(
+    "events_routed_join_hot",
+    (s, d) => routedAgg(s, d, hotKeyCol, broadcastRowLimit = 100L),
+    Some(routedSql(hotKeySql)))
+
+  /** Sketch-routed join, plain-SHUFFLE route organic: same narrowed
+    * broadcast ceiling as the hot entry but natural (uniform) fact keys —
+    * the CM bound stays far under the salt threshold, so the router
+    * correctly declines to pay the ×8 dimension replication and takes
+    * the plain shuffled hash join. Same route-independent oracle as
+    * `events_routed_join` (identical join, different plan). Together the
+    * three entries keep every branch of the router oracle-checked and
+    * plan-pinned every round.
+    */
+  val routedJoinShuffle: CatalogEntry = CatalogEntry(
+    "events_routed_join_shuffle",
+    (s, d) => routedAgg(s, d, col("user_id") + 1, broadcastRowLimit = 100L),
+    Some(routedSql("user_id + 1")))
+
   val all: Seq[CatalogEntry] =
     Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted,
-      eventsAutocorrSalted, countMin, kmvOverlap, joinSizeSketch)
+      eventsAutocorrSalted, countMin, kmvOverlap, joinSizeSketch,
+      routedJoinBroadcast, routedJoinHot, routedJoinShuffle)
 }

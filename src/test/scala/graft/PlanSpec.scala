@@ -743,4 +743,24 @@ class PlanSpec extends AnyFunSuite {
     assert(auto.contains("Scan ExistingRDD"),
       s"doc_ngram_jaccard_zipf: result no longer checkpoint-truncated\n$auto")
   }
+
+  test("round-13: the sketch-routed join takes a different plan per corpus, organically") {
+    // Small dim ⇒ broadcast, fact never shuffles for the join.
+    val bc = plan("events_routed_join")
+    assert(bc.contains("BroadcastHashJoin") && !bc.contains("ShuffledHashJoin"),
+      s"events_routed_join: expected the broadcast route\n$bc")
+    // 40%-hot fact + narrowed broadcast ceiling ⇒ salted shuffled hash
+    // join on (key, salt) with the ×S dim replicate explode.
+    val hot = plan("events_routed_join_hot")
+    assert(hot.contains("ShuffledHashJoin") && hot.contains("__salt"),
+      s"events_routed_join_hot: expected the salted route\n$hot")
+    assert(hot.contains("Generate explode"),
+      s"events_routed_join_hot: dim replicate explode missing\n$hot")
+    // Flat fact + narrowed ceiling ⇒ plain shuffled hash join, no salt,
+    // no ×S replication paid for skew that is not there.
+    val sh = plan("events_routed_join_shuffle")
+    assert(sh.contains("ShuffledHashJoin") && !sh.contains("__salt") &&
+      !sh.contains("BroadcastHashJoin"),
+      s"events_routed_join_shuffle: expected the plain shuffle route\n$sh")
+  }
 }

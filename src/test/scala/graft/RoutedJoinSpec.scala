@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RoutedJoin
+import graft.operators.RoutedJoin.{BroadcastRoute, SaltedRoute, ShuffleRoute}
+
+/** RoutedJoin: every branch of the sketch-driven route choice force-pinned
+  * on synthetic frames (the catalog entries exercise each organically on
+  * the testdata corpus; these tests keep all branches covered regardless
+  * of what the corpus routes to), plus the result-invariance contract —
+  * routes trade plan shape, never rows.
+  */
+class RoutedJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // Flat fact: 2000 rows over 100 uniform keys; hot fact: 40% on key 1.
+  private lazy val flatFact = (1L to 2000L)
+    .map(i => (i, i % 100 + 1, i.toDouble / 10)).toDF("event_id", "k", "value")
+  private lazy val hotFact = (1L to 2000L)
+    .map(i => (i, if (i % 10 < 4) 1L else i % 100 + 1, i.toDouble / 10))
+    .toDF("event_id", "k", "value")
+  private lazy val dim = (1L to 100L).map(i => (i, s"seg${i % 5}"))
+    .toDF("c_custkey", "c_mktsegment")
+
+  test("choose: small dim broadcasts regardless of skew") {
+    val st = RoutedJoin.stats(hotFact, "k", col("event_id"), dim)
+    assert(RoutedJoin.choose(st) == BroadcastRoute)
+  }
+
+  test("choose: large dim + flat fact takes the plain shuffle route") {
+    val st = RoutedJoin.stats(flatFact, "k", col("event_id"), dim)
+    assert(st.hotMass < 0.2, s"flat fact measured hot: $st")
+    assert(RoutedJoin.choose(st, broadcastRowLimit = 10) == ShuffleRoute)
+  }
+
+  test("choose: large dim + hot fact salts") {
+    val st = RoutedJoin.stats(hotFact, "k", col("event_id"), dim)
+    // CM point bound never underestimates the true heaviest mass (~0.4),
+    // and the 1/16 sample keeps it in a decision-grade band.
+    assert(st.hotMass > 0.2 && st.hotMass < 0.8, s"hot-mass bound off: $st")
+    assert(RoutedJoin.choose(st, broadcastRowLimit = 10) == SaltedRoute)
+  }
+
+  test("stats: empty fact sample degrades to broadcast-if-small, shuffle otherwise") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("event_id", "k", "value")
+    val st = RoutedJoin.stats(empty, "k", col("event_id"), dim)
+    assert(st.sampledRows == 0L && st.hotMass == 0.0)
+    assert(RoutedJoin.choose(st) == BroadcastRoute)
+    assert(RoutedJoin.choose(st, broadcastRowLimit = 10) == ShuffleRoute)
+  }
+
+  test("all three routes return the identical join result") {
+    def agg(route: RoutedJoin.Route, limit: Long, threshold: Double) = {
+      val (joined, taken) = RoutedJoin.join(hotFact, "k", col("event_id"),
+        dim, "c_custkey", hotMassThreshold = threshold, broadcastRowLimit = limit)
+      assert(taken == route, s"expected $route, got $taken")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+    }
+    val viaBroadcast = agg(BroadcastRoute, 1000000L, 0.2)
+    val viaShuffle = agg(ShuffleRoute, 10L, 0.99)
+    val viaSalted = agg(SaltedRoute, 10L, 0.2)
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast == viaSalted)
+  }
+
+  test("salted plan shuffles on (key, salt); broadcast plan never shuffles the fact") {
+    val (salted, r1) = RoutedJoin.join(hotFact, "k", col("event_id"),
+      dim, "c_custkey", broadcastRowLimit = 10L)
+    assert(r1 == SaltedRoute)
+    val sp = salted.queryExecution.executedPlan.toString
+    assert(sp.contains("ShuffledHashJoin") && sp.contains("__salt"),
+      s"salted route did not plan a salted shuffled hash join\n$sp")
+    val (bc, r2) = RoutedJoin.join(hotFact, "k", col("event_id"), dim, "c_custkey")
+    assert(r2 == BroadcastRoute)
+    val bp = bc.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("ShuffledHashJoin"),
+      s"broadcast route planned a shuffle\n$bp")
+  }
+}
