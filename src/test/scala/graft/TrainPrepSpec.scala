@@ -372,4 +372,29 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(got(id)._2 == f, s"doc $id: fluency ${got(id)._2} != $f")
     }
   }
+
+  test("doc_weighted_sample: k per source, deterministic, biased toward token mass") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        greatest(lit(1), size(split(trim(col("text")), "\\s+"))).cast("long").as("w"))
+      .cache()
+    val got = run("doc_weighted_sample").cache()
+    // Exactly min(k, source size) rows per source, rank sequence 1..n.
+    val perSrc = got.groupBy("source").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .collect()
+    assert(perSrc.nonEmpty)
+    perSrc.foreach(r => assert(r.getLong(1) <= 10 && r.getLong(1) == r.getLong(2)))
+    // Deterministic md5 keys: a second run is identical.
+    assert(run("doc_weighted_sample").except(got).count() == 0)
+    // The A-ES point: inclusion probability scales with the token weight,
+    // so the sampled docs' mean weight must exceed the corpus mean (this
+    // corpus's doc lengths vary; the margin is wide and the data fixed —
+    // no flakiness).
+    val sampleMean = got.join(docs, Seq("doc_id"))
+      .agg(avg("w")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("w")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: sample $sampleMean vs corpus $corpusMean")
+    got.unpersist(); docs.unpersist()
+  }
 }
