@@ -1191,22 +1191,35 @@ object TrainPrepCatalog {
     * sf0.1: the smallest adjacent-key gap across every source's top-11
     * is ≥ 9e-4 relative — twelve orders of magnitude of margin.
     */
+  /** The A-ES key ln(u)/w over (doc_id, text) — factored so the entry
+    * and the streaming-parity test derive it identically. */
+  private[graft] def wsampleKeyCol: org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val w = greatest(lit(1L), size(Text.wsTokens(col("text"))).cast("long"))
+    log((h + 1) / lit(4294967296.0)) / w
+  }
+
+  /** The bounded-heap reservoir over a (source, doc_id, k) frame. A-ES
+    * is LITERALLY a reservoir algorithm, and TopNAgg's merge is its
+    * reservoir update — so this same aggregation runs unchanged as a
+    * streaming complete-mode query (the kmvSketch device): Spark keeps
+    * the ≤K-entry buffer as state per source, merges each micro-batch
+    * into it, and after the stream drains the emitted sample equals the
+    * batch entry bit-for-bit (StreamingSpec). */
+  private[graft] def weightedTopK(keyed: DataFrame): DataFrame = {
+    val topn = udaf(new graft.combine.TopNAgg(WSampleK))
+    keyed.groupBy("source")
+      .agg(topn(col("k"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top.entries")))
+      .select(col("source"), col("col.event_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   val weightedSample: CatalogEntry = CatalogEntry(
     "doc_weighted_sample",
-    (s, d) => {
-      val topn = udaf(new graft.combine.TopNAgg(WSampleK))
-      val h = conv(substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long")
-      val w = greatest(lit(1L), size(Text.wsTokens(col("text"))).cast("long"))
-      val key = log((h + 1) / lit(4294967296.0)) / w
-      documents(s, d)
-        .select(col("source"), col("doc_id"), key.as("k"))
-        .groupBy("source")
-        .agg(topn(col("k"), col("doc_id")).as("top"))
-        .select(col("source"), posexplode(col("top.entries")))
-        .select(col("source"), col("col.event_id").as("doc_id"),
-          (col("pos") + 1).cast("long").as("rn"))
-    },
+    (s, d) => weightedTopK(
+      documents(s, d).select(col("source"), col("doc_id"), wsampleKeyCol.as("k"))),
     Some(s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
                SELECT source, doc_id,
                       row_number() OVER (PARTITION BY source

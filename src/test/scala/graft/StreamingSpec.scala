@@ -1131,4 +1131,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want, "streamed KMV sketch diverges from the batch sketch")
     } finally q.stop()
   }
+
+  test("A-ES weighted sample streams: the reservoir IS the aggregation buffer") {
+    // Efraimidis–Spirakis is a reservoir algorithm by construction, and
+    // TopNAgg's merge is exactly its reservoir update — so the SAME
+    // bounded-heap aggregate that builds doc_weighted_sample runs
+    // unchanged as a streaming complete-mode query: state is the ≤K
+    // (key, doc) buffer per source regardless of stream length, and
+    // after the stream drains the emitted sample (ranks included) must
+    // equal the batch entry bit-for-bit.
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TrainPrepCatalog
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val keyed = docs.select(col("source"), col("doc_id"),
+      TrainPrepCatalog.wsampleKeyCol.as("k"))
+    val want = SparkEntry.queries("doc_weighted_sample")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = keyed.as[(String, Long, Double)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val qn = s"wsample_${System.nanoTime()}"
+    val q = TrainPrepCatalog.weightedTopK(input.toDF().toDF("source", "doc_id", "k"))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "streamed weighted sample diverges from the batch entry")
+    } finally q.stop()
+  }
 }
