@@ -73,9 +73,12 @@ object RoutedJoin {
   def stats(fact: DataFrame, factKey: String, discriminator: Column,
       dim: DataFrame): Stats = {
     val depth = JoinSizeSketch.Depth
+    // No cast on the key: bucketCol hashes the key's string form, so any
+    // atomic key type works (a long cast would null out string keys and
+    // silently collapse the sketch onto one bucket).
     val cells = fact
       .filter(pmod(xxhash64(discriminator), lit(SampleMod.toLong)) === 0L)
-      .select(col(factKey).cast("long").as("k"))
+      .select(col(factKey).as("k"))
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
           JoinSizeSketch.bucketCol(r, col("k")).as("bucket"))): _*)).as("h"))

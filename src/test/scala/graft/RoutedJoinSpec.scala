@@ -44,6 +44,15 @@ class RoutedJoinSpec extends AnyFunSuite {
     assert(RoutedJoin.choose(st, broadcastRowLimit = 10) == SaltedRoute)
   }
 
+  test("stats: string keys sketch correctly (no silent long-cast nulling)") {
+    val sFact = (1L to 2000L)
+      .map(i => (i, if (i % 10 < 4) "hot" else s"k${i % 100}", i.toDouble))
+      .toDF("event_id", "k", "value")
+    val st = RoutedJoin.stats(sFact, "k", col("event_id"), dim)
+    assert(st.hotMass > 0.2 && st.hotMass < 0.8,
+      s"string hot key not detected: $st")
+  }
+
   test("stats: empty fact sample degrades to broadcast-if-small, shuffle otherwise") {
     val empty = Seq.empty[(Long, Long, Double)].toDF("event_id", "k", "value")
     val st = RoutedJoin.stats(empty, "k", col("event_id"), dim)
