@@ -45,6 +45,45 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(admitted == capped)
   }
 
+  test("random graphs: scores equal the brute-force definition (seeded, 8 graphs)") {
+    // Guards the wedge/anti-join relational encoding against the direct
+    // set definition: for every non-adjacent pair, common neighbors are
+    // intersected explicitly and the three scores recomputed in plain
+    // Scala with the same scaled-integer arithmetic.
+    val rnd = new scala.util.Random(1013)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(9)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val hubCap = if (trial % 2 == 0) 3 else 64
+        val minCommon = 1L + trial % 2
+        val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          .withDefaultValue(Set.empty)
+        edges.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a
+        }
+        val deg = adj.map { case (k, v) => k -> v.size.toLong }
+        val want = (for {
+          a <- adj.keys; b <- adj.keys if a < b && !adj(a).contains(b)
+          common = (adj(a) intersect adj(b)).filter(z => deg(z) <= hubCap)
+          if common.size >= minCommon
+        } yield {
+          val ra = common.toSeq.map(z => 1000000L / deg(z)).sum
+          val aa = common.toSeq.map(z => math.round(1000000.0 / math.log(deg(z).toDouble))).sum
+          (a, b) -> (common.size.toLong, ra, aa)
+        }).toMap
+        val got = LinkPrediction.scores(edges.toDF("u", "v"), hubCap, minCommon)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+        assert(got == want,
+          s"trial $trial (n=$n cap=$hubCap min=$minCommon): $got != $want")
+      }
+    }
+  }
+
   test("minCommon=1 admits single-wedge pairs; adjacency is never predicted") {
     // Path 1-2-3: one wedge (1,3) through 2; the edge (1,2) itself must
     // never appear as a prediction.
