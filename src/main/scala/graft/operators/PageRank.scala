@@ -128,7 +128,10 @@ object PageRank {
     val probe = links.agg(countDistinct(col("src")), count(lit(1))).head()
     val n = probe.getLong(0)
     val nEdgeRows = probe.getLong(1)
-    require(n > 0, "PageRank over an empty edge list")
+    // Edgeless input yields an empty rank frame — the ConnectedComponents
+    // contract (an empty corpus has no graph; it is not an error).
+    if (n == 0)
+      return dir.select(col("src").cast(nodeType).as("node"), lit(0L).as("r")).limit(0)
     val base = scale * 15L / 100L / n
     var iter = 0
     // Fixed-round iteration over a small graph is driver/plan-overhead

@@ -310,14 +310,23 @@ object JoinCatalog {
       val keys = t("orders")(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
         .localCheckpoint()
-      val bf = keys.stat.bloomFilter("o_orderkey", math.max(keys.count(), 1000L), 0.01)
-      val bc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bc.value.mightContain(k))
-      t("lineitem")(s, d)
-        .filter(mightContain(col("l_orderkey")))
-        .join(keys, col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      val nKeys = keys.count()
+      def agg(fact: DataFrame): DataFrame = fact
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      if (nKeys == 0) {
+        // Empty key set: the semi-join result is empty by definition, and
+        // stat.bloomFilter over zero rows yields a null buffer — skip the
+        // filter build instead of dereferencing it.
+        agg(t("lineitem")(s, d).limit(0))
+      } else {
+        val bf = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1000L), 0.01)
+        val bc = s.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bc.value.mightContain(k))
+        agg(t("lineitem")(s, d)
+          .filter(mightContain(col("l_orderkey")))
+          .join(keys, col("l_orderkey") === col("o_orderkey"), "leftsemi"))
+      }
     },
     Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
                     ${sqlSum("l_quantity")} AS sum_qty

@@ -718,8 +718,10 @@ object TrainPrepCatalog {
         .select(col("cnt"), filter(split(col("w"), ""), c => c =!= "").as("sym"))
         .localCheckpoint()
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (k <- 1 to BpeK) {
-        val top = words.filter(size(col("sym")) >= 2)
+      var k = 1
+      var exhausted = false
+      while (k <= BpeK && !exhausted) {
+        val topArr = words.filter(size(col("sym")) >= 2)
           .select(col("cnt"), explode(transform(
             sequence(lit(1), size(col("sym")) - 1),
             i => struct(element_at(col("sym"), i).as("a"),
@@ -727,19 +729,28 @@ object TrainPrepCatalog {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum("cnt").as("c"))
           .orderBy(desc("c"), col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((k.toLong, a, b, a + b, c))
-        words = words.select(col("cnt"),
-          aggregate(col("sym"), emptyArr,
-            (acc, sv) =>
-              // CaseWhen evaluates branches in order: element_at(acc, -1)
-              // only runs once acc is non-empty (ANSI-safe).
-              when(size(acc) === 0, concat(acc, array(sv)))
-                .otherwise(when(element_at(acc, -1) === lit(a) && sv === lit(b),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                  .otherwise(concat(acc, array(sv))))).as("sym"))
-          .localCheckpoint()
+          .limit(1).collect()
+        if (topArr.isEmpty) {
+          // No mergeable pair left (empty or fully-collapsed corpus):
+          // stop early with the merges learned so far instead of
+          // indexing into an empty argmax.
+          exhausted = true
+        } else {
+          val top = topArr(0)
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((k.toLong, a, b, a + b, c))
+          words = words.select(col("cnt"),
+            aggregate(col("sym"), emptyArr,
+              (acc, sv) =>
+                // CaseWhen evaluates branches in order: element_at(acc, -1)
+                // only runs once acc is non-empty (ANSI-safe).
+                when(size(acc) === 0, concat(acc, array(sv)))
+                  .otherwise(when(element_at(acc, -1) === lit(a) && sv === lit(b),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                    .otherwise(concat(acc, array(sv))))).as("sym"))
+            .localCheckpoint()
+        }
+        k += 1
       }
       import s.implicits._
       merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
