@@ -422,7 +422,16 @@ object TrainPrepCatalog {
     val tv = cnt.crossJoin(broadcast(totals))
       .agg(sum(abs(col("ct") * col("nv") - col("cv") * col("nt"))).as("num"),
         first(col("nt")).as("nt"), first(col("nv")).as("nv"))
-      .select(round(col("num") / (lit(2.0) * col("nt") * col("nv")), 6).as("tv_distance"))
+      // One-sided degenerate split (all mass in train or all in val):
+      // TV against an empty distribution is 1 by the zero-overlap
+      // convention (source_divergence_matrix); both-empty stays null.
+      // CaseWhen branches evaluate lazily, so the division never runs
+      // with a zero denominator (ANSI divide-by-zero).
+      .select(when(col("nt") > 0 && col("nv") > 0,
+          round(col("num") / (lit(2.0) * col("nt") * col("nv")), 6))
+        .otherwise(when(
+          coalesce(col("nt"), lit(0L)) + coalesce(col("nv"), lit(0L)) > 0,
+          lit(1.0)).otherwise(lit(null).cast("double"))).as("tv_distance"))
     val stats = cnt.agg(
       sum("ct").as("n_train_tokens"), sum("cv").as("n_val_tokens"),
       sum(when(col("ct") > 0, 1L).otherwise(0L)).as("vocab_train"),
@@ -457,8 +466,13 @@ object TrainPrepCatalog {
                     (SELECT CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_train,
                     (SELECT CAST(SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_val,
                     (SELECT CAST(SUM(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM cnt) AS vocab_shared,
-                    (SELECT ROUND(CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
-                                  / (2.0 * MAX(nt) * MAX(nv)), 6)
+                    (SELECT CASE
+                              WHEN MAX(nt) > 0 AND MAX(nv) > 0
+                              THEN ROUND(CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
+                                         / (2.0 * MAX(nt) * MAX(nv)), 6)
+                              WHEN COALESCE(MAX(nt), 0) + COALESCE(MAX(nv), 0) > 0
+                              THEN 1.0
+                            END
                      FROM cnt, tot) AS tv_distance"""))
 
   /** Pairwise distribution distance across SOURCES: the full

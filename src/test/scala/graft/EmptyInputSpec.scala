@@ -15,17 +15,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite {
   import TestSpark.{sf0001, spark}
 
-  test("every catalog entry is total on an empty corpus") {
-    val out = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def fixture(rows: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-deg$rows").toString
     tables.foreach { t =>
-      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+      spark.read.parquet(s"$sf0001/$t.parquet").limit(rows)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    val failures = graft.queries.Catalog.all.flatMap { e =>
+    out
+  }
+
+  private def sweep(dir: String): Seq[String] =
+    graft.queries.Catalog.all.flatMap { e =>
       val r =
-        try { e.build(spark, out).count(); None }
+        try { e.build(spark, dir).count(); None }
         catch {
           case ex: Throwable =>
             val msg = Option(ex.getMessage).getOrElse("")
@@ -35,7 +40,19 @@ class EmptyInputSpec extends AnyFunSuite {
       SessionHygiene.dropEntryState(spark)
       r
     }
+
+  test("every catalog entry is total on an empty corpus") {
+    val failures = sweep(fixture(0))
     assert(failures.isEmpty,
       s"${failures.size} entries throw on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("every catalog entry is total on single-row tables") {
+    // One row per table breaks referential integrity (joins go empty) and
+    // degenerates every per-group statistic to n=1 — the sweep that found
+    // split_token_divergence dividing by an empty split's token total.
+    val failures = sweep(fixture(1))
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on single-row input:\n${failures.mkString("\n")}")
   }
 }
