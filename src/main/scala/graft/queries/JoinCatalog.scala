@@ -397,10 +397,10 @@ object JoinCatalog {
                  JOIN pc cb ON cb.pk = part_b CROSS JOIN n"""))
 
   /** Link prediction on the co-purchase graph — "parts that SHOULD sell
-    * together but have not yet": nodes are parts, edges are pairs
-    * co-purchased in ≥ 2 orders (the [[basketPairs]] basket-explode
-    * device, support-thresholded), and every NON-adjacent pair sharing
-    * ≥ 2 co-purchase neighbors is scored with the three classic
+    * together but have not yet": nodes are parts, edges are pairs that
+    * co-occurred in at least one order (the [[basketPairs]]
+    * basket-explode device, deduplicated), and every NON-adjacent pair
+    * sharing ≥ 2 co-purchase neighbors is scored with the three classic
     * link-prediction measures — common neighbors, resource allocation
     * Σ 1/deg, Adamic–Adar Σ 1/ln(deg) — via
     * [[graft.operators.LinkPrediction]] (scaled-integer BIGINT sums, so
@@ -408,12 +408,21 @@ object JoinCatalog {
     * boundary-distance measurement). This is the recommendation/
     * assortment primitive next to [[basketPairs]]' realized affinity.
     *
+    * Edge-support choice, measured: thresholding edges at co ≥ 2 (the
+    * [[basketPairs]] support knob) empties the prediction set as the
+    * corpus grows — repeat co-purchases of a SPECIFIC pair thin out
+    * relative to order volume (74 predictions at sf0.01, ZERO at sf0.1)
+    * — while the unthresholded graph grows predictions with data
+    * (20 → 153), the natural shape for a recommender. The evidence
+    * floor lives in minCommon ≥ 2 instead; a production deployment
+    * re-introduces the support threshold as corpus density allows.
+    *
     * 100 TB shape: basket pair fan-out is per-order quadratic (bounded
     * by basket width), wedge fan-out is Σ deg² through nodes capped at
     * deg ≤ 64 (hubs pruned — they carry the least Adamic–Adar evidence
     * and all of the blow-up; the cap is in the oracle, so it is checked
     * semantics, not silent approximation), and the closing anti join
-    * rides the thresholded edge list. No stage is corpus-quadratic.
+    * rides the oriented edge list. No stage is corpus-quadratic.
     */
   val partLinkPrediction: CatalogEntry = CatalogEntry(
     "part_link_prediction",
@@ -428,7 +437,6 @@ object JoinCatalog {
                            y -> struct(x AS u, y AS v))))""")).as("p"))
         .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("co"))
-        .filter(col("co") >= 2)
         .select("u", "v")
       LinkPrediction.scores(edges)
         .select(col("node_a").as("part_a"), col("node_b").as("part_b"),
@@ -437,7 +445,7 @@ object JoinCatalog {
     Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
                e AS (SELECT a.pk AS u, b.pk AS v
                      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-                     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+                     GROUP BY 1, 2),
                sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
                deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
                adj AS (SELECT s.u, s.v, d.deg FROM sym s
