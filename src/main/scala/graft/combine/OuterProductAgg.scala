@@ -32,6 +32,12 @@ final class OuterProductAgg(dim: Int, scale: Double)
   override def zero: GramBuf = GramBuf(new Array[Long](len))
 
   override def reduce(b: GramBuf, v: Seq[Float]): GramBuf = {
+    // NULL rows are SKIPPED, matching SQL aggregate semantics (sum/avg
+    // ignore NULL; typed Aggregators get no such treatment from Spark) —
+    // a corpus at scale carries missing vectors, and a missing vector
+    // contributes nothing to X'X. A PRESENT vector of the wrong length
+    // is a different thing: malformed data, failed loudly below.
+    if (v == null) return b
     // Fail at the row, not deep in codegen: a short embedding would
     // otherwise surface as a bare IndexOutOfBoundsException, and a long
     // one would be silently truncated to the first `dim` components.

@@ -174,6 +174,15 @@ object Multimodal {
 
   def mediaDataset(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRow]
+    // Ingest validation at the typed boundary: a media lake at scale
+    // carries rows with missing ids or payloads, and MediaRow's primitive
+    // fields would turn each into a NOT_NULL_ASSERT_VIOLATION deep in the
+    // encoder. Quarantine (drop) them here — the standard first pass of a
+    // multimodal pipeline; a production deployment would route them to a
+    // dead-letter output instead of discarding.
+    mediaTable(spark, sfDir)
+      .filter(col("media_id").isNotNull && col("data").isNotNull &&
+        col("duration_ms").isNotNull)
+      .as[MediaRow]
   }
 }

@@ -945,6 +945,10 @@ object NearDupCatalog {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.Text
       val toks = documents(s, d)
+        // A row with no doc_id can neither own nor be attributed spans —
+        // drop it at ingest (null would otherwise null the range guard's
+        // condition below and misfire the >=2^39 raise on a missing id).
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), Text.normTokens(col("text")).as("tl"))
         .cache()
       // The MIN(doc_id·2^24 + pos) ownership encoding is injective (and

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input totality, catalog-wide: at 100 TB an empty source, a
+  * single-row partition, or a sprinkling of NULLs in nullable columns is
+  * an operating condition, not an anomaly — a filter that matches
+  * nothing, a new tenant with no history, a feed with missing fields.
+  * Every catalog entry must return a defined (possibly empty) frame on
+  * these inputs instead of throwing from a driver-side head()/argmax, a
+  * sketch built over zero rows, or a typed encoder fed a null primitive.
+  * The crash sites these sweeps originally found — BPE's pair argmax,
+  * PageRank's node-count guard, the Bloom build over zero keys, the
+  * split-divergence division by an empty split's token total, the Gram
+  * aggregator's null vector, the media encoder's null ids — are fixed
+  * and held here so new entries can't regress the contract.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def fixture(tag: String)(
+      prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-deg-$tag").toString
+    tables.foreach { t =>
+      prep(spark.read.parquet(s"$sf0001/$t.parquet"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    out
+  }
+
+  private def sweep(dir: String): Seq[String] =
+    graft.queries.Catalog.all.flatMap { e =>
+      val r =
+        try { e.build(spark, dir).count(); None }
+        catch {
+          case ex: Throwable =>
+            val msg = Option(ex.getMessage).getOrElse("")
+              .linesIterator.toSeq.headOption.getOrElse("").take(120)
+            Some(s"${e.name}: ${ex.getClass.getSimpleName} $msg")
+        }
+      SessionHygiene.dropEntryState(spark)
+      r
+    }
+
+  test("every catalog entry is total on an empty corpus") {
+    val failures = sweep(fixture("empty")(_.limit(0)))
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("every catalog entry is total on single-row tables") {
+    // One row per table breaks referential integrity (joins go empty) and
+    // degenerates every per-group statistic to n=1 — the sweep that found
+    // split_token_divergence dividing by an empty split's token total.
+    val failures = sweep(fixture("one")(_.limit(1)))
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on single-row input:\n${failures.mkString("\n")}")
+  }
+
+  test("every catalog entry is total with nulls sprinkled into every column") {
+    // ~1 in 7 values of every column independently nulled (hash-seeded,
+    // deterministic). This is the sweep that found the Gram aggregator
+    // NPE on null vectors and the media encoder's NOT_NULL violations.
+    val failures = sweep(fixture("null") { df =>
+      df.columns.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c,
+          when(pmod(xxhash64(col(c), lit(i)), lit(7)) === 0, lit(null))
+            .otherwise(col(c)))
+      }
+    })
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on null-injected input:\n${failures.mkString("\n")}")
+  }
+}
