@@ -42,13 +42,18 @@ object LinkPrediction {
     val wedges = adj.as("x").join(adj.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.v").as("a"), col("y.v").as("b"), col("x.deg").as("degz"))
-    val cand = wedges.join(e.select(col("u").as("a"), col("v").as("b")),
-      Seq("a", "b"), "left_anti")
-    val out = cand.groupBy("a", "b")
+    // Aggregate BEFORE the adjacency anti join: both key on the (a, b)
+    // pair, so they commute — and the aggregate (map-combined) plus the
+    // minCommon filter collapse the wedge stream to the scored pair list
+    // before the join has to shuffle anything (anti-joining the raw
+    // wedge stream paid its full volume twice).
+    val scored = wedges.groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000 div degz")).as("ra_scaled"),
         sum(round(lit(1000000.0) / log(col("degz")), 0).cast("long")).as("aa_scaled"))
       .filter(col("cn") >= minCommon)
+    val out = scored.join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
       .select(col("a").as("node_a"), col("b").as("node_b"),
         col("cn"), col("ra_scaled"), col("aa_scaled"))
       .localCheckpoint()
