@@ -53,6 +53,30 @@ class RoutedJoinSpec extends AnyFunSuite {
       s"string hot key not detected: $st")
   }
 
+  test("stats: the CM bound never underestimates the sampled heaviest key (one-sided)") {
+    // min_r max_bucket cell(r) >= f_max is the property the salt decision
+    // rests on (a router that UNDER-estimates skew ships a hot key to one
+    // reducer); check it against the true per-key counts of the SAME
+    // deterministic 1/16 sample across several skew shapes.
+    val rnd = new scala.util.Random(733)
+    for (trial <- 1 to 5) {
+      val hotShare = 1 + rnd.nextInt(8) // 10%..80% on key 1
+      val fact = (1L to 4000L)
+        .map(i => (i, if (i % 10 < hotShare) 1L else i % (10 + rnd.nextInt(400)) + 2,
+          i.toDouble))
+        .toDF("event_id", "k", "value")
+      val st = RoutedJoin.stats(fact, "k", col("event_id"), dim)
+      val sampled = fact
+        .filter(pmod(xxhash64(col("event_id")), lit(RoutedJoin.SampleMod.toLong)) === 0L)
+        .groupBy("k").count().agg(max("count"), sum("count")).head()
+      val trueMax = sampled.getLong(0)
+      val trueTotal = sampled.getLong(1)
+      assert(st.sampledRows == trueTotal, s"trial $trial: sample size drift $st")
+      assert(st.hotEst >= trueMax,
+        s"trial $trial: CM bound ${st.hotEst} under true sampled max $trueMax")
+    }
+  }
+
   test("stats: empty fact sample degrades to broadcast-if-small, shuffle otherwise") {
     val empty = Seq.empty[(Long, Long, Double)].toDF("event_id", "k", "value")
     val st = RoutedJoin.stats(empty, "k", col("event_id"), dim)
