@@ -1746,6 +1746,82 @@ object PipelineCatalog {
                           / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
              FROM m"""))
 
+  /** Theil–Sen robust trend per event type (Theil 1950; Sen 1968): the
+    * MEDIAN of all pairwise slopes over the daily-mean series — the
+    * robust-statistics complement to [[eventsValueTrend]]'s OLS fit
+    * (one wild day moves an OLS slope arbitrarily; the pairwise-slope
+    * median has a 29.3% breakdown point) and to `events_mad_outliers`
+    * on the dispersion side.
+    *
+    * 100 TB shape — the two-stage device is the whole point: the
+    * corpus-linear work is ONE map-combined (type, day) aggregate; the
+    * O(n²) pairwise stage then runs on the #days-bounded daily series
+    * (time-bounded, not corpus-bounded — 10× the data is the same ~90
+    * points per type), so the quadratic never touches raw rows. Median
+    * via per-type rank window (partitioned, never global) + the
+    * middle-position average.
+    *
+    * Determinism: daily means are decimal-exact sums over exact counts
+    * (one correctly-rounded division per day — identical bits both
+    * engines); each pairwise slope is one subtraction + one division of
+    * identical doubles; the middle-rank average sums ≤ 2 doubles (IEEE
+    * addition is commutative, so shuffle order is irrelevant), rounded
+    * once.
+    */
+  /** The pairwise-median machinery over a (event_type, day, v) daily
+    * series — factored so the suite can pin the breakdown property on a
+    * hand-built series with a planted wild outlier. */
+  private[graft] def theilSenFrom(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v") - col("a.v")) / (col("b.day") - col("a.day"))).as("slope"))
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.partitionBy("event_type").orderBy("slope")))
+    val np = pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    ranked.join(broadcast(np), "event_type")
+      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("(n_pairs + 2) div 2"))
+      .groupBy("event_type")
+      .agg(first("n_pairs").as("n_pairs"),
+        round(avg("slope"), 6).as("theil_sen_slope"))
+      .join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("theil_sen_slope"))
+      .orderBy("event_type")
+  }
+
+  val theilSen: CatalogEntry = CatalogEntry(
+    "events_theil_sen",
+    (s, d) => theilSenFrom(
+      Tables.events(s, d)
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg((Exact.dsum(col("value"), 18, 4) / count(lit(1))).as("v"))),
+    Some(s"""WITH daily AS (SELECT event_type,
+                                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                   ${Exact.sqlSum("value", 18, 4)} / COUNT(*) AS v
+                            FROM events GROUP BY 1, 2),
+                 pr AS (SELECT a.event_type, (b.v - a.v) / (b.day - a.day) AS slope
+                        FROM daily a JOIN daily b
+                          ON b.event_type = a.event_type AND a.day < b.day),
+                 rk AS (SELECT event_type, slope,
+                               row_number() OVER (PARTITION BY event_type
+                                                  ORDER BY slope) AS rn,
+                               COUNT(*) OVER (PARTITION BY event_type) AS np
+                        FROM pr),
+                 nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+                        FROM daily GROUP BY 1)
+             SELECT rk.event_type, nd.n_days, CAST(MAX(np) AS BIGINT) AS n_pairs,
+                    ROUND(AVG(slope), 6) AS theil_sen_slope
+             FROM rk JOIN nd ON nd.event_type = rk.event_type
+             WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+             GROUP BY rk.event_type, nd.n_days
+             ORDER BY rk.event_type"""))
+
   /** BM25 relevance top-20 for a fixed three-term query — the retrieval
     * primitive of a RAG/search layer, with the one substitution the
     * engine's no-libm rule forces: the idf factor is the RAW Robertson
@@ -2241,7 +2317,7 @@ object PipelineCatalog {
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
-      eventsValueTrend, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
+      eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose)
 }
