@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   *  3. '''shuffle''' — no broadcast, no skew: a plain shuffled hash
   *     join on the key.
   *
-  * Cost of deciding: ONE aggregate over a 1/[[SampleMod]] hash-sample
-  * of the fact keys whose output can never exceed depth×width cells
-  * (CM is linear, so sampled cells are an unbiased 1/16-scale of the
-  * true cells), plus one dimension count a planner reads from file
-  * stats for free. Same pay-a-small-scan-to-pick-the-plan trade as the
+  * Cost of deciding: one sampled cell aggregate over a 1/[[SampleMod]]
+  * hash-sample of the fact keys (intermediate bounded by depth×width
+  * cells; CM is linear, so sampled cells are an unbiased 1/16-scale of
+  * the true cells) reduced by a second per-sketch-row aggregate to
+  * ≤ depth driver rows, plus one dimension count a planner reads from
+  * file stats for free. Same pay-a-small-scan-to-pick-the-plan trade as the
   * n-gram chooser (`NearDupCatalog.ngramMode`) and AQE's runtime
   * re-plan — made here at build time because the choice changes the
   * whole topology. Routes only trade plan shape, never results: all
@@ -68,15 +69,23 @@ object RoutedJoin {
   }
 
   /** Measure the routing statistics: CM cells over a 1/[[SampleMod]]
-    * sample of fact keys (bounded output: ≤ Depth×Width cells no matter
-    * the key cardinality), and the dimension row count. */
+    * sample of fact keys (bounded intermediate: ≤ Depth×Width cells no
+    * matter the key cardinality), reduced to one row PER SKETCH ROW by a
+    * second aggregate before reaching the driver — the driver collects
+    * ≤ Depth rows (per-row max cell + per-row total), never the cell
+    * grid itself. `min_r max_bucket` and `Σ_bucket` both distribute over
+    * the row grouping, so this is the same arithmetic the cell-grid
+    * reduction did, pushed into the plan where it belongs (at fleet
+    * scale a router runs per-query; 262k-cell collects add up, Depth
+    * rows don't). Plus the dimension row count, which a production
+    * planner reads from file statistics for free. */
   def stats(fact: DataFrame, factKey: String, discriminator: Column,
       dim: DataFrame): Stats = {
     val depth = JoinSizeSketch.Depth
     // No cast on the key: bucketCol hashes the key's string form, so any
     // atomic key type works (a long cast would null out string keys and
     // silently collapse the sketch onto one bucket).
-    val cells = fact
+    val perRow = fact
       .filter(pmod(xxhash64(discriminator), lit(SampleMod.toLong)) === 0L)
       .select(col(factKey).as("k"))
       .select(explode(array((0 until depth).map(r =>
@@ -84,16 +93,17 @@ object RoutedJoin {
           JoinSizeSketch.bucketCol(r, col("k")).as("bucket"))): _*)).as("h"))
       .groupBy(col("h.r").as("r"), col("h.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+      .groupBy(col("r"))
+      .agg(max(col("c")).as("rowMax"), sum(col("c")).as("rowTotal"))
       .collect()
-      .map(row => ((row.getInt(0), row.getLong(1)), row.getLong(2)))
+      .map(row => (row.getInt(0), (row.getLong(1), row.getLong(2))))
       .toMap
-    val total = cells.iterator.collect { case ((0, _), c) => c }.sum
+    // Every sampled row lands in exactly one bucket of every sketch row,
+    // so any row's total is the sampled-row count; row 0 is canonical.
+    val total = perRow.get(0).map(_._2).getOrElse(0L)
     val hotEst =
-      if (cells.isEmpty) 0L
-      else (0 until depth).map { r =>
-        cells.iterator.collect { case ((rr, _), c) if rr == r => c }
-          .foldLeft(0L)(math.max)
-      }.min
+      if (perRow.isEmpty) 0L
+      else (0 until depth).map(r => perRow.get(r).map(_._1).getOrElse(0L)).min
     Stats(total, hotEst, dim.count())
   }
 

@@ -1669,13 +1669,19 @@ object PipelineCatalog {
           col("value").cast(DecimalType(18, 4)).as("v"))
         .groupBy("event_type", "h")
         .agg((sum(col("v")) * 10000).cast("long").as("c"))
+      // The grid frame derives from hc, so joining on grid("event_type")
+      // === hc("event_type") resolves both sides to the SAME attribute
+      // (Spark's "trivially true equals predicate" WARN). House style:
+      // rename the derived side so the join condition names two distinct
+      // attributes.
       val grid = hc.groupBy("event_type")
         .agg(min("h").as("h0"), max("h").as("h1"))
-        .select(col("event_type"),
+        .select(col("event_type").as("gtype"),
           explode(expr("sequence(h0, h1, interval 1 hour)")).as("g"))
       val dg = grid.join(hc,
-          grid("event_type") === hc("event_type") && col("g") === col("h"), "left")
-        .select(grid("event_type"), col("g"), coalesce(col("c"), lit(0L)).as("c"))
+          col("gtype") === hc("event_type") && col("g") === col("h"), "left")
+        .select(col("gtype").as("event_type"), col("g"),
+          coalesce(col("c"), lit(0L)).as("c"))
       val wnd = Window.partitionBy("event_type").orderBy("g").rowsBetween(-12, 12)
       val dt = dg
         .select(col("event_type"), col("g"), col("c"),
