@@ -29,19 +29,43 @@ object LinkPrediction {
   /** Default through-node degree cap. */
   val HubCap = 64
 
-  /** Scores over `edges` with columns (u, v), u < v, unique. Output:
-    * (node_a, node_b, cn, ra_scaled, aa_scaled), node_a < node_b. */
+  /** Scores over `edges` with columns (u, v), u < v; DUPLICATE rows are
+    * tolerated (and not worth a distinct upstream): neighbor sets dedup
+    * via collect_set, and the closing anti join is idempotent in its
+    * right side — so callers should hand over the raw pair stream and
+    * skip the shuffle a DISTINCT would cost. Output:
+    * (node_a, node_b, cn, ra_scaled, aa_scaled), node_a < node_b.
+    *
+    * Wedge device: ONE groupBy collects each through-node's sorted
+    * neighbor set, so deg(z) is `size(vs)` for free (the separate degree
+    * aggregate + degree join of the naive form disappear), the hub cap
+    * is a row filter, and wedges come from a per-row ordered-pair array
+    * comprehension — no adjacency self-join at all. The r13 self-join
+    * form shuffled the adjacency twice more (deg join + both self-join
+    * sides) and hashed millions of rows; this form's only wedge-side
+    * shuffle is the neighbor collect, and the pair fan-out happens
+    * inside the scan of its output (this change plus the caller-side
+    * distinct drop: 4.56 → 2.5–2.7 s isolated at sf0.1 on the
+    * 1.2M-edge graph, identical oracle hash). Per-row
+    * memory is the through-node's neighbor array — bounded by hubCap
+    * for every row that survives to the explode, and a pre-cap row for
+    * a mega-hub is one array of its distinct neighbors, the same order
+    * of memory the self-join's hash bucket for that key held; a graph
+    * with 10⁷-degree hubs would pre-filter by a degree aggregate first
+    * (the r13 shape) at the price of one more shuffle. */
   def scores(edges: DataFrame, hubCap: Int = HubCap, minCommon: Long = 2L): DataFrame = {
+    // Materialized once: read by both union legs and the closing anti
+    // join (3 reads of the upstream edge build otherwise).
     val e = edges.select(col("u"), col("v")).cache()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-    // Cached: the wedge self-join reads adj on BOTH sides, and Spark does
-    // not dedupe identical subtrees — uncached, the sym/deg pipeline runs
-    // twice (measured 4.1 -> 3.0 s at sf0.1 on the 1.2M-edge graph).
-    val adj = sym.join(deg.filter(col("deg") <= hubCap), Seq("u")).cache()
-    val wedges = adj.as("x").join(adj.as("y"),
-        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-      .select(col("x.v").as("a"), col("y.v").as("b"), col("x.deg").as("degz"))
+    val wedges = sym.groupBy("u")
+      .agg(sort_array(collect_set(col("v"))).as("vs"))
+      .filter(size(col("vs")) <= hubCap && size(col("vs")) >= 2)
+      .select(size(col("vs")).as("degz"), explode(expr(
+        """flatten(transform(vs,
+             (x, i) -> transform(slice(vs, i + 2, size(vs)),
+                         y -> struct(x AS a, y AS b))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("degz"))
     // Aggregate BEFORE the adjacency anti join: both key on the (a, b)
     // pair, so they commute — and the aggregate (map-combined) plus the
     // minCommon filter collapse the wedge stream to the scored pair list
@@ -58,7 +82,6 @@ object LinkPrediction {
         col("cn"), col("ra_scaled"), col("aa_scaled"))
       .localCheckpoint()
     e.unpersist(blocking = false)
-    adj.unpersist(blocking = false)
     out
   }
 }

@@ -428,6 +428,13 @@ object JoinCatalog {
     "part_link_prediction",
     (s, d) => {
       import graft.operators.LinkPrediction
+      // No distinct on the pair stream: LinkPrediction.scores is
+      // duplicate-tolerant (neighbor sets dedup via collect_set; the
+      // closing anti join is idempotent in its right side), so the
+      // groupBy(u, v) a DISTINCT edge list would cost — a full shuffle
+      // of the ~1.5M-pair explode — buys nothing (measured 4.4 → 2.5-2.7 s
+      // isolated at sf0.1; oracle hash unchanged, its DISTINCT is
+      // semantics-equivalent).
       val edges = t("lineitem")(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
@@ -435,9 +442,7 @@ object JoinCatalog {
           """flatten(transform(pks,
                (x, i) -> transform(slice(pks, i + 2, size(pks)),
                            y -> struct(x AS u, y AS v))))""")).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("co"))
-        .select("u", "v")
+        .select(col("p.u").as("u"), col("p.v").as("v"))
       LinkPrediction.scores(edges)
         .select(col("node_a").as("part_a"), col("node_b").as("part_b"),
           col("cn"), col("ra_scaled"), col("aa_scaled"))
