@@ -98,13 +98,32 @@ object RoutedJoin {
       .collect()
       .map(row => (row.getInt(0), (row.getLong(1), row.getLong(2))))
       .toMap
-    // Every sampled row lands in exactly one bucket of every sketch row,
-    // so any row's total is the sampled-row count; row 0 is canonical.
-    val total = perRow.get(0).map(_._2).getOrElse(0L)
-    val hotEst =
-      if (perRow.isEmpty) 0L
-      else (0 until depth).map(r => perRow.get(r).map(_._1).getOrElse(0L)).min
-    Stats(total, hotEst, dim.count())
+    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dim.count())
+  }
+
+  // Every sampled row lands in exactly one bucket of every sketch row,
+  // so any row's total is the sampled-row count; row 0 is canonical.
+  private def totalFromPerRow(perRow: Map[Int, (Long, Long)]): Long =
+    perRow.get(0).map(_._2).getOrElse(0L)
+
+  private def hotEstFromPerRow(perRow: Map[Int, (Long, Long)]): Long =
+    if (perRow.isEmpty) 0L
+    else (0 until JoinSizeSketch.Depth)
+      .map(r => perRow.get(r).map(_._1).getOrElse(0L)).min
+
+  /** [[Stats]] from a MATERIALIZED cell map ((row, bucket) → count) —
+    * the streaming-state form of [[stats]]: the same per-row max /
+    * row-0 total reduction, applied to CM cells maintained live as
+    * keyed state ([[graft.streaming.StreamingQueries.streamingRouteCells]]).
+    * CM cells are linear, so cells drained from any arrival order/split
+    * equal the batch sampled aggregate bit-for-bit, and the route chosen
+    * from a live stream equals the batch route on the same corpus
+    * (StreamingSpec pins this for all three organic corpora). */
+  def statsFromCells(cells: Map[(Int, Long), Long], dimRows: Long): Stats = {
+    val perRow = cells.groupBy(_._1._1).map { case (r, cs) =>
+      r -> (cs.valuesIterator.foldLeft(0L)(math.max), cs.valuesIterator.sum)
+    }
+    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dimRows)
   }
 
   /** Route choice from measured stats — pure, unit-testable. */

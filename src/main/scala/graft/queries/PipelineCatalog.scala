@@ -1799,14 +1799,23 @@ object PipelineCatalog {
       .orderBy("event_type")
   }
 
+  /** The (event_type, day) daily-mean aggregate feeding [[theilSenFrom]]
+    * — the entry's ONLY corpus-touching stage, factored so the streaming
+    * form (StreamingQueries.streamingDailyMeans) replays the identical
+    * arithmetic: the decimal sum is exact/associative and the count
+    * exact, so any arrival order or batch split drains to the same
+    * doubles and the downstream pairwise-median slope is bit-identical
+    * (StreamingSpec pins it against this entry). */
+  private[graft] def dailyMeans(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg((Exact.dsum(col("value"), 18, 4) / count(lit(1))).as("v"))
+
   val theilSen: CatalogEntry = CatalogEntry(
     "events_theil_sen",
-    (s, d) => theilSenFrom(
-      Tables.events(s, d)
-        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"),
-          col("value"))
-        .groupBy("event_type", "day")
-        .agg((Exact.dsum(col("value"), 18, 4) / count(lit(1))).as("v"))),
+    (s, d) => theilSenFrom(dailyMeans(Tables.events(s, d))),
     Some(s"""WITH daily AS (SELECT event_type,
                                    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                                    ${Exact.sqlSum("value", 18, 4)} / COUNT(*) AS v

@@ -750,7 +750,7 @@ object ScaleCatalog {
   /** The deterministic skew device for the salted-route demo: ~40% of
     * event rows collapse onto key 1 (md5 draw on event_id — the house
     * zipf-corpus trick), the rest keep their natural key. Engine side. */
-  private def hotKeyCol: org.apache.spark.sql.Column =
+  private[graft] def hotKeyCol: org.apache.spark.sql.Column =
     when(pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(10L)) < 4, lit(1L))
       .otherwise(col("user_id") + 1)

@@ -499,6 +499,58 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming sibling of [[graft.operators.RoutedJoin.stats]]: the
+    * router's sampled Count-Min cells maintained LIVE as keyed state, so
+    * a long-running pipeline can re-decide its join topology from the
+    * stream instead of re-scanning the fact table. Input columns
+    * (k: long, disc): the SAME deterministic 1/SampleMod hash-sample
+    * filter on the discriminator as the batch router, the same
+    * [[graft.operators.JoinSizeSketch]] md5 hash family (long keys hash
+    * by decimal text on both sides — the one-definition contract), one
+    * Long of state per touched (row, bucket) cell, ≤ Depth·Width cells
+    * total regardless of key cardinality. CM cells are linear, so the
+    * drained cells equal the batch sampled aggregate bit-for-bit and
+    * [[graft.operators.RoutedJoin.statsFromCells]] + `choose` yield the
+    * batch route on the same corpus (StreamingSpec pins route equality
+    * for all three organic corpora). Update mode re-emits a cell
+    * whenever it grows.
+    */
+  def streamingRouteCells(fact: DataFrame)
+      : org.apache.spark.sql.Dataset[(Int, Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import fact.sparkSession.implicits._
+    import graft.operators.{JoinSizeSketch, RoutedJoin}
+    fact
+      .filter(pmod(xxhash64(col("disc")), lit(RoutedJoin.SampleMod.toLong)) === 0L)
+      .select(col("k").cast("long")).as[Long]
+      .flatMap(k => (0 until JoinSizeSketch.Depth)
+        .map(r => (r, JoinSizeSketch.bucket(r, k))))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Int, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case ((r, b), rs, state) =>
+          val c = state.getOption.getOrElse(0L) + rs.size
+          state.update(c)
+          (r, b, c)
+      }
+  }
+
+  /** Streaming sibling of `events_theil_sen`'s corpus-touching stage:
+    * the (event_type, day) daily-mean frame maintained as a live
+    * aggregate — ONE graft.queries.PipelineCatalog.dailyMeans definition
+    * shared with the batch entry, so the two can never drift. The daily
+    * sum rides exact decimals and the count is exact, so the drained
+    * frame — and the pairwise-median Theil–Sen slope `theilSenFrom`
+    * computes from it (a #days-bounded, corpus-independent batch step) —
+    * replays the batch entry bit-for-bit after any arrival order/split
+    * (StreamingSpec pins it). Update mode re-emits a day when it
+    * changes; state is one row per (type, day) — time-bounded, not
+    * corpus-bounded, the same reason the batch entry's O(n²) stage is
+    * scale-safe.
+    */
+  def streamingDailyMeans(events: DataFrame): DataFrame =
+    graft.queries.PipelineCatalog.dailyMeans(events)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

@@ -536,6 +536,93 @@ class StreamingSpec extends AnyFunSuite {
       "streamed join-size cells diverge from the batch estimator")
   }
 
+  test("streamed route cells reproduce the batch router's stats and route per corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RoutedJoin
+    // The loop closed: r12 streamed the sketch, r13 routed from the
+    // sketch — here the STREAM routes. The live cell state's Stats and
+    // the route chosen from them must equal the batch router's on the
+    // same corpus, for each of the three organic corpora (CM cells are
+    // linear, so any replay split drains to the batch sampled aggregate
+    // bit-for-bit).
+    val dim = Tables.load(spark, TestSpark.sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dimRows = dim.count()
+    val corpora = Seq(
+      ("broadcast-organic", col("user_id") + 1, RoutedJoin.BroadcastRowLimit),
+      ("hot-organic", graft.queries.ScaleCatalog.hotKeyCol, 100L),
+      ("uniform-organic", col("user_id") + 1, 100L))
+    val routes = corpora.map { case (tag, key, limit) =>
+      val fact = Tables.events(spark, TestSpark.sf0001)
+        .select(key.as("k"), col("event_id"))
+      val batchStats = RoutedJoin.stats(fact, "k", col("event_id"), dim)
+      val batchRoute = RoutedJoin.choose(batchStats, broadcastRowLimit = limit)
+      val rows = fact.select(col("k").cast("long"), col("event_id").cast("long"))
+        .as[(Long, Long)].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.size / 3)
+      val sinkId = s"route-$tag-${System.nanoTime()}"
+      val sink = new UpsertSink(sinkId, 2) // key = (r, bucket)
+      val input = MemoryStream[(Long, Long)](spark)
+      val q = StreamingQueries.streamingRouteCells(input.toDF().toDF("k", "disc"))
+        .toDF("r", "bucket", "cell")
+        .writeStream.outputMode("update").foreach(sink).start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val cells = Sinks.registry(sinkId).asScala.values
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      Sinks.clear(sinkId)
+      val streamedStats = RoutedJoin.statsFromCells(cells, dimRows)
+      assert(streamedStats == batchStats,
+        s"$tag: streamed Stats diverge from the batch router's")
+      val streamedRoute = RoutedJoin.choose(streamedStats, broadcastRowLimit = limit)
+      assert(streamedRoute == batchRoute, s"$tag: route diverges")
+      streamedRoute
+    }
+    // Not vacuous: the three corpora must not all collapse onto one
+    // route at this sf (the broadcast corpus at least differs).
+    assert(routes.distinct.size >= 2, s"route parity test degenerate: $routes")
+  }
+
+  test("streamed Theil-Sen daily state replays the batch slope bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // The daily-mean aggregate is events_theil_sen's ONLY
+    // corpus-touching stage: stream it as live keyed state (decimal
+    // sums — exact, associative — over exact counts), then run the
+    // factored #days-bounded pairwise-median machinery over the drained
+    // frame. Same rows, same bits, as the batch entry.
+    val want = SparkEntry.queries("events_theil_sen")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no Theil-Sen rows at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"ts-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (event_type, day)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingDailyMeans(input.toDF().toDF(eventCols: _*))
+      .toDF("event_type", "day", "v")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val daily = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toDF("event_type", "day", "v")
+    Sinks.clear(sinkId)
+    val got = graft.queries.PipelineCatalog.theilSenFrom(daily)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed Theil-Sen diverges from the batch entry")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
