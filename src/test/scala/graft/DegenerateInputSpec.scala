@@ -23,10 +23,15 @@ class DegenerateInputSpec extends AnyFunSuite {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   private def fixture(tag: String)(
-      prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String =
+    fixtureByTable(tag)((_, df) => prep(df))
+
+  private def fixtureByTable(tag: String)(
+      prep: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+      : String = {
     val out = java.nio.file.Files.createTempDirectory(s"graft-deg-$tag").toString
     tables.foreach { t =>
-      prep(spark.read.parquet(s"$sf0001/$t.parquet"))
+      prep(t, spark.read.parquet(s"$sf0001/$t.parquet"))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     out
@@ -74,5 +79,37 @@ class DegenerateInputSpec extends AnyFunSuite {
     })
     assert(failures.isEmpty,
       s"${failures.size} entries throw on null-injected input:\n${failures.mkString("\n")}")
+  }
+
+  test("every catalog entry is total with all mass on one key") {
+    // Maximal skew as an operating condition: every row of every table
+    // carries the SAME group/join key — what a 100 TB feed produces when
+    // an upstream default value swallows a column (hotMass 1.0, one
+    // user's sessions, one basket, one language, every keyed window a
+    // single partition). This is the sweep that uniquely exercises the
+    // skew toolkit's degenerate corner: the salt paths, the sketch
+    // router (CM bound reads 1.0), and AQE's skew split all face a
+    // single-key world. Keys collapse to the column's MIN value so
+    // referential integrity survives — the hot key EXISTS in its
+    // dimension, keeping joins populated rather than vacuously empty.
+    val keyCols = Map(
+      "events" -> Seq("user_id", "event_type"),
+      "documents" -> Seq("lang", "source"),
+      "embeddings" -> Seq("label"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus"),
+      "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+      "customer" -> Seq("c_nationkey", "c_mktsegment"),
+      "supplier" -> Seq("s_nationkey"),
+      "part" -> Seq("p_brand", "p_type"),
+      "nation" -> Seq("n_regionkey"))
+    val failures = sweep(fixtureByTable("onekey") { (t, df) =>
+      keyCols.getOrElse(t, Nil).foldLeft(df) { (d, c) =>
+        val v = d.select(min(col(c))).head.get(0)
+        d.withColumn(c, lit(v))
+      }
+    })
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on all-mass-one-key input:\n${failures.mkString("\n")}")
   }
 }
