@@ -527,6 +527,140 @@ object PipelineCatalog {
              HAVING SUM(sign) <> 0
              ORDER BY doc_id, dim"""))
 
+  private[graft] val DsirBuckets = 1024
+
+  /** The corpus as hashed-bigram bucket rows (doc_id, lang, b) — the
+    * DSIR feature stream: bucket = first 8 md5 hex digits of
+    * "ds|" + bigram, mod [[DsirBuckets]] (the engine-portable hex
+    * device shared with the sketch family). */
+  private[graft] def dsirGrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), Text.normTokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), col("lang"),
+      explode(Text.wordNgrams(col("t"), 2)).as("g"))
+    .select(col("doc_id"), col("lang"),
+      pmod(conv(substring(md5(concat(lit("ds|"), col("g"))), 1, 8), 16, 10)
+        .cast("long"), lit(DsirBuckets.toLong)).as("b"))
+
+  /** Both corpus-level bucket histograms in ONE aggregate: cr = raw
+    * (whole-corpus) count, ct = target-subset count (lang = 'en'), per
+    * bucket — ≤ [[DsirBuckets]] output rows regardless of corpus size. */
+  private[graft] def dsirPerBucket(grams: DataFrame): DataFrame = grams
+    .groupBy("b")
+    .agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+
+  /** Bucket weights from the (b, cr, ct) histogram — pure integer
+    * arithmetic end-to-end, shared by the batch entry and the
+    * streamed-cells parity test so the model can never drift: with
+    * ct' = ct+1, cr' = cr+1, T' = t_tot+B, R' = r_tot+B (add-one
+    * smoothing), the signed ratio (p_t − p_r)/(p_t + p_r) equals
+    * (ct'·R' − cr'·T') / (ct'·R' + cr'·T') EXACTLY in integers, and the
+    * stored weight is sign(num) · (10⁴·|num|) div den — scaled-integer
+    * truncation of a nonnegative quotient, identical in both engines,
+    * zero float operations (the log-ratio's TV-style surrogate; same
+    * substitution family as the PMI and BM25-idf surrogates in this
+    * catalog, monotone in the posterior odds a bucket gives the
+    * target). */
+  private[graft] def dsirWeights(perBucket: DataFrame): DataFrame = {
+    val b = lit(DsirBuckets.toLong)
+    val tot = perBucket.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
+    perBucket.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((col("ct") + 1L) * (col("r_tot") + b) -
+          (col("cr") + 1L) * (col("t_tot") + b)).as("num"),
+        ((col("ct") + 1L) * (col("r_tot") + b) +
+          (col("cr") + 1L) * (col("t_tot") + b)).as("den"))
+      .select(col("b"),
+        (when(col("num") < 0L, -1L).otherwise(1L) *
+          expr("(10000 * abs(num)) div den")).as("w"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every document
+    * scored by how much more its hashed-bigram profile looks like a
+    * TARGET distribution (here the lang = 'en' slice — the quality
+    * proxy) than like the raw corpus — the weight that importance
+    * resampling then samples by ([[TrainPrepCatalog]]'s A-ES weighted
+    * sampler is the companion consumer). Bigrams hash into
+    * [[DsirBuckets]] buckets (the hashing trick, as
+    * [[featureHash]]), so the MODEL is two 1024-bin histograms —
+    * broadcast-small forever — and the per-bucket log-ratio is replaced
+    * by the exact-integer TV-style surrogate in [[dsirWeights]] (zero
+    * libm, zero float-order exposure; monotone per bucket in the
+    * log-ratio it stands in for).
+    *
+    * 100 TB shape: one token explode; ONE ≤1024-row corpus aggregate
+    * for both histograms (map-combined — the model build is a free
+    * rider on a scan); per-doc (doc, bucket) cells join the weight
+    * table BROADCAST; one per-doc sum. Nothing quadratic, nothing
+    * driver-side; histogram cells are linear and mergeable, so the
+    * model also maintains live as streamed keyed state
+    * (StreamingQueries.streamingDsirCells — StreamingSpec pins the
+    * drained weight table bit-for-bit). At true 100 TB counts the
+    * integer products approach 2⁶³ (10⁴·|num| ≤ 10⁴·ct'·R'): widen num/
+    * den to DECIMAL(38,0) there; longs are exact at every test sf and
+    * keep the hot path codegen-primitive.
+    *
+    * Determinism: weights and scores are BIGINT sums of BIGINT terms —
+    * order-free; the one closing double division per doc (score /
+    * (n_grams·10⁴)) is correctly rounded from identical operands in
+    * both engines.
+    */
+  /** Per-doc scoring against a weight table — factored so PlanSpec can
+    * pin the interior plan (the entry's own result is checkpoint-
+    * truncated): (doc, bucket) cells, BROADCAST weight join, one
+    * per-doc sum. */
+  private[graft] def dsirScore(grams: DataFrame, w: DataFrame): DataFrame =
+    grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("w")).as("dsir_scaled"))
+      .select(col("doc_id"), col("n_grams"), col("dsir_scaled"),
+        round(col("dsir_scaled").cast("double") /
+          (col("n_grams") * lit(10000.0)), 6).as("dsir_per_gram"))
+      .orderBy("doc_id")
+
+  val dsirWeightsEntry: CatalogEntry = CatalogEntry(
+    "doc_dsir_weights",
+    (s, d) => {
+      val grams = dsirGrams(documents(s, d)).cache()
+      val out = dsirScore(grams, dsirWeights(dsirPerBucket(grams)))
+        .localCheckpoint()
+      grams.unpersist(blocking = false)
+      out
+    },
+    Some {
+      def hex2int(h: String): String =
+        (1 to 8).map(j =>
+          s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+          .mkString("(", " + ", ")")
+      s"""WITH src AS (SELECT doc_id, lang, $normToksSql AS tl FROM documents),
+            grams AS (SELECT doc_id, lang,
+                             ${hex2int("md5('ds|' || g[1] || ' ' || g[2])")} % $DsirBuckets AS b
+                      FROM (SELECT doc_id, lang,
+                                   unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
+                            FROM src WHERE len(tl) >= 2)),
+            cnts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+                            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                     FROM grams GROUP BY b),
+            tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_tot,
+                           CAST(SUM(ct) AS BIGINT) AS t_tot FROM cnts),
+            nd AS (SELECT b,
+                          (ct + 1) * (r_tot + $DsirBuckets) - (cr + 1) * (t_tot + $DsirBuckets) AS num,
+                          (ct + 1) * (r_tot + $DsirBuckets) + (cr + 1) * (t_tot + $DsirBuckets) AS den
+                   FROM cnts CROSS JOIN tot),
+            w AS (SELECT b, (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                            * ((10000 * ABS(num)) // den) AS w FROM nd),
+            cells AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM grams GROUP BY 1, 2)
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(SUM(c * w) AS BIGINT) AS dsir_scaled,
+                 ROUND(CAST(SUM(c * w) AS DOUBLE) / (SUM(c) * 10000.0), 6) AS dsir_per_gram
+          FROM cells JOIN w USING (b)
+          GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenization (letter runs | digit runs | single other-symbol
     * runs — the GPT-2-style split shape). Per-row, no shuffle.
@@ -2334,5 +2468,5 @@ object PipelineCatalog {
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
-      featureHash, docManifest, docNovelty, seasonalDecompose)
+      featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry)
 }

@@ -535,6 +535,39 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming sibling of `doc_dsir_weights`' model build: the two
+    * ≤1024-bin bucket histograms (raw count + target-subset count) as
+    * keyed state — one (Long, Long) per touched bucket, bounded by
+    * DsirBuckets regardless of corpus size. Histogram cells are linear
+    * and mergeable, so the drained (b, cr, ct) rows equal the batch
+    * aggregate bit-for-bit after any arrival order/split, and the pure-
+    * integer weight arithmetic (PipelineCatalog.dsirWeights — ONE
+    * definition shared with the batch entry) yields the identical
+    * weight table (StreamingSpec pins it). Input columns (lang, b) —
+    * the dsirGrams bucket stream. Update mode re-emits a bucket when
+    * either counter grows.
+    */
+  def streamingDsirCells(grams: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import grams.sparkSession.implicits._
+    grams.select(col("b").cast("long"), col("lang").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (b, rows, state) =>
+          val (cr0, ct0) = state.getOption.getOrElse((0L, 0L))
+          var cr = cr0; var ct = ct0
+          rows.foreach { case (_, lang) =>
+            cr += 1L
+            if (lang == "en") ct += 1L
+          }
+          state.update((cr, ct))
+          (b, cr, ct)
+      }
+  }
+
   /** Streaming sibling of `events_theil_sen`'s corpus-touching stage:
     * the (event_type, day) daily-mean frame maintained as a live
     * aggregate — ONE graft.queries.PipelineCatalog.dailyMeans definition

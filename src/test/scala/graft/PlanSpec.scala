@@ -764,4 +764,23 @@ class PlanSpec extends AnyFunSuite {
       !sh.contains("BroadcastHashJoin"),
       s"events_routed_join_shuffle: expected the plain shuffle route\n$sh")
   }
+
+  test("round-14: doc_dsir_weights broadcasts its 1024-bin model; result checkpoint-truncated") {
+    // The DSIR model (bucket weight table) is broadcast-small forever
+    // (≤ DsirBuckets rows), so the per-doc scoring join must be a
+    // BroadcastHashJoin — a shuffled weight join would serialize the
+    // whole corpus's cells through an exchange keyed on 1024 values.
+    import graft.queries.PipelineCatalog
+    val grams = PipelineCatalog.dsirGrams(Tables.documents(spark, sf0001))
+    val interior = PipelineCatalog.dsirScore(grams,
+        PipelineCatalog.dsirWeights(PipelineCatalog.dsirPerBucket(grams)))
+      .queryExecution.executedPlan.toString
+    assert(interior.contains("BroadcastHashJoin"),
+      s"doc_dsir_weights: weight join must broadcast the model\n$interior")
+    assert(!interior.contains("SortMergeJoin"),
+      s"doc_dsir_weights: no sort-merge anywhere in the scoring path\n$interior")
+    val outer = plan("doc_dsir_weights")
+    assert(outer.contains("Scan ExistingRDD"),
+      s"doc_dsir_weights: result no longer checkpoint-truncated\n$outer")
+  }
 }

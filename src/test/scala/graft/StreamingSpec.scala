@@ -587,6 +587,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(routes.distinct.size >= 2, s"route parity test degenerate: $routes")
   }
 
+  test("streamed DSIR histogram cells replay the batch weight table bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    // The DSIR model is two ≤1024-bin histograms — linear, mergeable —
+    // so the drained cell state must reproduce the batch per-bucket
+    // counts exactly, and the shared pure-integer weight arithmetic
+    // then yields the identical weight table.
+    val grams = PipelineCatalog.dsirGrams(Tables.documents(spark, TestSpark.sf0001))
+    val wantCells = PipelineCatalog.dsirPerBucket(grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantW = PipelineCatalog.dsirWeights(PipelineCatalog.dsirPerBucket(grams))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wantW.nonEmpty, "vacuous: no DSIR buckets at sf0.001")
+    val rows = grams.select(col("b"), col("lang")).as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val sinkId = s"dsir-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = bucket
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingDsirCells(input.toDF().toDF("b", "lang"))
+      .toDF("b", "cr", "ct")
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cellRows = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Sinks.clear(sinkId)
+    assert(cellRows.toSet == wantCells,
+      "streamed DSIR cells diverge from the batch histograms")
+    val gotW = PipelineCatalog.dsirWeights(cellRows.toDF("b", "cr", "ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotW == wantW, "streamed DSIR weight table diverges from batch")
+  }
+
   test("streamed Theil-Sen daily state replays the batch slope bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // The daily-mean aggregate is events_theil_sen's ONLY

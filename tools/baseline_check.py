@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Mechanical per-entry perf-drift adjudication against BASELINES.json.
+
+Usage: baseline_check.py <bench_artifact.json> [--baselines BASELINES.json]
+                         [--flag-ratio 1.5] [--improve-ratio 0.67]
+                         [--fail-on-flag]
+
+The recurring tax this retires: raw per-entry seconds swing with host
+weather (r11 events_*, r12-r13 emb_mmr_rerank, r13 tpch_q20 /
+doc_ngram_jaccard_prefix all burned a round of re-adjudication), so a
+bench artifact is compared to a committed baseline-of-record AFTER
+normalizing both sides by their measured host-calibration scalar:
+
+    norm(entry)  = seconds / cal_32t          (per artifact)
+    ratio(entry) = norm(run) / norm(record)
+
+ratio > --flag-ratio    -> FLAG    (re-measure isolated before believing;
+                                    a cleared flag means host noise, an
+                                    uncleared one is a real regression)
+ratio < --improve-ratio -> IMPROVED (candidate new record after an
+                                    isolated confirm)
+otherwise               -> in-band (noise; say nothing per-entry)
+
+Accepted artifact shapes: the driver round wrapper ({"parsed": {...}}),
+the raw Bench JSON line ({"metric": "total", "queries": {...}}), and
+BENCH_FULL.json (same shape, all entries). The wrapper's parsed line
+omits entries below the top-60 cut; absent entries are simply not
+checked.
+
+Exit code: 0 (report-only) unless --fail-on-flag is given, then 1 if
+any entry flags. A record is advisory until re-seeded: after a real,
+intended perf change, reseed the entry's record (min over >=3 runs at
+recorded cal, tools/seed note in BASELINES.json "method") in the same
+commit as the change.
+"""
+import argparse
+import json
+import sys
+
+
+def load_artifact(path: str):
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d or "cal_32t" not in d:
+        raise SystemExit(f"{path}: not a bench artifact (need queries + cal_32t)")
+    return d
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--baselines", default="BASELINES.json")
+    ap.add_argument("--flag-ratio", type=float, default=1.5)
+    ap.add_argument("--improve-ratio", type=float, default=0.67)
+    ap.add_argument("--fail-on-flag", action="store_true")
+    args = ap.parse_args()
+
+    art = load_artifact(args.artifact)
+    with open(args.baselines) as f:
+        base = json.load(f)
+    entries = base["entries"]
+    run_cal = float(art["cal_32t"])
+
+    flagged, improved, unrecorded, checked = [], [], [], 0
+    for name, sec in sorted(art["queries"].items()):
+        rec = entries.get(name)
+        if rec is None:
+            unrecorded.append(name)
+            continue
+        checked += 1
+        norm_run = float(sec) / run_cal
+        norm_rec = float(rec["seconds"]) / float(rec["cal_32t"])
+        ratio = norm_run / norm_rec if norm_rec > 0 else float("inf")
+        row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"))
+        if ratio > args.flag_ratio:
+            flagged.append(row)
+        elif ratio < args.improve_ratio:
+            improved.append(row)
+
+    print(f"artifact: {args.artifact}  cal_32t={run_cal}  "
+          f"entries={len(art['queries'])}  checked={checked}  "
+          f"no-record={len(unrecorded)}")
+    print(f"record:   {args.baselines}  commit={base.get('commit')}  "
+          f"method={base.get('method')}")
+    for tag, rows in (("FLAG", flagged), ("IMPROVED", improved)):
+        for name, sec, rsec, ratio, note in sorted(rows, key=lambda r: -r[3]):
+            line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record={rsec:7.3f}s  "
+                    f"cal-normalized x{ratio:.2f}")
+            if note:
+                line += f"  [{note}]"
+            print(line)
+    if unrecorded:
+        print("no-record (new entries; seed after an isolated min-of-3): "
+              + ", ".join(sorted(unrecorded)))
+    print(f"summary: {len(flagged)} flagged, {len(improved)} improved, "
+          f"{checked - len(flagged) - len(improved)} in-band")
+    return 1 if (args.fail_on_flag and flagged) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
