@@ -445,12 +445,18 @@ object ScaleCatalog {
     * window sort over the vocabulary — Catalyst plans this as
     * ObjectHashAggregate with a partial (map-side) phase, ≤ K values per
     * source per map partition; PlanSpec pins that shape. */
-  private[graft] def kmvSketch(hv: DataFrame): DataFrame = {
-    val topn = udaf(new graft.combine.TopNAgg(KmvK))
-    hv.groupBy("source")
+  private[graft] def kmvSketch(hv: DataFrame): DataFrame =
+    kmvSketchBy(hv, "source", KmvK)
+
+  /** The bounded-heap K-min aggregate keyed by an arbitrary column —
+    * shared by the source-pair overlap sketch (key = source, K = 256)
+    * and the sliding-window distinct sketch (key = day, K = 64). */
+  private[graft] def kmvSketchBy(hv: DataFrame, key: String, k: Int): DataFrame = {
+    val topn = udaf(new graft.combine.TopNAgg(k))
+    hv.groupBy(key)
       .agg(topn((-col("h")).cast("double"), col("h")).as("buf"))
-      .select(col("source"), explode(col("buf.entries")).as("e"))
-      .select(col("source"), col("e.event_id").as("h"))
+      .select(col(key), explode(col("buf.entries")).as("e"))
+      .select(col(key), col("e.event_id").as("h"))
   }
 
   /** The KMV pipeline over any documents-shaped frame — factored out so
@@ -572,6 +578,119 @@ object ScaleCatalog {
           FROM prs p JOIN st ON st.src_a = p.src_a AND st.src_b = p.src_b
                LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
           ORDER BY p.src_a, p.src_b"""))
+
+  /** Sliding-window sketch size. Deliberately smaller than [[KmvK]]:
+    * at the gate sf (~134 distinct users/day, ~150 per 7-day union)
+    * K = 64 keeps the daily sketches TRUNCATED and the (K−1)·SPACE/v_K
+    * estimator branch organically under the hash gate, while sf0.001
+    * (15 users) exercises the under-K exact branch — both code paths
+    * oracle-checked every round. Production sizes K to the wanted RSE
+    * ≈ 1/√(K−2) (≈ 12.7% here; 256 → 6.3%, 4096 → 1.6%). */
+  private[graft] val SlidingK = 64
+  /** Trailing window reach: day−6 … day (7 calendar days). */
+  private val SlidingDays = 6
+
+  /** The sliding pipeline over any events-shaped frame — factored so
+    * the suite can pin the two estimator branches on fixtures. */
+  private[graft] def kmvSlidingFrom(events: DataFrame): DataFrame = {
+    val du = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct().cache()
+    val days = du.select(col("day")).distinct()
+    val hv = du.select(col("day"),
+      conv(substring(md5(concat(lit("kmv|"), col("user_id").cast("string"))), 1, 13),
+        16, 10).cast("long").as("h"))
+    val dsk = kmvSketchBy(hv, "day", SlidingK)
+    // Each daily sketch value serves the windows ENDING on
+    // day … day+SlidingDays; window-end days not present in the data
+    // emit nothing (trailing windows over observed days only).
+    val win = dsk
+      .select(explode(sequence(col("day"), col("day") + SlidingDays)).as("wday"),
+        col("h"))
+      .join(days.select(col("day").as("wday")), Seq("wday"), "left_semi")
+      .distinct()
+    val ranked = win.select(col("wday"), col("h"),
+      row_number().over(Window.partitionBy("wday").orderBy("h")).as("rk"),
+      count(lit(1)).over(Window.partitionBy("wday")).as("merged_n"))
+    val st = ranked.filter(col("rk") <= SlidingK)
+      .groupBy("wday")
+      .agg(max("merged_n").as("merged_n"), max("h").as("vk"))
+    // Exact trailing distinct — the baseline the sketch replaces at
+    // scale, deliberately kept next to the estimate (the countMin /
+    // kmvOverlap measured-estimator pattern).
+    val ex = du
+      .select(explode(sequence(col("day"), col("day") + SlidingDays)).as("wday"),
+        col("user_id"))
+      .join(days.select(col("day").as("wday")), Seq("wday"), "left_semi")
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("exact_users"))
+    val out = st.join(ex, Seq("wday"))
+      .select(col("wday").as("day"), col("exact_users"),
+        round(when(col("merged_n") < SlidingK, col("merged_n").cast("double"))
+          .otherwise(lit((SlidingK - 1).toDouble) * lit(KmvSpace) / col("vk")), 6)
+          .as("kmv_est"))
+      .orderBy("day")
+      .localCheckpoint()
+    du.unpersist(blocking = false)
+    out
+  }
+
+  /** Trailing 7-day distinct users per day from MERGED DAILY KMV
+    * sketches — the no-rescan sliding distinct every monitoring stack
+    * needs at 100 TB: a naive trailing COUNT(DISTINCT) re-touches each
+    * fact row once per window it falls in (7× the corpus, every day),
+    * while the sketch path aggregates each day ONCE into a ≤ K-value
+    * synopsis (bounded-heap ObjectHashAggregate, map-combined — the
+    * [[kmvOverlap]] machinery keyed by day) and every window is then a
+    * merge over ≤ 7·K sketch rows: K smallest of a union of K-min
+    * sketches IS the K-min sketch of the union (Beyer et al. 2007), so
+    * yesterday's sketches are reused verbatim and the incremental cost
+    * of a new day is one daily sketch + one 7·K-row merge. Window
+    * ranks run per window-end day over sketch rows only — never a
+    * global window, never the corpus.
+    *
+    * Output rides the measured-estimator pattern: exact trailing
+    * distinct (the corpus-cost baseline, deliberately kept) next to
+    * the deterministic sketch estimate — md5-hashed 52-bit values, so
+    * the estimate itself is bit-reproducible in DuckDB and sits under
+    * the hash gate, truncated branch and under-K exact branch both
+    * organic across the gate sfs (see [[SlidingK]]). Streaming twin of
+    * the daily stage: the bounded-heap TopNAgg complete-mode replay
+    * already pinned for `doc_sample_per_source` / `doc_weighted_sample`
+    * (StreamingSpec) — same aggregate, keyed by day.
+    */
+  val kmvSliding: CatalogEntry = CatalogEntry(
+    "user_kmv_sliding",
+    (s, d) => kmvSlidingFrom(Tables.events(s, d)),
+    Some(
+      raw"""WITH du AS (SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               user_id
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM du),
+            hv AS (SELECT day,
+                          CAST('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 13)
+                               AS BIGINT) AS h
+                   FROM du),
+            dsk AS (SELECT day, h FROM (
+                      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+                      FROM hv) q WHERE rk <= $SlidingK),
+            win AS (SELECT DISTINCT d.day AS wday, s.h
+                    FROM days d JOIN dsk s ON s.day BETWEEN d.day - $SlidingDays AND d.day),
+            rkd AS (SELECT wday, h,
+                           row_number() OVER (PARTITION BY wday ORDER BY h) AS rk,
+                           COUNT(*) OVER (PARTITION BY wday) AS merged_n
+                    FROM win),
+            st AS (SELECT wday, MAX(merged_n) AS merged_n, MAX(h) AS vk
+                   FROM rkd WHERE rk <= $SlidingK GROUP BY wday),
+            ex AS (SELECT d.day AS wday, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_users
+                   FROM days d JOIN du u ON u.day BETWEEN d.day - $SlidingDays AND d.day
+                   GROUP BY 1)
+          SELECT st.wday AS day, ex.exact_users,
+                 ROUND(CASE WHEN st.merged_n < $SlidingK THEN CAST(st.merged_n AS DOUBLE)
+                            ELSE CAST(${SlidingK - 1} AS DOUBLE)
+                                 * CAST($KmvSpaceSql AS DOUBLE) / st.vk END, 6) AS kmv_est
+          FROM st JOIN ex ON ex.wday = st.wday
+          ORDER BY day"""))
 
   // -------------------------------------------------------------------
   // Count-Min sketch (bounded-memory frequency estimates, linear/mergeable)
@@ -833,6 +952,6 @@ object ScaleCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(heavyHitters, zorderLayout, eventsEwma, eventsEwmaSalted,
-      eventsAutocorrSalted, countMin, kmvOverlap, joinSizeSketch,
+      eventsAutocorrSalted, countMin, kmvOverlap, kmvSliding, joinSizeSketch,
       routedJoinBroadcast, routedJoinHot, routedJoinShuffle)
 }

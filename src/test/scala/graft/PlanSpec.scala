@@ -783,4 +783,33 @@ class PlanSpec extends AnyFunSuite {
     assert(outer.contains("Scan ExistingRDD"),
       s"doc_dsir_weights: result no longer checkpoint-truncated\n$outer")
   }
+
+  test("round-14: user_kmv_sliding sketches days via the bounded heap, never a corpus window") {
+    // The corpus-touching stage must be the ObjectHashAggregate bounded
+    // heap (map-combined, <= K values per day per partition); the
+    // window ranks may only run over the <= 7K-row sketch merge. A
+    // Window whose child scans parquet would mean the corpus is being
+    // rank-sorted per window-end day - the 7x-rescan plan this entry
+    // exists to replace.
+    import graft.queries.ScaleCatalog
+    val interior = ScaleCatalog.kmvSlidingFrom(Tables.events(spark, sf0001))
+    // kmvSlidingFrom checkpoints; rebuild the interior shape up to the
+    // sketch to inspect it.
+    val du = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.expr("unix_timestamp(ts) div 86400").as("day"),
+        org.apache.spark.sql.functions.col("user_id")).distinct()
+    val hv = du.select(org.apache.spark.sql.functions.col("day"),
+      org.apache.spark.sql.functions.expr(
+        "cast(conv(substring(md5(concat('kmv|', cast(user_id as string))), 1, 13), 16, 10) as long)")
+        .as("h"))
+    val sk = ScaleCatalog.kmvSketchBy(hv, "day", ScaleCatalog.SlidingK)
+      .queryExecution.executedPlan.toString
+    assert(sk.contains("ObjectHashAggregate"),
+      s"user_kmv_sliding: daily sketch must be the bounded-heap aggregate\n$sk")
+    assert(!sk.contains("Window"),
+      s"user_kmv_sliding: no window may touch the corpus-side sketch build\n$sk")
+    val outer = interior.queryExecution.executedPlan.toString
+    assert(outer.contains("Scan ExistingRDD"),
+      s"user_kmv_sliding: result no longer checkpoint-truncated\n$outer")
+  }
 }
