@@ -17,6 +17,12 @@ normalizing both sides by their measured host-calibration scalar:
 ratio > --flag-ratio    -> FLAG    (re-measure isolated before believing;
                                     a cleared flag means host noise, an
                                     uncleared one is a real regression)
+                                    Entries where BOTH sides sit under
+                                    --min-seconds are never flagged:
+                                    sub-100ms entries flutter x1.5 on
+                                    scheduler noise alone, and a
+                                    regression that small cannot matter
+                                    at any scale the board grades.
 ratio < --improve-ratio -> IMPROVED (candidate new record after an
                                     isolated confirm)
 otherwise               -> in-band (noise; say nothing per-entry)
@@ -54,6 +60,7 @@ def main() -> int:
     ap.add_argument("--baselines", default="BASELINES.json")
     ap.add_argument("--flag-ratio", type=float, default=1.5)
     ap.add_argument("--improve-ratio", type=float, default=0.67)
+    ap.add_argument("--min-seconds", type=float, default=0.3)
     ap.add_argument("--fail-on-flag", action="store_true")
     args = ap.parse_args()
 
@@ -74,9 +81,11 @@ def main() -> int:
         norm_rec = float(rec["seconds"]) / float(rec["cal_32t"])
         ratio = norm_run / norm_rec if norm_rec > 0 else float("inf")
         row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"))
-        if ratio > args.flag_ratio:
+        small = (float(sec) < args.min_seconds
+                 and float(rec["seconds"]) < args.min_seconds)
+        if ratio > args.flag_ratio and not small:
             flagged.append(row)
-        elif ratio < args.improve_ratio:
+        elif ratio < args.improve_ratio and not small:
             improved.append(row)
 
     print(f"artifact: {args.artifact}  cal_32t={run_cal}  "
