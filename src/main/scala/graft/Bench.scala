@@ -34,8 +34,20 @@ object Bench {
     // Optional focus filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset (each
     // query twice under the warmup pass + timed pass as usual).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val ordered = Catalog.all.map(e => e.name -> e.build)
+    // SPARK_GRAFT_ORDER_SEED=N permutes entry execution order (seeded,
+    // reproducible). Baseline SEEDING runs set it to decorrelate records
+    // from fixed-order adjacency: neighboring entries share cached
+    // lineage/AQE state, so a min recorded under one fixed order is
+    // flattered for entries that happen to follow a cache-warming
+    // neighbor, and any later reordering reads as fake drift (the r14
+    // doc_containment_profile flag). Unset = the stable catalog order.
+    val orderSeed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
+    val baseOrder = Catalog.all.map(e => e.name -> e.build)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val ordered = orderSeed match {
+      case Some(seed) => new scala.util.Random(seed).shuffle(baseOrder)
+      case None => baseOrder
+    }
     if (ordered.isEmpty) {
       // A typo'd SPARK_GRAFT_ONLY must not produce a vacuous ok:true run.
       System.err.println(
@@ -155,21 +167,27 @@ object Bench {
     // BENCH_FULL.json (committed to the repo, judge-readable), and the
     // printed line carries the total plus the slowest entries — the ones
     // that dominate the total — trimmed to fit the tail window.
+    val seedField = orderSeed.map(s => s""""order_seed":$s,""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","cal_1t":$cal1t,"cal_32t":$cal32t,"cal_mem":$calMem,"queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$seedField"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_mem":$calMem,"queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — never let them
-    // clobber the committed full-catalog artifact.
+    // clobber the committed full-catalog artifact. Seeded-order runs are
+    // baseline-seeding inputs, not the canonical artifact: they land in
+    // BENCH_FULL_seed<N>.json (uncommitted) so the committed
+    // BENCH_FULL.json always reflects the stable catalog order.
+    val artifactPath = orderSeed
+      .map(s => s"BENCH_FULL_seed$s.json").getOrElse("BENCH_FULL.json")
     if (only.isEmpty) {
       // stdout line below is the contract; a failed artifact write must
       // not kill the run, but it must be VISIBLE — a silently-stale
       // committed BENCH_FULL.json points readers at outdated numbers.
       // NonFatal only: OOM/interrupt propagate.
       try {
-        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        val w = new java.io.PrintWriter(artifactPath, "UTF-8")
         try w.println(fullLine) finally w.close()
       } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"WARN: BENCH_FULL.json not updated (${e.getMessage}); " +
+          System.err.println(s"WARN: $artifactPath not updated (${e.getMessage}); " +
             "the committed artifact is stale — trust the stdout line")
       }
     }
@@ -186,7 +204,7 @@ object Bench {
     // Budget the line at 1800 chars: fits the tail window together with
     // sbt's trailing "[success] ..." line.
     val fixed =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_mem":$calMem,"full":"BENCH_FULL.json","sf":${jstr(sfDir)},"errors":$errsCompact,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_mem":$calMem,"full":${jstr(artifactPath)},"sf":${jstr(sfDir)},"errors":$errsCompact,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
     val room = 1800 - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -27,13 +27,19 @@ object JoinSizeSketch {
       16, 10).cast("long"), lit(Width.toLong))
 
   /** JVM mirror of [[bucketCol]]: first 4 md5 bytes of "r|k" are
-    * exactly the first 8 hex digits Spark's substring takes. */
-  def bucket(r: Int, k: Long): Long = {
+    * exactly the first 8 hex digits Spark's substring takes. The key is
+    * its STRING form — the same decimal-text contract as `bucketCol`'s
+    * cast("string"), so any atomic key type buckets identically here,
+    * in the Column form, and in the generated oracle. */
+  def bucket(r: Int, k: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val b4 = md.digest(s"$r|$k".getBytes("UTF-8")).take(4)
     val v = b4.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
     v % Width
   }
+
+  /** Long-key convenience: s"$k" IS the decimal text `bucketCol` hashes. */
+  def bucket(r: Int, k: Long): Long = bucket(r, k.toString)
 
   /** Inner-product estimate from two materialized cell maps
     * ((row, bucket) → sum): min over rows of Σ_bucket cellA·cellB —

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *  1. '''broadcast''' — if the dimension is small enough to replicate,
   *     nothing else matters: the fact side never shuffles and skew is
   *     irrelevant (every executor owns the whole build side). The gate
-  *     here is a row count; in production it is the byte-based
-  *     `autoBroadcastJoinThreshold` read free from file statistics.
+  *     is BYTES (estimated in the same dim pass as the row count — see
+  *     [[dimStats]]; production reads it free from file statistics)
+  *     with the row ceiling kept as guard and as the fallback when no
+  *     byte estimate exists (the streamed-cells form).
   *  2. '''salted''' — the dimension must shuffle, so fact-side key skew
   *     now matters: a hot key sends its whole mass to one reducer. The
   *     hot-key mass is estimated from a Count-Min sketch over a
@@ -56,16 +58,40 @@ object RoutedJoin {
   val Salt = 8
   /** Hot-key mass fraction above which the salted route wins. */
   val HotMassThreshold = 0.2
-  /** Default dimension row ceiling for the broadcast route. Stands in
-    * for the byte-based broadcast threshold (~10 MB at Spark defaults);
-    * catalog entries narrow it where the demo corpus is small. */
+  /** Dimension row ceiling for the broadcast route — the fallback gate
+    * when no byte estimate is available (streamed cell state carries no
+    * dim measurement), and a guard against pathological row counts even
+    * when one is; catalog entries narrow it where the demo corpus is
+    * small. */
   val BroadcastRowLimit = 1000000L
+  /** Dimension byte ceiling for the broadcast route — the gate a
+    * production planner actually uses (Spark's
+    * `autoBroadcastJoinThreshold` default, 10 MB): a million narrow
+    * rows broadcast fine while the same count of wide blob rows would
+    * OOM every executor, so rows alone is the wrong unit. */
+  val BroadcastByteLimit = 10L << 20
 
   /** The router's inputs: sampled fact-row mass, the CM upper bound on
-    * the heaviest key's sampled mass, and the dimension row count. */
-  final case class Stats(sampledRows: Long, hotEst: Long, dimRows: Long) {
+    * the heaviest key's sampled mass, and the dimension row count plus
+    * estimated serialized bytes (−1 = unmeasured → row gate only). */
+  final case class Stats(sampledRows: Long, hotEst: Long, dimRows: Long,
+      dimBytes: Long = -1L) {
     def hotMass: Double =
       if (sampledRows == 0L) 0.0 else hotEst.toDouble / sampledRows
+  }
+
+  /** Dimension row count + estimated serialized bytes in ONE pass:
+    * sum(length(to_json(row))) — JSON framing over-counts vs Tungsten
+    * rows, which errs in the safe direction (never broadcasts something
+    * bigger than estimated). In production both numbers come free from
+    * file statistics; this measured form is for dims that are already
+    * derived frames. Shared by the batch router and the streaming
+    * parity tests so Stats equality stays meaningful. */
+  def dimStats(dim: DataFrame): (Long, Long) = {
+    val row = dim.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(to_json(struct(dim.columns.toIndexedSeq.map(col): _*)))), lit(0L))
+        .as("bytes")).head()
+    (row.getLong(0), row.getLong(1))
   }
 
   /** Measure the routing statistics: CM cells over a 1/[[SampleMod]]
@@ -98,7 +124,8 @@ object RoutedJoin {
       .collect()
       .map(row => (row.getInt(0), (row.getLong(1), row.getLong(2))))
       .toMap
-    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dim.count())
+    val (dimRows, dimBytes) = dimStats(dim)
+    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dimRows, dimBytes)
   }
 
   // Every sampled row lands in exactly one bucket of every sketch row,
@@ -119,17 +146,24 @@ object RoutedJoin {
     * equal the batch sampled aggregate bit-for-bit, and the route chosen
     * from a live stream equals the batch route on the same corpus
     * (StreamingSpec pins this for all three organic corpora). */
-  def statsFromCells(cells: Map[(Int, Long), Long], dimRows: Long): Stats = {
+  def statsFromCells(cells: Map[(Int, Long), Long], dimRows: Long,
+      dimBytes: Long = -1L): Stats = {
     val perRow = cells.groupBy(_._1._1).map { case (r, cs) =>
       r -> (cs.valuesIterator.foldLeft(0L)(math.max), cs.valuesIterator.sum)
     }
-    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dimRows)
+    Stats(totalFromPerRow(perRow), hotEstFromPerRow(perRow), dimRows, dimBytes)
   }
 
-  /** Route choice from measured stats — pure, unit-testable. */
+  /** Route choice from measured stats — pure, unit-testable. Broadcast
+    * requires the dim under the ROW limit and, when a byte estimate is
+    * present, under the BYTE limit too (the production-shaped gate: see
+    * [[BroadcastByteLimit]]); unmeasured bytes (−1, the streamed-cells
+    * form) degrade to the row gate alone. */
   def choose(st: Stats, hotMassThreshold: Double = HotMassThreshold,
-      broadcastRowLimit: Long = BroadcastRowLimit): Route =
-    if (st.dimRows <= broadcastRowLimit) BroadcastRoute
+      broadcastRowLimit: Long = BroadcastRowLimit,
+      broadcastByteLimit: Long = BroadcastByteLimit): Route =
+    if (st.dimRows <= broadcastRowLimit &&
+        (st.dimBytes < 0L || st.dimBytes <= broadcastByteLimit)) BroadcastRoute
     else if (st.hotMass > hotMassThreshold) SaltedRoute
     else ShuffleRoute
 
@@ -142,9 +176,10 @@ object RoutedJoin {
   def join(fact: DataFrame, factKey: String, discriminator: Column,
       dim: DataFrame, dimKey: String,
       hotMassThreshold: Double = HotMassThreshold,
-      broadcastRowLimit: Long = BroadcastRowLimit): (DataFrame, Route) = {
+      broadcastRowLimit: Long = BroadcastRowLimit,
+      broadcastByteLimit: Long = BroadcastByteLimit): (DataFrame, Route) = {
     val route = choose(stats(fact, factKey, discriminator, dim),
-      hotMassThreshold, broadcastRowLimit)
+      hotMassThreshold, broadcastRowLimit, broadcastByteLimit)
     val joined = route match {
       case BroadcastRoute =>
         fact.join(broadcast(dim), fact(factKey) === dim(dimKey))

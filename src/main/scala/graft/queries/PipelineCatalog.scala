@@ -562,6 +562,16 @@ object PipelineCatalog {
     * substitution family as the PMI and BM25-idf surrogates in this
     * catalog, monotone in the posterior odds a bucket gives the
     * target). */
+  /** Long-safe ceiling for [[dsirWeights]]' scaled-integer division:
+    * the final product 10⁴·|num| must fit a signed 64-bit long, and
+    * |num| ≤ den, so den ≤ Long.MaxValue/10⁴ keeps every intermediate
+    * exact. den = ct'·R' + cr'·T' grows with corpus size CONTINUOUSLY
+    * (each addend < den), so a growing corpus crosses this boundary —
+    * and trips the in-plan guard below — long before the raw products
+    * could wrap 2⁶³ undetected. Shared with DsirSpec's boundary
+    * property so code and test can't drift. */
+  private[graft] val DsirLongSafeDen: Long = Long.MaxValue / 10000L
+
   private[graft] def dsirWeights(perBucket: DataFrame): DataFrame = {
     val b = lit(DsirBuckets.toLong)
     val tot = perBucket.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
@@ -572,8 +582,19 @@ object PipelineCatalog {
         ((col("ct") + 1L) * (col("r_tot") + b) +
           (col("cr") + 1L) * (col("t_tot") + b)).as("den"))
       .select(col("b"),
-        (when(col("num") < 0L, -1L).otherwise(1L) *
-          expr("(10000 * abs(num)) div den")).as("w"))
+        // Overflow guard as part of the RESULT expression (a detached
+        // assert column would be pruned): past [[DsirLongSafeDen]] —
+        // true-100-TB gram counts — the long path must fail loudly with
+        // the remediation named, never flip weight signs silently.
+        // den < 0 additionally catches a wrapped product (den is a sum
+        // of positive products, so a negative reading IS an overflow).
+        when(col("den") > lit(DsirLongSafeDen) || col("den") < 0L,
+          raise_error(concat(
+            lit(s"dsirWeights: den exceeds the long-safe boundary $DsirLongSafeDen " +
+              "(10^4*|num| would overflow 2^63): widen num/den to DECIMAL(38,0); den="),
+            col("den").cast("string"))).cast("long"))
+          .otherwise(when(col("num") < 0L, -1L).otherwise(1L) *
+            expr("(10000 * abs(num)) div den")).as("w"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -598,9 +619,12 @@ object PipelineCatalog {
     * model also maintains live as streamed keyed state
     * (StreamingQueries.streamingDsirCells — StreamingSpec pins the
     * drained weight table bit-for-bit). At true 100 TB counts the
-    * integer products approach 2⁶³ (10⁴·|num| ≤ 10⁴·ct'·R'): widen num/
-    * den to DECIMAL(38,0) there; longs are exact at every test sf and
-    * keep the hot path codegen-primitive.
+    * integer products approach 2⁶³ (10⁴·|num| ≤ 10⁴·den): the in-plan
+    * guard in [[dsirWeights]] fails loudly at [[DsirLongSafeDen]] with
+    * the remediation named (widen num/den to DECIMAL(38,0)); DsirSpec's
+    * boundary property drives synthetic histograms to within 1e-6 of
+    * the envelope and pins the long path BigInt-exact there. Longs are
+    * exact at every test sf and keep the hot path codegen-primitive.
     *
     * Determinism: weights and scores are BIGINT sums of BIGINT terms —
     * order-free; the one closing double division per doc (score /

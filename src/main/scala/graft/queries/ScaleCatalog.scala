@@ -590,17 +590,27 @@ object ScaleCatalog {
   /** Trailing window reach: day−6 … day (7 calendar days). */
   private val SlidingDays = 6
 
-  /** The sliding pipeline over any events-shaped frame — factored so
-    * the suite can pin the two estimator branches on fixtures. */
-  private[graft] def kmvSlidingFrom(events: DataFrame): DataFrame = {
-    val du = events
-      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
-      .distinct().cache()
-    val days = du.select(col("day")).distinct()
-    val hv = du.select(col("day"),
+  /** (day, user_id) distinct pairs — the sliding pipeline's one
+    * corpus-touching projection, shared by the sketch and exact legs. */
+  private[graft] def kmvDayUsers(events: DataFrame): DataFrame = events
+    .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+    .distinct()
+
+  /** (day, h) 52-bit kmv hash values over the distinct pairs — the
+    * daily sketch's input stream. */
+  private[graft] def kmvDailyHashes(du: DataFrame): DataFrame =
+    du.select(col("day"),
       conv(substring(md5(concat(lit("kmv|"), col("user_id").cast("string"))), 1, 13),
         16, 10).cast("long").as("h"))
-    val dsk = kmvSketchBy(hv, "day", SlidingK)
+
+  /** Merge + estimate from a MATERIALIZED (day, h) daily-sketch frame
+    * plus the distinct (day, user) pairs (exact baseline) — factored so
+    * the streaming pin can drain the live daily-sketch state and replay
+    * this corpus-independent stage on it bit-for-bit (every input here
+    * is sketch-sized or day-keyed; the corpus was left behind at the
+    * daily aggregate). */
+  private[graft] def kmvSlidingFromSketch(dsk: DataFrame, du: DataFrame): DataFrame = {
+    val days = du.select(col("day")).distinct()
     // Each daily sketch value serves the windows ENDING on
     // day … day+SlidingDays; window-end days not present in the data
     // emit nothing (trailing windows over observed days only).
@@ -624,12 +634,20 @@ object ScaleCatalog {
       .join(days.select(col("day").as("wday")), Seq("wday"), "left_semi")
       .distinct()
       .groupBy("wday").agg(count(lit(1)).as("exact_users"))
-    val out = st.join(ex, Seq("wday"))
+    st.join(ex, Seq("wday"))
       .select(col("wday").as("day"), col("exact_users"),
         round(when(col("merged_n") < SlidingK, col("merged_n").cast("double"))
           .otherwise(lit((SlidingK - 1).toDouble) * lit(KmvSpace) / col("vk")), 6)
           .as("kmv_est"))
       .orderBy("day")
+  }
+
+  /** The sliding pipeline over any events-shaped frame — factored so
+    * the suite can pin the two estimator branches on fixtures. */
+  private[graft] def kmvSlidingFrom(events: DataFrame): DataFrame = {
+    val du = kmvDayUsers(events).cache()
+    val out = kmvSlidingFromSketch(
+        kmvSketchBy(kmvDailyHashes(du), "day", SlidingK), du)
       .localCheckpoint()
     du.unpersist(blocking = false)
     out
@@ -655,9 +673,11 @@ object ScaleCatalog {
     * the estimate itself is bit-reproducible in DuckDB and sits under
     * the hash gate, truncated branch and under-K exact branch both
     * organic across the gate sfs (see [[SlidingK]]). Streaming twin of
-    * the daily stage: the bounded-heap TopNAgg complete-mode replay
-    * already pinned for `doc_sample_per_source` / `doc_weighted_sample`
-    * (StreamingSpec) — same aggregate, keyed by day.
+    * the daily stage: the SAME [[kmvSketchBy]] bounded-heap aggregate
+    * runs unchanged as a complete-mode streaming query keyed by day,
+    * and [[kmvSlidingFromSketch]] over the drained state replays this
+    * entry bit-for-bit (StreamingSpec pins it — estimate column
+    * included, since the merge is deterministic in the sketch rows).
     */
   val kmvSliding: CatalogEntry = CatalogEntry(
     "user_kmv_sliding",
@@ -899,9 +919,10 @@ object ScaleCatalog {
         GROUP BY c_mktsegment"""
 
   /** Sketch-routed join, BROADCAST route organic: [[graft.operators.RoutedJoin]]
-    * measures a Count-Min hot-key bound over a 1/16 fact sample plus the
-    * dimension row count, then picks the plan — here the dimension
-    * (customer) sits under the broadcast ceiling, so the fact side never
+    * measures a Count-Min hot-key bound over a 1/16 fact sample plus a
+    * one-pass dimension rows+bytes estimate, then picks the plan — here
+    * the dimension (customer) sits under both broadcast ceilings (row
+    * guard and the production-shaped 10 MB byte gate), so the fact side never
     * shuffles for the join and skew is moot. This is round 12's join-size
     * sketch (`lineitem_join_size_sketch`) closed into the decision it was
     * built to inform. The oracle is route-independent (all three routes
@@ -911,8 +932,9 @@ object ScaleCatalog {
     *
     * 100 TB shape: the decision costs one bounded-output sampled
     * aggregate (≤ depth×width cells regardless of key cardinality) and a
-    * dim count that file statistics give for free — orders of magnitude
-    * cheaper than ONE wrong shuffle of the fact table.
+    * one-pass dim rows+bytes estimate that file statistics give for
+    * free — orders of magnitude cheaper than ONE wrong shuffle of the
+    * fact table.
     */
   val routedJoinBroadcast: CatalogEntry = CatalogEntry(
     "events_routed_join",

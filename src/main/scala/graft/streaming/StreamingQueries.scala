@@ -503,7 +503,7 @@ object StreamingQueries {
     * router's sampled Count-Min cells maintained LIVE as keyed state, so
     * a long-running pipeline can re-decide its join topology from the
     * stream instead of re-scanning the fact table. Input columns
-    * (k: long, disc): the SAME deterministic 1/SampleMod hash-sample
+    * (k: any atomic type, disc): the SAME deterministic 1/SampleMod hash-sample
     * filter on the discriminator as the batch router, the same
     * [[graft.operators.JoinSizeSketch]] md5 hash family (long keys hash
     * by decimal text on both sides — the one-definition contract), one
@@ -523,7 +523,11 @@ object StreamingQueries {
     import graft.operators.{JoinSizeSketch, RoutedJoin}
     fact
       .filter(pmod(xxhash64(col("disc")), lit(RoutedJoin.SampleMod.toLong)) === 0L)
-      .select(col("k").cast("long")).as[Long]
+      // String form, NOT a long cast: the batch router's bucketCol hashes
+      // the key's decimal/string text, and a long cast here would null
+      // out string keys and silently collapse the sketch onto one bucket
+      // — cast("string") keeps every atomic key type on the one contract.
+      .select(col("k").cast("string")).as[String]
       .flatMap(k => (0 until JoinSizeSketch.Depth)
         .map(r => (r, JoinSizeSketch.bucket(r, k))))
       .groupByKey(identity)

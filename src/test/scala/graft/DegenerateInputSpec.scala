@@ -106,7 +106,10 @@ class DegenerateInputSpec extends AnyFunSuite {
     val failures = sweep(fixtureByTable("onekey") { (t, df) =>
       keyCols.getOrElse(t, Nil).foldLeft(df) { (d, c) =>
         val v = d.select(min(col(c))).head.get(0)
-        d.withColumn(c, lit(v))
+        // Cast back to the column's declared type: an all-null column at
+        // this sf would otherwise make lit(v) NullType and silently
+        // rewrite the schema — degrade to the null-injection case instead.
+        d.withColumn(c, lit(v).cast(d.schema(c).dataType))
       }
     })
     assert(failures.isEmpty,

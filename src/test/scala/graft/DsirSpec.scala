@@ -38,6 +38,49 @@ class DsirSpec extends AnyFunSuite {
       s"sign convention broken at the extremes: $ws")
   }
 
+  test("long path is BigInt-exact at the 2^63 envelope and trips loudly past it") {
+    // The r14 verdict's prose-only caveat turned into code: dsirWeights'
+    // products must stay exact longs right up to the documented boundary
+    // (den <= DsirLongSafeDen = 2^63/10^4, the largest den for which
+    // 10^4*|num| cannot overflow), and a corpus past it must FAIL with
+    // the remediation named — a silent wrap would flip weight signs.
+    val bound = PipelineCatalog.DsirLongSafeDen
+    val B = BigInt(1024)
+    def bigWeights(rows: Seq[(Long, Long, Long)]): (Map[Long, BigInt], BigInt) = {
+      val rtot = BigInt(rows.map(_._2).sum); val ttot = BigInt(rows.map(_._3).sum)
+      var maxDen = BigInt(0)
+      val ws = rows.map { case (b, cr, ct) =>
+        val num = (BigInt(ct) + 1) * (rtot + B) - (BigInt(cr) + 1) * (ttot + B)
+        val den = (BigInt(ct) + 1) * (rtot + B) + (BigInt(cr) + 1) * (ttot + B)
+        maxDen = maxDen.max(den)
+        b -> (num.signum * ((BigInt(10000) * num.abs) / den))
+      }.toMap
+      (ws, maxDen)
+    }
+    // Drive den to within 1e-6 of the envelope: cr = 37194469 with
+    // ct = cr/3 gives den ~ (2/3)*cr^2 = 0.9999994*bound for the hot
+    // bucket (asserted below so the fixture can't drift off the
+    // boundary).
+    val cr = 37194469L
+    val near = Seq((0L, cr, cr / 3L), (1L, 7L, 2L))
+    val (want, maxDen) = bigWeights(near)
+    assert(maxDen <= BigInt(bound) && maxDen > BigInt(bound) * 99 / 100,
+      s"fixture drifted off the envelope: den=$maxDen vs bound=$bound")
+    assert(want.values.forall(w => w.isValidLong),
+      "expected weights must themselves fit longs")
+    assert(weightsOf(near) == want.map { case (k, v) => k -> v.toLong },
+      "long path diverges from BigInt-exact arithmetic at the envelope")
+    // Just past the boundary: the guard must trip with the remediation
+    // named, not return a wrapped sign.
+    val over = Seq((0L, cr + 300000L, (cr + 300000L) / 3L), (1L, 7L, 2L))
+    assert(bigWeights(over)._2 > BigInt(bound), "overflow fixture not past the boundary")
+    val ex = intercept[Throwable] { weightsOf(over) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("long-safe boundary")),
+      s"guard did not trip with the documented message: ${messages(ex).mkString(" | ")}")
+  }
+
   test("per-doc scoring composes cells with the weight table") {
     val w = weightsOf(Seq((0L, 3L, 3L), (1L, 5L, 1L)))
     val grams = Seq(("x", 0L), ("x", 0L), ("x", 1L))

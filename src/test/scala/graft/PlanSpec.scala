@@ -11,8 +11,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import TestSpark.{sf0001, spark}
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // A plan-only consumer never materializes or unpersists the interior
+    // caches a lazy entry registers at build time, so back-to-back
+    // builds re-register shared lineages (the bigram index feeds several
+    // near-dup entries) — the CacheManager "already cached" spam the r14
+    // verdict called out — and eager builds leave checkpoint blocks
+    // behind. Tear both layers down per build, like the harness mains.
+    SessionHygiene.dropEntryState(spark)
+    p
+  }
 
   private def countOf(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -336,6 +345,7 @@ class PlanSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val errs = graft.operators.PlanLint.errors(
         SparkEntry.queries(q)(TestSpark.spark, sf0001))
+      SessionHygiene.dropEntryState(spark) // plan-only build; see plan()
       if (errs.nonEmpty) Some(q -> errs.map(f => s"${f.rule}: ${f.detail}")) else None
     }
     assert(offenders.isEmpty,
@@ -793,15 +803,10 @@ class PlanSpec extends AnyFunSuite {
     // exists to replace.
     import graft.queries.ScaleCatalog
     val interior = ScaleCatalog.kmvSlidingFrom(Tables.events(spark, sf0001))
-    // kmvSlidingFrom checkpoints; rebuild the interior shape up to the
-    // sketch to inspect it.
-    val du = Tables.events(spark, sf0001)
-      .select(org.apache.spark.sql.functions.expr("unix_timestamp(ts) div 86400").as("day"),
-        org.apache.spark.sql.functions.col("user_id")).distinct()
-    val hv = du.select(org.apache.spark.sql.functions.col("day"),
-      org.apache.spark.sql.functions.expr(
-        "cast(conv(substring(md5(concat('kmv|', cast(user_id as string))), 1, 13), 16, 10) as long)")
-        .as("h"))
+    // kmvSlidingFrom checkpoints; inspect the interior up to the sketch
+    // via the factored stage builders (the r15 streaming pin's seams).
+    val hv = ScaleCatalog.kmvDailyHashes(
+      ScaleCatalog.kmvDayUsers(Tables.events(spark, sf0001)))
     val sk = ScaleCatalog.kmvSketchBy(hv, "day", ScaleCatalog.SlidingK)
       .queryExecution.executedPlan.toString
     assert(sk.contains("ObjectHashAggregate"),

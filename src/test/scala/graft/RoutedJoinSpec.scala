@@ -85,6 +85,25 @@ class RoutedJoinSpec extends AnyFunSuite {
     assert(RoutedJoin.choose(st, broadcastRowLimit = 10) == ShuffleRoute)
   }
 
+  test("choose: the byte gate vetoes broadcast for wide rows the row gate would pass") {
+    // The production-shaped gate (r14 task #6): a dim can clear any row
+    // ceiling and still be unbroadcastable — few rows, fat payloads.
+    val fatDim = (1L to 100L).map(i => (i, "x" * 2048)).toDF("c_custkey", "payload")
+    val (rows, bytes) = RoutedJoin.dimStats(fatDim)
+    assert(rows == 100L && bytes > 100L * 2048L,
+      s"byte estimate must at least cover the payload: rows=$rows bytes=$bytes")
+    val st = RoutedJoin.stats(hotFact, "k", col("event_id"), fatDim)
+    assert(st.dimBytes == bytes, "stats must carry the one-pass byte estimate")
+    // Under a 50 KB byte ceiling the 100-row dim must NOT broadcast; the
+    // hot fact then salts — the byte gate hands off down the ladder.
+    assert(RoutedJoin.choose(st, broadcastByteLimit = 50000L) == SaltedRoute)
+    // Same stats, production 10 MB ceiling: broadcast (rows AND bytes ok).
+    assert(RoutedJoin.choose(st) == BroadcastRoute)
+    // Unmeasured bytes (streamed-cells form) degrade to the row gate.
+    assert(RoutedJoin.choose(st.copy(dimBytes = -1L), broadcastByteLimit = 1L)
+      == BroadcastRoute)
+  }
+
   test("all three routes return the identical join result") {
     def agg(route: RoutedJoin.Route, limit: Long, threshold: Double) = {
       val (joined, taken) = RoutedJoin.join(hotFact, "k", col("event_id"),

@@ -547,7 +547,10 @@ class StreamingSpec extends AnyFunSuite {
     // bit-for-bit).
     val dim = Tables.load(spark, TestSpark.sf0001, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val dimRows = dim.count()
+    // The dim-side measurement is not part of the streamed cell state —
+    // both sides read the SAME one-pass rows+bytes estimate, so Stats
+    // equality below pins exactly the sketch-derived fields.
+    val (dimRows, dimBytes) = RoutedJoin.dimStats(dim)
     val corpora = Seq(
       ("broadcast-organic", col("user_id") + 1, RoutedJoin.BroadcastRowLimit),
       ("hot-organic", graft.queries.ScaleCatalog.hotKeyCol, 100L),
@@ -575,7 +578,7 @@ class StreamingSpec extends AnyFunSuite {
       val cells = Sinks.registry(sinkId).asScala.values
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
       Sinks.clear(sinkId)
-      val streamedStats = RoutedJoin.statsFromCells(cells, dimRows)
+      val streamedStats = RoutedJoin.statsFromCells(cells, dimRows, dimBytes)
       assert(streamedStats == batchStats,
         s"$tag: streamed Stats diverge from the batch router's")
       val streamedRoute = RoutedJoin.choose(streamedStats, broadcastRowLimit = limit)
@@ -585,6 +588,35 @@ class StreamingSpec extends AnyFunSuite {
     // Not vacuous: the three corpora must not all collapse onto one
     // route at this sf (the broadcast corpus at least differs).
     assert(routes.distinct.size >= 2, s"route parity test degenerate: $routes")
+
+    // STRING-keyed corpus: the batch router never casts the key (bucketCol
+    // hashes its string form), so the streaming sibling must accept the
+    // same atomic key types — a long cast here would null string keys and
+    // collapse the sketch onto one bucket (the r14 advice finding).
+    val sFact = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type").as("k"), col("event_id"))
+    val sBatch = RoutedJoin.stats(sFact, "k", col("event_id"), dim)
+    assert(sBatch.hotEst > 0L, "vacuous: string-key sample hit no rows")
+    val sRows = sFact.select(col("k"), col("event_id").cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val (s1, s2) = sRows.splitAt(sRows.size / 3)
+    val sSinkId = s"route-str-${System.nanoTime()}"
+    val sSink = new UpsertSink(sSinkId, 2)
+    val sInput = MemoryStream[(String, Long)](spark)
+    val sq = StreamingQueries.streamingRouteCells(sInput.toDF().toDF("k", "disc"))
+      .toDF("r", "bucket", "cell")
+      .writeStream.outputMode("update").foreach(sSink).start()
+    try {
+      sInput.addData(s1: _*)
+      sq.processAllAvailable()
+      sInput.addData(s2: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val sCells = Sinks.registry(sSinkId).asScala.values
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Sinks.clear(sSinkId)
+    assert(RoutedJoin.statsFromCells(sCells, dimRows, dimBytes) == sBatch,
+      "string-keyed streamed Stats diverge from the batch router's")
   }
 
   test("streamed DSIR histogram cells replay the batch weight table bit-for-bit") {
@@ -1254,6 +1286,45 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got == want, "streamed KMV sketch diverges from the batch sketch")
     } finally q.stop()
+  }
+
+  test("daily KMV sketch streams: drained day-keyed state replays user_kmv_sliding") {
+    // user_kmv_sliding's ONLY corpus-touching stage is the per-day
+    // bounded-heap sketch (kmvSketchBy keyed by day). Run that SAME
+    // aggregate as a complete-mode streaming query over the (day, h)
+    // hash stream, drain the ≤K-per-day state, and replay the factored
+    // merge/estimator (kmvSlidingFromSketch) on it: the result — the
+    // kmv_est column included, since the merged estimate is a
+    // deterministic function of the sketch rows — must equal the batch
+    // entry bit-for-bit on sf0.001 (the under-K exact branch at this sf).
+    import org.apache.spark.sql.functions.col
+    import graft.queries.ScaleCatalog
+    val want = SparkEntry.queries("user_kmv_sliding")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no sliding-window rows at sf0.001")
+    val du = ScaleCatalog.kmvDayUsers(Tables.events(spark, TestSpark.sf0001)).cache()
+    val hv = ScaleCatalog.kmvDailyHashes(du)
+      .select(col("day"), col("h")).as[(Long, Long)].collect().toSeq
+    val (b1, b2) = hv.splitAt(hv.size / 2)
+    val input = MemoryStream[(Long, Long)](spark)
+    val qn = s"kmvday_${System.nanoTime()}"
+    val q = ScaleCatalog.kmvSketchBy(
+        input.toDF().toDF("day", "h"), "day", ScaleCatalog.SlidingK)
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val dsk = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("day", "h")
+      val got = ScaleCatalog.kmvSlidingFromSketch(dsk, du)
+        .collect().map(_.toSeq.toList).toSet
+      assert(got == want, "streamed daily KMV sketch diverges from the batch entry")
+    } finally {
+      q.stop()
+      du.unpersist(blocking = false)
+    }
   }
 
   test("A-ES weighted sample streams: the reservoir IS the aggregation buffer") {

@@ -14,15 +14,25 @@ normalizing both sides by their measured host-calibration scalar:
     norm(entry)  = seconds / cal_32t          (per artifact)
     ratio(entry) = norm(run) / norm(record)
 
+The record side prefers `median_norm` (median of cal-normalized
+seconds across order-shuffled seeding runs — robust to one lucky min
+and to cache/AQE adjacency, the r14 doc_containment_profile lesson);
+legacy records without it fall back to seconds/cal_32t of the min run.
+The min-seconds run is still printed for context.
+
 ratio > --flag-ratio    -> FLAG    (re-measure isolated before believing;
                                     a cleared flag means host noise, an
                                     uncleared one is a real regression)
                                     Entries where BOTH sides sit under
-                                    --min-seconds are never flagged:
-                                    sub-100ms entries flutter x1.5 on
-                                    scheduler noise alone, and a
-                                    regression that small cannot matter
-                                    at any scale the board grades.
+                                    --min-seconds are never flagged: tiny
+                                    entries flutter x1.5 on scheduler
+                                    noise alone, and a regression that
+                                    small cannot matter at any scale the
+                                    board grades. The floor compares
+                                    CAL-NORMALIZED values (host-stable:
+                                    raw seconds would let an entry
+                                    straddle the threshold across hosts
+                                    with different cal scalars).
 ratio < --improve-ratio -> IMPROVED (candidate new record after an
                                     isolated confirm)
 otherwise               -> in-band (noise; say nothing per-entry)
@@ -35,9 +45,8 @@ checked.
 
 Exit code: 0 (report-only) unless --fail-on-flag is given, then 1 if
 any entry flags. A record is advisory until re-seeded: after a real,
-intended perf change, reseed the entry's record (min over >=3 runs at
-recorded cal, tools/seed note in BASELINES.json "method") in the same
-commit as the change.
+intended perf change, reseed the entry's record (tools/seed_baselines.py
+over >=3 order-shuffled runs) in the same commit as the change.
 """
 import argparse
 import json
@@ -60,7 +69,9 @@ def main() -> int:
     ap.add_argument("--baselines", default="BASELINES.json")
     ap.add_argument("--flag-ratio", type=float, default=1.5)
     ap.add_argument("--improve-ratio", type=float, default=0.67)
-    ap.add_argument("--min-seconds", type=float, default=0.3)
+    ap.add_argument("--min-seconds", type=float, default=0.6,
+                    help="floor in CAL-NORMALIZED seconds (~0.3s raw at "
+                         "cal 0.5); both sides under it -> never flagged")
     ap.add_argument("--fail-on-flag", action="store_true")
     args = ap.parse_args()
 
@@ -78,11 +89,11 @@ def main() -> int:
             continue
         checked += 1
         norm_run = float(sec) / run_cal
-        norm_rec = float(rec["seconds"]) / float(rec["cal_32t"])
+        norm_rec = (float(rec["median_norm"]) if "median_norm" in rec
+                    else float(rec["seconds"]) / float(rec["cal_32t"]))
         ratio = norm_run / norm_rec if norm_rec > 0 else float("inf")
         row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"))
-        small = (float(sec) < args.min_seconds
-                 and float(rec["seconds"]) < args.min_seconds)
+        small = (norm_run < args.min_seconds and norm_rec < args.min_seconds)
         if ratio > args.flag_ratio and not small:
             flagged.append(row)
         elif ratio < args.improve_ratio and not small:
@@ -95,8 +106,8 @@ def main() -> int:
           f"method={base.get('method')}")
     for tag, rows in (("FLAG", flagged), ("IMPROVED", improved)):
         for name, sec, rsec, ratio, note in sorted(rows, key=lambda r: -r[3]):
-            line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record={rsec:7.3f}s  "
-                    f"cal-normalized x{ratio:.2f}")
+            line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record-min={rsec:7.3f}s  "
+                    f"vs median_norm x{ratio:.2f}")
             if note:
                 line += f"  [{note}]"
             print(line)
