@@ -634,16 +634,56 @@ object PipelineCatalog {
   /** Per-doc scoring against a weight table — factored so PlanSpec can
     * pin the interior plan (the entry's own result is checkpoint-
     * truncated): (doc, bucket) cells, BROADCAST weight join, one
-    * per-doc sum. */
-  private[graft] def dsirScore(grams: DataFrame, w: DataFrame): DataFrame =
+    * per-doc sum. The raw form (no presentation round/sort) also feeds
+    * the resampling entry, which must not pay a corpus sort before its
+    * bounded-heap reservoir. */
+  private[graft] def dsirScoreRaw(grams: DataFrame, w: DataFrame): DataFrame =
     grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(w), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"), sum(col("c") * col("w")).as("dsir_scaled"))
+
+  private[graft] def dsirScore(grams: DataFrame, w: DataFrame): DataFrame =
+    dsirScoreRaw(grams, w)
       .select(col("doc_id"), col("n_grams"), col("dsir_scaled"),
         round(col("dsir_scaled").cast("double") /
           (col("n_grams") * lit(10000.0)), 6).as("dsir_per_gram"))
       .orderBy("doc_id")
+
+  /** First-8-hex-digits-to-int in DuckDB SQL (the engine-portable hex
+    * device) — shared by the two DSIR oracles. */
+  private def dsirHex2IntSql(h: String): String =
+    (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** The DSIR model + per-doc score as DuckDB CTEs (src → grams →
+    * histograms → integer weights → per-doc cells → score) — ONE text
+    * shared by `doc_dsir_weights` and `doc_dsir_resample` so the two
+    * oracles can never drift. */
+  private def dsirOracleCtes: String =
+    s"""src AS (SELECT doc_id, lang, $normToksSql AS tl FROM documents),
+        grams AS (SELECT doc_id, lang,
+                         ${dsirHex2IntSql("md5('ds|' || g[1] || ' ' || g[2])")} % $DsirBuckets AS b
+                  FROM (SELECT doc_id, lang,
+                               unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
+                        FROM src WHERE len(tl) >= 2)),
+        cnts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+                        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                 FROM grams GROUP BY b),
+        tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_tot,
+                       CAST(SUM(ct) AS BIGINT) AS t_tot FROM cnts),
+        nd AS (SELECT b,
+                      (ct + 1) * (r_tot + $DsirBuckets) - (cr + 1) * (t_tot + $DsirBuckets) AS num,
+                      (ct + 1) * (r_tot + $DsirBuckets) + (cr + 1) * (t_tot + $DsirBuckets) AS den
+               FROM cnts CROSS JOIN tot),
+        w AS (SELECT b, (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * ((10000 * ABS(num)) // den) AS w FROM nd),
+        cells AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM grams GROUP BY 1, 2),
+        score AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                         CAST(SUM(c * w) AS BIGINT) AS dsir_scaled
+                  FROM cells JOIN w USING (b) GROUP BY doc_id)"""
 
   val dsirWeightsEntry: CatalogEntry = CatalogEntry(
     "doc_dsir_weights",
@@ -654,36 +694,95 @@ object PipelineCatalog {
       grams.unpersist(blocking = false)
       out
     },
-    Some {
-      def hex2int(h: String): String =
-        (1 to 8).map(j =>
-          s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
-          .mkString("(", " + ", ")")
-      s"""WITH src AS (SELECT doc_id, lang, $normToksSql AS tl FROM documents),
-            grams AS (SELECT doc_id, lang,
-                             ${hex2int("md5('ds|' || g[1] || ' ' || g[2])")} % $DsirBuckets AS b
-                      FROM (SELECT doc_id, lang,
-                                   unnest([tl[i:i+1] for i in range(1, len(tl))]) AS g
-                            FROM src WHERE len(tl) >= 2)),
-            cnts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
-                            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-                     FROM grams GROUP BY b),
-            tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_tot,
-                           CAST(SUM(ct) AS BIGINT) AS t_tot FROM cnts),
-            nd AS (SELECT b,
-                          (ct + 1) * (r_tot + $DsirBuckets) - (cr + 1) * (t_tot + $DsirBuckets) AS num,
-                          (ct + 1) * (r_tot + $DsirBuckets) + (cr + 1) * (t_tot + $DsirBuckets) AS den
-                   FROM cnts CROSS JOIN tot),
-            w AS (SELECT b, (CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                            * ((10000 * ABS(num)) // den) AS w FROM nd),
-            cells AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
-                      FROM grams GROUP BY 1, 2)
-          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-                 CAST(SUM(c * w) AS BIGINT) AS dsir_scaled,
-                 ROUND(CAST(SUM(c * w) AS DOUBLE) / (SUM(c) * 10000.0), 6) AS dsir_per_gram
-          FROM cells JOIN w USING (b)
-          GROUP BY doc_id ORDER BY doc_id"""
-    })
+    Some(
+      s"""WITH $dsirOracleCtes
+          SELECT doc_id, n_grams, dsir_scaled,
+                 ROUND(CAST(dsir_scaled AS DOUBLE) / (n_grams * 10000.0), 6) AS dsir_per_gram
+          FROM score ORDER BY doc_id"""))
+
+  /** Resample size for `doc_dsir_resample`. */
+  private[graft] val DsirSampleK = 25
+
+  /** A-ES sampling key over the per-doc DSIR scores: the positive
+    * integer sampling weight is the truncated per-gram scaled weight
+    * shifted into [1, 2·10⁴+1] — wgt = 10001 + sign(s)·(|s| div n) with
+    * the abs-then-divide form so truncation is engine-identical (the
+    * nonnegative-quotient device of [[dsirWeights]]) — and the key is
+    * Efraimidis–Spirakis ln(u)/wgt with u the doc's deterministic md5
+    * uniform ([[TrainPrepCatalog]]'s `wsample` contract, "dsirs|" salt).
+    * Monotone: a more target-like document gets a larger wgt, hence a
+    * higher inclusion probability. */
+  private[graft] def dsirSampleKeyed(scored: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("dsirs|"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    scored.select(col("doc_id"),
+        (lit(10001L) + when(col("dsir_scaled") < 0L, -1L).otherwise(1L) *
+          expr("abs(dsir_scaled) div n_grams")).as("wgt"))
+      .select(col("doc_id"),
+        (log((h + 1) / lit(4294967296.0)) / col("wgt")).as("k"))
+  }
+
+  /** Global bounded-heap top-K over an A-ES keyed frame: ≤ K (key, doc)
+    * candidates per map partition, ONE ≤ K-entry final merge — the same
+    * reservoir plan as [[TrainPrepCatalog.weightedTopK]] without the
+    * per-source grouping (DSIR selects a training subset globally). */
+  private[graft] def dsirTopK(keyed: DataFrame): DataFrame = {
+    val topn = udaf(new graft.combine.TopNAgg(DsirSampleK))
+    keyed.agg(topn(col("k"), col("doc_id")).as("top"))
+      .select(posexplode(col("top.entries")))
+      .select(col("col.event_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** DSIR importance RESAMPLING — the pipeline step the weights exist
+    * for (Xie et al. 2023 §2: select the training subset by sampling
+    * proportionally to the importance weights): compose the hashed-
+    * bigram model ([[dsirWeights]]) with the A-ES weighted reservoir
+    * ([[TrainPrepCatalog.weightedTopK]]'s machinery) to draw the
+    * [[DsirSampleK]] docs, without replacement, with inclusion
+    * probability monotone in the DSIR score.
+    *
+    * 100 TB shape: everything up to the per-doc score is
+    * `doc_dsir_weights`' plan (one token explode, ≤1024-row broadcast
+    * model, per-doc sum); the selection adds ONE bounded-heap global
+    * aggregate (ObjectHashAggregate — ≤ K candidates per partition, one
+    * ≤ K merge) — no corpus sort, no window, no second scan. The
+    * reservoir is the aggregation buffer, so the selection stage also
+    * runs unchanged as a complete-mode streaming query (StreamingSpec
+    * pins the replay bit-for-bit).
+    *
+    * Cross-engine floats: u is exact-integer-derived and correctly
+    * rounded identically; ln() may differ by 1 ulp cross-libm, so rank
+    * boundaries could in principle flutter if two keys sat within ~2
+    * ulp. Measured at sf0.01 and sf0.1: the smallest adjacent-key gap
+    * across the top-(K+1) is ≥ 2e-3 relative — eleven orders of
+    * magnitude of margin (same device as the `doc_weighted_sample`
+    * adjudication).
+    */
+  val dsirResample: CatalogEntry = CatalogEntry(
+    "doc_dsir_resample",
+    (s, d) => {
+      val grams = dsirGrams(documents(s, d)).cache()
+      val out = dsirTopK(dsirSampleKeyed(
+          dsirScoreRaw(grams, dsirWeights(dsirPerBucket(grams)))))
+        .localCheckpoint()
+      grams.unpersist(blocking = false)
+      out
+    },
+    Some(
+      s"""WITH $dsirOracleCtes,
+            wg AS (SELECT doc_id,
+                          10001 + (CASE WHEN dsir_scaled < 0 THEN -1 ELSE 1 END)
+                                  * (ABS(dsir_scaled) // n_grams) AS wgt
+                   FROM score),
+            keyed AS (SELECT doc_id,
+                             ln((${dsirHex2IntSql("md5('dsirs|' || CAST(doc_id AS VARCHAR))")} + 1)
+                                / 4294967296.0) / wgt AS k
+                      FROM wg)
+          SELECT doc_id, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+            FROM keyed)
+          WHERE rn <= $DsirSampleK"""))
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenization (letter runs | digit runs | single other-symbol
@@ -2492,5 +2591,6 @@ object PipelineCatalog {
       piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
-      featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry)
+      featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
+      dsirResample)
 }

@@ -817,4 +817,28 @@ class PlanSpec extends AnyFunSuite {
     assert(outer.contains("Scan ExistingRDD"),
       s"user_kmv_sliding: result no longer checkpoint-truncated\n$outer")
   }
+
+  test("round-15: doc_dsir_resample selects via the bounded heap over the broadcast-scored corpus") {
+    // The selection stage must be the ObjectHashAggregate reservoir
+    // (<= K candidates per partition, one <= K merge) — never a corpus
+    // sort or a rank window — and the scoring underneath keeps
+    // doc_dsir_weights' broadcast-model shape.
+    import graft.queries.PipelineCatalog
+    val grams = PipelineCatalog.dsirGrams(Tables.documents(spark, sf0001))
+    val interior = PipelineCatalog.dsirTopK(PipelineCatalog.dsirSampleKeyed(
+        PipelineCatalog.dsirScoreRaw(grams,
+          PipelineCatalog.dsirWeights(PipelineCatalog.dsirPerBucket(grams)))))
+      .queryExecution.executedPlan.toString
+    assert(interior.contains("ObjectHashAggregate"),
+      s"doc_dsir_resample: reservoir must be the bounded-heap aggregate\n$interior")
+    assert(!interior.contains("Window"),
+      s"doc_dsir_resample: no rank window may touch the corpus\n$interior")
+    assert(!interior.contains("SortMergeJoin"),
+      s"doc_dsir_resample: scoring path lost the broadcast model join\n$interior")
+    assert(interior.contains("BroadcastHashJoin"),
+      s"doc_dsir_resample: weight join must broadcast the model\n$interior")
+    val outer = plan("doc_dsir_resample")
+    assert(outer.contains("Scan ExistingRDD"),
+      s"doc_dsir_resample: result no longer checkpoint-truncated\n$outer")
+  }
 }

@@ -1327,6 +1327,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR resampling streams: the selection reservoir replays the batch entry") {
+    // doc_dsir_resample's selection stage is a global bounded-heap A-ES
+    // reservoir; stream the (doc_id, k) keyed frame through the SAME
+    // dsirTopK aggregate in complete mode — state is one <= K buffer —
+    // and the drained sample (ranks included) must equal the batch
+    // entry bit-for-bit. (The model half already streams:
+    // streamingDsirCells pins the weight table.)
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    val grams = PipelineCatalog.dsirGrams(Tables.documents(spark, TestSpark.sf0001))
+    val keyed = PipelineCatalog.dsirSampleKeyed(PipelineCatalog.dsirScoreRaw(
+      grams, PipelineCatalog.dsirWeights(PipelineCatalog.dsirPerBucket(grams))))
+    val want = SparkEntry.queries("doc_dsir_resample")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "vacuous: empty resample at sf0.001")
+    val rows = keyed.select(col("doc_id"), col("k")).as[(Long, Double)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Double)](spark)
+    val qn = s"dsirs_${System.nanoTime()}"
+    val q = PipelineCatalog.dsirTopK(input.toDF().toDF("doc_id", "k"))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "streamed DSIR resample diverges from the batch entry")
+    } finally q.stop()
+  }
+
   test("A-ES weighted sample streams: the reservoir IS the aggregation buffer") {
     // Efraimidis–Spirakis is a reservoir algorithm by construction, and
     // TopNAgg's merge is exactly its reservoir update — so the SAME
