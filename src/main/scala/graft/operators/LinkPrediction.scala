@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.CacheOnce._
+
 /** Common-neighbor link prediction over an undirected (u < v)-oriented
   * edge list: for every NON-adjacent pair with ≥ `minCommon` common
   * neighbors, the three classic scores — common-neighbor count,
@@ -56,7 +58,7 @@ object LinkPrediction {
   def scores(edges: DataFrame, hubCap: Int = HubCap, minCommon: Long = 2L): DataFrame = {
     // Materialized once: read by both union legs and the closing anti
     // join (3 reads of the upstream edge build otherwise).
-    val e = edges.select(col("u"), col("v")).cache()
+    val e = edges.select(col("u"), col("v")).cacheOnce()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val wedges = sym.groupBy("u")
       .agg(sort_array(collect_set(col("v"))).as("vs"))

@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheOnce._
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -400,7 +401,7 @@ object EmbeddingCatalog {
     "emb_near_dup_banded",
     (s, d) => {
       import graft.functions.Vectors
-      val emb = embeddings(s, d).cache() // feeds bands + both scoring joins
+      val emb = embeddings(s, d).cacheOnce() // feeds bands + both scoring joins
       // The doc-LSH shape: shuffle only (vec_id, table, bucket) tuples —
       // never vectors — through the ONE collision self-join; candidate
       // pairs are distinct'd, then vectors join back for exact scoring.
@@ -1094,7 +1095,7 @@ object EmbeddingCatalog {
       val assigned = emb.select(col("vec_id"), col("embedding"),
           cells.getItem(0).getField("cid").cast("long").as("cell"))
         .withColumn("vn", Vectors.norm(col("embedding")))
-        .cache()
+        .cacheOnce()
       val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
         col("embedding").as("qe"), col("vn").as("qn"))
       val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),
@@ -1653,7 +1654,7 @@ object EmbeddingCatalog {
     "emb_hard_negatives_shortlist",
     (s, d) => {
       import graft.functions.Vectors
-      val emb = embeddings(s, d).cache() // feeds bands + both scoring joins
+      val emb = embeddings(s, d).cacheOnce() // feeds bands + both scoring joins
       val bands = emb.select(col("vec_id"), col("label"),
         posexplode(Vectors.hyperplaneBuckets(col("embedding"), bandedSigns)).as(Seq("t", "b")))
       val cand = bands.as("a").join(bands.as("b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.CacheOnce._
 import graft.Tables
 
 /** Multi-table join queries over the TPC-H star schema. The reference
@@ -362,7 +363,7 @@ object JoinCatalog {
       val baskets = t("lineitem")(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
-        .cache()
+        .cacheOnce()
       val pairs = baskets
         .select(explode(expr(
           """flatten(transform(pks,

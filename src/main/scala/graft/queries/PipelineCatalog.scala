@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheOnce._
 import graft.Tables
 import graft.functions.Text
 
@@ -688,7 +689,7 @@ object PipelineCatalog {
   val dsirWeightsEntry: CatalogEntry = CatalogEntry(
     "doc_dsir_weights",
     (s, d) => {
-      val grams = dsirGrams(documents(s, d)).cache()
+      val grams = dsirGrams(documents(s, d)).cacheOnce()
       val out = dsirScore(grams, dsirWeights(dsirPerBucket(grams)))
         .localCheckpoint()
       grams.unpersist(blocking = false)
@@ -762,7 +763,7 @@ object PipelineCatalog {
   val dsirResample: CatalogEntry = CatalogEntry(
     "doc_dsir_resample",
     (s, d) => {
-      val grams = dsirGrams(documents(s, d)).cache()
+      val grams = dsirGrams(documents(s, d)).cacheOnce()
       val out = dsirTopK(dsirSampleKeyed(
           dsirScoreRaw(grams, dsirWeights(dsirPerBucket(grams)))))
         .localCheckpoint()
@@ -916,7 +917,7 @@ object PipelineCatalog {
     (s, d) => {
       val g = documents(s, d)
         .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("sh"))
-        .cache()
+        .cacheOnce()
       val first = g.groupBy("sh").agg(min("doc_id").as("first_doc"))
       val out = g.join(first, Seq("sh"))
         .groupBy("doc_id")
@@ -2126,7 +2127,7 @@ object PipelineCatalog {
       // lens join, tf) — cache it or the corpus is regex-tokenized 3×.
       val docs = documents(s, d)
         .select(col("doc_id"), graft.functions.Text.normTokens(col("text")).as("toks"))
-        .cache()
+        .cacheOnce()
       val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
       val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("suml"))
         .select(col("nd"), (col("suml").cast("double") / col("nd")).as("avgl"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.CacheOnce._
 import graft.Tables
 import graft.functions.Text
 
@@ -468,12 +469,12 @@ object ScaleCatalog {
         .select(col("source"),
           explode(array_distinct(Text.wordNgrams(Text.normTokens(col("text")), 2))).as("bg"))
         .distinct()
-        .cache()
+        .cacheOnce()
       val hv = bgd.select(col("source"),
           conv(substring(md5(concat(lit("kmv|"), col("bg"))), 1, 13), 16, 10)
             .cast("long").as("h"))
         .distinct()
-      val sk = kmvSketch(hv).cache()
+      val sk = kmvSketch(hv).cacheOnce()
       val nsz = bgd.groupBy("source").agg(count(lit(1)).as("n"))
       val prs = nsz.select(col("source").as("src_a"), col("n").as("na"))
         .join(nsz.select(col("source").as("src_b"), col("n").as("nb")),
@@ -645,7 +646,7 @@ object ScaleCatalog {
   /** The sliding pipeline over any events-shaped frame — factored so
     * the suite can pin the two estimator branches on fixtures. */
   private[graft] def kmvSlidingFrom(events: DataFrame): DataFrame = {
-    val du = kmvDayUsers(events).cache()
+    val du = kmvDayUsers(events).cacheOnce()
     val out = kmvSlidingFromSketch(
         kmvSketchBy(kmvDailyHashes(du), "day", SlidingK), du)
       .localCheckpoint()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheOnce._
 import graft.Tables
 import graft.functions.Text
 
@@ -414,7 +415,7 @@ object TrainPrepCatalog {
       .filter(col("split").isNotNull)
     val cnt = toks.groupBy("tok").agg(
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv")).cache()
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv")).cacheOnce()
     caches += cnt
     // The |c_t·N_v − c_v·N_t| sum needs the totals alongside every
     // token row: broadcast the 1-row totals back onto the count vector.
@@ -501,7 +502,7 @@ object TrainPrepCatalog {
     (s, d) => {
       val cnt = documents(s, d)
         .select(col("source"), explode(Text.normTokens(col("text"))).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c")).cache()
+        .groupBy("source", "tok").agg(count(lit(1)).as("c")).cacheOnce()
       val tot = cnt.groupBy("source").agg(sum("c").as("n"))
       val pairsAll = tot.select(col("source").as("src_a"), col("n").as("na"))
         .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))),
@@ -1053,7 +1054,7 @@ object TrainPrepCatalog {
       import graft.functions.Text
       val nd = documents(s, d)
         .select(col("doc_id"), Text.normalize(col("text")).as("t"))
-        .cache()
+        .cacheOnce()
       val tg = nd.filter(length(col("t")) >= 3)
         .select(col("doc_id"), explode(array_distinct(
           expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")))

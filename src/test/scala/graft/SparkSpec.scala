@@ -13,6 +13,13 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // The suite follows the harness contract (frames fully consumed
+    // before SessionHygiene.dropEntryState teardown), so the per-RDD
+    // "was locally checkpointed … cannot be recomputed after
+    // unpersisting" WARN that teardown necessarily triggers is noise
+    // here exactly as in the Bench/Verify mains — ~550 lines per full
+    // run burying real warnings.
+    SessionHygiene.quietCheckpointTeardownLogs()
     s
   }
   val sf0001 = "/root/testdata/sf0.001"

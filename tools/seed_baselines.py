@@ -53,6 +53,13 @@ NOTES = {
         "3.325s @ cal 0.467 = 1.11x of the old 2.746s record — the "
         "record was flattered by fixed-order seeding adjacency, not a "
         "regression; re-seeded from order-shuffled runs",
+    "token_bpe_merges":
+        "r15 canonical-run 1.55x flag cleared: isolated min-of-5 1.264s "
+        "@ cal 0.443 = 1.25x of median_norm, in-band; host noise",
+    "media_decode":
+        "r15 canonical-run 1.50x flag cleared: isolated min-of-5 0.264s "
+        "@ cal 0.443 = 1.20x of median_norm, in-band; sub-0.75s-normalized "
+        "entry fluttering at the flag boundary",
     "events_ewma":
         "r11 events_* inflation was host distortion (adjudicated r12)",
     "events_ewma_salted":
