@@ -2095,6 +2095,107 @@ object PipelineCatalog {
              GROUP BY rk.event_type, nd.n_days
              ORDER BY rk.event_type"""))
 
+  /** The (event_type, day) daily value-sum series on the ×10⁴ integer
+    * lattice ([[seasonalDecompose]]'s cents device) — the ONE
+    * corpus-touching aggregate [[seriesCorrFrom]] runs on. Exact BIGINT
+    * cells: linear, mergeable, so the series also maintains live as
+    * streamed keyed state (StreamingSpec replays the correlation table
+    * from the drained frame bit-for-bit). */
+  private[graft] def dailyCents(events: DataFrame): DataFrame = events
+    .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+    .groupBy("event_type", "day")
+    .agg((sum(col("v")) * 10000).cast("long").as("c"))
+
+  /** Pairwise Pearson correlation from a MATERIALIZED (type, day, c)
+    * daily-series frame — corpus-independent: every input is
+    * series-sized (≤ #types × #days rows). Moments ride DECIMAL(38,0)
+    * (exact, associative — the c products reach ~10²¹ at sf0.1, past
+    * BIGINT); the derive phase converts each exact moment combination
+    * to a correctly-rounded double and applies the IDENTICAL IEEE
+    * expression shape in both engines (num / (√va·√vb), one ROUND 6) —
+    * the [[eventsValueTrend]] determinism argument, per pair. Constant
+    * series (zero variance) report null rather than a NaN division. */
+  private[graft] def seriesCorrFrom(daily: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.c").cast(dec).as("x"), col("b.c").cast(dec).as("y"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val va = (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vb = (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+    m.filter(col("n_days") >= 2)
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        when(va > 0.0 && vb > 0.0,
+          round(num / (sqrt(va) * sqrt(vb)), 6)).as("pearson_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Cross-series similarity: pairwise Pearson correlation between the
+    * event types' daily value-sum series — "which metrics move
+    * together", the time-series similarity-search primitive (cf. "Time
+    * Series Similarity Search for Streaming Data in Distributed
+    * Systems", EDBT 2019) at the series level, and the cross-series
+    * sibling of [[eventsValueTrend]]'s within-series moments.
+    *
+    * 100 TB shape: the corpus collapses to the (type, day) cents series
+    * in ONE map-combined aggregate (the [[dailyMeans]] /
+    * [[seasonalDecompose]] pattern); the all-pairs stage then runs
+    * entirely over that ≤ #types×#days frame — the day-keyed self-join,
+    * the moment aggregate, and the derive are all corpus-independent,
+    * so "compare every pair of metrics" costs one scan no matter how
+    * many trillion events feed the series. Wide type universes shard
+    * the pair space by (type_a bucket, type_b bucket) — the standard
+    * blocked all-pairs device (`emb_gram_matrix`'s argument) — before
+    * the moment aggregate; at 5 types the plain join IS the plan.
+    *
+    * Determinism: daily cells are exact BIGINT cents; pair moments are
+    * exact DECIMAL(38,0); each output value is derived from exact
+    * inputs through one fixed IEEE expression (correctly-rounded casts,
+    * sqrt correctly rounded by spec, one closing division) — identical
+    * bits in both engines, then ROUND 6.
+    */
+  val seriesCorrelation: CatalogEntry = CatalogEntry(
+    "events_series_correlation",
+    (s, d) => {
+      val daily = dailyCents(Tables.events(s, d)).cacheOnce()
+      val out = seriesCorrFrom(daily).localCheckpoint()
+      daily.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH daily AS (SELECT event_type,
+                                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+            m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_days,
+                         SUM(CAST(a.c AS DECIMAL(38,0))) AS sx,
+                         SUM(CAST(b.c AS DECIMAL(38,0))) AS sy,
+                         SUM(CAST(a.c AS DECIMAL(38,0)) * CAST(a.c AS DECIMAL(38,0))) AS sxx,
+                         SUM(CAST(b.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))) AS syy,
+                         SUM(CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))) AS sxy
+                  FROM daily a JOIN daily b
+                    ON b.day = a.day AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+          SELECT type_a, type_b, n_days,
+                 CASE WHEN ${Exact.sqlToDouble("n_days * sxx - sx * sx")} > 0
+                       AND ${Exact.sqlToDouble("n_days * syy - sy * sy")} > 0
+                      THEN ROUND(${Exact.sqlToDouble("n_days * sxy - sx * sy")}
+                                 / (sqrt(${Exact.sqlToDouble("n_days * sxx - sx * sx")})
+                                    * sqrt(${Exact.sqlToDouble("n_days * syy - sy * sy")})), 6)
+                 END AS pearson_r
+          FROM m WHERE n_days >= 2
+          ORDER BY type_a, type_b"""))
+
   /** BM25 relevance top-20 for a fixed three-term query — the retrieval
     * primitive of a RAG/search layer, with the one substitution the
     * engine's no-libm rule forces: the idf factor is the RAW Robertson
@@ -2593,5 +2694,5 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample)
+      dsirResample, seriesCorrelation)
 }

@@ -841,4 +841,24 @@ class PlanSpec extends AnyFunSuite {
     assert(outer.contains("Scan ExistingRDD"),
       s"doc_dsir_resample: result no longer checkpoint-truncated\n$outer")
   }
+
+  test("round-15: events_series_correlation pairs over the series frame, never the corpus") {
+    // The all-pairs stage must be an equi-join on day between two reads
+    // of the tiny (type, day) series — never a cartesian — and the
+    // corpus must be aggregated before any join (a join whose child
+    // scans parquet twice would re-read the corpus per pair leg).
+    import graft.CacheOnce._
+    import graft.queries.PipelineCatalog
+    val daily = PipelineCatalog.dailyCents(Tables.events(spark, sf0001)).cacheOnce()
+    val interior = PipelineCatalog.seriesCorrFrom(daily)
+      .queryExecution.executedPlan.toString
+    daily.unpersist(blocking = false)
+    assert(!interior.contains("CartesianProduct"),
+      s"events_series_correlation: pair stage went cartesian\n$interior")
+    assert(interior.contains("InMemoryTableScan"),
+      s"events_series_correlation: pair legs must read the cached series, not re-aggregate the corpus\n$interior")
+    val outer = plan("events_series_correlation")
+    assert(outer.contains("Scan ExistingRDD"),
+      s"events_series_correlation: result no longer checkpoint-truncated\n$outer")
+  }
 }

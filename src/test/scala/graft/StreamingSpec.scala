@@ -1327,6 +1327,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed daily-cents series replays the batch correlation table bit-for-bit") {
+    // events_series_correlation's ONLY corpus-touching stage is the
+    // (type, day) exact-BIGINT cents aggregate — linear/mergeable, so it
+    // runs unchanged as a complete-mode streaming query; the pairwise
+    // Pearson stage (seriesCorrFrom) is corpus-independent and must
+    // replay the batch entry bit-for-bit from the drained series.
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    val want = SparkEntry.queries("events_series_correlation")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no correlation pairs at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[Ev](spark)
+    val qn = s"scorr_${System.nanoTime()}"
+    val q = PipelineCatalog.dailyCents(input.toDF().toDF(eventCols: _*))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val daily = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("event_type", "day", "c")
+      val got = PipelineCatalog.seriesCorrFrom(daily)
+        .collect().map(_.toSeq.toList).toSet
+      assert(got == want, "streamed series correlation diverges from the batch entry")
+    } finally q.stop()
+  }
+
   test("DSIR resampling streams: the selection reservoir replays the batch entry") {
     // doc_dsir_resample's selection stage is a global bounded-heap A-ES
     // reservoir; stream the (doc_id, k) keyed frame through the SAME
