@@ -53,6 +53,17 @@ NOTES = {
         "3.325s @ cal 0.467 = 1.11x of the old 2.746s record — the "
         "record was flattered by fixed-order seeding adjacency, not a "
         "regression; re-seeded from order-shuffled runs",
+    "source_kmv_overlap":
+        "r15 canonical-run 1.63x flag cleared: isolated min-of-5 3.158s "
+        "@ cal 0.483 = 1.23x of median_norm, in-band; host noise",
+    "emb_knn_brute":
+        "r15 canonical-run 1.68x flag cleared: two isolated probes, "
+        "second 0.403s @ cal 0.461 = 1.15x of median_norm; sub-0.6s "
+        "entry fluttering with the host window",
+    "doc_sample_per_source":
+        "r15 canonical-run 1.60x flag cleared: two isolated probes, "
+        "second 0.266s @ cal 0.461 = 1.19x of median_norm; sub-0.35s "
+        "entry fluttering with the host window",
     "token_bpe_merges":
         "r15 canonical-run 1.55x flag cleared: isolated min-of-5 1.264s "
         "@ cal 0.443 = 1.25x of median_norm, in-band; host noise",
