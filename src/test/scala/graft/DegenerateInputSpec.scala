@@ -115,4 +115,26 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} entries throw on all-mass-one-key input:\n${failures.mkString("\n")}")
   }
+
+  test("every catalog entry is total on a clock-stuck feed (one timestamp everywhere)") {
+    // Fifth sweep: every temporal column collapses to its MIN value —
+    // what a 100 TB feed produces when an upstream clock sticks or a
+    // backfill stamps one ingestion time. Every time series becomes one
+    // point (trend/autocorr/Theil-Sen/correlation have zero pairs),
+    // every window one bucket, every session one burst, every trailing
+    // window a single day, date joins all-hit — the temporal degeneracy
+    // the one-key sweep is to keys.
+    val tsCols = Map(
+      "events" -> Seq("ts"),
+      "orders" -> Seq("o_orderdate"),
+      "lineitem" -> Seq("l_shipdate"))
+    val failures = sweep(fixtureByTable("onets") { (t, df) =>
+      tsCols.getOrElse(t, Nil).foldLeft(df) { (d, c) =>
+        val v = d.select(min(col(c))).head.get(0)
+        d.withColumn(c, lit(v).cast(d.schema(c).dataType))
+      }
+    })
+    assert(failures.isEmpty,
+      s"${failures.size} entries throw on a clock-stuck feed:\n${failures.mkString("\n")}")
+  }
 }
