@@ -749,6 +749,190 @@ object EmbeddingCatalog {
 
 
 
+  /** IVF∘PQ (IVFADC — Jégou, Douze & Schmid 2011 §IV): the production
+    * default the two halves of this family exist to compose — FAISS's
+    * IndexIVFPQ. Coarse cells come from [[knnIvf]]'s assignment device
+    * (sampled centroids, argmax rounded cosine, min-cid ties); each
+    * vector then PQ-encodes its RESIDUAL against its cell's centroid
+    * (residuals cluster tighter around zero than raw vectors, which is
+    * why IVFADC quantizes them — §IV.B); a query probes its
+    * [[IvfProbes]] nearest cells, builds one 8×16 residual
+    * distance table PER PROBED CELL, and ADC-scans only those cells'
+    * code lists — the inverted file. Exact cosine reranks the
+    * [[PqShortlist]] survivors.
+    *
+    * 100 TB shape — what the composition buys over [[knnPq]] alone: the
+    * ADC scan touches probes/cells of the corpus instead of all of it
+    * (the code join keys on (cell, j, code) against a broadcast
+    * 2·8·16-row table), memory stays 8 B + one cell id per vector, and
+    * the rerank touches [[PqShortlist]] rows per query. Codebooks here
+    * are the frozen data-sampled centroid chunks the PQ entry uses
+    * (production trains them on residuals; the structure — and the
+    * oracle — are identical either way).
+    *
+    * Cross-engine exactness: the [[knnPq]] devices verbatim — chunk d²
+    * rounded 6 then DECIMAL(18,6) so the 8-term ADC sum is
+    * associative-exact; code argmins on rounded d² with min-id ties;
+    * residual elements are one IEEE subtraction per dim, the same
+    * sub-sub-mul-sum sequence in both engines; shortlist ranks
+    * ascending exact-decimal distance with id ties.
+    *
+    * Measured (emb_knn_recall, sf0.01): recall 0.225 — exactly
+    * [[knnIvf]]'s, the probed-cell ceiling: with [[PqShortlist]]
+    * covering the probed population, the PQ stage costs no recall on
+    * top of the coarse quantizer; more probes buy recall, the codes buy
+    * the 32× scan compression. The harness reports both rungs so the
+    * trade stays visible.
+    */
+  val knnIvfPq: CatalogEntry = CatalogEntry(
+    "emb_knn_ivfpq",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val centN = cent.withColumn("cnorm", Vectors.norm(col("cemb")))
+      // Coarse assignment + probes — knnIvf's device.
+      val scoredCells = emb.withColumn("vnorm", Vectors.norm(col("embedding")))
+        .crossJoin(broadcast(centN))
+        .withColumn("csim", round(
+          Vectors.dot(col("embedding"), col("cemb")) / (col("vnorm") * col("cnorm")), 6))
+      val assign = scoredCells
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cell"))
+      val probeTop = udaf(new graft.combine.TopNAgg(IvfProbes))
+      val probes = scoredCells.filter(col("vec_id") < NQueries)
+        .groupBy(col("vec_id").as("query_id"))
+        .agg(probeTop(col("csim"), col("cid")).as("top"))
+        .select(col("query_id"), posexplode(col("top.entries")))
+        .select(col("query_id"), col("col.event_id").as("probe_cell"))
+      // Residual d² per subspace between a residual array and a codebook
+      // chunk — the knnPq chunk arithmetic over (v − cell-centroid).
+      def d2Chunk(v: String, c: String, j: Int): Column = round(expr(
+        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
+             (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+      val resOf = "zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+      // Encode: residual vs assigned cell, nearest codebook chunk per j.
+      val withRes = emb.join(assign, "vec_id")
+        .join(broadcast(cent.select(col("cid").as("cell"), col("cemb").as("acemb"))),
+          Seq("cell"))
+        .withColumn("res", expr(resOf.format("embedding", "acemb")))
+      val aggs = (0 until PqM).map(j =>
+        min(struct(d2Chunk("res", "cemb", j).as("d2"), col("cid").as("cid"))).as(s"b$j"))
+      val codes = withRes.crossJoin(broadcast(cent))
+        .groupBy("vec_id", "cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("vec_id").as("cand_id") +: col("cell") +:
+          (0 until PqM).map(j => col(s"b$j.cid").as(s"c$j")): _*)
+      val codeRows = codes.select(col("cand_id"), col("cell"), explode(array(
+          (0 until PqM).map(j => struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
+        .select(col("cand_id"), col("cell"), col("jc.j").as("j"), col("jc.code").as("code"))
+      // Per-(query, probed cell) residual distance table: 8×2×8×16 rows.
+      val qtab = probes
+        .join(emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qemb")), Seq("query_id"))
+        .join(broadcast(cent.select(col("cid").as("probe_cell"), col("cemb").as("pcemb"))),
+          Seq("probe_cell"))
+        .withColumn("qres", expr(resOf.format("qemb", "pcemb")))
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("probe_cell"), col("cid").as("code"), explode(array(
+          (0 until PqM).map(j => struct(lit(j).as("j"),
+            d2Chunk("qres", "cemb", j).cast("decimal(18,6)").as("t"))): _*)).as("jt"))
+        .select(col("query_id"), col("probe_cell"), col("jt.j").as("j"),
+          col("code"), col("jt.t").as("t"))
+      // ADC over the probed cells' code lists only — the inverted file.
+      val approx = codeRows.join(broadcast(qtab),
+          col("cell") === col("probe_cell") && codeRows("j") === qtab("j") &&
+            codeRows("code") === qtab("code"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("t")).as("ad"))
+      val topc = udaf(new graft.combine.TopNAgg(PqShortlist))
+      val cands = approx.groupBy("query_id")
+        .agg(topc(-col("ad").cast("double"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("pq_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("pq_cand"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some {
+      val centSim =
+        s"ROUND(${dotSql("e.embedding", "c.embedding")} / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            cellscore AS (
+              SELECT e.vec_id, c.cid, $centSim AS csim
+              FROM embeddings e CROSS JOIN (SELECT cid, embedding FROM cent) c(cid, embedding)),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS probe_cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes),
+            js AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j),
+            csub AS (SELECT c.cid, js.j, c.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS b
+                     FROM cent c CROSS JOIN js),
+            rsub AS (SELECT e.vec_id, a.cell, js.j,
+                            [CAST(e.embedding[i] AS DOUBLE) - CAST(cc.embedding[i] AS DOUBLE)
+                             for i in range(js.j*$PqS+1, js.j*$PqS+$PqS+1)] AS a
+                     FROM embeddings e
+                     JOIN assign a ON a.vec_id = e.vec_id
+                     JOIN cent cc ON cc.cid = a.cell
+                     CROSS JOIN js),
+            codes AS (
+              SELECT vec_id AS cand_id, cell, j, cid AS code FROM (
+                SELECT r.vec_id, r.cell, r.j, c.cid,
+                  row_number() OVER (PARTITION BY r.vec_id, r.j ORDER BY
+                    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [(r.a[i] - CAST(c.b[i] AS DOUBLE)) * (r.a[i] - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
+                      (acc, v) -> acc + v), 6) ASC, c.cid ASC) AS rn
+                FROM rsub r JOIN csub c ON c.j = r.j) WHERE rn = 1),
+            qrsub AS (SELECT p.query_id, p.probe_cell, js.j,
+                             [CAST(q.embedding[i] AS DOUBLE) - CAST(cc.embedding[i] AS DOUBLE)
+                              for i in range(js.j*$PqS+1, js.j*$PqS+$PqS+1)] AS a
+                      FROM probes p
+                      JOIN embeddings q ON q.vec_id = p.query_id
+                      JOIN cent cc ON cc.cid = p.probe_cell
+                      CROSS JOIN js),
+            qtab AS (
+              SELECT r.query_id, r.probe_cell, r.j, c.cid AS code,
+                     CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [(r.a[i] - CAST(c.b[i] AS DOUBLE)) * (r.a[i] - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
+                       (acc, v) -> acc + v), 6) AS DECIMAL(18,6)) AS t
+              FROM qrsub r JOIN csub c ON c.j = r.j),
+            approx AS (
+              SELECT qt.query_id, cd.cand_id, SUM(qt.t) AS ad
+              FROM codes cd JOIN qtab qt
+                ON qt.probe_cell = cd.cell AND qt.j = cd.j AND qt.code = cd.code
+              WHERE cd.cand_id != qt.query_id GROUP BY 1, 2),
+            shortlist AS (
+              SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(CAST(ad AS VARCHAR) AS DOUBLE) ASC, cand_id) AS rn
+                FROM approx) WHERE rn <= $PqShortlist)
+          SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT s.query_id, c.vec_id, $cosineSql AS score,
+                   row_number() OVER (PARTITION BY s.query_id ORDER BY $cosineSql DESC, c.vec_id) AS rn
+            FROM shortlist s JOIN embeddings c ON c.vec_id = s.cand_id
+            JOIN embeddings q ON q.vec_id = s.query_id) WHERE rn <= $K"""
+    })
+
   /** Filtered ANN — metadata-constrained vector search, the shape every
     * production retrieval system needs ("nearest neighbours WHERE
     * label = X"): top-K restricted to candidates sharing the query's
@@ -1275,7 +1459,7 @@ object EmbeddingCatalog {
     val indexes: Seq[(String, CatalogEntry)] = Seq(
       "lsh" -> knnLsh, "multiprobe" -> knnLshMultiprobe, "ivf" -> knnIvf,
       "ivf_kmeans" -> knnIvfKmeans, "sq8" -> knnSq8, "pq" -> knnPq,
-      "bq" -> knnBq, "mrl" -> knnMrl, "mrl_ivf" -> knnMrlIvf)
+      "ivfpq" -> knnIvfPq, "bq" -> knnBq, "mrl" -> knnMrl, "mrl_ivf" -> knnMrlIvf)
     CatalogEntry(
       "emb_knn_recall",
       (s, d) => {
@@ -1793,7 +1977,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

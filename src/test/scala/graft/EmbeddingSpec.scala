@@ -115,10 +115,10 @@ class EmbeddingSpec extends AnyFunSuite {
   test("emb_knn_recall: one row per (index, query), hits bounded by k, matches a direct recount") {
     val got = run("emb_knn_recall").cache()
     val queries = run("emb_knn_brute").select("query_id").distinct().count()
-    // Nine indexed rows per query: the whole measured ladder (every
+    // Ten indexed rows per query: the whole measured ladder (every
     // index variant in the catalog).
-    assert(got.count() == 9 * queries)
-    assert(got.select("idx").distinct().count() == 9)
+    assert(got.count() == 10 * queries)
+    assert(got.select("idx").distinct().count() == 10)
     assert(got.filter(col("k") =!= 5 || col("hits") < 0 || col("hits") > col("k") ||
       col("recall") < 0 || col("recall") > 1).count() == 0)
     // Direct recount per index: intersection of the result sets per query.
@@ -126,7 +126,8 @@ class EmbeddingSpec extends AnyFunSuite {
     Seq("lsh" -> "emb_knn_lsh", "multiprobe" -> "emb_knn_lsh_multiprobe",
       "ivf" -> "emb_knn_ivf", "ivf_kmeans" -> "emb_knn_ivf_kmeans",
       "mrl" -> "emb_knn_mrl", "mrl_ivf" -> "emb_knn_mrl_ivf",
-      "bq" -> "emb_knn_bq", "sq8" -> "emb_knn_sq8", "pq" -> "emb_knn_pq").foreach {
+      "bq" -> "emb_knn_bq", "sq8" -> "emb_knn_sq8", "pq" -> "emb_knn_pq",
+      "ivfpq" -> "emb_knn_ivfpq").foreach {
       case (idx, entry) =>
         val inter = b.intersect(run(entry).select("query_id", "vec_id"))
           .groupBy("query_id").count()

@@ -861,4 +861,18 @@ class PlanSpec extends AnyFunSuite {
     assert(outer.contains("Scan ExistingRDD"),
       s"events_series_correlation: result no longer checkpoint-truncated\n$outer")
   }
+
+  test("round-15: emb_knn_ivfpq scans codes against broadcast tables, never sort-merging") {
+    // The IVFADC composition's scale claims: every small side (centroids,
+    // the per-(query, probed-cell) distance tables, the shortlist, the
+    // query vectors) broadcasts; the corpus-sized sides (assignment,
+    // residual encode, code scan, rerank) must never sort-merge.
+    val p = plan("emb_knn_ivfpq")
+    assert(p.contains("BroadcastExchange"),
+      s"emb_knn_ivfpq: small sides not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"emb_knn_ivfpq: a corpus-sized side sort-merged\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"emb_knn_ivfpq: undeclared cartesian\n$p")
+  }
 }
