@@ -1447,13 +1447,23 @@ object EmbeddingCatalog {
     * EVERY index variant in the catalog against the exact brute-force
     * answer — the diagnostic every index deployment runs before trusting
     * an approximate path, covering the full quantization/pruning ladder
-    * (LSH, multiprobe LSH, grid IVF, trained IVF, SQ8, PQ, BQ, MRL, and
-    * the MRL∘IVF composition). All pipelines are deterministic, so
-    * recall itself is deterministic and oracle-checkable. Cost: the
+    * (LSH, multiprobe LSH, grid IVF, trained IVF, SQ8, PQ, IVF∘PQ, BQ,
+    * MRL, and the MRL∘IVF composition). All pipelines are deterministic,
+    * so recall itself is deterministic and oracle-checkable. Cost: the
     * underlying scans plus a K-rows-per-query join per index — the
     * comparison is on result sets, never an extra pass over the corpus.
     * (Declared AFTER every index entry it reads: the oracle composes
     * their SQL at init time.)
+    *
+    * Deliberately absent rung: graph-walk ANN (HNSW, NSG). Its search
+    * is a SEQUENTIAL greedy walk over a navigable graph — each hop
+    * reads the previous hop's neighbors — which has no data-parallel
+    * decomposition: on Spark it degenerates to either a driver-side
+    * loop over a collected graph (not distributed) or one Spark job
+    * per hop (latency-absurd). The partition-parallel index shapes ARE
+    * this ladder: cells/buckets prune, codes compress, exact rerank
+    * restores precision — the negative result recorded so the gap
+    * reads as a decision, not an omission.
     */
   val knnRecall: CatalogEntry = {
     val indexes: Seq[(String, CatalogEntry)] = Seq(
