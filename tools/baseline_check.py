@@ -20,7 +20,20 @@ and to cache/AQE adjacency, the r14 doc_containment_profile lesson);
 legacy records without it fall back to seconds/cal_32t of the min run.
 The min-seconds run is still printed for context.
 
-ratio > --flag-ratio    -> FLAG    (re-measure isolated before believing;
+The flag threshold is DISPERSION-AWARE per entry: records seeded by
+tools/seed_baselines.py carry `spread_norm` (max/median of the entry's
+own cal-normalized seconds across the >=3 order-shuffled seeding runs),
+and the effective threshold is
+
+    max(--flag-ratio, spread_norm * --spread-margin)
+
+An entry whose seeding runs already disagree by 1.6x under identical
+no-co-tenant conditions cannot be meaningfully flagged at 1.5x — eleven
+r14-r15 hand adjudications all ended "short entry flutters with the
+host window"; this encodes that verdict mechanically. Records without
+spread_norm (legacy) use --flag-ratio as before.
+
+ratio > threshold       -> FLAG    (re-measure isolated before believing;
                                     a cleared flag means host noise, an
                                     uncleared one is a real regression)
                                     Entries where BOTH sides sit under
@@ -72,6 +85,11 @@ def main() -> int:
     ap.add_argument("--min-seconds", type=float, default=0.6,
                     help="floor in CAL-NORMALIZED seconds (~0.3s raw at "
                          "cal 0.5); both sides under it -> never flagged")
+    ap.add_argument("--spread-margin", type=float, default=1.25,
+                    help="multiplier on the record's own seeding-run "
+                         "dispersion (spread_norm); the effective flag "
+                         "threshold is max(flag-ratio, spread_norm * "
+                         "spread-margin)")
     ap.add_argument("--fail-on-flag", action="store_true")
     args = ap.parse_args()
 
@@ -92,9 +110,12 @@ def main() -> int:
         norm_rec = (float(rec["median_norm"]) if "median_norm" in rec
                     else float(rec["seconds"]) / float(rec["cal_32t"]))
         ratio = norm_run / norm_rec if norm_rec > 0 else float("inf")
-        row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"))
+        thresh = max(args.flag_ratio,
+                     float(rec.get("spread_norm", 1.0)) * args.spread_margin)
+        row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"),
+               thresh)
         small = (norm_run < args.min_seconds and norm_rec < args.min_seconds)
-        if ratio > args.flag_ratio and not small:
+        if ratio > thresh and not small:
             flagged.append(row)
         elif ratio < args.improve_ratio and not small:
             improved.append(row)
@@ -105,9 +126,11 @@ def main() -> int:
     print(f"record:   {args.baselines}  commit={base.get('commit')}  "
           f"method={base.get('method')}")
     for tag, rows in (("FLAG", flagged), ("IMPROVED", improved)):
-        for name, sec, rsec, ratio, note in sorted(rows, key=lambda r: -r[3]):
+        for name, sec, rsec, ratio, note, thresh in sorted(rows, key=lambda r: -r[3]):
             line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record-min={rsec:7.3f}s  "
                     f"vs median_norm x{ratio:.2f}")
+            if tag == "FLAG" and thresh > args.flag_ratio:
+                line += f" (thresh x{thresh:.2f})"
             if note:
                 line += f"  [{note}]"
             print(line)
