@@ -41,7 +41,16 @@ object Bench {
     // flattered for entries that happen to follow a cache-warming
     // neighbor, and any later reordering reads as fake drift (the r14
     // doc_containment_profile flag). Unset = the stable catalog order.
-    val orderSeed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
+    // Parse loudly: a typo'd value must name itself, not die as a raw
+    // NumberFormatException stack (same contract as a typo'd
+    // SPARK_GRAFT_ONLY below).
+    val orderSeed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException =>
+          System.err.println(s"SPARK_GRAFT_ORDER_SEED='$s' is not a long")
+          spark.stop(); sys.exit(2); 0L
+      }
+    }
     val baseOrder = Catalog.all.map(e => e.name -> e.build)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = orderSeed match {
@@ -133,19 +142,38 @@ object Bench {
     }
 
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // Sub-second stabilizer: an entry that finishes in under ~1
+    // cal-normalized second is ONE scheduler roll of the dice per pass —
+    // the r14-r16 adjudication history is dominated by exactly these
+    // entries fluttering x1.5-2.4 with the host window and clearing
+    // isolated. For such entries each pass takes the MEDIAN of 3
+    // back-to-back executions (a single noisy window can own one
+    // execution, not two of three), bounded cost ~30 s over the catalog
+    // because only already-cheap entries qualify. Threshold compares
+    // cal-normalized seconds so it is host-stable.
+    val subSecNorm = 1.0
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (_ <- 1 to repeat; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      def timeOnce(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop this run's cached intermediates: repetitions must not read
+        // the previous run's cache, and 46+ queries must not accumulate
+        // heap pressure that perturbs later timings.
+        dropEntryState(spark)
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop this run's cached intermediates: repetitions must not read
-      // the previous run's cache, and 46+ queries must not accumulate
-      // heap pressure that perturbs later timings.
-      dropEntryState(spark)
+      val d1 = timeOnce()
+      val dt =
+        if (d1 / cal32t < subSecNorm && !errors.contains(name)) {
+          val ds = Seq(d1, timeOnce(), timeOnce()).sorted
+          ds(1)
+        } else d1
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
     val results = ordered.map { case (name, _) => name -> best(name) }

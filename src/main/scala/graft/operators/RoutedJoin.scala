@@ -81,16 +81,21 @@ object RoutedJoin {
   }
 
   /** Dimension row count + estimated serialized bytes in ONE pass:
-    * sum(length(to_json(row))) — JSON framing over-counts vs Tungsten
-    * rows, which errs in the safe direction (never broadcasts something
-    * bigger than estimated). In production both numbers come free from
-    * file statistics; this measured form is for dims that are already
+    * sum(octet_length(to_json(row))) — UTF-8 BYTES, not characters:
+    * length() counts codepoints, so a CJK/emoji payload would be
+    * under-estimated up to 4x and the byte gate would broadcast a dim
+    * several times its apparent size — the exact wide-row OOM the gate
+    * exists to prevent. octet_length keeps the documented invariant
+    * honest: JSON framing over-counts vs Tungsten rows, so the estimate
+    * errs in the safe direction (never broadcasts something bigger than
+    * estimated). In production both numbers come free from file
+    * statistics; this measured form is for dims that are already
     * derived frames. Shared by the batch router and the streaming
     * parity tests so Stats equality stays meaningful. */
   def dimStats(dim: DataFrame): (Long, Long) = {
     val row = dim.agg(count(lit(1)).as("n"),
-      coalesce(sum(length(to_json(struct(dim.columns.toIndexedSeq.map(col): _*)))), lit(0L))
-        .as("bytes")).head()
+      coalesce(sum(octet_length(to_json(struct(dim.columns.toIndexedSeq.map(col): _*))))
+        .cast("long"), lit(0L)).as("bytes")).head()
     (row.getLong(0), row.getLong(1))
   }
 

@@ -104,6 +104,27 @@ class RoutedJoinSpec extends AnyFunSuite {
       == BroadcastRoute)
   }
 
+  test("dimStats counts UTF-8 bytes, not characters (multibyte payloads)") {
+    // The r15 advice finding: length(to_json(...)) counts CODEPOINTS, so
+    // a CJK payload serializing to 3 bytes/char was estimated at a third
+    // of its real size — a dim could pass the 10 MB byte gate at 3x the
+    // limit, the wide-row OOM the gate exists to prevent. octet_length
+    // must see every byte: a 1024-char CJK string is >= 3072 JSON bytes.
+    val cjk = "漢" * 1024 // U+6F22 = 3 bytes in UTF-8
+    val wideDim = (1L to 50L).map(i => (i, cjk)).toDF("c_custkey", "payload")
+    val (rows, bytes) = RoutedJoin.dimStats(wideDim)
+    assert(rows == 50L)
+    assert(bytes >= 50L * 1024L * 3, // payload alone, before JSON framing
+      s"byte estimate must count UTF-8 bytes (got $bytes; a character " +
+        s"count would read ~${50L * 1024L})")
+    // And the estimate still errs safe vs an ASCII dim of the same
+    // character count: same length() reading, 3x the octet reading.
+    val asciiDim = (1L to 50L).map(i => (i, "x" * 1024)).toDF("c_custkey", "payload")
+    val (_, asciiBytes) = RoutedJoin.dimStats(asciiDim)
+    assert(bytes > asciiBytes * 2,
+      s"multibyte payload must read larger than its ASCII twin: $bytes vs $asciiBytes")
+  }
+
   test("all three routes return the identical join result") {
     def agg(route: RoutedJoin.Route, limit: Long, threshold: Double) = {
       val (joined, taken) = RoutedJoin.join(hotFact, "k", col("event_id"),
