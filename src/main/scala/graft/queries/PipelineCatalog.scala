@@ -563,39 +563,59 @@ object PipelineCatalog {
     * substitution family as the PMI and BM25-idf surrogates in this
     * catalog, monotone in the posterior odds a bucket gives the
     * target). */
-  /** Long-safe ceiling for [[dsirWeights]]' scaled-integer division:
+  /** Long-safe ceiling for [[dsirWeights]]' scaled-integer FAST path:
     * the final product 10⁴·|num| must fit a signed 64-bit long, and
-    * |num| ≤ den, so den ≤ Long.MaxValue/10⁴ keeps every intermediate
-    * exact. den = ct'·R' + cr'·T' grows with corpus size CONTINUOUSLY
-    * (each addend < den), so a growing corpus crosses this boundary —
-    * and trips the in-plan guard below — long before the raw products
-    * could wrap 2⁶³ undetected. Shared with DsirSpec's boundary
-    * property so code and test can't drift. */
+    * |num| ≤ den, so den ≤ Long.MaxValue/10⁴ keeps every long
+    * intermediate exact. Shared with DsirSpec's boundary property so
+    * code and test can't drift. */
   private[graft] val DsirLongSafeDen: Long = Long.MaxValue / 10000L
+
+  /** Decimal-safe ceiling for [[dsirWeights]]' WIDE path: the wide
+    * branch computes 10⁴·|num| in DECIMAL(38,0), so |num| ≤ den must
+    * stay under 10³⁴; held at 10³³ for a full decimal digit of margin.
+    * den ≈ 2·G² for a corpus of G grams, so the wide path covers
+    * G ≈ 2·10¹⁶ bigrams — tens of petabytes of text — before the final
+    * guard trips. Shared with DsirSpec's wide-boundary fixture. */
+  private[graft] val DsirDecSafeDen: BigInt = BigInt(10).pow(33)
 
   private[graft] def dsirWeights(perBucket: DataFrame): DataFrame = {
     val b = lit(DsirBuckets.toLong)
+    val dec38 = "decimal(38,0)"
     val tot = perBucket.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
     perBucket.crossJoin(broadcast(tot))
+      // Both products in DECIMAL(38,0) from the start: each is
+      // ≤ (2⁶³)² ≈ 8.5·10³⁷ < 10³⁸, so num/den below are EXACT for any
+      // long-typed histogram — the boundary predicate can never be fed
+      // a wrapped operand (the r15 advice hazard: a den past 2⁶⁴ could
+      // wrap back into the legal long range and silently flip weights).
       .select(col("b"),
-        ((col("ct") + 1L) * (col("r_tot") + b) -
-          (col("cr") + 1L) * (col("t_tot") + b)).as("num"),
-        ((col("ct") + 1L) * (col("r_tot") + b) +
-          (col("cr") + 1L) * (col("t_tot") + b)).as("den"))
+        ((col("ct") + 1L).cast(dec38) * (col("r_tot") + b).cast(dec38)).as("tp"),
+        ((col("cr") + 1L).cast(dec38) * (col("t_tot") + b).cast(dec38)).as("rp"))
+      .select(col("b"), (col("tp") - col("rp")).as("num"),
+        (col("tp") + col("rp")).as("den"))
       .select(col("b"),
-        // Overflow guard as part of the RESULT expression (a detached
-        // assert column would be pruned): past [[DsirLongSafeDen]] —
-        // true-100-TB gram counts — the long path must fail loudly with
-        // the remediation named, never flip weight signs silently.
-        // den < 0 additionally catches a wrapped product (den is a sum
-        // of positive products, so a negative reading IS an overflow).
-        when(col("den") > lit(DsirLongSafeDen) || col("den") < 0L,
-          raise_error(concat(
-            lit(s"dsirWeights: den exceeds the long-safe boundary $DsirLongSafeDen " +
-              "(10^4*|num| would overflow 2^63): widen num/den to DECIMAL(38,0); den="),
-            col("den").cast("string"))).cast("long"))
-          .otherwise(when(col("num") < 0L, -1L).otherwise(1L) *
-            expr("(10000 * abs(num)) div den")).as("w"))
+        // Three-way dispatch on the EXACT den, per row (CaseWhen
+        // evaluates only the matched branch):
+        //   den ≤ 2⁶³/10⁴ — long fast path: the decimals cast down
+        //     exactly and the division is codegen-primitive (every
+        //     test sf and any single-node corpus lands here);
+        //   den ≤ 10³³  — wide path: the same scaled-integer
+        //     truncation carried out in DECIMAL(38,0), bit-identical
+        //     semantics, exact to tens-of-PB corpora (auto-selected:
+        //     the operator DEGRADES to exact-decimal, not an error);
+        //   beyond — fail loudly as part of the RESULT expression (a
+        //     detached assert column would be pruned); weights must
+        //     never come from a rounded or overflowed quotient.
+        when(col("den") <= lit(DsirLongSafeDen),
+          when(col("num") < 0, -1L).otherwise(1L) *
+            expr("(10000 * cast(abs(num) as bigint)) div cast(den as bigint)"))
+        .when(col("den") <= lit(new java.math.BigDecimal(DsirDecSafeDen.bigInteger)),
+          when(col("num") < 0, -1L).otherwise(1L) *
+            expr(s"(cast(10000 as $dec38) * abs(num)) div den"))
+        .otherwise(raise_error(concat(
+          lit(s"dsirWeights: den exceeds the decimal-safe boundary $DsirDecSafeDen " +
+            "(10^4*|num| would overflow DECIMAL(38,0)); den="),
+          col("den").cast("string"))).cast("long")).as("w"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -620,12 +640,16 @@ object PipelineCatalog {
     * model also maintains live as streamed keyed state
     * (StreamingQueries.streamingDsirCells — StreamingSpec pins the
     * drained weight table bit-for-bit). At true 100 TB counts the
-    * integer products approach 2⁶³ (10⁴·|num| ≤ 10⁴·den): the in-plan
-    * guard in [[dsirWeights]] fails loudly at [[DsirLongSafeDen]] with
-    * the remediation named (widen num/den to DECIMAL(38,0)); DsirSpec's
-    * boundary property drives synthetic histograms to within 1e-6 of
-    * the envelope and pins the long path BigInt-exact there. Longs are
-    * exact at every test sf and keep the hot path codegen-primitive.
+    * integer products approach 2⁶³ (10⁴·|num| ≤ 10⁴·den): past
+    * [[DsirLongSafeDen]] the per-row dispatch in [[dsirWeights]]
+    * AUTO-SELECTS the DECIMAL(38,0) wide path — same scaled-integer
+    * truncation, exact to [[DsirDecSafeDen]] (tens-of-PB corpora) —
+    * and only beyond THAT fails loudly in-plan. The boundary predicate
+    * reads den computed exactly in decimal, so no wrapped long can
+    * ever steer the dispatch. DsirSpec's boundary property drives
+    * synthetic histograms to within 1e-6 of the long envelope and pins
+    * BOTH branches BigInt-exact on their sides of it. Longs keep the
+    * hot path codegen-primitive at every test sf.
     *
     * Determinism: weights and scores are BIGINT sums of BIGINT terms —
     * order-free; the one closing double division per doc (score /

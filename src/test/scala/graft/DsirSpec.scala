@@ -38,25 +38,30 @@ class DsirSpec extends AnyFunSuite {
       s"sign convention broken at the extremes: $ws")
   }
 
-  test("long path is BigInt-exact at the 2^63 envelope and trips loudly past it") {
-    // The r14 verdict's prose-only caveat turned into code: dsirWeights'
-    // products must stay exact longs right up to the documented boundary
-    // (den <= DsirLongSafeDen = 2^63/10^4, the largest den for which
-    // 10^4*|num| cannot overflow), and a corpus past it must FAIL with
-    // the remediation named — a silent wrap would flip weight signs.
+  private val B = BigInt(1024)
+  /** BigInt reference arithmetic + the max den the fixture produced. */
+  private def bigWeights(rows: Seq[(Long, Long, Long)]): (Map[Long, BigInt], BigInt) = {
+    val rtot = BigInt(rows.map(_._2).sum); val ttot = BigInt(rows.map(_._3).sum)
+    var maxDen = BigInt(0)
+    val ws = rows.map { case (b, cr, ct) =>
+      val num = (BigInt(ct) + 1) * (rtot + B) - (BigInt(cr) + 1) * (ttot + B)
+      val den = (BigInt(ct) + 1) * (rtot + B) + (BigInt(cr) + 1) * (ttot + B)
+      maxDen = maxDen.max(den)
+      b -> (num.signum * ((BigInt(10000) * num.abs) / den))
+    }.toMap
+    (ws, maxDen)
+  }
+
+  test("long path is BigInt-exact at the 2^63 envelope; past it the wide path takes over exactly") {
+    // The r14 verdict's prose-only caveat turned into code, upgraded in
+    // r16 from fail-loudly to degrade-exactly: right up to the long
+    // boundary (den <= DsirLongSafeDen = 2^63/10^4, the largest den for
+    // which 10^4*|num| fits a long) the codegen-primitive long path
+    // must match BigInt arithmetic, and just PAST it the auto-selected
+    // DECIMAL(38,0) wide path must produce the same BigInt-exact
+    // weights — the over-boundary corpus that used to raise now
+    // organically exercises the wide branch.
     val bound = PipelineCatalog.DsirLongSafeDen
-    val B = BigInt(1024)
-    def bigWeights(rows: Seq[(Long, Long, Long)]): (Map[Long, BigInt], BigInt) = {
-      val rtot = BigInt(rows.map(_._2).sum); val ttot = BigInt(rows.map(_._3).sum)
-      var maxDen = BigInt(0)
-      val ws = rows.map { case (b, cr, ct) =>
-        val num = (BigInt(ct) + 1) * (rtot + B) - (BigInt(cr) + 1) * (ttot + B)
-        val den = (BigInt(ct) + 1) * (rtot + B) + (BigInt(cr) + 1) * (ttot + B)
-        maxDen = maxDen.max(den)
-        b -> (num.signum * ((BigInt(10000) * num.abs) / den))
-      }.toMap
-      (ws, maxDen)
-    }
     // Drive den to within 1e-6 of the envelope: cr = 37194469 with
     // ct = cr/3 gives den ~ (2/3)*cr^2 = 0.9999994*bound for the hot
     // bucket (asserted below so the fixture can't drift off the
@@ -70,14 +75,37 @@ class DsirSpec extends AnyFunSuite {
       "expected weights must themselves fit longs")
     assert(weightsOf(near) == want.map { case (k, v) => k -> v.toLong },
       "long path diverges from BigInt-exact arithmetic at the envelope")
-    // Just past the boundary: the guard must trip with the remediation
-    // named, not return a wrapped sign.
+    // Just past the boundary: the wide branch, same BigInt-exact result.
     val over = Seq((0L, cr + 300000L, (cr + 300000L) / 3L), (1L, 7L, 2L))
-    assert(bigWeights(over)._2 > BigInt(bound), "overflow fixture not past the boundary")
-    val ex = intercept[Throwable] { weightsOf(over) }
+    val (wantOver, denOver) = bigWeights(over)
+    assert(denOver > BigInt(bound) && denOver < PipelineCatalog.DsirDecSafeDen,
+      s"wide fixture must sit between the boundaries: den=$denOver")
+    assert(weightsOf(over) == wantOver.map { case (k, v) => k -> v.toLong },
+      "wide path diverges from BigInt-exact arithmetic past the long envelope")
+  }
+
+  test("wide path spans petabyte-scale histograms and trips loudly past 10^33") {
+    // Deep inside the wide region (den ~ 10^32, a ~10^16-gram corpus —
+    // far past any long): still BigInt-exact.
+    val crHuge = 12000000000000000L // 1.2e16 grams in one bucket -> den ~ 9.6e31
+    val deep = Seq((0L, crHuge, crHuge / 3L), (1L, 7L, 2L))
+    val (wantDeep, denDeep) = bigWeights(deep)
+    assert(denDeep > BigInt(PipelineCatalog.DsirLongSafeDen) * 1000000L &&
+      denDeep < PipelineCatalog.DsirDecSafeDen,
+      s"fixture must sit deep in the wide region: den=$denDeep")
+    assert(weightsOf(deep) == wantDeep.map { case (k, v) => k -> v.toLong },
+      "wide path diverges from BigInt-exact arithmetic at petabyte scale")
+    // Past DsirDecSafeDen = 10^33 (10^4*|num| would overflow
+    // DECIMAL(38,0)): the final guard must name itself, never return a
+    // rounded or overflowed quotient.
+    val crOver = 1800000000000000000L // den ~ (2/3)*cr^2 ~ 2.2e36 > 10^33
+    val past = Seq((0L, crOver, crOver / 3L), (1L, 7L, 2L))
+    assert(bigWeights(past)._2 > PipelineCatalog.DsirDecSafeDen,
+      "overflow fixture not past the decimal boundary")
+    val ex = intercept[Throwable] { weightsOf(past) }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("long-safe boundary")),
+    assert(messages(ex).exists(_.contains("decimal-safe boundary")),
       s"guard did not trip with the documented message: ${messages(ex).mkString(" | ")}")
   }
 
