@@ -305,7 +305,13 @@ object EmbeddingCatalog {
 
   private val IvfCentroidLo = 100L // centroids = data-sampled vectors 100..115
   private val IvfCentroidHi = 115L
-  private val IvfProbes = 2 // query probes its 2 nearest cells
+  /** Query probe depth of the IVF family. 4 is the value
+    * [[ivfProbeSweep]] justifies, not fiat: on the trained quantizer
+    * (sf0.01) probes 2→4 buys recall 0.75→0.90 for 13%→26% of the
+    * brute-force pair work, while 4→8 buys only +0.05 for another 2× —
+    * the knee is at 4. Must be a member of [[SweepProbes]] so the
+    * sweep's row for the default IS its measured justification. */
+  private val IvfProbes = 4
 
   /** IVF top-K: the inverted-file ANN alternative to hyperplane LSH. A
     * fixed sample of corpus vectors acts as the coarse quantizer
@@ -444,7 +450,7 @@ object EmbeddingCatalog {
     * nearest probe cells. One definition so a centroid or distance change
     * cannot drift one oracle and not the other.
     */
-  private lazy val ivfAssignCtes: String = {
+  private lazy val ivfCoreCtes: String = {
     val centRows = IvfCentroids.kmeans16.map { case (cid, c) =>
       val lst = c.mkString("[", ", ", "]")
       val cn2 = c.map(x => x * x).sum // same Scala left fold Spark's literal uses
@@ -457,12 +463,15 @@ object EmbeddingCatalog {
         assign AS (SELECT vec_id, cid AS cell FROM (
                      SELECT vec_id, cid,
                             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-                     FROM dist) WHERE rn = 1),
+                     FROM dist) WHERE rn = 1)"""
+  }
+
+  private lazy val ivfAssignCtes: String =
+    s"""$ivfCoreCtes,
         probes AS (SELECT vec_id AS query_id, cid AS probe_cell FROM (
                      SELECT vec_id, cid,
                             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
                      FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfProbes)"""
-  }
 
   /** Prefix-dim ([[MrlPrefixDim]]) dot product / cosine between
     * `q.embedding` and `c.embedding` — the MRL scoring shared by
@@ -777,12 +786,13 @@ object EmbeddingCatalog {
     * sub-sub-mul-sum sequence in both engines; shortlist ranks
     * ascending exact-decimal distance with id ties.
     *
-    * Measured (emb_knn_recall, sf0.01): recall 0.225 — exactly
-    * [[knnIvf]]'s, the probed-cell ceiling: with [[PqShortlist]]
-    * covering the probed population, the PQ stage costs no recall on
-    * top of the coarse quantizer; more probes buy recall, the codes buy
-    * the 32× scan compression. The harness reports both rungs so the
-    * trade stays visible.
+    * Measured (emb_knn_recall, sf0.01): recall tracks [[knnIvf]]'s
+    * exactly — the probed-cell ceiling (0.225 at the r15 probes=2
+    * default; lifted when [[ivfProbeSweep]] justified probes=4): with
+    * [[PqShortlist]] covering the probed population, the PQ stage costs
+    * no recall on top of the coarse quantizer; more probes buy recall,
+    * the codes buy the 32× scan compression. The harness reports both
+    * rungs so the trade stays visible.
     */
   val knnIvfPq: CatalogEntry = CatalogEntry(
     "emb_knn_ivfpq",
@@ -1510,6 +1520,116 @@ object EmbeddingCatalog {
       })
   }
 
+  /** Probe depths the IVF sweep measures; the committed default
+    * [[IvfProbes]] must be one of them so the sweep's row for it IS the
+    * measured justification of the default. */
+  private val SweepProbes = Seq(1, 2, 4, 8)
+
+  /** IVF probe-count sweep — the recall/cost KNOB measured in-catalog
+    * instead of fixed by fiat (the index-tuning sibling of
+    * [[knnRecall]], and the embedding twin of `doc_lsh_calibration`):
+    * for probes ∈ [[SweepProbes]], recall@[[K]] of the trained-kmeans
+    * IVF against the brute-force truth NEXT TO the fraction of
+    * brute-force pair work actually scanned. This is the table every
+    * IVF deployment derives before choosing nprobe: recall climbs with
+    * probed cells, scan cost climbs linearly, and the knee justifies
+    * the default.
+    *
+    * ONE assignment scan feeds every depth: queries rank ALL 16 cells
+    * once (posexplode of the sorted-cells projection, depth = rank),
+    * the probed-cell rerank join runs once at the WIDEST depth, and
+    * each sweep row filters the shared scored frame by `depth <= p` —
+    * cells are disjoint, so a candidate reaches a query at exactly one
+    * depth and the filter is exact (PlanSpec pins the single corpus
+    * scan). At 100 TB the sweep costs the widest probe's scan, not
+    * |SweepProbes| scans of it.
+    *
+    * Determinism: hits and scanned are BIGINT counts; recall and
+    * scanned_frac are one correctly-rounded double division each from
+    * identical integers in both engines.
+    */
+  val ivfProbeSweep: CatalogEntry = CatalogEntry(
+    "emb_ivf_probe_sweep",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val maxP = SweepProbes.max
+      val cells = graft.operators.KMeans.sortedCells(col("embedding"), IvfCentroids.kmeans16)
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cells.getItem(0).getField("cid").cast("long").as("cell"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          posexplode(slice(cells, 1, maxP)))
+        .select(col("query_id"), col("qe"), (col("pos") + 1).as("depth"),
+          col("col.cid").cast("long").as("probe_cell"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      // The shared scored frame: every (query, candidate, depth) pair at
+      // the widest depth, scored exactly once. Eager localCheckpoint for
+      // the same reason knnRecall checkpoints the brute truth: four
+      // branches read it, and left lazy each would re-run the scan.
+      val scoredAll = corpus.join(broadcast(queries),
+          col("cell") === col("probe_cell") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), col("depth"), cosineCol.as("score"))
+        .localCheckpoint(eager = true)
+      val truth = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
+      val nTot = emb.agg(count(lit(1)).as("n_corpus"))
+      SweepProbes.map { p =>
+        val cand = scoredAll.filter(col("depth") <= p)
+        val top = topKPerQuery(cand).select(col("query_id"), col("vec_id"))
+        val hitsRow = truth
+          .join(broadcast(top.withColumn("hit", lit(1))),
+            Seq("query_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        val scannedRow = cand.agg(count(lit(1)).as("scanned"))
+        hitsRow.crossJoin(scannedRow)
+          .select(lit(p.toLong).as("probes"), col("hits"),
+            round(col("hits") / lit((NQueries * K).toDouble), 6).as("recall"),
+            col("scanned"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTot))
+        .select(col("probes"), col("hits"), col("recall"), col("scanned"),
+          round(col("scanned") /
+            (lit(NQueries.toLong) * (col("n_corpus") - 1L)), 6).as("scanned_frac"))
+        .orderBy("probes")
+    },
+    Some {
+      val maxP = SweepProbes.max
+      val probesVals = SweepProbes.map(p => s"($p)").mkString(", ")
+      s"""WITH $ivfCoreCtes,
+            probed AS (SELECT vec_id AS query_id, cid AS probe_cell, rn AS depth FROM (
+                         SELECT vec_id, cid,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                         FROM dist WHERE vec_id < $NQueries) WHERE rn <= $maxP),
+            scored AS (SELECT p.query_id, a.vec_id AS cand_id, p.depth, $cosineSql AS score
+                       FROM probed p
+                       JOIN assign a ON a.cell = p.probe_cell
+                       JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+                       JOIN embeddings q ON q.vec_id = p.query_id),
+            brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
+            ps(probes) AS (SELECT * FROM (VALUES $probesVals) v(probes)),
+            topk AS (SELECT probes, query_id, cand_id FROM (
+                       SELECT ps.probes, s.query_id, s.cand_id,
+                              row_number() OVER (PARTITION BY ps.probes, s.query_id
+                                                 ORDER BY s.score DESC, s.cand_id) AS rn
+                       FROM ps JOIN scored s ON s.depth <= ps.probes) WHERE rn <= $K),
+            h AS (SELECT ps.probes, CAST(SUM(CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+                  FROM ps CROSS JOIN brute b
+                  LEFT JOIN topk t ON t.probes = ps.probes AND t.query_id = b.query_id
+                                  AND t.cand_id = b.vec_id
+                  GROUP BY ps.probes),
+            sc AS (SELECT ps.probes, CAST(COUNT(*) AS BIGINT) AS scanned
+                   FROM ps JOIN scored s ON s.depth <= ps.probes GROUP BY ps.probes),
+            n AS (SELECT COUNT(*) AS n_corpus FROM embeddings)
+          SELECT CAST(h.probes AS BIGINT) AS probes, h.hits,
+                 ROUND(CAST(h.hits AS DOUBLE) / ${NQueries * K}, 6) AS recall,
+                 sc.scanned,
+                 ROUND(CAST(sc.scanned AS DOUBLE) / ($NQueries * (n.n_corpus - 1)), 6) AS scanned_frac
+          FROM h JOIN sc ON sc.probes = h.probes CROSS JOIN n
+          ORDER BY probes"""
+    })
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
     * structurally different indexes — the standard result-merging layer
     * a production retrieval stack puts over heterogeneous retrievers:
@@ -1987,7 +2107,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

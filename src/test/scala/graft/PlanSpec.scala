@@ -875,4 +875,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"emb_knn_ivfpq: undeclared cartesian\n$p")
   }
+
+  test("round-16: emb_ivf_probe_sweep shares ONE assignment+scoring scan across all depths") {
+    // The sweep's scale claim: the widest-depth scored frame is computed
+    // once (checkpoint-truncated at build time) and every probes value
+    // filters IT — the returned plan must read Scan ExistingRDD for all
+    // four depth branches, with the corpus-count aggregate as the ONLY
+    // parquet read. Four FileScans would mean the sweep re-scans the
+    // corpus per depth, |SweepProbes|× the claimed cost at 100 TB.
+    val p = plan("emb_ivf_probe_sweep")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"emb_ivf_probe_sweep: expected exactly one parquet read (the corpus count)\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"emb_ivf_probe_sweep: scored frame no longer checkpoint-truncated\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"emb_ivf_probe_sweep: corpus-sized sort-merge or cartesian crept in\n$p")
+  }
 }
