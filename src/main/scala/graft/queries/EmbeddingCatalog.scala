@@ -758,62 +758,52 @@ object EmbeddingCatalog {
 
 
 
-  /** IVF∘PQ (IVFADC — Jégou, Douze & Schmid 2011 §IV): the production
-    * default the two halves of this family exist to compose — FAISS's
-    * IndexIVFPQ. Coarse cells come from [[knnIvf]]'s assignment device
-    * (sampled centroids, argmax rounded cosine, min-cid ties); each
-    * vector then PQ-encodes its RESIDUAL against its cell's centroid
-    * (residuals cluster tighter around zero than raw vectors, which is
-    * why IVFADC quantizes them — §IV.B); a query probes its
-    * [[IvfProbes]] nearest cells, builds one 8×16 residual
-    * distance table PER PROBED CELL, and ADC-scans only those cells'
-    * code lists — the inverted file. Exact cosine reranks the
-    * [[PqShortlist]] survivors.
-    *
-    * 100 TB shape — what the composition buys over [[knnPq]] alone: the
-    * ADC scan touches probes/cells of the corpus instead of all of it
-    * (the code join keys on (cell, j, code) against a broadcast
-    * 2·8·16-row table), memory stays 8 B + one cell id per vector, and
-    * the rerank touches [[PqShortlist]] rows per query. Codebooks here
-    * are the frozen data-sampled centroid chunks the PQ entry uses
-    * (production trains them on residuals; the structure — and the
-    * oracle — are identical either way).
-    *
-    * Cross-engine exactness: the [[knnPq]] devices verbatim — chunk d²
-    * rounded 6 then DECIMAL(18,6) so the 8-term ADC sum is
-    * associative-exact; code argmins on rounded d² with min-id ties;
-    * residual elements are one IEEE subtraction per dim, the same
-    * sub-sub-mul-sum sequence in both engines; shortlist ranks
-    * ascending exact-decimal distance with id ties.
-    *
-    * Measured (emb_knn_recall, sf0.01): recall tracks [[knnIvf]]'s
-    * exactly — the probed-cell ceiling (0.225 at the r15 probes=2
-    * default; lifted when [[ivfProbeSweep]] justified probes=4): with
-    * [[PqShortlist]] covering the probed population, the PQ stage costs
-    * no recall on top of the coarse quantizer; more probes buy recall,
-    * the codes buy the 32× scan compression. The harness reports both
-    * rungs so the trade stays visible.
-    */
-  val knnIvfPq: CatalogEntry = CatalogEntry(
-    "emb_knn_ivfpq",
-    (s, d) => {
+  /** The frozen sampled-centroid table (cid, cemb, cnorm) of the
+    * IVFADC family — factored so the streaming replay reads the SAME
+    * static frame the batch entry broadcasts. */
+  private[graft] def ivfCentroidFrame(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      .withColumn("cnorm", graft.functions.Vectors.norm(col("cemb")))
+
+  /** Per-(vector, centroid) rounded cosine — knnIvf's scoring device
+    * against a broadcast centroid frame. Works unchanged on a STREAMING
+    * `emb` (stream-static broadcast join, per-row projection). */
+  private[graft] def ivfCellScores(emb: DataFrame, centN: DataFrame): DataFrame = {
+    import graft.functions.Vectors
+    emb.withColumn("vnorm", Vectors.norm(col("embedding")))
+      .crossJoin(broadcast(centN))
+      .withColumn("csim", round(
+        Vectors.dot(col("embedding"), col("cemb")) / (col("vnorm") * col("cnorm")), 6))
+  }
+
+  /** Coarse IVFADC assignment (vec_id, cell): keyed ARGMAX over the
+    * cell scores, smallest cid on ties. ONE definition shared by the
+    * batch entry and StreamingQueries.streamingIvfCells — the max is
+    * linear/mergeable keyed state, so structured streaming maintains
+    * the identical aggregate live in update mode, and the drained
+    * frame replays the batch assignment bit-for-bit (StreamingSpec
+    * then re-runs codes + ADC on it and pins the final top-K). */
+  private[graft] def ivfCoarseAssign(emb: DataFrame, centN: DataFrame): DataFrame =
+    ivfCellScores(emb, centN)
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cell"))
+
+  /** Everything of [[knnIvfPq]] downstream of the coarse assignment —
+    * probes, residual PQ encode, ADC scan, shortlist, exact rerank —
+    * factored over an injectable `assign` frame so the streaming test
+    * can replay it on DRAINED live state. Query-side probes re-derive
+    * from a query-only cell-score pass (NQueries rows — not
+    * corpus-touching; the corpus-touching stage IS the assignment). */
+  private[graft] def ivfPqFrom(emb: DataFrame, assign: DataFrame): DataFrame = {
       import org.apache.spark.sql.Column
       import graft.functions.Vectors
-      val emb = embeddings(s, d)
       val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      val centN = cent.withColumn("cnorm", Vectors.norm(col("cemb")))
-      // Coarse assignment + probes — knnIvf's device.
-      val scoredCells = emb.withColumn("vnorm", Vectors.norm(col("embedding")))
-        .crossJoin(broadcast(centN))
-        .withColumn("csim", round(
-          Vectors.dot(col("embedding"), col("cemb")) / (col("vnorm") * col("cnorm")), 6))
-      val assign = scoredCells
-        .groupBy("vec_id")
-        .agg(max(struct(col("csim"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cell"))
+      val centN = ivfCentroidFrame(emb)
       val probeTop = udaf(new graft.combine.TopNAgg(IvfProbes))
-      val probes = scoredCells.filter(col("vec_id") < NQueries)
+      val probes = ivfCellScores(emb.filter(col("vec_id") < NQueries), centN)
         .groupBy(col("vec_id").as("query_id"))
         .agg(probeTop(col("csim"), col("cid")).as("top"))
         .select(col("query_id"), posexplode(col("top.entries")))
@@ -875,6 +865,49 @@ object EmbeddingCatalog {
         .join(broadcast(queriesFull), Seq("query_id"))
         .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
       topKPerQuery(rer)
+  }
+
+  /** IVF∘PQ (IVFADC — Jégou, Douze & Schmid 2011 §IV): the production
+    * default the two halves of this family exist to compose — FAISS's
+    * IndexIVFPQ. Coarse cells come from [[knnIvf]]'s assignment device
+    * (sampled centroids, argmax rounded cosine, min-cid ties); each
+    * vector then PQ-encodes its RESIDUAL against its cell's centroid
+    * (residuals cluster tighter around zero than raw vectors, which is
+    * why IVFADC quantizes them — §IV.B); a query probes its
+    * [[IvfProbes]] nearest cells, builds one 8×16 residual
+    * distance table PER PROBED CELL, and ADC-scans only those cells'
+    * code lists — the inverted file. Exact cosine reranks the
+    * [[PqShortlist]] survivors.
+    *
+    * 100 TB shape — what the composition buys over [[knnPq]] alone: the
+    * ADC scan touches probes/cells of the corpus instead of all of it
+    * (the code join keys on (cell, j, code) against a broadcast
+    * 2·8·16-row table), memory stays 8 B + one cell id per vector, and
+    * the rerank touches [[PqShortlist]] rows per query. Codebooks here
+    * are the frozen data-sampled centroid chunks the PQ entry uses
+    * (production trains them on residuals; the structure — and the
+    * oracle — are identical either way).
+    *
+    * Cross-engine exactness: the [[knnPq]] devices verbatim — chunk d²
+    * rounded 6 then DECIMAL(18,6) so the 8-term ADC sum is
+    * associative-exact; code argmins on rounded d² with min-id ties;
+    * residual elements are one IEEE subtraction per dim, the same
+    * sub-sub-mul-sum sequence in both engines; shortlist ranks
+    * ascending exact-decimal distance with id ties.
+    *
+    * Measured (emb_knn_recall, sf0.01): recall tracks [[knnIvf]]'s
+    * exactly — the probed-cell ceiling (0.225 at the r15 probes=2
+    * default; lifted when [[ivfProbeSweep]] justified probes=4): with
+    * [[PqShortlist]] covering the probed population, the PQ stage costs
+    * no recall on top of the coarse quantizer; more probes buy recall,
+    * the codes buy the 32× scan compression. The harness reports both
+    * rungs so the trade stays visible.
+    */
+  val knnIvfPq: CatalogEntry = CatalogEntry(
+    "emb_knn_ivfpq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      ivfPqFrom(emb, ivfCoarseAssign(emb, ivfCentroidFrame(emb)))
     },
     Some {
       val centSim =

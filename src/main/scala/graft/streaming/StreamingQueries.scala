@@ -572,6 +572,30 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming sibling of `emb_knn_ivfpq`'s coarse-assignment stage —
+    * the IVFADC entry's ONLY corpus-touching aggregate: per-vector
+    * argmax of the rounded cosine against the broadcast frozen-centroid
+    * frame, maintained live as keyed state. ONE definition shared with
+    * the batch entry (EmbeddingCatalog.ivfCoarseAssign — the
+    * streamingDailyMeans delegation pattern): the cell scores are a
+    * stream-static broadcast projection and the argmax is a keyed MAX —
+    * linear, mergeable — so structured streaming maintains the
+    * identical aggregate in update mode and the drained (vec_id, cell)
+    * frame equals the batch assignment bit-for-bit after any arrival
+    * order/split. StreamingSpec replays residual-PQ codes + ADC +
+    * rerank (EmbeddingCatalog.ivfPqFrom) on the drained frame and pins
+    * the final top-K against the batch entry. State is one (csim, cid)
+    * pair per vector — corpus-row-bounded like any keyed dedup, with
+    * the centroid side frozen and broadcast exactly as at 100 TB.
+    *
+    * Input columns: (vec_id, embedding); `centN` = the static
+    * EmbeddingCatalog.ivfCentroidFrame. Update mode re-emits a vector's
+    * cell when a better-scoring centroid arrives (never here — cells
+    * are frozen — but the contract holds under re-delivery).
+    */
+  def streamingIvfCells(emb: DataFrame, centN: DataFrame): DataFrame =
+    graft.queries.EmbeddingCatalog.ivfCoarseAssign(emb, centN)
+
   /** Streaming sibling of `events_theil_sen`'s corpus-touching stage:
     * the (event_type, day) daily-mean frame maintained as a live
     * aggregate — ONE graft.queries.PipelineCatalog.dailyMeans definition

@@ -656,6 +656,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotW == wantW, "streamed DSIR weight table diverges from batch")
   }
 
+  test("streamed IVFADC coarse assignment replays the batch entry bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.EmbeddingCatalog
+    // The IVFADC entry's only corpus-touching aggregate is the coarse
+    // assignment (argmax rounded cosine over broadcast frozen
+    // centroids) — linear/mergeable keyed state. Stream the corpus in
+    // two bursts, drain the live (vec_id, cell) state, then replay
+    // residual-PQ codes + ADC + rerank on the drained frame: the final
+    // top-K must equal the batch entry bit-for-bit (scores included).
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val want = SparkEntry.queries("emb_knn_ivfpq")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no ivfpq rows at sf0.001")
+    val wantAssign = EmbeddingCatalog
+      .ivfCoarseAssign(emb, EmbeddingCatalog.ivfCentroidFrame(emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val sinkId = s"ivf-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = vec_id
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingQueries.streamingIvfCells(
+        input.toDF().toDF("vec_id", "embedding"),
+        EmbeddingCatalog.ivfCentroidFrame(emb))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drained = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Sinks.clear(sinkId)
+    assert(drained.toSet == wantAssign,
+      "drained IVF cell assignments diverge from the batch argmax")
+    val got = EmbeddingCatalog
+      .ivfPqFrom(emb, drained.toDF("vec_id", "cell"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want,
+      "IVFADC replay on drained assignments diverges from the batch entry")
+  }
+
   test("streamed Theil-Sen daily state replays the batch slope bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // The daily-mean aggregate is events_theil_sen's ONLY
