@@ -2138,6 +2138,13 @@ object EmbeddingCatalog {
              SELECT vec_id, neg_id, 'neg', score FROM neg
              ORDER BY pair_type, anchor_id, other_id"""))
 
+  // The default probe depth must be one of the measured sweep points:
+  // the sweep's row for the default IS its justification, and a default
+  // the sweep never measured is fiat again. (Checked here, after both
+  // vals initialize — object vals init in declaration order.)
+  require(SweepProbes.contains(IvfProbes),
+    s"IvfProbes=$IvfProbes is not a measured sweep point $SweepProbes")
+
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
       knnIvfPq, knnBq, knnRecall, ivfProbeSweep, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
