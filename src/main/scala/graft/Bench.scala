@@ -152,29 +152,51 @@ object Bench {
     // because only already-cheap entries qualify. Threshold compares
     // cal-normalized seconds so it is host-stable.
     val subSecNorm = 1.0
+    // Disagreement re-measure: the round-robin interleave puts an
+    // entry's passes minutes apart, so a transient noisy host window
+    // inflates SOME passes and not others — pass readings disagreeing
+    // by more than this ratio are evidence the entry straddled a window
+    // change (the r15 driver run inflated five 1.4-3 s entries x1.5-2.4
+    // while every isolated probe read in-band; record-side dispersion
+    // cannot absorb what the run itself can detect). Such entries get
+    // ONE extra execution after the passes, min'd in — the cost lands
+    // only on entries whose own readings demanded it.
+    val disagreeRatio = 1.4
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to repeat; (name, fn) <- ordered) {
-      def timeOnce(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop this run's cached intermediates: repetitions must not read
-        // the previous run's cache, and 46+ queries must not accumulate
-        // heap pressure that perturbs later timings.
-        dropEntryState(spark)
-        dt
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    def timeEntry(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      val d1 = timeOnce()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this run's cached intermediates: repetitions must not read
+      // the previous run's cache, and 46+ queries must not accumulate
+      // heap pressure that perturbs later timings.
+      dropEntryState(spark)
+      dt
+    }
+    for (_ <- 1 to repeat; (name, fn) <- ordered) {
+      val d1 = timeEntry(name, fn)
       val dt =
         if (d1 / cal32t < subSecNorm && !errors.contains(name)) {
-          val ds = Seq(d1, timeOnce(), timeOnce()).sorted
+          val ds = Seq(d1, timeEntry(name, fn), timeEntry(name, fn)).sorted
           ds(1)
         } else d1
+      samples.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+    }
+    if (repeat > 1) {
+      for ((name, fn) <- ordered if !errors.contains(name)) {
+        val ss = samples(name)
+        if (ss.nonEmpty && ss.min > 0 && ss.max / ss.min > disagreeRatio)
+          best(name) = math.min(best(name), timeEntry(name, fn))
+      }
     }
     val results = ordered.map { case (name, _) => name -> best(name) }
 

@@ -23,6 +23,14 @@ Per entry the record keeps THREE estimators:
     window", and an entry whose seeding runs already disagree by
     1.6x cannot be meaningfully flagged at 1.5x. Encoded here so
     that lesson stops being re-litigated by hand each round.
+    MEASURED LIMITATION (r16): three seeding runs executed back-to-back
+    share one host window, so spread_norm UNDER-estimates cross-window
+    dispersion — the r15 driver-run flags (x1.5-2.4, all cleared
+    isolated) would not have been absorbed by the spreads those quiet
+    runs produced. Defense in depth: Bench's own disagreement
+    re-measure (passes differing >1.4x get an extra execution) catches
+    the noisy window AT THE RUN, and any flag that still survives is a
+    ten-minute mechanical adjudication via tools/probe_flags.py.
 
 Seed from runs with DISTINCT order seeds; the seeds used are stamped
 into the meta block ("order_seeds") so a reader can see whether the
