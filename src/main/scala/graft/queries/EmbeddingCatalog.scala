@@ -663,6 +663,17 @@ object EmbeddingCatalog {
     * the shuffle keys on (subspace, code) against a 1024-row broadcast
     * table and the rerank touches 64 rows per query.
     */
+  /** Subspace-j rounded squared L2 between two array columns — the PQ
+    * chunk arithmetic, ONE definition shared by [[knnPq]]'s encode, the
+    * IVFADC residual encode ([[ivfPqFrom]]), and the distortion
+    * diagnostic ([[pqDistortion]]) so the codes and their measurement
+    * can never drift. */
+  private def pqD2Chunk(v: String, c: String, j: Int): org.apache.spark.sql.Column =
+    round(expr(
+      s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
+           (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+
   val knnPq: CatalogEntry = CatalogEntry(
     "emb_knn_pq",
     (s, d) => {
@@ -670,10 +681,7 @@ object EmbeddingCatalog {
       val emb = embeddings(s, d)
       val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      def d2Chunk(v: String, c: String, j: Int): Column = round(expr(
-        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
-             (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+      def d2Chunk(v: String, c: String, j: Int): Column = pqD2Chunk(v, c, j)
       def dotChunk(v: String, c: String, j: Int): Column = round(expr(
         s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
@@ -758,6 +766,119 @@ object EmbeddingCatalog {
 
 
 
+  /** PQ encode as a reusable stage: per (vector, subspace), the
+    * L2-nearest codebook chunk (min-cid ties) AND its quantization
+    * error on the 10⁻⁶ integer lattice — (vec_id, j, code, d2s) rows.
+    * The argmin is a keyed MIN-struct aggregate over the broadcast
+    * codebook — linear/mergeable — so the SAME definition runs as live
+    * streaming state (StreamingQueries.streamingPqCells; StreamingSpec
+    * drains it and replays the distortion report bit-for-bit). d2s is
+    * exact: round(d², 6) → DECIMAL(18,6) → ×10⁶ → BIGINT, the knnPq
+    * qtab device. */
+  private[graft] def pqEncodeCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val aggs = (0 until PqM).map(j =>
+      min(struct(pqD2Chunk("embedding", "cemb", j).as("d2"), col("cid").as("cid"))).as(s"b$j"))
+    emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), explode(array((0 until PqM).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"b$j.cid").cast("long").as("code"),
+          col(s"b$j.d2").as("d2"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.code").as("code"),
+        (col("e.d2").cast("decimal(18,6)") * 1000000).cast("long").as("d2s"))
+  }
+
+  /** The per-subspace report from encoded cells — factored so the
+    * streaming test can replay it on drained state. */
+  private[graft] def pqDistortionFrom(enc: DataFrame): DataFrame = {
+    val byCode = enc.groupBy("j", "code")
+      .agg(count(lit(1)).as("n"), sum("d2s").as("ds"))
+    byCode.groupBy("j")
+      .agg(sum("n").as("nv"),
+        count(lit(1)).as("cu"),
+        max(struct(col("n"), (-col("code")).as("negc"))).as("top"),
+        sum("ds").as("dsc"))
+      .select(col("j"), col("nv").cast("long").as("n_vectors"),
+        col("cu").cast("long").as("codes_used"),
+        (-col("top.negc")).cast("long").as("top_code"),
+        col("top.n").cast("long").as("top_code_n"),
+        col("dsc").cast("long").as("distortion_scaled"),
+        round(col("dsc") / (col("nv") * lit(1000000.0)), 6).as("mean_d2"))
+      .orderBy("j")
+  }
+
+  /** PQ codebook-quality report — the diagnostic every PQ deployment
+    * derives before trusting the codes (Jégou, Douze & Schmid 2011
+    * measure exactly this: per-subquantizer quantization MSE, §III),
+    * completing the index-diagnostics family ([[ivfCells]] reports
+    * cell balance, [[ivfProbeSweep]] the probe knob, this the code
+    * quality): per subspace j, the vector count, DISTINCT CODES USED
+    * (dead codes waste the codebook — 16 available here), the
+    * most-populated code and its population (imbalance: one hot code
+    * means the subspace barely discriminates), and the total/mean
+    * quantization error of the chosen codes.
+    *
+    * 100 TB shape: the encode is the ONE broadcast-codebook corpus
+    * pass [[knnPq]] itself pays (shared [[pqD2Chunk]] arithmetic — the
+    * measurement can never drift from the production encode); the
+    * report then lives at (j, code) granularity — ≤ 8×16 rows of
+    * map-combined exact-integer state, nothing corpus-sized past the
+    * scan. Streaming form: the encode cells are keyed-min state
+    * (StreamingQueries.streamingPqCells), drained and replayed in
+    * StreamingSpec.
+    *
+    * Determinism: counts and the ×10⁶-scaled error sums are BIGINT
+    * end-to-end (the d² lattice device); mean_d2 is ONE closing
+    * correctly-rounded double division from identical integers; argmax
+    * code ties break on the smaller code id in both engines.
+    */
+  val pqDistortion: CatalogEntry = CatalogEntry(
+    "emb_pq_distortion",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      pqDistortionFrom(pqEncodeCells(emb, cent))
+    },
+    Some {
+      val sq = s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [(CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) * (CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
+          (acc, v) -> acc + v), 6)"""
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            js AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j),
+            esub AS (SELECT e.vec_id, js.j, e.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS a
+                     FROM embeddings e CROSS JOIN js),
+            csub AS (SELECT c.cid, js.j, c.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS b
+                     FROM cent c CROSS JOIN js),
+            d2t AS (SELECT e.vec_id, e.j, c.cid, $sq AS d2
+                    FROM esub e JOIN csub c ON c.j = e.j),
+            enc AS (SELECT j, cid AS code,
+                           CAST(CAST(d2 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS d2s FROM (
+                      SELECT vec_id, j, cid, d2,
+                             row_number() OVER (PARTITION BY vec_id, j
+                                                ORDER BY d2 ASC, cid ASC) AS rn
+                      FROM d2t) WHERE rn = 1),
+            bycode AS (SELECT j, code, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(d2s) AS BIGINT) AS ds
+                       FROM enc GROUP BY 1, 2),
+            topc AS (SELECT j, code AS top_code, n AS top_code_n FROM (
+                       SELECT j, code, n,
+                              row_number() OVER (PARTITION BY j ORDER BY n DESC, code ASC) AS rn
+                       FROM bycode) WHERE rn = 1),
+            agg AS (SELECT j, CAST(SUM(n) AS BIGINT) AS n_vectors,
+                           CAST(COUNT(*) AS BIGINT) AS codes_used,
+                           CAST(SUM(ds) AS BIGINT) AS distortion_scaled
+                    FROM bycode GROUP BY j)
+          SELECT CAST(a.j AS BIGINT) AS j, a.n_vectors, a.codes_used,
+                 CAST(t.top_code AS BIGINT) AS top_code,
+                 CAST(t.top_code_n AS BIGINT) AS top_code_n,
+                 a.distortion_scaled,
+                 ROUND(CAST(a.distortion_scaled AS DOUBLE) / (a.n_vectors * 1000000.0), 6) AS mean_d2
+          FROM agg a JOIN topc t ON t.j = a.j
+          ORDER BY j"""
+    })
+
   /** The frozen sampled-centroid table (cid, cemb, cnorm) of the
     * IVFADC family — factored so the streaming replay reads the SAME
     * static frame the batch entry broadcasts. */
@@ -809,11 +930,8 @@ object EmbeddingCatalog {
         .select(col("query_id"), posexplode(col("top.entries")))
         .select(col("query_id"), col("col.event_id").as("probe_cell"))
       // Residual d² per subspace between a residual array and a codebook
-      // chunk — the knnPq chunk arithmetic over (v − cell-centroid).
-      def d2Chunk(v: String, c: String, j: Int): Column = round(expr(
-        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
-             (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+      // chunk — the shared pqD2Chunk arithmetic over (v − cell-centroid).
+      def d2Chunk(v: String, c: String, j: Int): Column = pqD2Chunk(v, c, j)
       val resOf = "zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
       // Encode: residual vs assigned cell, nearest codebook chunk per j.
       val withRes = emb.join(assign, "vec_id")
@@ -2147,7 +2265,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

@@ -596,6 +596,21 @@ object StreamingQueries {
   def streamingIvfCells(emb: DataFrame, centN: DataFrame): DataFrame =
     graft.queries.EmbeddingCatalog.ivfCoarseAssign(emb, centN)
 
+  /** Streaming sibling of `emb_pq_distortion`'s corpus-touching stage —
+    * the PQ encode: per (vector, subspace), the L2-nearest codebook
+    * chunk and its lattice-exact quantization error, as keyed MIN-struct
+    * state over the broadcast codebook. ONE definition shared with the
+    * batch entry (EmbeddingCatalog.pqEncodeCells — the delegation
+    * pattern of [[streamingIvfCells]]): the argmin is linear/mergeable,
+    * so update mode maintains it live and the drained
+    * (vec_id, j, code, d2s) cells replay the per-subspace distortion
+    * report (EmbeddingCatalog.pqDistortionFrom) bit-for-bit
+    * (StreamingSpec pins it). The report stage itself is ≤ 8×16 rows of
+    * post-drain batch work — never streamed corpus state.
+    */
+  def streamingPqCells(emb: DataFrame, cent: DataFrame): DataFrame =
+    graft.queries.EmbeddingCatalog.pqEncodeCells(emb, cent)
+
   /** Streaming sibling of `events_theil_sen`'s corpus-touching stage:
     * the (event_type, day) daily-mean frame maintained as a live
     * aggregate — ONE graft.queries.PipelineCatalog.dailyMeans definition

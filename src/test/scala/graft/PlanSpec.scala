@@ -891,4 +891,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"emb_ivf_probe_sweep: corpus-sized sort-merge or cartesian crept in\n$p")
   }
+
+  test("round-16: emb_pq_distortion encodes against the broadcast codebook in one corpus pass") {
+    // The codebook (16 rows) broadcasts into the encode scan; the report
+    // aggregates down to (j, code) then j — nothing corpus-sized joins,
+    // and the corpus parquet is read exactly once (the cent filter reads
+    // the same file a second time, pruned to 16 rows by a pushed filter;
+    // both scans must push their filters or none do).
+    val p = plan("emb_pq_distortion")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"emb_pq_distortion: codebook not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"emb_pq_distortion: corpus-sized sort-merge crept in\n$p")
+  }
 }

@@ -700,6 +700,49 @@ class StreamingSpec extends AnyFunSuite {
       "IVFADC replay on drained assignments diverges from the batch entry")
   }
 
+  test("streamed PQ encode cells replay the distortion report bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.EmbeddingCatalog
+    // emb_pq_distortion's corpus-touching stage is the encode (keyed
+    // argmin over the broadcast codebook). Stream the corpus in two
+    // bursts, drain the live (vec_id, j, code, d2s) cells, replay the
+    // per-subspace report on the drained frame: bit-for-bit equal to
+    // the batch entry, exact-integer sums included.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val want = SparkEntry.queries("emb_pq_distortion")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no distortion rows at sf0.001")
+    val cent = emb.filter(col("vec_id").between(100L, 115L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val wantCells = EmbeddingCatalog.pqEncodeCells(emb, cent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val sinkId = s"pq-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (vec_id, j)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingQueries.streamingPqCells(
+        input.toDF().toDF("vec_id", "embedding"), cent)
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drained = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Sinks.clear(sinkId)
+    assert(drained.toSet == wantCells,
+      "drained PQ encode cells diverge from the batch encode")
+    val got = EmbeddingCatalog
+      .pqDistortionFrom(drained.toDF("vec_id", "j", "code", "d2s"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want,
+      "distortion replay on drained cells diverges from the batch entry")
+  }
+
   test("streamed Theil-Sen daily state replays the batch slope bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // The daily-mean aggregate is events_theil_sen's ONLY
