@@ -2705,6 +2705,105 @@ object PipelineCatalog {
                          ELSE 0.0 END AS dup_ratio
              FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""))
 
+  /** log10(1 + 1/d) for d = 1..9, pre-rounded to the house 6-decimal
+    * lattice and baked into BOTH plans as literals — the expected
+    * first-significant-digit law is a CONSTANT of the test, so neither
+    * engine's log10 is ever evaluated (libm log differences can't leak
+    * into the compare, the same literal-constant device as the Benford
+    * family's textbook tables).
+    */
+  private val BenfordP =
+    Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Benford first-significant-digit audit per event type (Newcomb 1881;
+    * Benford 1938; Nigrini 1996 — the standard forensic screen for
+    * fabricated or pipeline-corrupted numeric columns): the observed
+    * digit-1..9 distribution of `value` next to the Benford expectation
+    * and the per-digit absolute deviation. A synthetic generator that
+    * draws values uniformly, a unit-conversion bug, or a truncating
+    * ingest all bend this profile long before means/percentiles move —
+    * the value-column sibling of `source_ks_drift`'s shape monitoring.
+    *
+    * Cross-engine digit extraction rides the house 10⁻⁶ lattice: value →
+    * ROUND(·,6) → DECIMAL(18,6) → ×10⁶ → |BIGINT|, then the first char
+    * of the INTEGER's decimal rendering — integer-to-string is
+    * engine-identical, where double-to-string formatting is not. The
+    * lattice shifts the decimal point only (×10⁶), which never changes
+    * the first SIGNIFICANT digit of a nonzero value. Zeros (nothing
+    * survives |·|>0) carry no leading digit and are excluded by law, not
+    * by data luck. frac and abs_dev are ONE double division from exact
+    * integers against the [[BenfordP]] literals.
+    *
+    * 100 TB shape: pure per-row projection into a (type, digit) keyed
+    * count — map-side combined, output 9 × #types rows. The digit grid
+    * (9 rows, broadcast) left-joins the counts so a digit an event type
+    * NEVER produces still reports its full Benford deviation — absent
+    * digits are the loudest fraud signal, and an inner join would
+    * silently drop exactly them. The count frame is localCheckpointed
+    * (tiny) so totals derive from it instead of a second corpus scan.
+    */
+  /** The (event_type, digit) count — the entry's ONLY corpus-touching
+    * stage, a linear keyed aggregate, so it doubles as live streaming
+    * state (StreamingQueries.streamingBenfordCounts delegates here; the
+    * drained frame replays [[benfordFrom]] bit-for-bit).
+    */
+  private[graft] def benfordCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        abs((round(col("value"), 6).cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("av"))
+      .filter(col("av") > 0)
+      .select(col("event_type"),
+        substring(col("av").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+
+  /** The per-digit profile from counted digits — grid-sized batch work,
+    * factored so the streaming test replays it on drained state.
+    */
+  private[graft] def benfordFrom(s: SparkSession, cnt: DataFrame): DataFrame = {
+    val tot = cnt.groupBy("event_type").agg(sum("n").as("n_type"))
+    val digits = s.range(1, 10).select(col("id").as("digit"))
+    val p = element_at(
+      array(BenfordP.map(lit): _*), col("digit").cast("int"))
+    tot.crossJoin(broadcast(digits))
+      .join(cnt, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_type"),
+        round(coalesce(col("n"), lit(0L)).cast("double") / col("n_type"), 6)
+          .as("frac"),
+        p.as("benford_p"),
+        round(abs(coalesce(col("n"), lit(0L)).cast("double") / col("n_type") - p), 6)
+          .as("abs_dev"))
+  }
+
+  val benfordProfile: CatalogEntry = CatalogEntry(
+    "events_benford_profile",
+    (s, d) => benfordFrom(s, benfordCounts(Tables.events(s, d)).localCheckpoint()),
+    Some {
+      val pList = BenfordP.mkString("[", ", ", "]")
+      s"""WITH cnt AS (SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                         SELECT event_type,
+                                CAST(substr(CAST(av AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                         FROM (SELECT event_type,
+                                      ABS(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                                               * 1000000 AS BIGINT)) AS av
+                               FROM events)
+                         WHERE av > 0)
+                       GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+                    FROM cnt GROUP BY 1),
+            digits AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit)
+          SELECT t.event_type, d.digit,
+                 COALESCE(c.n, 0) AS n, t.n_type,
+                 ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_type, 6) AS frac,
+                 ($pList)[d.digit] AS benford_p,
+                 ROUND(ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_type
+                           - ($pList)[d.digit]), 6) AS abs_dev
+          FROM tot t CROSS JOIN digits d
+               LEFT JOIN cnt c ON c.event_type = t.event_type AND c.digit = d.digit"""
+    })
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -2718,5 +2817,5 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample, seriesCorrelation)
+      dsirResample, seriesCorrelation, benfordProfile)
 }

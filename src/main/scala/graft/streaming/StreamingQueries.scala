@@ -627,6 +627,19 @@ object StreamingQueries {
   def streamingDailyMeans(events: DataFrame): DataFrame =
     graft.queries.PipelineCatalog.dailyMeans(events)
 
+  /** Streaming sibling of `events_benford_profile`'s corpus-touching
+    * stage — the (event_type, digit) first-significant-digit count: a
+    * plain keyed COUNT (linear, mergeable), maintained live in update
+    * mode over the lattice digit projection. ONE definition shared with
+    * the batch entry (PipelineCatalog.benfordCounts — the delegation
+    * pattern of [[streamingDailyMeans]]); the drained counts replay the
+    * grid-sized Benford report (PipelineCatalog.benfordFrom)
+    * bit-for-bit after any arrival order/split (StreamingSpec pins it).
+    * State is ≤ 9 × #types rows — mix-bounded, never corpus-bounded.
+    */
+  def streamingBenfordCounts(events: DataFrame): DataFrame =
+    graft.queries.PipelineCatalog.benfordCounts(events)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

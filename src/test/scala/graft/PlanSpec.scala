@@ -904,4 +904,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"emb_pq_distortion: corpus-sized sort-merge crept in\n$p")
   }
+
+  test("round-16: events_benford_profile reads the corpus once and joins only grid-sized frames") {
+    // The corpus collapses to the (type, digit) count frame at build
+    // time (localCheckpoint — the plan's only scan is ExistingRDD);
+    // everything downstream (totals, the 9-row digit grid, the profile
+    // join) is grid-sized — no parquet re-read, no corpus-sized join
+    // strategy anywhere.
+    val p = plan("events_benford_profile")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"events_benford_profile: corpus re-scanned past the checkpointed counts\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"events_benford_profile: count frame no longer checkpoint-truncated\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"events_benford_profile: grid-sized join sort-merged\n$p")
+  }
 }

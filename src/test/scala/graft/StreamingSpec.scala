@@ -779,6 +779,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed Theil-Sen diverges from the batch entry")
   }
 
+  test("streamed Benford digit counts replay the profile bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // events_benford_profile's ONLY corpus-touching stage is the
+    // (event_type, digit) count — a plain keyed COUNT maintained live in
+    // update mode. Stream the events in two bursts, drain the counts,
+    // replay the grid-sized Benford report on the drained frame: equal
+    // to the batch entry, absent-digit grid rows included.
+    val want = SparkEntry.queries("events_benford_profile")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no Benford rows at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"bf-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (event_type, digit)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingBenfordCounts(input.toDF().toDF(eventCols: _*))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cnt = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("event_type", "digit", "n")
+    Sinks.clear(sinkId)
+    val got = graft.queries.PipelineCatalog.benfordFrom(spark, cnt)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed Benford profile diverges from the batch entry")
+  }
+
   test("streaming heavy-hitter sketch covers the batch-exact heavy set, never over-counts") {
     import graft.functions.Text
     import org.apache.spark.sql.functions.{col, explode, size => fsize}
