@@ -1367,6 +1367,94 @@ object NearDupCatalog {
                 JOIN sz zb ON zb.doc_id = c.db)"""
     })
 
+  /** b-bit minwise hashing (Li & König, WWW 2010) measured against the
+    * full signature AND the exact Jaccard on the SAME candidate pairs:
+    * per pair, the 2-bit component-agreement count next to the full
+    * 128-bit agreement count, both bias-corrected estimates, and their
+    * absolute errors vs the exact sorted-merge Jaccard. The b-bit
+    * estimator inverts E[agree] ≈ J + (1 − J)/2^b — for b = 2,
+    * Ĵ = (4C − 1)/3 with C the agreement fraction (the paper's
+    * small-density simplification: non-matching minima land on any of
+    * the 2^b low-bit values uniformly; exact on random permutations,
+    * an approximation for md5-ranked minima, WHICH IS EXACTLY WHAT
+    * err_b2 measures as data). est_b2 < 0 happens when agreement falls
+    * below the 1/4 chance floor — preserved, not clamped, so the
+    * estimator's true sampling error is visible.
+    *
+    * Why it earns a row next to `doc_lsh_calibration`: the b-bit trade
+    * is STORAGE — the dedup index at 100 TB carries the signature per
+    * document, and 2 bits × K components is 3 bytes vs the 192-byte
+    * full-md5 signature, a 64× shrink the paper shows costs only a
+    * variance factor. This entry prices that trade on the production
+    * index's own candidates (same [[lshCandidateStage]] object — no
+    * drift possible), at candidate scale, not corpus scale.
+    *
+    * Exactness: agreement counts are integer; both estimates are ONE
+    * double division from integers (÷K and ÷3K against literal
+    * denominators); the low-2-bit extraction reads the LAST hex char of
+    * the md5 (lowercase on both engines) — integer arithmetic, no
+    * float anywhere before the final rounded divisions.
+    */
+  val bbitMinhash: CatalogEntry = CatalogEntry(
+    "doc_bbit_minhash",
+    (s, d) => {
+      val (arrays, sig, cand) =
+        lshCandidateStage(s, d, scala.collection.mutable.ListBuffer.empty)
+      val sa = sig.select(col("doc_id").as("da") +:
+        (0 until K).map(i => col(s"s$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("db") +:
+        (0 until K).map(i => col(s"s$i").as(s"b$i")): _*)
+      val kFull = (0 until K)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      def low2(c: org.apache.spark.sql.Column) =
+        conv(substring(c, 32, 1), 16, 10).cast("long") % 4
+      val kB2 = (0 until K)
+        .map(i => when(low2(col(s"a$i")) === low2(col(s"b$i")), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(sa, "da").join(sb, "db")
+        .join(arrays.select(col("doc_id").as("da"), col("shsrt").as("shs_a")), Seq("da"))
+        .join(arrays.select(col("doc_id").as("db"), col("shsrt").as("shs_b")), Seq("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          kFull.as("k_full"), kB2.as("k_b2"),
+          graft.functions.Text.bound(
+            graft.functions.Text.intersectCardSorted(col("shs_a"), col("shs_b"))) { ni =>
+            round(ni / (size(col("shs_a")) + size(col("shs_b")) - ni), 6)
+          }.as("jaccard"))
+        .withColumn("est_full", round(col("k_full").cast("double") / K, 6))
+        .withColumn("est_b2",
+          round((col("k_b2") * 4 - lit(K.toLong)).cast("double") / lit(3.0 * K), 6))
+        .withColumn("err_full", round(abs(col("est_full") - col("jaccard")), 6))
+        .withColumn("err_b2", round(abs(col("est_b2") - col("jaccard")), 6))
+    },
+    Some {
+      val kf = (0 until K)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      def low2(side: Char, i: Int) =
+        s"((strpos('0123456789abcdef', substr($side.s$i, 32, 1)) - 1) % 4)"
+      val kb = (0 until K)
+        .map(i => s"CASE WHEN ${low2('a', i)} = ${low2('b', i)} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $lshPairsCtesSql
+          SELECT doc_a, doc_b, k_full, k_b2, jaccard,
+                 ROUND(CAST(k_full AS DOUBLE) / $K, 6) AS est_full,
+                 ROUND(CAST(k_b2 * 4 - $K AS DOUBLE) / ${3.0 * K}, 6) AS est_b2,
+                 ROUND(ABS(ROUND(CAST(k_full AS DOUBLE) / $K, 6) - jaccard), 6) AS err_full,
+                 ROUND(ABS(ROUND(CAST(k_b2 * 4 - $K AS DOUBLE) / ${3.0 * K}, 6) - jaccard), 6) AS err_b2
+          FROM (SELECT c.da AS doc_a, c.db AS doc_b,
+                       CAST(($kf) AS BIGINT) AS k_full,
+                       CAST(($kb) AS BIGINT) AS k_b2,
+                       ROUND(COALESCE(ni.n_inter, 0)
+                             / (za.n + zb.n - COALESCE(ni.n_inter, 0)), 6) AS jaccard
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.da
+                JOIN sig b ON b.doc_id = c.db
+                LEFT JOIN ni ON ni.da = c.da AND ni.db = c.db
+                JOIN sz za ON za.doc_id = c.da
+                JOIN sz zb ON zb.doc_id = c.db)"""
+    })
+
   /** k-core decomposition of the dup graph (k = 2, the smallest core that
     * separates dup CHAINS from dup CLIQUES): repeatedly peel nodes of
     * degree < k, emit the surviving nodes with their residual degree —
@@ -1729,6 +1817,6 @@ object NearDupCatalog {
     containmentProfile, containmentCovered,
     containmentCoveredPrefix, containmentCoveredZipf,
     dupClusters, dupClustersStar, pagerank, graphTriangles, graphKCore, dupSpans,
-    sortedNeighborhood, dupKeepBest, lshCalibration, sourceDupMatrix,
+    sortedNeighborhood, dupKeepBest, lshCalibration, bbitMinhash, sourceDupMatrix,
     winnowOverlap, splitLeakage, lpaCommunities, spanDedup)
 }

@@ -330,6 +330,30 @@ class NearDupSpec extends AnyFunSuite {
     thresholded.foreach { case (k, j) => assert(cal(k)._2 == j, s"jaccard differs on $k") }
   }
 
+  test("doc_bbit_minhash: low-bit agreement dominates full agreement, estimators invert exactly") {
+    val rows = SparkEntry.queries("doc_bbit_minhash")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("k_full"), r.getAs[Long]("k_b2"),
+          r.getAs[Double]("est_full"), r.getAs[Double]("est_b2"),
+          r.getAs[Double]("jaccard")))
+      .toMap
+    assert(rows.nonEmpty, "vacuous: no candidate pairs at sf0.001")
+    rows.foreach { case (k, (kf, kb, ef, eb, jac)) =>
+      // Equal 128-bit minima have equal low 2 bits — k_b2 can only add
+      // chance collisions on top of k_full, never lose one.
+      assert(kb >= kf, s"$k: k_b2 $kb < k_full $kf")
+      assert(kf >= 0 && kb <= 12, s"$k: counts out of range ($kf, $kb)")
+      // Both estimators are the closed-form inversions of their counts.
+      assert(math.abs(ef - kf / 12.0) < 1e-6, s"$k: est_full $ef vs $kf/12")
+      assert(math.abs(eb - (4.0 * kb - 12) / 36.0) < 1e-6, s"$k: est_b2 $eb vs (4*$kb-12)/36")
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+    // Same candidate set as the calibration entry (same stage object).
+    val cal = SparkEntry.queries("doc_lsh_calibration")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.keySet == cal, "b-bit candidates diverge from the calibration candidates")
+  }
+
   test("doc_span_dedup matches a driver-side first-occurrence + bitmap-union reimplementation") {
     // Independent check of BOTH tricky pieces: the encoded (doc, pos)
     // first-occurrence ownership and the lag-window union-coverage

@@ -905,6 +905,21 @@ class PlanSpec extends AnyFunSuite {
       s"emb_pq_distortion: corpus-sized sort-merge crept in\n$p")
   }
 
+  test("round-16: doc_bbit_minhash rides the shared cached candidate stage, no cartesian") {
+    // The b-bit diagnostic must pay candidate-scale cost only: the
+    // signature/shingle stages come from the SAME cached
+    // lshCandidateStage frames (InMemoryRelation reuse), every per-pair
+    // lookup joins hash-equi (broadcast at this SF, AQE-sized at
+    // scale), and nothing is allowed to cross-join the corpus.
+    val p = plan("doc_bbit_minhash")
+    assert(p.contains("InMemoryRelation"),
+      s"doc_bbit_minhash: shared candidate-stage caches not reused\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"doc_bbit_minhash: pair lookups no longer broadcast\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
+  }
+
   test("round-16: events_benford_profile reads the corpus once and joins only grid-sized frames") {
     // The corpus collapses to the (type, digit) count frame at build
     // time (localCheckpoint — the plan's only scan is ExistingRDD);
