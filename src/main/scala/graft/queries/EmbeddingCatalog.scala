@@ -1177,6 +1177,84 @@ object EmbeddingCatalog {
           FROM assign GROUP BY cell"""
     })
 
+  /** Hubness — the k-occurrence N_k of every vector (Radovanović,
+    * Nanopoulos & Ivanović, JMLR 2010): how many OTHER vectors' top-K
+    * neighbour lists contain it, measured on the kNN graph the
+    * production IVF index actually serves (neighbours restricted to
+    * cell-mates of the [[ivfCoarseAssign]] assignment). High-dimensional
+    * concentration skews this distribution — a few hub vectors land in
+    * thousands of lists and dominate retrieval/semantic-dedup decisions
+    * while anti-hubs (N_k = 0) become unfindable — and the skew, not
+    * recall, is the earliest symptom of a degenerate embedding space.
+    * Anti-hubs are recovered by a LEFT join back to the corpus (an
+    * inner join would silently drop exactly the signal rows).
+    *
+    * 100 TB shape: the pair stage is a cell-keyed equi self-join —
+    * Σ|cell|² work, the SAME in-cell bound the IVF search itself
+    * accepts, never the n² exact graph (which is unbuildable at fleet
+    * scale; production hubness estimates always run on the served ANN
+    * graph — what this measures). The bounded-heap TopNAgg ships ≤ K
+    * candidates per query out of the map side; k-occurrence is then ONE
+    * keyed count. The corpus-touching assignment stage is the shared
+    * [[ivfCoarseAssign]] — its streaming form (streamingIvfCells,
+    * StreamingSpec) covers this entry's live path too. Scores ride the
+    * rounded-cosine lattice with vec_id tie-break, so the top-K
+    * boundary — and therefore every count — is bit-stable cross-engine.
+    */
+  val hubness: CatalogEntry = CatalogEntry(
+    "emb_hubness",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val withCell = emb.join(ivfCoarseAssign(emb, ivfCentroidFrame(emb)), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .withColumn("nrm", Vectors.norm(col("embedding")))
+        .cacheOnce() // feeds both sides of the in-cell pair join + the output spine
+      val q = withCell.select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = withCell.select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val scored = q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      val topk = udaf(new graft.combine.TopNAgg(K))
+      val occ = scored.groupBy("query_id")
+        .agg(topk(col("score"), col("cand_id")).as("top"))
+        .select(explode(col("top.entries")).as("e"))
+        .groupBy(col("e.event_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_k"))
+      withCell.select(col("vec_id"), col("cell"))
+        .join(occ, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), coalesce(col("n_k"), lit(0L)).as("n_k"))
+    },
+    Some {
+      val centSim =
+        s"ROUND(${dotSql("e.embedding", "c.embedding")} / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            cellscore AS (
+              SELECT e.vec_id, c.cid, $centSim AS csim
+              FROM embeddings e CROSS JOIN (SELECT cid, embedding FROM cent) c(cid, embedding)),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore) WHERE rn = 1),
+            wc AS (SELECT a.vec_id, a.cell, e.embedding
+                   FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+            top AS (
+              SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY $cosineSql DESC, c.vec_id) AS rn
+                FROM wc q JOIN wc c ON c.cell = q.cell AND c.vec_id != q.vec_id)
+              WHERE rn <= $K),
+            occ AS (SELECT cand_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_k
+                    FROM top GROUP BY 1)
+          SELECT w.vec_id, w.cell, COALESCE(o.n_k, 0) AS n_k
+          FROM wc w LEFT JOIN occ o ON o.vec_id = w.vec_id"""
+    })
+
   /** Per-label centroid, long format (label, dim, centroid, n_vecs) — the
     * class-summary statistic behind semantic dedup (cluster-then-keep),
     * embedding drift monitors, and IVF seeding. Each (label, dim) cell is
@@ -2265,7 +2343,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, knnFiltered, ivfCells, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, knnFiltered, ivfCells, hubness, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

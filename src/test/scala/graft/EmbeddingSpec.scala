@@ -428,4 +428,24 @@ class EmbeddingSpec extends AnyFunSuite {
         assert(s <= brute1(q) + 1e-9, s"query $q: BQ top-1 $s beats brute ${brute1(q)}")
       }
   }
+
+  test("emb_hubness: one row per vector, k-occurrence mass conserved against cell sizes") {
+    val got = run("emb_hubness").cache()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(got.count() == total, "not one row per corpus vector")
+    assert(got.filter(col("n_k") < 0).count() == 0)
+    // Mass conservation: every vector queries its cell and contributes
+    // exactly min(K, |cell| - 1) list slots, so Σ n_k over the corpus
+    // must equal Σ_cells |cell| · min(5, |cell| - 1). A top-k that
+    // over- or under-fills (a tie mishandled at the K boundary, a
+    // dropped anti-hub row) breaks this identity.
+    val cells = got.groupBy("cell").count().as[(Long, Long)].collect()
+    val wantMass = cells.map { case (_, n) => n * math.min(5L, n - 1) }.sum
+    val gotMass = got.agg(sum("n_k")).as[Long].head()
+    assert(gotMass == wantMass, s"k-occurrence mass $gotMass != expected $wantMass")
+    // The distribution must actually skew (hubness is the point): some
+    // vector collects more than K occurrences.
+    assert(got.agg(max("n_k")).as[Long].head() > 5, "vacuous: no hub in the fixture")
+    got.unpersist()
+  }
 }

@@ -905,6 +905,28 @@ class PlanSpec extends AnyFunSuite {
       s"emb_pq_distortion: corpus-sized sort-merge crept in\n$p")
   }
 
+  test("round-16: emb_hubness pairs only within cells off one cached corpus frame") {
+    // The pair stage must key on cell (equi join between two reads of
+    // the SAME cached assignment frame — Σ|cell|² work), the top-K must
+    // be the bounded-heap ObjectHashAggregate (≤ K rows per query leave
+    // the map side), and nothing may cross-join the corpus against
+    // itself (the centroid broadcast is the only nested-loop join).
+    val p = plan("emb_hubness")
+    assert(p.contains("InMemoryRelation"),
+      s"emb_hubness: assignment frame not cached across its three consumers\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"emb_hubness: bounded-heap top-K gone\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"emb_hubness: corpus cartesian crept in\n$p")
+    // The pair stage must be an EQUI join keyed on cell — any join
+    // strategy is fine (AQE sizes it), a non-equi or unkeyed pair join
+    // is not. (The centroid BroadcastNestedLoopJoin lives inside the
+    // cached assignment build and renders once per cache consumer, so
+    // it is not countable here.)
+    assert(p.contains("Join [cell"),
+      s"emb_hubness: in-cell pair join no longer keyed on cell\n$p")
+  }
+
   test("round-16: doc_bbit_minhash rides the shared cached candidate stage, no cartesian") {
     // The b-bit diagnostic must pay candidate-scale cost only: the
     // signature/shingle stages come from the SAME cached
