@@ -832,23 +832,22 @@ object EmbeddingCatalog {
     * correctly-rounded double division from identical integers; argmax
     * code ties break on the smaller code id in both engines.
     */
-  val pqDistortion: CatalogEntry = CatalogEntry(
-    "emb_pq_distortion",
-    (s, d) => {
-      val emb = embeddings(s, d)
-      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      pqDistortionFrom(pqEncodeCells(emb, cent))
-    },
-    Some {
-      val sq = s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          [(CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) * (CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
-          (acc, v) -> acc + v), 6)"""
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+  /** The emb_pq_distortion oracle as CTE text over an arbitrary
+    * embedding source `src` (vec_id, embedding) — ONE definition shared
+    * by the natural-order entry (src = embeddings) and the OPQ-permuted
+    * entry (src = its pemb CTE), so the two reports are computed by
+    * construction-identical SQL and their mean_d2 columns compare
+    * apples-to-apples.
+    */
+  private def pqDistortionOracleCtes(src: String): String = {
+    val sq = s"""ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        [(CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) * (CAST(e.a[i] AS DOUBLE) - CAST(c.b[i] AS DOUBLE)) for i in range(1, ${PqS + 1})]),
+        (acc, v) -> acc + v), 6)"""
+    s"""cent AS (SELECT vec_id AS cid, embedding FROM $src
+                 WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
             js AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j),
             esub AS (SELECT e.vec_id, js.j, e.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS a
-                     FROM embeddings e CROSS JOIN js),
+                     FROM $src e CROSS JOIN js),
             csub AS (SELECT c.cid, js.j, c.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS b
                      FROM cent c CROSS JOIN js),
             d2t AS (SELECT e.vec_id, e.j, c.cid, $sq AS d2
@@ -869,14 +868,158 @@ object EmbeddingCatalog {
             agg AS (SELECT j, CAST(SUM(n) AS BIGINT) AS n_vectors,
                            CAST(COUNT(*) AS BIGINT) AS codes_used,
                            CAST(SUM(ds) AS BIGINT) AS distortion_scaled
-                    FROM bycode GROUP BY j)
-          SELECT CAST(a.j AS BIGINT) AS j, a.n_vectors, a.codes_used,
+                    FROM bycode GROUP BY j)"""
+  }
+
+  private val pqDistortionOracleSelect =
+    """SELECT CAST(a.j AS BIGINT) AS j, a.n_vectors, a.codes_used,
                  CAST(t.top_code AS BIGINT) AS top_code,
                  CAST(t.top_code_n AS BIGINT) AS top_code_n,
                  a.distortion_scaled,
                  ROUND(CAST(a.distortion_scaled AS DOUBLE) / (a.n_vectors * 1000000.0), 6) AS mean_d2
           FROM agg a JOIN topc t ON t.j = a.j
           ORDER BY j"""
+
+  val pqDistortion: CatalogEntry = CatalogEntry(
+    "emb_pq_distortion",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      pqDistortionFrom(pqEncodeCells(emb, cent))
+    },
+    Some(s"WITH ${pqDistortionOracleCtes("embeddings")}\n          $pqDistortionOracleSelect"))
+
+  /** Per-dimension second-moment frame (d, n, s1, s2) on the 10⁻⁶
+    * lattice — [[opqPermute]]'s ONLY corpus-touching stage and a linear
+    * keyed aggregate, so it doubles as live streaming state
+    * (StreamingQueries.streamingOpqMoments delegates here; StreamingSpec
+    * drains it and replays the permutation + report bit-for-bit).
+    * Sums are DECIMAL-exact: s1 ≤ n·10⁷ and s2 ≤ n·10¹⁴ stay inside the
+    * widths [[opqPermOf]] later multiplies (which bound n ≤ 10¹² — a
+    * 100 TB corpus of 256-byte vectors is ~4·10¹¹, inside the bound,
+    * and the guard below fails LOUDLY rather than wrap).
+    */
+  private[graft] def opqMoments(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d").cast("long").as("d"),
+        (round(col("x").cast("double"), 6).cast("decimal(18,6)") * 1000000)
+          .cast("long").as("xs"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs").cast("decimal(19,0)")).cast("decimal(19,0)").as("s1"),
+        sum((col("xs").cast("decimal(13,0)") * col("xs").cast("decimal(13,0)"))
+          .cast("decimal(26,0)")).cast("decimal(26,0)").as("s2"))
+
+  /** The variance-ranked snake permutation from a moments frame: dims
+    * sorted by EXACT integer variance numerator n·s2 − s1² (DECIMAL —
+    * n(12)·s2(26) and s1(19)² both fit width 38 exactly on both
+    * engines), then dealt into the [[PqM]] subspaces boustrophedon
+    * (rank r → subspace r%M on even deals, M−1−r%M on odd) so every
+    * subspace receives one dim from each variance octile. Returns
+    * perm(k) = the original dim at permuted position k (position k =
+    * j·[[PqS]] + slot). Driver-side work is ONE bounded collect of
+    * [[Dim]] rows — index metadata, like collecting a codebook, never
+    * corpus-sized.
+    */
+  private[graft] def opqPermOf(mom: DataFrame): Seq[Int] = {
+    val ranked = mom
+      .select(col("d"), col("n"),
+        (col("n").cast("decimal(12,0)") * col("s2").cast("decimal(26,0)") -
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+          .as("varn"))
+      .orderBy(col("varn").desc, col("d").asc)
+      .select(col("d").cast("int"), col("n").cast("long"))
+      .collect()
+    ranked.foreach { r =>
+      require(r.getLong(1) <= 1000000000000L,
+        s"opqPermOf: dim count ${r.getLong(1)} exceeds the 10^12 exact-decimal bound")
+    }
+    val posOf = ranked.zipWithIndex.map { case (r, r0) =>
+      val slot = r0 / PqM
+      val pos = r0 % PqM
+      val j = if (slot % 2 == 0) pos else PqM - 1 - pos
+      (j * PqS + slot) -> r.getInt(0)
+    }
+    posOf.sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Apply a dimension permutation as a static per-row projection —
+    * perm is index METADATA (64 ints), so the gather is plain codegen'd
+    * element_at's, zero shuffle, zero extra scan. */
+  private[graft] def opqApply(emb: DataFrame, perm: Seq[Int]): DataFrame =
+    emb.withColumn("embedding",
+      array(perm.map(i => col("embedding").getItem(i)): _*))
+
+  /** Parametric OPQ-lite (Ge, He, Ke & Sun, CVPR 2013 §4: under a
+    * Gaussian model the optimal space decomposition BALANCES variance
+    * across subquantizers via eigenvalue allocation): rank dimensions by
+    * exact variance and deal them into the [[PqM]] PQ subspaces in snake
+    * order, then encode and report per-subspace distortion with the
+    * SAME machinery as [[pqDistortion]] ([[pqEncodeCells]] →
+    * [[pqDistortionFrom]], identical report shape) — so the OPQ gain is
+    * read by diffing the two entries' mean_d2 columns directly. The
+    * natural-order split concentrates the high-variance dims of this
+    * corpus in few subspaces (their 16 codes can't discriminate, the
+    * quantizer wastes codebook on dead subspaces); the permutation is
+    * the rotation-free half of OPQ — the full rotation needs an SVD the
+    * oracle could not replay exactly, and the permutation captures the
+    * allocation effect the paper attributes most of the parametric gain
+    * to.
+    *
+    * NEGATIVE RESULT on this corpus, recorded so it is not re-tried as
+    * an optimization: the synthetic embeddings are nearly isotropic
+    * (per-dim variance spread max/min = 1.31 at sf0.01), so allocation
+    * has nothing to balance and the measured total distortion moves
+    * +1.3% (378.1M vs 373.2M scaled) — noise, not gain; the paper's
+    * wins come from the skewed spectra of real (PCA'd/anisotropic)
+    * embeddings. The entry's value is as the INSTRUMENT: diff its
+    * mean_d2 against [[pqDistortion]]'s on YOUR corpus to decide
+    * whether OPQ allocation pays before paying for rotation — the same
+    * measure-not-assert philosophy as doc_lsh_calibration.
+    *
+    * 100 TB shape: ONE extra corpus pass (the per-dim moments aggregate,
+    * 64 keys, map-side combined) on top of the encode pass PQ itself
+    * pays; the permutation is a 64-int driver artifact applied as a
+    * codegen'd projection. Exactness: the variance RANKING is decided in
+    * exact DECIMAL integers (no libm, no float accumulation ordering),
+    * ties break on the smaller dim — both engines derive the identical
+    * permutation, then the identical lattice-exact distortion report.
+    */
+  val opqPermute: CatalogEntry = CatalogEntry(
+    "emb_opq_permute",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val perm = opqPermOf(opqMoments(emb))
+      val pemb = opqApply(emb.select(col("vec_id"), col("embedding")), perm)
+      val pcent = pemb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      pqDistortionFrom(pqEncodeCells(pemb, pcent))
+    },
+    Some {
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS d),
+            ex AS (SELECT e.vec_id, dm.d,
+                          CAST(CAST(ROUND(CAST(e.embedding[dm.d + 1] AS DOUBLE), 6)
+                                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xs
+                   FROM embeddings e CROSS JOIN dims dm),
+            mom AS (SELECT d, CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+                           CAST(SUM(CAST(xs AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s1,
+                           CAST(SUM(CAST(xs AS DECIMAL(13,0)) * CAST(xs AS DECIMAL(13,0)))
+                                AS DECIMAL(26,0)) AS s2
+                    FROM ex GROUP BY d),
+            ranked AS (SELECT d, row_number() OVER (ORDER BY (n * s2 - s1 * s1) DESC, d ASC) - 1 AS r0
+                       FROM mom),
+            alloc AS (SELECT d,
+                             (CASE WHEN (r0 // $PqM) % 2 = 0 THEN r0 % $PqM
+                                   ELSE ${PqM - 1} - (r0 % $PqM) END) * $PqS
+                               + (r0 // $PqM) AS k
+                      FROM ranked),
+            permt AS (SELECT list(d ORDER BY k) AS p FROM alloc),
+            pemb AS (SELECT e.vec_id,
+                            [e.embedding[p[i] + 1] for i in range(1, ${Dim + 1})] AS embedding
+                     FROM embeddings e CROSS JOIN permt),
+            ${pqDistortionOracleCtes("pemb")}
+          $pqDistortionOracleSelect"""
     })
 
   /** The frozen sampled-centroid table (cid, cemb, cnorm) of the
@@ -2343,7 +2486,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, knnFiltered, ivfCells, hubness, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

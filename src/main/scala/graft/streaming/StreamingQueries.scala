@@ -611,6 +611,19 @@ object StreamingQueries {
   def streamingPqCells(emb: DataFrame, cent: DataFrame): DataFrame =
     graft.queries.EmbeddingCatalog.pqEncodeCells(emb, cent)
 
+  /** Streaming sibling of `emb_opq_permute`'s corpus-touching moments
+    * stage — the per-dimension (n, Σxs, Σxs²) lattice aggregate: plain
+    * keyed count + decimal-exact sums (linear, mergeable), maintained
+    * live in update mode. ONE definition shared with the batch entry
+    * (EmbeddingCatalog.opqMoments — the [[streamingPqCells]] delegation
+    * pattern); the drained 64-row frame replays the variance-ranked
+    * snake permutation (opqPermOf) and from it the full permuted
+    * distortion report, bit-for-bit (StreamingSpec pins both). State is
+    * [[64]] rows — dimension-bounded, never corpus-bounded.
+    */
+  def streamingOpqMoments(emb: DataFrame): DataFrame =
+    graft.queries.EmbeddingCatalog.opqMoments(emb)
+
   /** Streaming sibling of `events_theil_sen`'s corpus-touching stage:
     * the (event_type, day) daily-mean frame maintained as a live
     * aggregate — ONE graft.queries.PipelineCatalog.dailyMeans definition

@@ -429,6 +429,43 @@ class EmbeddingSpec extends AnyFunSuite {
       }
   }
 
+  test("emb_opq_permute: snake permutation is a bijection spreading variance octiles; report shape holds") {
+    import graft.queries.EmbeddingCatalog
+    val emb = Tables.embeddings(spark, sf0001)
+    val perm = EmbeddingCatalog.opqPermOf(EmbeddingCatalog.opqMoments(emb))
+    assert(perm.sorted == (0 until 64).toList, "perm is not a bijection of 0..63")
+    // The defining snake property: each subspace receives EXACTLY one
+    // dim from each variance octile (ranks r*8..r*8+7 spread across all
+    // 8 subspaces). Recover each dim's rank from its (j, slot): slot IS
+    // the octile.
+    (0 until 8).foreach { j =>
+      val slots = (0 until 8).map(slot => perm(j * 8 + slot))
+      assert(slots.distinct.size == 8, s"subspace $j repeats a dim")
+    }
+    // Octile check: position k = j*8 + slot, and every slot value is
+    // drawn from a distinct octile by construction — verify via a
+    // direct variance ranking.
+    val ranked = EmbeddingCatalog.opqMoments(emb)
+      .select(col("d"),
+        (col("n").cast("decimal(12,0)") * col("s2").cast("decimal(26,0)") -
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)")).as("v"))
+      .orderBy(col("v").desc, col("d").asc)
+      .select("d").as[Long].collect().map(_.toInt)
+    val rankOf = ranked.zipWithIndex.toMap
+    (0 until 8).foreach { j =>
+      val octiles = (0 until 8).map(slot => rankOf(perm(j * 8 + slot)) / 8).sorted
+      assert(octiles == (0 until 8).toList,
+        s"subspace $j octiles $octiles are not one per octile")
+    }
+    val got = run("emb_opq_permute").cache()
+    assert(got.count() == 8, "one report row per subspace")
+    val total = emb.count()
+    assert(got.filter(col("n_vectors") =!= total).count() == 0,
+      "every subspace must encode every vector")
+    assert(got.filter(col("codes_used") < 1 || col("codes_used") > 16).count() == 0)
+    got.unpersist()
+  }
+
   test("emb_hubness: one row per vector, k-occurrence mass conserved against cell sizes") {
     val got = run("emb_hubness").cache()
     val total = Tables.embeddings(spark, sf0001).count()

@@ -905,6 +905,21 @@ class PlanSpec extends AnyFunSuite {
       s"emb_pq_distortion: corpus-sized sort-merge crept in\n$p")
   }
 
+  test("round-16: emb_opq_permute encodes the permuted corpus against a broadcast codebook") {
+    // The permutation is driver-side metadata applied as a projection —
+    // the returned plan must look exactly like emb_pq_distortion's:
+    // codebook broadcast into the encode scan, nothing corpus-sized
+    // sort-merged. (The moments pass + 64-row collect happen at build
+    // time, before this plan.)
+    val p = plan("emb_opq_permute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"emb_opq_permute: codebook not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"emb_opq_permute: corpus-sized sort-merge crept in\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"emb_opq_permute: undeclared cartesian\n$p")
+  }
+
   test("round-16: emb_hubness pairs only within cells off one cached corpus frame") {
     // The pair stage must key on cell (equi join between two reads of
     // the SAME cached assignment frame — Σ|cell|² work), the top-K must

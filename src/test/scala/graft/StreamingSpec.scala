@@ -743,6 +743,52 @@ class StreamingSpec extends AnyFunSuite {
       "distortion replay on drained cells diverges from the batch entry")
   }
 
+  test("streamed OPQ moments replay the permutation and distortion report bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.EmbeddingCatalog
+    // emb_opq_permute's corpus-touching stage is the per-dim moments
+    // aggregate (count + decimal-exact sums). Stream the corpus in two
+    // bursts, drain the 64-row state, replay BOTH downstream artifacts
+    // on the drained frame: the snake permutation and the full permuted
+    // distortion report — each equal to the batch path.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val want = SparkEntry.queries("emb_opq_permute")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no OPQ report rows at sf0.001")
+    val wantPerm = EmbeddingCatalog.opqPermOf(EmbeddingCatalog.opqMoments(emb))
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 3)
+    val sinkId = s"opq-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = d
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingQueries.streamingOpqMoments(
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drained = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+      .toDF("d", "n", "s1", "s2")
+    Sinks.clear(sinkId)
+    val gotPerm = EmbeddingCatalog.opqPermOf(drained)
+    assert(gotPerm == wantPerm,
+      "permutation from drained moments diverges from the batch permutation")
+    val pemb = EmbeddingCatalog.opqApply(
+      emb.select(col("vec_id"), col("embedding")), gotPerm)
+    val pcent = pemb.filter(col("vec_id").between(100L, 115L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val got = EmbeddingCatalog
+      .pqDistortionFrom(EmbeddingCatalog.pqEncodeCells(pemb, pcent))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want,
+      "distortion replay via drained moments diverges from the batch entry")
+  }
+
   test("streamed Theil-Sen daily state replays the batch slope bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // The daily-mean aggregate is events_theil_sen's ONLY
