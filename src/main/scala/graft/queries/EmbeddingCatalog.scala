@@ -1398,6 +1398,103 @@ object EmbeddingCatalog {
           FROM wc w LEFT JOIN occ o ON o.vec_id = w.vec_id"""
     })
 
+  /** Intrinsic dimensionality evidence per label — the TwoNN statistic
+    * of Facco, d'Errico, Rodriguez & Laio (Scientific Reports 2017):
+    * for every point, μ = r₂/r₁ (second- over first-nearest-neighbour
+    * distance); under a locally uniform density μ follows the Pareto
+    * law F(μ) = 1 − μ^(−d) with d the INTRINSIC dimension — the number
+    * that decides how hard ANN search and how meaningful cosine dedup
+    * thresholds are on a corpus, independent of the 64 ambient dims.
+    * The entry reports the μ distribution (quartiles + p90 via the
+    * proven percentile ↔ quantile_cont pair) and n per label; the MLE
+    * d = ln 2 / ln(μ_p50) is ONE driver-side step the reader applies —
+    * keeping ln() (libm, engine-divergent) out of the cross-engine
+    * compare entirely, the same substitution family as the
+    * Simpson-for-Shannon device.
+    *
+    * Neighbour scope is the SERVED graph — cell-mates of the
+    * [[ivfCoarseAssign]] assignment, the [[hubness]] topology — because
+    * the exact n² graph is unbuildable at fleet scale and the local μ
+    * only needs the two nearest points, which land in the home cell for
+    * exactly the vectors where the IVF index works (emb_knn_recall
+    * measures that premise). TwoNN's own exclusions apply: points whose
+    * cell holds < 3 members have no r₂, and r₁ = 0 duplicates (cosine
+    * rounds to 1) make μ undefined — both filtered, as in the paper.
+    *
+    * Exactness: distances are 1 − rounded-cosine (identical doubles),
+    * μ is ONE division of those, rounded; percentiles ride the
+    * value_percentiles-proven interpolation pair and round to the
+    * lattice. 100 TB shape: the pair stage is the hubness in-cell
+    * equi-join bound; top-2 per point ships via the bounded heap; the
+    * report is #labels rows.
+    */
+  val intrinsicDim: CatalogEntry = CatalogEntry(
+    "emb_intrinsic_dim",
+    (s, d) => {
+      import graft.functions.Vectors
+      val emb = embeddings(s, d)
+      val withCell = emb.join(ivfCoarseAssign(emb, ivfCentroidFrame(emb)), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("label"), col("cell"))
+        .withColumn("nrm", Vectors.norm(col("embedding")))
+        .cacheOnce()
+      val q = withCell.select(col("cell"), col("vec_id").as("query_id"),
+        col("label"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = withCell.select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val top2 = udaf(new graft.combine.TopNAgg(2))
+      val mu = q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("label"), cosineCol.as("score"), col("cand_id"))
+        .groupBy("query_id", "label")
+        .agg(top2(col("score"), col("cand_id")).as("top"))
+        .filter(size(col("top.entries")) === 2)
+        .select(col("label"),
+          col("top.entries").getItem(0).getField("value").as("cos1"),
+          col("top.entries").getItem(1).getField("value").as("cos2"))
+        .filter(col("cos1") =!= 1.0)
+        .select(col("label"),
+          round((lit(1.0) - col("cos2")) / (lit(1.0) - col("cos1")), 6).as("mu"))
+      mu.groupBy("label")
+        .agg(count(lit(1)).as("n_points"),
+          round(expr("percentile(mu, 0.25)"), 6).as("mu_p25"),
+          round(expr("percentile(mu, 0.5)"), 6).as("mu_p50"),
+          round(expr("percentile(mu, 0.75)"), 6).as("mu_p75"),
+          round(expr("percentile(mu, 0.9)"), 6).as("mu_p90"))
+    },
+    Some {
+      val centSim =
+        s"ROUND(${dotSql("e.embedding", "c.embedding")} / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+            cellscore AS (
+              SELECT e.vec_id, c.cid, $centSim AS csim
+              FROM embeddings e CROSS JOIN (SELECT cid, embedding FROM cent) c(cid, embedding)),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM cellscore) WHERE rn = 1),
+            wc AS (SELECT a.vec_id, a.cell, e.label, e.embedding
+                   FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+            nn AS (
+              SELECT query_id, label,
+                     MAX(CASE WHEN rn = 1 THEN score END) AS cos1,
+                     MAX(CASE WHEN rn = 2 THEN score END) AS cos2
+              FROM (SELECT q.vec_id AS query_id, q.label, $cosineSql AS score,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY $cosineSql DESC, c.vec_id) AS rn
+                    FROM wc q JOIN wc c ON c.cell = q.cell AND c.vec_id != q.vec_id)
+              WHERE rn <= 2 GROUP BY 1, 2),
+            mu AS (SELECT label, ROUND((1.0 - cos2) / (1.0 - cos1), 6) AS mu
+                   FROM nn WHERE cos2 IS NOT NULL AND cos1 != 1.0)
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 ROUND(quantile_cont(mu, 0.25), 6) AS mu_p25,
+                 ROUND(quantile_cont(mu, 0.5), 6) AS mu_p50,
+                 ROUND(quantile_cont(mu, 0.75), 6) AS mu_p75,
+                 ROUND(quantile_cont(mu, 0.9), 6) AS mu_p90
+          FROM mu GROUP BY label"""
+    })
+
   /** Per-label centroid, long format (label, dim, centroid, n_vecs) — the
     * class-summary statistic behind semantic dedup (cluster-then-keep),
     * embedding drift monitors, and IVF seeding. Each (label, dim) cell is
@@ -2486,7 +2583,7 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

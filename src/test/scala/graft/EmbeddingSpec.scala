@@ -466,6 +466,31 @@ class EmbeddingSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("emb_intrinsic_dim: mu quantiles are >= 1, monotone, and recount against a direct top-2") {
+    import graft.queries.EmbeddingCatalog
+    val got = run("emb_intrinsic_dim").cache()
+    assert(got.count() > 0, "vacuous: no label rows at sf0.001")
+    // mu = r2/r1 >= 1 by construction, and quantiles are monotone in p.
+    assert(got.filter(col("mu_p25") < 1.0).count() == 0, "mu below 1")
+    assert(got.filter(col("mu_p25") > col("mu_p50") || col("mu_p50") > col("mu_p75") ||
+      col("mu_p75") > col("mu_p90")).count() == 0, "quantiles not monotone")
+    // Point coverage: every vector in a cell of >= 3 members whose r1 > 0
+    // contributes exactly one mu — recount n_points from the assignment.
+    val emb = Tables.embeddings(spark, sf0001)
+    val assign = EmbeddingCatalog.ivfCoarseAssign(
+      emb, EmbeddingCatalog.ivfCentroidFrame(emb))
+    val cellSizes = assign.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val eligible = assign.as[(Long, Long)].collect()
+      .count { case (_, cell) => cellSizes(cell) >= 3 }
+    val nPts = got.agg(sum("n_points")).as[Long].head()
+    // r1 = 0 exclusions can only shrink the eligible set (none expected
+    // in this fixture, but the bound must hold either way).
+    assert(nPts <= eligible && nPts > 0,
+      s"n_points $nPts outside (0, eligible=$eligible]")
+    got.unpersist()
+  }
+
   test("emb_hubness: one row per vector, k-occurrence mass conserved against cell sizes") {
     val got = run("emb_hubness").cache()
     val total = Tables.embeddings(spark, sf0001).count()

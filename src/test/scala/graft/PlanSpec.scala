@@ -942,6 +942,18 @@ class PlanSpec extends AnyFunSuite {
       s"emb_hubness: in-cell pair join no longer keyed on cell\n$p")
   }
 
+  test("round-16: emb_intrinsic_dim shares the hubness topology: cell-keyed pairs, bounded top-2") {
+    val p = plan("emb_intrinsic_dim")
+    assert(p.contains("InMemoryRelation"),
+      s"emb_intrinsic_dim: assignment frame not cached across both pair sides\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"emb_intrinsic_dim: bounded-heap top-2 gone\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"emb_intrinsic_dim: corpus cartesian crept in\n$p")
+    assert(p.contains("Join [cell"),
+      s"emb_intrinsic_dim: in-cell pair join no longer keyed on cell\n$p")
+  }
+
   test("round-16: doc_bbit_minhash rides the shared cached candidate stage, no cartesian") {
     // The b-bit diagnostic must pay candidate-scale cost only: the
     // signature/shingle stages come from the SAME cached
