@@ -1367,6 +1367,56 @@ object NearDupCatalog {
                 JOIN sz zb ON zb.doc_id = c.db)"""
     })
 
+  /** SimHash near-duplicates by Hamming distance — the Manku–Jain–Sarma
+    * construction (WWW 2007, Google's crawl dedup): split the 32-bit
+    * signature into 4 byte blocks; by pigeonhole, two signatures within
+    * Hamming distance 3 (3 differing bits touch at most 3 blocks) agree
+    * EXACTLY on at least one block, so candidates come from 4 block-keyed
+    * equi self-joins and only candidates pay the popcount. Unlike the
+    * md5-banded MinHash (Jaccard on shingle sets), this prices SEMANTIC
+    * bit drift of the simhash family — the two candidate generators
+    * catch different duplicate classes and production crawl dedup runs
+    * both. Recall is EXACT, not probabilistic: every pair within
+    * distance ≤ 3 shares a block by construction (the spec recounts this
+    * against a brute-force sweep), distance-0 pairs (the
+    * [[simHashDupGroups]] collisions) included as hamming = 0.
+    *
+    * 100 TB shape: 4 tables × 256 buckets on a 32-bit signature — the
+    * in-bucket pair work is Σ|bucket|², the accepted simhash-index
+    * bound; production widens to 64-bit signatures with 16-bit blocks
+    * (4 tables × 65536 buckets — same plan, 256× smaller buckets), a
+    * constant swap in [[simhashDF]]. The pair columns carry two LONGS
+    * (signatures ride along; no shingle text ever shuffles), and the
+    * exact filter is two integer ops per candidate.
+    */
+  val simhashHamming: CatalogEntry = CatalogEntry(
+    "doc_simhash_hamming",
+    (s, d) => {
+      val sig = simhashDF(s, d).cacheOnce() // feeds all 4 block tables
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k => struct(lit(k).as("k"),
+          expr(s"shiftright(simhash, ${8 * k}) & 255").as("v"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.k").as("k"), col("b.v").as("v"))
+      bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+    Some(s"""WITH $simhashCtesSql,
+              bands AS (SELECT doc_id, simhash, ks.k, (simhash >> (8 * ks.k)) & 255 AS v
+                        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+              cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS ha, b.simhash AS hb
+                       FROM bands a JOIN bands b
+                         ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""))
+
   /** b-bit minwise hashing (Li & König, WWW 2010) measured against the
     * full signature AND the exact Jaccard on the SAME candidate pairs:
     * per pair, the 2-bit component-agreement count next to the full
@@ -1812,7 +1862,7 @@ object NearDupCatalog {
           ORDER BY doc_a, doc_b"""
     })
 
-  val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups,
+  val all: Seq[CatalogEntry] = Seq(nearDupLsh, simHash, simHashDupGroups, simhashHamming,
     ngramJaccard, ngramJaccardPrefix, ngramJaccardZipf,
     containmentProfile, containmentCovered,
     containmentCoveredPrefix, containmentCoveredZipf,

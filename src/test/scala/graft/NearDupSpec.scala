@@ -330,6 +330,31 @@ class NearDupSpec extends AnyFunSuite {
     thresholded.foreach { case (k, j) => assert(cal(k)._2 == j, s"jaccard differs on $k") }
   }
 
+  test("doc_simhash_hamming: block index finds EXACTLY the brute-force distance<=3 pairs") {
+    // The Manku pigeonhole is a recall GUARANTEE, not a heuristic: any
+    // pair within Hamming distance 3 shares one of the 4 byte blocks.
+    // So the entry must equal a brute-force all-pairs sweep bit-for-bit
+    // — candidates only ever ADD work, never lose a pair.
+    val sigs = run("doc_simhash")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val want = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    val got = run("doc_simhash_hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"index pairs ${got.size} != brute-force pairs ${want.size}")
+    assert(want.nonEmpty, "vacuous: no near-dup signatures at sf0.001")
+    // The distance-0 pairs cover the collision-group entry's groups.
+    val groups = run("doc_simhash_dup_groups")
+      .select("simhash").as[Long].collect().toSet
+    val zeroPairDocs = got.filter(_._3 == 0L)
+    assert(groups.isEmpty || zeroPairDocs.nonEmpty,
+      "collision groups exist but no hamming-0 pairs surfaced")
+  }
+
   test("doc_bbit_minhash: low-bit agreement dominates full agreement, estimators invert exactly") {
     val rows = SparkEntry.queries("doc_bbit_minhash")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

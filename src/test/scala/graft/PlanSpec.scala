@@ -969,6 +969,20 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
   }
 
+  test("round-16: doc_simhash_hamming joins block-keyed off one cached signature frame") {
+    // Four block tables explode from ONE cached signature frame; the
+    // candidate join is an equi join on (k, block byte); the popcount
+    // filter runs on candidate rows only — no cartesian, no shingle
+    // text past the signature stage.
+    val p = plan("doc_simhash_hamming")
+    assert(p.contains("InMemoryRelation"),
+      s"doc_simhash_hamming: signature frame not cached across both join sides\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doc_simhash_hamming: candidate join degenerated to a cross join\n$p")
+    assert(p.contains("Join [k#") || p.contains("Join [cast(k#"),
+      s"doc_simhash_hamming: candidate join no longer keyed on (k, v)\n$p")
+  }
+
   test("round-16: events_benford_profile reads the corpus once and joins only grid-sized frames") {
     // The corpus collapses to the (type, digit) count frame at build
     // time (localCheckpoint — the plan's only scan is ExistingRDD);
