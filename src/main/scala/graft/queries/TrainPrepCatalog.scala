@@ -145,6 +145,76 @@ object TrainPrepCatalog {
                  FROM documents)
                GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
 
+  /** Ranks reported by the Zipf curve: powers of two through 1024 —
+    * log-spaced so 11 rows trace the whole rank–frequency line a
+    * log-log Zipf fit reads, while every statistic stays EXACT (ranks
+    * and counts are integers; no log, no regression enters the compare;
+    * the fit slope is a driver-side step on the reported points).
+    */
+  private val ZipfRanks: Seq[Int] = (0 to 10).map(1 << _)
+
+  /** Rank–frequency (Zipf) curve of the unigram distribution: for each
+    * power-of-two rank, the token, its count, cumulative count, and
+    * corpus shares — the statistic behind tokenizer-vocabulary sizing
+    * (how much mass the top-k covers), stopword-list cutoffs, and
+    * sampling-temperature choices; a corpus whose curve flattens has
+    * been template-flooded (the duplication shows up here before dedup
+    * runs). Zipf's law (Zipf 1949; Piantadosi 2014 review) predicts a
+    * straight log-log line — the entry emits the measured points and
+    * leaves the fit to the reader, keeping libm out of the oracle
+    * compare (the Benford-family device).
+    *
+    * 100 TB shape: ONE (token) count shuffle — the irreducible vocab
+    * aggregate, map-side combined — then TakeOrderedAndProject bounds
+    * the global sort to the top max(ZipfRanks) rows (per-partition
+    * heaps + driver merge, never a full-vocab single-partition sort);
+    * the cumulative window runs on those ≤ 1024 rows. Totals ride a
+    * 1-row broadcast. Ties break on the token string in both engines.
+    */
+  val tokenZipfCurve: CatalogEntry = CatalogEntry(
+    "token_zipf_curve",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(explode(Text.normTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one vocab frame feeds the top slice AND the total
+      val tot = counts.agg(sum("c").as("n_total"))
+      // Global rank WITHOUT a single-partition window: the bounded top
+      // slice rides the house GlobalRank (range shuffle + zipWithIndex),
+      // and the cumulative count is a bounded triangular join — 11 kept
+      // ranks × ≤ 1024 ranked rows, never corpus-sized.
+      val ranked = graft.operators.GlobalRank.withRank(
+        counts.orderBy(col("c").desc, col("token")).limit(ZipfRanks.max),
+        Seq(col("c").desc, col("token").asc), 4).cacheOnce()
+      val pts = ranked.filter(col("rank").isin(ZipfRanks.map(i => Long.box(i.toLong)): _*))
+      pts.as("a").join(ranked.as("b"), col("b.rank") <= col("a.rank"))
+        .groupBy(col("a.rank").as("rank"), col("a.token").as("token"),
+          col("a.c").as("c"))
+        .agg(sum(col("b.c")).as("cum_c"))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("token"), col("c"), col("cum_c"),
+          round(col("c").cast("double") / col("n_total"), 6).as("frac"),
+          round(col("cum_c").cast("double") / col("n_total"), 6).as("cum_frac"))
+    },
+    Some {
+      val ranksList = ZipfRanks.mkString("(", ", ", ")")
+      s"""WITH counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                            SELECT unnest($normToksSql) AS token FROM documents)
+                          GROUP BY token),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts),
+            top AS (SELECT token, c,
+                           row_number() OVER (ORDER BY c DESC, token) AS rank,
+                           SUM(c) OVER (ORDER BY c DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS cum_c
+                    FROM counts QUALIFY rank <= ${ZipfRanks.max})
+          SELECT CAST(rank AS BIGINT) AS rank, token, c,
+                 CAST(cum_c AS BIGINT) AS cum_c,
+                 ROUND(CAST(c AS DOUBLE) / t.n_total, 6) AS frac,
+                 ROUND(CAST(cum_c AS DOUBLE) / t.n_total, 6) AS cum_frac
+          FROM top CROSS JOIN tot t
+          WHERE rank IN $ranksList"""
+    })
+
   /** Inverted-index build — the retrieval artifact: for each of the 20
     * highest-df tokens, its df and a CAPPED posting list (the 15 lowest
     * doc_ids, '|'-joined — capping is what keeps the artifact bounded
@@ -1261,5 +1331,5 @@ object TrainPrepCatalog {
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, weightedSample, splitDivergence, sourceDivergence,
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
-    phraseSearch, trigramSearch, packSequences)
+    phraseSearch, trigramSearch, packSequences, tokenZipfCurve)
 }

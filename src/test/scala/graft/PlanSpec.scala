@@ -969,6 +969,24 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
   }
 
+  test("round-16: token_zipf_curve ranks via GlobalRank, never a single-partition window") {
+    // One vocab count shuffle, TakeOrdered bounds the slice, GlobalRank
+    // ranks it (Scan ExistingRDD — the zipWithIndex conversion), the
+    // triangular cum join stays on the ≤ 1024-row slice. A WindowExec
+    // here would be the all-rows-on-one-task plan GlobalRank exists to
+    // avoid.
+    // (The TakeOrdered slice runs at GlobalRank-build time, upstream of
+    // the zipWithIndex RDD conversion, so it is not visible in this
+    // final plan — the ExistingRDD scan is its boundary.)
+    val p = plan("token_zipf_curve")
+    assert(!p.contains("Window"),
+      s"token_zipf_curve: global window crept back in\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"token_zipf_curve: GlobalRank's ranked frame missing\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"token_zipf_curve: corpus re-scanned past the ranked slice\n$p")
+  }
+
   test("round-16: doc_simhash_hamming joins block-keyed off one cached signature frame") {
     // Four block tables explode from ONE cached signature frame; the
     // candidate join is an equi join on (k, block byte); the popcount

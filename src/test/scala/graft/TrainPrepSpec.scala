@@ -397,4 +397,36 @@ class TrainPrepSpec extends AnyFunSuite {
       s"weighted sample not length-biased: sample $sampleMean vs corpus $corpusMean")
     got.unpersist(); docs.unpersist()
   }
+
+  test("token_zipf_curve: points recount against a driver-side rank-frequency sweep") {
+    import spark.implicits._
+    import graft.functions.Text
+    val got = run("token_zipf_curve")
+      .select("rank", "token", "c", "cum_c", "frac", "cum_frac")
+      .as[(Long, String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty, "vacuous: no zipf points at sf0.001")
+    // Direct recount: token counts in Scala, ranked (count desc, token asc).
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(Text.normTokens(col("text"))).as("t"))
+      .as[String].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val cum = counts.scanLeft(0L)(_ + _._2).tail
+    val wantRanks = (0 to 10).map(1 << _).filter(_ <= counts.size)
+    assert(got.map(_._1).toSeq == wantRanks.map(_.toLong),
+      s"ranks ${got.map(_._1).toList} != expected $wantRanks")
+    got.foreach { case (rank, tok, c, cc, frac, cfrac) =>
+      val i = rank.toInt - 1
+      assert(tok == counts(i)._1 && c == counts(i)._2,
+        s"rank $rank: ($tok, $c) != ${counts(i)}")
+      assert(cc == cum(i), s"rank $rank: cum $cc != ${cum(i)}")
+      // The entry reports 6-decimal-rounded shares.
+      assert(math.abs(frac - c.toDouble / total) < 5.1e-7)
+      assert(math.abs(cfrac - cc.toDouble / total) < 5.1e-7)
+    }
+    // Zipf shape sanity: counts non-increasing, cumulative share <= 1.
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(got.last._6 <= 1.0 + 1e-9)
+  }
 }
