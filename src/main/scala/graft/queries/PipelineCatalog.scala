@@ -2804,6 +2804,78 @@ object PipelineCatalog {
                LEFT JOIN cnt c ON c.event_type = t.event_type AND c.digit = d.digit"""
     })
 
+  /** k-anonymity audit threshold: equivalence classes smaller than this
+    * are flagged re-identifiable (5 is the conventional release bar).
+    */
+  private val KAnonBar = 5
+
+  /** QI equivalence-class sizes — `events_k_anonymity`'s ONLY
+    * corpus-touching stage, a plain keyed COUNT over the
+    * quasi-identifier triple (event_type, day, 50-unit value bucket on
+    * the 10⁻⁶ lattice) — linear/mergeable, so it doubles as live
+    * streaming state (StreamingQueries.streamingKAnonCounts delegates
+    * here; the drained classes replay [[kAnonFrom]] bit-for-bit).
+    */
+  private[graft] def kAnonCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        abs((round(col("value"), 6).cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("av"))
+      .select(col("event_type"), col("day"),
+        expr("av div 50000000").as("vbucket")) // integral div, the `//` mirror
+      .groupBy("event_type", "day", "vbucket")
+      .agg(count(lit(1)).as("k"))
+
+  /** The per-type audit report from counted classes — #types-sized
+    * batch work, factored so the streaming test replays it on drained
+    * state.
+    */
+  private[graft] def kAnonFrom(cnt: DataFrame): DataFrame =
+    cnt.groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("k").as("n_rows"),
+        sum(when(col("k") < KAnonBar, 1L).otherwise(0L)).as("n_groups_risky"),
+        sum(when(col("k") < KAnonBar, col("k")).otherwise(lit(0L))).as("n_rows_risky"),
+        min("k").as("min_k"),
+        round(expr("percentile(k, 0.5)"), 6).as("med_k"))
+
+  /** k-anonymity audit of the event table (Samarati & Sweeney 1998 —
+    * the release bar privacy reviews actually apply to training data):
+    * treat (event_type, day, coarse value bucket) as the
+    * quasi-identifier an adversary could link on, and report per type
+    * how many QI equivalence classes fall below k = [[KAnonBar]] and
+    * how much row mass sits in them — the rows that would need
+    * suppression or generalization before release. min_k = 1 means a
+    * UNIQUE fingerprint exists; n_rows_risky is the suppression cost.
+    * The day and value coordinates ride the house devices
+    * (unix_timestamp div ↔ epoch //, the 10⁻⁶ lattice integer-divided
+    * into 50-unit buckets) so both engines bucket identically; med_k
+    * uses the proven percentile ↔ quantile_cont pair.
+    *
+    * 100 TB shape: ONE keyed count over the corpus (map-side combined,
+    * QI-cardinality output = #types × #days × ≤10 buckets), then a
+    * #types-sized rollup. The corpus-touching count stage streams as
+    * live keyed state (streamingKAnonCounts, StreamingSpec-pinned).
+    */
+  val kAnonymity: CatalogEntry = CatalogEntry(
+    "events_k_anonymity",
+    (s, d) => kAnonFrom(kAnonCounts(Tables.events(s, d))),
+    Some(s"""WITH cnt AS (SELECT event_type,
+                                 CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                 ABS(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                                          * 1000000 AS BIGINT)) // 50000000 AS vbucket,
+                                 CAST(COUNT(*) AS BIGINT) AS k
+                          FROM events GROUP BY 1, 2, 3)
+             SELECT event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_groups,
+                    CAST(SUM(k) AS BIGINT) AS n_rows,
+                    CAST(SUM(CASE WHEN k < $KAnonBar THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_risky,
+                    CAST(SUM(CASE WHEN k < $KAnonBar THEN k ELSE 0 END) AS BIGINT) AS n_rows_risky,
+                    CAST(MIN(k) AS BIGINT) AS min_k,
+                    ROUND(quantile_cont(k, 0.5), 6) AS med_k
+             FROM cnt GROUP BY event_type"""))
+
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
@@ -2817,5 +2889,5 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample, seriesCorrelation, benfordProfile)
+      dsirResample, seriesCorrelation, benfordProfile, kAnonymity)
 }

@@ -653,6 +653,19 @@ object StreamingQueries {
   def streamingBenfordCounts(events: DataFrame): DataFrame =
     graft.queries.PipelineCatalog.benfordCounts(events)
 
+  /** Streaming sibling of `events_k_anonymity`'s corpus-touching stage —
+    * the quasi-identifier equivalence-class COUNT (keyed, linear,
+    * mergeable) maintained live in update mode: the privacy audit as a
+    * continuously-updated monitor instead of a batch sweep. ONE
+    * definition shared with the batch entry
+    * (PipelineCatalog.kAnonCounts); the drained classes replay the
+    * per-type report (PipelineCatalog.kAnonFrom) bit-for-bit after any
+    * arrival order/split (StreamingSpec pins it). State is one row per
+    * occupied QI cell — #types × #days × ≤10 buckets, time-bounded.
+    */
+  def streamingKAnonCounts(events: DataFrame): DataFrame =
+    graft.queries.PipelineCatalog.kAnonCounts(events)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

@@ -969,6 +969,19 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
   }
 
+  test("round-16: events_k_anonymity is one keyed count then a types-sized rollup") {
+    // One corpus scan into the QI count (partial aggregation present),
+    // one shuffle on the QI key, a #types rollup — nothing joins, so no
+    // join strategy of any kind may appear.
+    val p = plan("events_k_anonymity")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"events_k_anonymity: expected exactly one corpus scan\n$p")
+    assert(!p.contains("Join"),
+      s"events_k_anonymity: an unexpected join crept in\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"events_k_anonymity: more than the QI + rollup shuffles\n$p")
+  }
+
   test("round-16: token_zipf_curve ranks via GlobalRank, never a single-partition window") {
     // One vocab count shuffle, TakeOrdered bounds the slice, GlobalRank
     // ranks it (Scan ExistingRDD — the zipWithIndex conversion), the

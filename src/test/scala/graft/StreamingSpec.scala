@@ -743,6 +743,39 @@ class StreamingSpec extends AnyFunSuite {
       "distortion replay on drained cells diverges from the batch entry")
   }
 
+  test("streamed k-anonymity classes replay the audit report bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // events_k_anonymity's ONLY corpus-touching stage is the QI
+    // equivalence-class count. Stream the events in two bursts, drain
+    // the class sizes, replay the per-type report on the drained frame.
+    val want = SparkEntry.queries("events_k_anonymity")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no k-anonymity rows at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"ka-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 3) // key = (event_type, day, vbucket)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingKAnonCounts(input.toDF().toDF(eventCols: _*))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cnt = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("event_type", "day", "vbucket", "k")
+    Sinks.clear(sinkId)
+    val got = graft.queries.PipelineCatalog.kAnonFrom(cnt)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed k-anonymity report diverges from the batch entry")
+  }
+
   test("streamed OPQ moments replay the permutation and distortion report bit-for-bit") {
     import org.apache.spark.sql.functions.col
     import graft.queries.EmbeddingCatalog
