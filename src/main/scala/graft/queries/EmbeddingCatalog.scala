@@ -941,15 +941,25 @@ object EmbeddingCatalog {
       val j = if (slot % 2 == 0) pos else PqM - 1 - pos
       (j * PqS + slot) -> r.getInt(0)
     }
-    posOf.sortBy(_._1).map(_._2).toSeq
+    // Empty corpus → no moments → no ranking to improve: fall back to
+    // the identity permutation so the plan still builds (the degenerate
+    // sweeps require totality; array() of zero gather columns does not
+    // analyze).
+    if (posOf.isEmpty) (0 until Dim)
+    else posOf.sortBy(_._1).map(_._2).toSeq
   }
 
   /** Apply a dimension permutation as a static per-row projection —
     * perm is index METADATA (64 ints), so the gather is plain codegen'd
-    * element_at's, zero shuffle, zero extra scan. */
+    * element_at's, zero shuffle, zero extra scan. NULL embeddings stay
+    * NULL (a bare array(getItem…) would turn them into arrays of nulls,
+    * diverging from the natural entry's slice-of-NULL = NULL semantics
+    * under the null-injected degenerate sweep).
+    */
   private[graft] def opqApply(emb: DataFrame, perm: Seq[Int]): DataFrame =
     emb.withColumn("embedding",
-      array(perm.map(i => col("embedding").getItem(i)): _*))
+      when(col("embedding").isNull, lit(null))
+        .otherwise(array(perm.map(i => col("embedding").getItem(i)): _*)))
 
   /** Parametric OPQ-lite (Ge, He, Ke & Sun, CVPR 2013 §4: under a
     * Gaussian model the optimal space decomposition BALANCES variance
