@@ -187,7 +187,7 @@ object TrainPrepCatalog {
         counts.orderBy(col("c").desc, col("token")).limit(ZipfRanks.max),
         Seq(col("c").desc, col("token").asc), 4).cacheOnce()
       val pts = ranked.filter(col("rank").isin(ZipfRanks.map(i => Long.box(i.toLong)): _*))
-      pts.as("a").join(ranked.as("b"), col("b.rank") <= col("a.rank"))
+      pts.as("a").join(broadcast(ranked.as("b")), col("b.rank") <= col("a.rank"))
         .groupBy(col("a.rank").as("rank"), col("a.token").as("token"),
           col("a.c").as("c"))
         .agg(sum(col("b.c")).as("cum_c"))
