@@ -674,60 +674,54 @@ object EmbeddingCatalog {
            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
 
-  val knnPq: CatalogEntry = CatalogEntry(
-    "emb_knn_pq",
-    (s, d) => {
-      import org.apache.spark.sql.Column
-      val emb = embeddings(s, d)
-      val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      def d2Chunk(v: String, c: String, j: Int): Column = pqD2Chunk(v, c, j)
-      def dotChunk(v: String, c: String, j: Int): Column = round(expr(
-        s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
-             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
-      // Encode: per vector per subspace, the L2-nearest centroid chunk.
-      val aggs = (0 until PqM).map(j =>
-        min(struct(d2Chunk("embedding", "cemb", j).as("d2"), col("cid").as("cid"))).as(s"b$j"))
-      val codes = emb.crossJoin(broadcast(cent))
-        .groupBy("vec_id")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("vec_id").as("cand_id") +:
-          (0 until PqM).map(j => col(s"b$j.cid").as(s"c$j")): _*)
-      val codeRows = codes.select(col("cand_id"), explode(array(
-          (0 until PqM).map(j => struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
-        .select(col("cand_id"), col("jc.j").as("j"), col("jc.code").as("code"))
-      // Per-query ADC table: 8 queries × 8 subspaces × 16 codes.
-      val qtab = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-        .crossJoin(broadcast(cent))
-        .select(col("query_id"), col("cid"), explode(array(
-          (0 until PqM).map(j => struct(lit(j).as("j"),
-            dotChunk("qemb", "cemb", j).cast("decimal(18,6)").as("t"))): _*)).as("jt"))
-        .select(col("query_id"), col("jt.j").as("j"), col("cid").as("code"), col("jt.t").as("t"))
-      val approx = codeRows.join(broadcast(qtab), Seq("j", "code"))
-        .filter(col("cand_id") =!= col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("t")).as("ap"))
-      val topc = udaf(new graft.combine.TopNAgg(PqShortlist))
-      val cands = approx.groupBy("query_id")
-        .agg(topc(col("ap").cast("double"), col("cand_id")).as("top"))
-        .select(col("query_id"), explode(col("top.entries")).as("e"))
-        .select(col("query_id"), col("e.event_id").as("pq_cand"))
-      val queriesFull = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
-      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
-      val rer = corpusFull
-        .join(broadcast(cands), col("cand_id") === col("pq_cand"))
-        .join(broadcast(queriesFull), Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
-      topKPerQuery(rer)
-    },
-    Some {
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-                        WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+  /** The PQ/ADC approximate-score frame (query_id, cand_id, ap): codes
+    * from the broadcast-codebook argmin encode, per-query 8×16 DECIMAL
+    * distance tables, the associative-exact ADC sum — everything of
+    * [[knnPq]] upstream of the shortlist, factored so the
+    * shortlist-width sweep measures THE SAME scores production ranks
+    * (one definition, no drift).
+    */
+  private def pqApproxFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val emb = embeddings(s, d)
+    val cent = emb.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def d2Chunk(v: String, c: String, j: Int): Column = pqD2Chunk(v, c, j)
+    def dotChunk(v: String, c: String, j: Int): Column = round(expr(
+      s"""aggregate(zip_with(slice($v, ${j * PqS + 1}, $PqS), slice($c, ${j * PqS + 1}, $PqS),
+           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 6)
+    // Encode: per vector per subspace, the L2-nearest centroid chunk.
+    val aggs = (0 until PqM).map(j =>
+      min(struct(d2Chunk("embedding", "cemb", j).as("d2"), col("cid").as("cid"))).as(s"b$j"))
+    val codes = emb.crossJoin(broadcast(cent))
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id").as("cand_id") +:
+        (0 until PqM).map(j => col(s"b$j.cid").as(s"c$j")): _*)
+    val codeRows = codes.select(col("cand_id"), explode(array(
+        (0 until PqM).map(j => struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
+      .select(col("cand_id"), col("jc.j").as("j"), col("jc.code").as("code"))
+    // Per-query ADC table: 8 queries × 8 subspaces × 16 codes.
+    val qtab = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cid"), explode(array(
+        (0 until PqM).map(j => struct(lit(j).as("j"),
+          dotChunk("qemb", "cemb", j).cast("decimal(18,6)").as("t"))): _*)).as("jt"))
+      .select(col("query_id"), col("jt.j").as("j"), col("cid").as("code"), col("jt.t").as("t"))
+    codeRows.join(broadcast(qtab), Seq("j", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("t")).as("ap"))
+  }
+
+  /** The ADC pipeline as oracle CTEs ending in `approx (query_id,
+    * cand_id, ap)` — ONE text shared by [[knnPq]] and the
+    * shortlist-width sweep. */
+  private def pqAdcOracleCtes: String =
+    s"""cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                 WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
             js AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j),
             esub AS (SELECT e.vec_id, js.j, e.embedding[js.j*$PqS+1 : js.j*$PqS+$PqS] AS a
                      FROM embeddings e CROSS JOIN js),
@@ -750,7 +744,31 @@ object EmbeddingCatalog {
             approx AS (
               SELECT qt.query_id, cd.cand_id, SUM(qt.t) AS ap
               FROM codes cd JOIN qtab qt ON qt.j = cd.j AND qt.code = cd.code
-              WHERE cd.cand_id != qt.query_id GROUP BY 1, 2),
+              WHERE cd.cand_id != qt.query_id GROUP BY 1, 2)"""
+
+  val knnPq: CatalogEntry = CatalogEntry(
+    "emb_knn_pq",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val approx = pqApproxFrame(s, d)
+      val topc = udaf(new graft.combine.TopNAgg(PqShortlist))
+      val cands = approx.groupBy("query_id")
+        .agg(topc(col("ap").cast("double"), col("cand_id")).as("top"))
+        .select(col("query_id"), explode(col("top.entries")).as("e"))
+        .select(col("query_id"), col("e.event_id").as("pq_cand"))
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", graft.functions.Vectors.norm(col("ce")))
+      val rer = corpusFull
+        .join(broadcast(cands), col("cand_id") === col("pq_cand"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cosineCol.as("score"))
+      topKPerQuery(rer)
+    },
+    Some {
+      s"""WITH $pqAdcOracleCtes,
             shortlist AS (
               SELECT query_id, cand_id FROM (
                 SELECT query_id, cand_id,
@@ -2109,6 +2127,119 @@ object EmbeddingCatalog {
           ORDER BY probes"""
     })
 
+  private val SweepWidths = Seq(8, 16, 32, 64)
+
+  /** PQ shortlist-width sweep — the OTHER knob of the quantization
+    * family measured in-catalog (the [[ivfProbeSweep]] discipline
+    * applied to [[knnPq]]'s `PqShortlist`): for widths ∈ [[SweepWidths]],
+    * recall@[[K]] of the ADC-shortlist-then-exact-rerank pipeline
+    * against the brute-force truth, NEXT TO the exact-rerank row count
+    * and its fraction of brute-force pair work. The ADC scan cost is
+    * width-INDEPENDENT (the corpus is scanned in code space once); what
+    * the width buys is rerank recall, and what it costs is full-width
+    * vector fetches — exactly the trade this table prices before anyone
+    * trusts the 64 default (which must be a member of [[SweepWidths]],
+    * enforced below, so its row IS its justification).
+    *
+    * ONE ADC pass feeds every width: the shared [[pqApproxFrame]]
+    * scores are ranked once per query (checkpoint-truncated), the exact
+    * rerank join runs once at the WIDEST width, and each sweep row
+    * filters the reranked frame by `srank <= w` — a candidate enters at
+    * exactly one rank, so the filter is exact. At 100 TB the sweep
+    * costs the widest rerank, not |SweepWidths| ADC scans.
+    *
+    * Determinism: hits/reranked are BIGINT; the ADC rank order rides
+    * the varchar-routed double cast of the DECIMAL ADC sum (knnPq's own
+    * device) with cand_id ties; recall/reranked_frac are one rounded
+    * division each from identical integers.
+    *
+    * Measured (sf0.01): recall 0.175 / 0.275 / 0.375 / 0.675 at widths
+    * 8/16/32/64 — still CLIMBING at the 64 default, no knee inside the
+    * swept range: on this corpus the 8-bit ADC scores rank weakly
+    * (pq's recall ceiling in `emb_knn_recall` says the same), so a
+    * deployment wanting recall here buys width (linear rerank cost),
+    * not probes. Recorded so the default is read as "the measured
+    * frontier point", not as a converged knee.
+    */
+  val pqShortlistSweep: CatalogEntry = CatalogEntry(
+    "emb_pq_shortlist_sweep",
+    (s, d) => {
+      import graft.functions.Vectors
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, d)
+      val maxW = SweepWidths.max
+      val ranked = pqApproxFrame(s, d)
+        .withColumn("srank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("ap").cast("double").desc, col("cand_id"))))
+        .filter(col("srank") <= maxW)
+        .localCheckpoint(eager = true)
+      val queriesFull = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .withColumn("qn", Vectors.norm(col("qe")))
+      val corpusFull = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("cn", Vectors.norm(col("ce")))
+      val rer = corpusFull.join(broadcast(ranked), Seq("cand_id"))
+        .join(broadcast(queriesFull), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("srank"), cosineCol.as("score"))
+        .localCheckpoint(eager = true)
+      val truth = knnBrute.build(s, d).select(col("query_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
+      val nTot = emb.agg(count(lit(1)).as("n_corpus"))
+      SweepWidths.map { w =>
+        val cand = rer.filter(col("srank") <= w)
+        val top = topKPerQuery(cand).select(col("query_id"), col("vec_id"))
+        val hitsRow = truth
+          .join(broadcast(top.withColumn("hit", lit(1))),
+            Seq("query_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        val rerankedRow = cand.agg(count(lit(1)).as("reranked"))
+        hitsRow.crossJoin(rerankedRow)
+          .select(lit(w.toLong).as("shortlist_c"), col("hits"),
+            round(col("hits") / lit((NQueries * K).toDouble), 6).as("recall"),
+            col("reranked"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTot))
+        .select(col("shortlist_c"), col("hits"), col("recall"), col("reranked"),
+          round(col("reranked") /
+            (lit(NQueries.toLong) * (col("n_corpus") - 1L)), 6).as("reranked_frac"))
+        .orderBy("shortlist_c")
+    },
+    Some {
+      val maxW = SweepWidths.max
+      val widthVals = SweepWidths.map(w => s"($w)").mkString(", ")
+      s"""WITH $pqAdcOracleCtes,
+            ranked AS (SELECT query_id, cand_id, rn AS srank FROM (
+                         SELECT query_id, cand_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(CAST(ap AS VARCHAR) AS DOUBLE) DESC, cand_id) AS rn
+                         FROM approx) WHERE rn <= $maxW),
+            rer AS (SELECT r.query_id, r.cand_id, r.srank, $cosineSql AS score
+                    FROM ranked r JOIN embeddings c ON c.vec_id = r.cand_id
+                         JOIN embeddings q ON q.vec_id = r.query_id),
+            brute AS (SELECT query_id, vec_id FROM ($bruteOracleSql) tb),
+            ws(w) AS (SELECT * FROM (VALUES $widthVals) v(w)),
+            topk AS (SELECT w, query_id, cand_id FROM (
+                       SELECT ws.w, r.query_id, r.cand_id,
+                              row_number() OVER (PARTITION BY ws.w, r.query_id
+                                                 ORDER BY r.score DESC, r.cand_id) AS rn
+                       FROM ws JOIN rer r ON r.srank <= ws.w) WHERE rn <= $K),
+            h AS (SELECT ws.w, CAST(SUM(CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+                  FROM ws CROSS JOIN brute b
+                  LEFT JOIN topk t ON t.w = ws.w AND t.query_id = b.query_id
+                                  AND t.cand_id = b.vec_id
+                  GROUP BY ws.w),
+            rc AS (SELECT ws.w, CAST(COUNT(*) AS BIGINT) AS reranked
+                   FROM ws JOIN ranked r ON r.srank <= ws.w GROUP BY ws.w),
+            n AS (SELECT COUNT(*) AS n_corpus FROM embeddings)
+          SELECT CAST(h.w AS BIGINT) AS shortlist_c, h.hits,
+                 ROUND(CAST(h.hits AS DOUBLE) / ${NQueries * K}, 6) AS recall,
+                 rc.reranked,
+                 ROUND(CAST(rc.reranked AS DOUBLE) / ($NQueries * (n.n_corpus - 1)), 6) AS reranked_frac
+          FROM h JOIN rc ON rc.w = h.w CROSS JOIN n
+          ORDER BY shortlist_c"""
+    })
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
     * structurally different indexes — the standard result-merging layer
     * a production retrieval stack puts over heterogeneous retrievers:
@@ -2590,10 +2721,12 @@ object EmbeddingCatalog {
   // vals initialize — object vals init in declaration order.)
   require(SweepProbes.contains(IvfProbes),
     s"IvfProbes=$IvfProbes is not a measured sweep point $SweepProbes")
+  require(SweepWidths.contains(PqShortlist),
+    s"PqShortlist=$PqShortlist is not a measured sweep point $SweepWidths")
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqShortlistSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)

@@ -429,6 +429,27 @@ class EmbeddingSpec extends AnyFunSuite {
       }
   }
 
+  test("emb_pq_shortlist_sweep: recall monotone in width, widest row reproduces emb_knn_pq") {
+    val got = run("emb_pq_shortlist_sweep")
+      .select("shortlist_c", "hits", "recall", "reranked")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    // Widening the shortlist can only ADD rerank candidates, so hits
+    // (vs the same truth) are non-decreasing in width.
+    assert(got.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2),
+      s"hits not monotone: ${got.map(_._2).toList}")
+    // reranked counts are exactly queries × min(width, n-1) here
+    // (enough ADC candidates exist at sf0.001 for every width).
+    got.foreach { case (w, _, _, r) => assert(r <= 8 * w, s"width $w reranked $r > 8*$w") }
+    // The widest width IS production's PqShortlist: its hits must equal
+    // a direct intersection of emb_knn_pq with the brute truth.
+    val pq = run("emb_knn_pq").select("query_id", "vec_id")
+    val truth = run("emb_knn_brute").select("query_id", "vec_id")
+    val wantHits = pq.intersect(truth).count()
+    assert(got.last._2 == wantHits,
+      s"widest sweep row ${got.last._2} != emb_knn_pq direct hits $wantHits")
+  }
+
   test("emb_opq_permute: snake permutation is a bijection spreading variance octiles; report shape holds") {
     import graft.queries.EmbeddingCatalog
     val emb = Tables.embeddings(spark, sf0001)

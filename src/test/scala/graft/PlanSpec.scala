@@ -920,6 +920,21 @@ class PlanSpec extends AnyFunSuite {
       s"emb_opq_permute: undeclared cartesian\n$p")
   }
 
+  test("round-16: emb_pq_shortlist_sweep filters one checkpointed reranked frame per width") {
+    // The sweep's scale claim: ADC scores are ranked once and the exact
+    // rerank runs once at the widest width (both checkpoint-truncated);
+    // each width's branch filters THE SAME reranked frame — the final
+    // plan reads ExistingRDD, never re-running the ADC scan or the
+    // rerank per width, and nothing corpus-sized sort-merges.
+    val p = plan("emb_pq_shortlist_sweep")
+    assert(p.contains("Scan ExistingRDD"),
+      s"emb_pq_shortlist_sweep: reranked frame no longer checkpoint-truncated\n$p")
+    assert(countOf(p, "FileScan parquet") <= 1,
+      s"emb_pq_shortlist_sweep: a width branch re-scans the corpus\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"emb_pq_shortlist_sweep: corpus-sized sort-merge or cartesian crept in\n$p")
+  }
+
   test("round-16: emb_hubness pairs only within cells off one cached corpus frame") {
     // The pair stage must key on cell (equi join between two reads of
     // the SAME cached assignment frame — Σ|cell|² work), the top-K must
