@@ -512,6 +512,44 @@ class EmbeddingSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("opqPermOf: bijection + one-dim-per-octile hold on generated moments, ties included") {
+    import graft.queries.EmbeddingCatalog
+    // Generative check of the allocation law itself, independent of the
+    // corpus: random moment frames (including deliberate variance TIES,
+    // the case the d-ascending tie-break exists for), permutation
+    // recomputed driver-side with BigInt arithmetic.
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val moments = (0 until 64).map { d =>
+        val n = 1L + rnd.nextInt(1000)
+        val s1 = rnd.nextLong() % 1000000L
+        // Half the dims share a variance value via shared s2 buckets.
+        val s2 = if (d % 2 == trial % 2) 5000000L + (d % 4) * 1000L
+                 else math.abs(rnd.nextLong() % 10000000L) + 1000000L
+        (d.toLong, n, BigDecimal(s1), BigDecimal(s2))
+      }
+      val mom = moments.toDF("d", "n", "s1", "s2")
+        .select(col("d"), col("n"),
+          col("s1").cast("decimal(19,0)").as("s1"),
+          col("s2").cast("decimal(26,0)").as("s2"))
+      val perm = EmbeddingCatalog.opqPermOf(mom)
+      assert(perm.sorted == (0 until 64).toList, s"trial $trial: not a bijection")
+      // Independent BigInt ranking with the same (varn desc, d asc) law.
+      val ranked = moments
+        .map { case (d, n, s1, s2) =>
+          (d.toInt, BigInt(n) * s2.toBigInt - s1.toBigInt * s1.toBigInt)
+        }
+        .sortBy { case (d, v) => (-v, d) }
+        .map(_._1)
+      val rankOf = ranked.zipWithIndex.toMap
+      (0 until 8).foreach { j =>
+        val octiles = (0 until 8).map(slot => rankOf(perm(j * 8 + slot)) / 8).sorted
+        assert(octiles == (0 until 8).toList,
+          s"trial $trial subspace $j: octiles $octiles")
+      }
+    }
+  }
+
   test("emb_hubness: one row per vector, k-occurrence mass conserved against cell sizes") {
     val got = run("emb_hubness").cache()
     val total = Tables.embeddings(spark, sf0001).count()
