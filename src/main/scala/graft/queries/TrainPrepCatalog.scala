@@ -128,6 +128,77 @@ object TrainPrepCatalog {
                           COUNT(*) OVER () AS n_src
                    FROM documents GROUP BY source)"""))
 
+  /** Epoch token-budget planner — the quota computation a data-mixing
+    * budgeter runs before a training read (the APPLY step of the
+    * mixing-weight literature: The Pile's per-set epochs, Gao et al.
+    * 2020; DoReMi's domain weights, Xie et al. 2023): give every source
+    * an equal slice of a HALF-epoch token budget (the flattened mix
+    * [[mixWeights]] targets — budget_s = Σtokens ∕ (2·n_src), exact
+    * integer division) and report, per source, how many documents fit
+    * when the loader reads the source in the deterministic shuffle
+    * order (THE `doc_shuffle_order` law — salt and hash reused verbatim,
+    * so the planner predicts exactly what that loader will read). A doc
+    * is taken iff its INCLUSIVE running token count stays within the
+    * budget (no overshoot; fill_ratio < 1 shows the truncation loss).
+    * Under-budget sources (fill 1.0 with docs to spare vs exhausted
+    * early) are the up/down-sampling signal read next to `mix_weight`.
+    *
+    * 100 TB shape: one per-row projection, ONE source-partitioned
+    * window (the cum sum — per-source sorted, never global; production
+    * splits the quota across the shuffle law's 256 shards, budget_s/256
+    * per (source, shard), making even the hottest source
+    * shard-parallel), a #sources rollup, and a 1-row broadcast total.
+    * Exactness: tokens and budgets are BIGINT end-to-end (integer div
+    * on both engines); fill_ratio is the one rounded division.
+    */
+  val tokenBudget: CatalogEntry = CatalogEntry(
+    "pipeline_token_budget",
+    (s, d) => {
+      val h = md5(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      val docs = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+      val tot = docs.agg(sum("n_tokens").as("total"),
+          countDistinct("source").as("n_src"))
+        .select(when(col("n_src") > 0, expr("total div (2 * n_src)"))
+          .otherwise(lit(0L)).as("budget_tokens"))
+      val cum = docs.withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_available"),
+          sum("n_tokens").as("tokens_available"),
+          max("budget_tokens").as("budget_tokens"),
+          sum(when(col("cum") <= col("budget_tokens"), 1L).otherwise(0L))
+            .as("docs_taken"),
+          sum(when(col("cum") <= col("budget_tokens"), col("n_tokens"))
+            .otherwise(lit(0L))).as("tokens_taken"))
+        .withColumn("fill_ratio",
+          round(col("tokens_taken").cast("double") / col("budget_tokens"), 6))
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+                               CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                               md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h
+                        FROM documents),
+                  b AS (SELECT CASE WHEN COUNT(DISTINCT source) > 0
+                                    THEN CAST(SUM(n_tokens) AS BIGINT)
+                                         // (2 * COUNT(DISTINCT source))
+                                    ELSE 0 END AS budget_tokens
+                        FROM d),
+                  c AS (SELECT source, n_tokens,
+                               SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                        FROM d)
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_available,
+                    CAST(SUM(n_tokens) AS BIGINT) AS tokens_available,
+                    CAST(MAX(b.budget_tokens) AS BIGINT) AS budget_tokens,
+                    CAST(SUM(CASE WHEN cum <= b.budget_tokens THEN 1 ELSE 0 END) AS BIGINT) AS docs_taken,
+                    CAST(SUM(CASE WHEN cum <= b.budget_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_taken,
+                    ROUND(CAST(SUM(CASE WHEN cum <= b.budget_tokens THEN n_tokens ELSE 0 END) AS DOUBLE)
+                          / MAX(b.budget_tokens), 6) AS fill_ratio
+             FROM c CROSS JOIN b GROUP BY source"""))
+
   /** Vocabulary document frequencies: top 20 tokens by df (ties broken by
     * token). The global top-k is a TakeOrdered after the one token
     * aggregation — no full sort at any scale.
@@ -1331,5 +1402,5 @@ object TrainPrepCatalog {
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, weightedSample, splitDivergence, sourceDivergence,
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
-    phraseSearch, trigramSearch, packSequences, tokenZipfCurve)
+    phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget)
 }

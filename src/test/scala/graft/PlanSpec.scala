@@ -984,6 +984,20 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
   }
 
+  test("round-16: pipeline_token_budget is one scan, one source-partitioned window, a scalar broadcast") {
+    // The cum sum must ride a SOURCE-partitioned window (never global),
+    // the 1-row budget frame broadcasts (the only nested-loop join),
+    // and the corpus is scanned once for the window side (the total
+    // side reads the same parquet a second time — two scans max).
+    val p = plan("pipeline_token_budget")
+    assert(p.contains("Window") && p.contains("partitionBy") || p.contains("Window ["),
+      s"pipeline_token_budget: window gone\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pipeline_token_budget: undeclared cartesian\n$p")
+    assert(countOf(p, "FileScan parquet") <= 2,
+      s"pipeline_token_budget: more than the window + total scans\n$p")
+  }
+
   test("round-16: events_k_anonymity is one keyed count then a types-sized rollup") {
     // One corpus scan into the QI count (partial aggregation present),
     // one shuffle on the QI key, a #types rollup — nothing joins, so no

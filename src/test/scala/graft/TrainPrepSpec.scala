@@ -398,6 +398,39 @@ class TrainPrepSpec extends AnyFunSuite {
     got.unpersist(); docs.unpersist()
   }
 
+  test("pipeline_token_budget: greedy prefix recounts against a driver-side replay of the shuffle law") {
+    import spark.implicits._
+    val got = run("pipeline_token_budget")
+      .select("source", "docs_available", "tokens_available", "budget_tokens",
+        "docs_taken", "tokens_taken")
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty, "vacuous: no sources at sf0.001")
+    // Driver-side replay: same salt, same (h, doc_id) order, same
+    // inclusive-cum greedy rule.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"shuffle|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("source", "doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n")
+      .as[(String, Long, Long)].collect()
+    val total = docs.map(_._3).sum
+    val nSrc = docs.map(_._1).distinct.size
+    val budget = total / (2L * nSrc)
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.map { case (_, id, n) => (h(id), id, n) }.sortBy(r => (r._1, r._2))
+      var cum = 0L; var taken = 0L; var tok = 0L
+      ordered.foreach { case (_, _, n) =>
+        cum += n
+        if (cum <= budget) { taken += 1; tok += n }
+      }
+      val (_, avail, availTok, b, dt, tt) = got(src)
+      assert(avail == rows.length && availTok == rows.map(_._3).sum, s"$src availability")
+      assert(b == budget, s"$src budget $b != $budget")
+      assert(dt == taken && tt == tok, s"$src taken ($dt, $tt) != ($taken, $tok)")
+      assert(tt <= budget, s"$src overshoots the budget")
+    }
+  }
+
   test("token_zipf_curve: points recount against a driver-side rank-frequency sweep") {
     import spark.implicits._
     import graft.functions.Text
