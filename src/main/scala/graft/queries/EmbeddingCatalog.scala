@@ -1755,6 +1755,112 @@ object EmbeddingCatalog {
           FROM r WHERE rnk <= $OutlierK ORDER BY label, rnk"""
     })
 
+  private val MahaK = 5 // OOD candidates reported per label
+
+  /** Per-label out-of-distribution audit by DIAGONAL Mahalanobis
+    * distance (Lee et al. 2018, arXiv:1807.03888, restricted to a
+    * per-dimension variance — the diagonal that stays a per-row
+    * projection at any scale; a full covariance needs a d×d solve per
+    * class and buys little on decorrelated embedding dims): for every
+    * vector, md2 = Σᵢ (xᵢ − μ_label,ᵢ)² / (σ²_label,ᵢ + ε), and the
+    * [[MahaK]] highest-md2 vectors per label are the OOD review queue.
+    * The variance normalization is what [[centroidOutliers]]' cosine
+    * cannot see: a vector can sit at a perfectly ordinary ANGLE yet be
+    * wildly outside its class's per-dimension spread — cosine audits
+    * direction, Mahalanobis audits the envelope.
+    *
+    * Determinism: per-(label, dim) sum and sum-of-squares ride the
+    * [[labelCentroids]] ordered fold (bit-identical in both engines);
+    * μ and σ² derive through ONE fixed expression shape
+    * (`sum/n`, `sumsq/n − (sum/n)²`); the per-row score folds dims in
+    * ascending order with a per-term fixed IEEE expression and ε the
+    * shared literal 0.000001 (also the zero-variance guard — a
+    * constant dimension contributes (x−μ)²/ε, loudly OOD, never a
+    * division by zero); ROUND 6 before the bounded heap; ties break by
+    * vec_id (TopNAgg's order, mirrored by the oracle's row_number).
+    *
+    * 100 TB shape: summary + rescan, same economics as
+    * [[centroidOutliers]] — one corpus pass builds the labels × dims
+    * moment grid (ONE shuffle on (label, dim), map-combined), the grid
+    * collapses to labels×2 broadcast arrays, one pass scores every
+    * vector against its own label's BROADCAST (μ, σ²) rows, and the
+    * top-K is a bounded-heap aggregate shipping ≤ K rows per partition
+    * per label — never a corpus-wide rank window. The ordered fold is
+    * the oracle-exactness device at test scale; at fleet scale the
+    * drop-in is a decimal-carried SUM (associative, any order), the
+    * [[labelCentroids]] note.
+    */
+  val oodMahalanobis: CatalogEntry = CatalogEntry(
+    "emb_ood_mahalanobis",
+    (s, d) => {
+      val stats = embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("array_sort(collect_list(struct(vec_id, v)))").as("lst"))
+        .select(col("label"), col("dim"), col("n_vecs"),
+          expr("""aggregate(lst, CAST(0.0 AS DOUBLE),
+                            (acc, s) -> acc + CAST(s.v AS DOUBLE))""").as("sum_v"),
+          expr("""aggregate(lst, CAST(0.0 AS DOUBLE),
+                            (acc, s) -> acc + CAST(s.v AS DOUBLE) * CAST(s.v AS DOUBLE))""")
+            .as("sum_sq"))
+        .select(col("label"), col("dim"),
+          (col("sum_v") / col("n_vecs")).as("mu"),
+          (col("sum_sq") / col("n_vecs")
+            - (col("sum_v") / col("n_vecs")) * (col("sum_v") / col("n_vecs"))).as("va"))
+      val grid = stats.groupBy("label")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(dim, mu, va))), x -> x.mu)").as("mu"),
+          expr("transform(array_sort(collect_list(struct(dim, mu, va))), x -> x.va)").as("va"))
+        .localCheckpoint(eager = true)
+      val top = udaf(new graft.combine.TopNAgg(MahaK))
+      embeddings(s, d)
+        .join(broadcast(grid), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          expr(s"""round(aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE),
+                     (acc, i) -> acc + (CAST(embedding[i] AS DOUBLE) - mu[i])
+                                       * (CAST(embedding[i] AS DOUBLE) - mu[i])
+                                       / (va[i] + 0.000001)), 6)""").as("md2"))
+        .groupBy("label")
+        .agg(top(col("md2"), col("vec_id")).as("top"))
+        .select(col("label"), posexplode(col("top.entries")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.event_id").as("vec_id"), col("col.value").as("md2"))
+        .orderBy("label", "rnk")
+    },
+    Some {
+      val fold =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [(CAST(e.embedding[i] AS DOUBLE) - c.mu[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.mu[i]) / (c.va[i] + 0.000001)
+               for i in range(1, ${Dim + 1})]),
+              (acc, v) -> acc + v)"""
+      s"""WITH ex AS (SELECT vec_id, label, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) - 1 AS dim
+                      FROM embeddings),
+            stats AS (SELECT label, dim, COUNT(*) AS n_vecs,
+                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+                               (acc, x) -> acc + x) AS sum_v,
+                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY vec_id)),
+                               (acc, x) -> acc + x) AS sum_sq
+                      FROM ex GROUP BY label, dim),
+            mv AS (SELECT label, dim, sum_v / n_vecs AS mu,
+                          sum_sq / n_vecs - (sum_v / n_vecs) * (sum_v / n_vecs) AS va
+                   FROM stats),
+            ca AS (SELECT label, list(mu ORDER BY dim) AS mu,
+                          list(va ORDER BY dim) AS va
+                   FROM mv GROUP BY label),
+            scored AS (SELECT e.label, e.vec_id, ROUND($fold, 6) AS md2
+                       FROM embeddings e JOIN ca c ON c.label = e.label),
+            r AS (SELECT label, vec_id, md2,
+                         row_number() OVER (PARTITION BY label
+                                            ORDER BY md2 DESC, vec_id) AS rnk
+                  FROM scored)
+          SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, md2
+          FROM r WHERE rnk <= $MahaK ORDER BY label, rnk"""
+    })
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with a frozen k-means coarse
     * quantizer, then pruning near-duplicate pairs WITHIN each cluster
@@ -2238,6 +2344,93 @@ object EmbeddingCatalog {
                  ROUND(CAST(rc.reranked AS DOUBLE) / ($NQueries * (n.n_corpus - 1)), 6) AS reranked_frac
           FROM h JOIN rc ON rc.w = h.w CROSS JOIN n
           ORDER BY shortlist_c"""
+    })
+
+  /** The k-means model sweep of [[kmeansElbow]]: the committed quantizers
+    * at k ∈ {2, 4, 8, 16}, each KMeans.fit(sf0.01 embeddings, iters = 5,
+    * init = first k vectors) frozen by graft.tools.TrainIvf exactly like
+    * [[IvfCentroids.kmeans16]].
+    */
+  private def elbowModels: Seq[(Int, Seq[(Int, Array[Double])])] = Seq(
+    2 -> IvfCentroids.kmeans2, 4 -> IvfCentroids.kmeans4,
+    8 -> IvfCentroids.kmeans8, 16 -> IvfCentroids.kmeans16)
+
+  /** The coarse-quantizer SIZE knob measured in-catalog — the elbow
+    * curve (inertia vs k) plus the cell-balance evidence that prices
+    * every IVF-family trade this catalog makes: more cells = smaller
+    * scanned fraction per probe but a weaker per-cell recall ceiling
+    * ([[ivfProbeSweep]]'s axis), and an UNBALANCED quantizer silently
+    * loses both (one fat cell re-creates brute force for its residents).
+    * One row per committed model k ∈ {2,4,8,16}: total inertia (the
+    * Lloyd's objective, exact on the ×10⁶ lattice), mean d², cells
+    * actually used, and the largest cell's population.
+    *
+    * Determinism: per-row min-distance² is KMeans.sqDist's fixed
+    * |v|²−2v·c+|c|² expression (left-fold dots, centroid literals —
+    * bit-identical in both engines, the [[knnIvfKmeans]] device), ROUND
+    * 6 then DECIMAL(18,6)→×10⁶→BIGINT ([[pqDistortion]]'s lattice), so
+    * the corpus sum is exact-integer and order-free; mean_d2 is one
+    * closing derive.
+    *
+    * 100 TB shape: ONE corpus scan computes all four assignments
+    * per row (argmin over centroid LITERALS — zero shuffles, no
+    * centroid join); the explode emits 4 tiny (k, cell, d2s) structs
+    * per row straight into a map-combined (k, cell) aggregate, so
+    * shuffle volume is partitions × Σk cells regardless of corpus
+    * size; the per-k rollup is models-sized. The sweep costs ONE pass
+    * no matter how many models it prices.
+    */
+  val kmeansElbow: CatalogEntry = CatalogEntry(
+    "emb_kmeans_elbow",
+    (s, d) => {
+      val perK = elbowModels.map { case (k, model) =>
+        val c0 = graft.operators.KMeans.sortedCells(col("embedding"), model).getItem(0)
+        struct(lit(k.toLong).as("k"),
+          c0.getField("cid").cast("long").as("cell"),
+          (round(c0.getField("d"), 6).cast("decimal(18,6)") * 1000000)
+            .cast("long").as("d2s"))
+      }
+      embeddings(s, d)
+        .select(explode(array(perK: _*)).as("a"))
+        .select(col("a.k").as("k"), col("a.cell").as("cell"), col("a.d2s").as("d2s"))
+        .groupBy("k", "cell")
+        .agg(count(lit(1)).as("n"), sum("d2s").as("ds"))
+        .groupBy("k")
+        .agg(sum("n").as("n_vectors"), count(lit(1)).as("cells_used"),
+          max("n").as("max_cell_n"), sum("ds").as("inertia_scaled"))
+        .select(col("k"), col("n_vectors"), col("cells_used"), col("max_cell_n"),
+          col("inertia_scaled"),
+          round(col("inertia_scaled").cast("double")
+            / (col("n_vectors") * lit(1000000.0)), 6).as("mean_d2"))
+        .orderBy("k")
+    },
+    Some {
+      val encCtes = elbowModels.map { case (k, model) =>
+        val centRows = model.map { case (cid, c) =>
+          val lst = c.mkString("[", ", ", "]")
+          val cn2 = c.map(x => x * x).sum // same Scala left fold as the Spark literal
+          s"($cid, $lst, $cn2)"
+        }.mkString(", ")
+        val distE = s"${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.cemb")} + c.cn2"
+        s"""cent$k(cid, cemb, cn2) AS (SELECT * FROM (VALUES $centRows) v(cid, cemb, cn2)),
+            enc$k AS (SELECT cell, CAST(CAST(ROUND(d, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS d2s FROM (
+                        SELECT e.vec_id, c.cid AS cell, $distE AS d,
+                               row_number() OVER (PARTITION BY e.vec_id ORDER BY $distE, c.cid) AS rn
+                        FROM embeddings e CROSS JOIN cent$k c) WHERE rn = 1)"""
+      }.mkString(",\n            ")
+      val union = elbowModels.map { case (k, _) =>
+        s"SELECT $k AS k, cell, d2s FROM enc$k"
+      }.mkString(" UNION ALL ")
+      s"""WITH $encCtes,
+            un AS ($union),
+            bycell AS (SELECT k, cell, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(d2s) AS BIGINT) AS ds
+                       FROM un GROUP BY 1, 2)
+          SELECT CAST(k AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_vectors,
+                 COUNT(*) AS cells_used, CAST(MAX(n) AS BIGINT) AS max_cell_n,
+                 CAST(SUM(ds) AS BIGINT) AS inertia_scaled,
+                 ROUND(CAST(SUM(ds) AS DOUBLE) / (CAST(SUM(n) AS BIGINT) * 1000000.0), 6) AS mean_d2
+          FROM bycell GROUP BY k ORDER BY k"""
     })
 
   /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
@@ -2726,8 +2919,8 @@ object EmbeddingCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(knnBrute, knnLsh, knnLshMultiprobe, knnIvf, knnIvfKmeans, knnSq8, knnPq,
-      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqShortlistSweep, pqDistortion, opqPermute, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
-      labelCentroids, centroidOutliers, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
+      knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqShortlistSweep, pqDistortion, opqPermute, kmeansElbow, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
+      labelCentroids, centroidOutliers, oodMahalanobis, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
       contrastivePairs, labelNoisePairs, rankFusion)
 }

@@ -1041,6 +1041,78 @@ object PipelineCatalog {
              list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
              FROM documents"""))
 
+  /** Per-source boilerplate profile over an arbitrary documents frame —
+    * the [[boilerplateNgrams]] body, seamed out so the spec can inject a
+    * corpus with KNOWN boilerplate (the driver corpus is word salad;
+    * real templates are what the operator exists for).
+    */
+  private[graft] def boilerplateFrom(docs: DataFrame): DataFrame = {
+    val perSrc = docs.groupBy("source").agg(count(lit(1)).as("docs"))
+    val df = docs
+      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh"))
+      .groupBy("source", "sh")
+      .agg(count(lit(1)).as("df"))
+    df.join(broadcast(perSrc), "source")
+      .withColumn("boiler", col("df") >= 3L && col("df") * 20L >= col("docs"))
+      .groupBy("source", "docs")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        max(when(col("boiler"), col("df"))).as("max_boiler_df"),
+        sum(when(col("boiler"), col("df")).otherwise(0L)).as("boiler_hits"))
+      .select(col("source"), col("docs"), col("n_shingles"), col("n_boiler"),
+        col("max_boiler_df"), col("boiler_hits"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_share"))
+      .orderBy("source")
+  }
+
+  /** Cross-document boilerplate detection per source — the C4/CCNet
+    * cleaning step this catalog's WITHIN-doc [[repetition]] and
+    * PAIRWISE [[NearDupCatalog]] families cannot express: a navigation
+    * header, cookie banner, or license footer is a shingle that recurs
+    * across MANY documents of one source while each document and each
+    * pair look individually fine (Raffel et al. 2020 §2.2 drop
+    * boilerplate lines; Wenzek et al. 2019 dedup at paragraph level for
+    * exactly this reason). A trigram shingle is boilerplate in its
+    * source when it appears in ≥ 3 documents AND ≥ 5% of them (both
+    * thresholds integer compares — 20·df ≥ docs, no float policy); the
+    * per-source profile reports how much template mass a cleaning pass
+    * would strip.
+    *
+    * 100 TB shape: NO pair join anywhere — this is a document-frequency
+    * profile, not a similarity search. One corpus pass explodes the
+    * per-doc DISTINCT shingle arrays (array_distinct per row, so the
+    * (source, shingle) aggregate is map-combined doc-frequency
+    * counting); the per-source doc counts are a sources-sized broadcast;
+    * the rollup is sources-sized. Skewed sources shard like any hash
+    * aggregate. The flagged-shingle set (not emitted here) is the
+    * sources-sized broadcast a production strip pass would apply
+    * per-row, the [[decontaminate]] topology.
+    */
+  val boilerplateNgrams: CatalogEntry = CatalogEntry(
+    "doc_boilerplate_ngrams",
+    (s, d) => boilerplateFrom(documents(s, d)),
+    Some(
+      raw"""WITH t AS (SELECT doc_id, source,
+                              string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+                     SELECT doc_id, source,
+                            unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                                        ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS sh
+                     FROM t)),
+            df AS (SELECT source, sh, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM sh GROUP BY 1, 2),
+            docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
+                     FROM documents GROUP BY 1)
+            SELECT d.source, docs, COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN df >= 3 AND df * 20 >= docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   MAX(CASE WHEN df >= 3 AND df * 20 >= docs THEN df END) AS max_boiler_df,
+                   CAST(SUM(CASE WHEN df >= 3 AND df * 20 >= docs THEN df ELSE 0 END) AS BIGINT) AS boiler_hits,
+                   ROUND(CAST(SUM(CASE WHEN df >= 3 AND df * 20 >= docs THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS boiler_share
+            FROM df d JOIN docs USING (source)
+            GROUP BY d.source, docs ORDER BY d.source"""))
+
   /** Sessionization (gaps-and-islands): per-user sessions split on >30 min
     * idle gaps, reported as session count + largest session. Windows
     * partition by user_id — the per-key ordering a cluster performs as a
@@ -1084,6 +1156,85 @@ object PipelineCatalog {
             per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
           SELECT user_id AS driver_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
           FROM per GROUP BY user_id"""))
+
+  /** Idle-gap thresholds swept by [[sessionGapSweep]], seconds. */
+  private[graft] val SessionGapsS: Seq[Long] = Seq(300L, 900L, 1800L, 3600L)
+
+  /** The sessionization gap knob measured in-catalog — the
+    * [[userSessions]] 30-minute threshold is a convention, not a law,
+    * and picking it blind is how pipelines ship sessions that are
+    * really visits (gap too wide) or visits shredded into clicks (gap
+    * too narrow). One sweep row per gap in [[SessionGapsS]]: total
+    * sessions, the largest session, and mean events/session — the
+    * elbow in n_sessions(gap) is the evidence a deployment picks its
+    * threshold from (the `emb_ivf_probe_sweep` / `doc_lsh_calibration`
+    * pattern applied to the sessionizer).
+    *
+    * 100 TB shape: the expensive part — the per-user (ts, event_id)
+    * sort behind lag() — runs ONCE; every sweep point reuses the same
+    * delta column. The explode multiplies rows by |gaps| (4) only for
+    * the island-numbering window (keyed by (gap, user) — 4× the keys,
+    * not a serialization point), and everything after is
+    * sessions-sized. Gap-independent metrics could skip the explode
+    * entirely (n_sessions is just 1 + count(delta > g) per user); the
+    * explode is paid for max_session_events, which needs real island
+    * boundaries per gap.
+    *
+    * Determinism: counts and maxima are exact integers; the one double
+    * division (mean events/session) divides exact longs — identical
+    * IEEE op in both engines, then ROUND 6.
+    */
+  val sessionGapSweep: CatalogEntry = CatalogEntry(
+    "user_session_gap_sweep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val deltas = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+        .withColumn("delta", col("tss") - lag("tss", 1).over(wl))
+      val wg = Window.partitionBy("gap_s", "user_id").orderBy("tss", "event_id")
+      deltas
+        .withColumn("gap_s", explode(typedLit(SessionGapsS)))
+        .withColumn("new_s",
+          when(col("delta").isNull || col("delta") > col("gap_s"), 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("gap_s"), col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("gap_s")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+          max("n").as("max_session_events"))
+        .select(col("gap_s"), col("n_sessions"), col("max_session_events"),
+          round(col("n_events").cast("double") / col("n_sessions"), 6)
+            .as("avg_session_events"))
+        .orderBy("gap_s")
+    },
+    Some(s"""WITH base AS (
+               SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss
+               FROM events),
+             del AS (
+               SELECT user_id, event_id, tss,
+                      tss - lag(tss) OVER (PARTITION BY user_id
+                                           ORDER BY tss, event_id) AS delta
+               FROM base),
+             g AS (SELECT CAST(unnest([${SessionGapsS.mkString(", ")}]) AS BIGINT) AS gap_s),
+             ex AS (
+               SELECT g.gap_s, d.user_id, d.event_id, d.tss,
+                      CASE WHEN d.delta IS NULL OR d.delta > g.gap_s
+                           THEN 1 ELSE 0 END AS new_s
+               FROM del d CROSS JOIN g),
+             sess AS (
+               SELECT gap_s, user_id,
+                      SUM(new_s) OVER (PARTITION BY gap_s, user_id
+                                       ORDER BY tss, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM ex),
+             per AS (SELECT gap_s, user_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM sess GROUP BY 1, 2, 3)
+             SELECT gap_s, COUNT(*) AS n_sessions,
+                    CAST(MAX(n) AS BIGINT) AS max_session_events,
+                    ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_session_events
+             FROM per GROUP BY gap_s ORDER BY gap_s"""))
 
   /** The composite cleaning pipeline — the engine's pieces chained the
     * way a training-data pipeline actually runs them:
@@ -2220,6 +2371,101 @@ object PipelineCatalog {
           FROM m WHERE n_days >= 2
           ORDER BY type_a, type_b"""))
 
+  /** Holt's linear-trend recursion (Holt 1957; Hyndman & Athanasopoulos,
+    * FPP3 §8.2) over a (type, day, cents) daily frame — level + trend
+    * state per series with α = β = 1/2, plus the one-step-ahead forecast
+    * and RMSE. Shared by the batch entry and the StreamingSpec replay of
+    * the drained [[dailyCents]] state.
+    *
+    * Cross-engine determinism: the recursion is a LEFT FOLD over the
+    * day-ordered cents values — l₁ = y₁, b₁ = 0, then
+    * lₜ = ½·yₜ + ½·(l + b), bₜ = ½·(lₜ − l) + ½·b, sse += (yₜ − (l+b))².
+    * Inputs are exact BIGINT cents (exact doubles), the α literal "0.5"
+    * halves exactly in binary, and both engines evaluate the IDENTICAL
+    * expression tree element-by-element in the same order (Spark
+    * `aggregate`, DuckDB `list_reduce` — the [[labelCentroids]] ordered-
+    * fold device carrying a struct state), so every intermediate is
+    * bit-identical; the closing derives (÷10⁴ rescale, one sqrt —
+    * correctly rounded by IEEE — one division) are one fixed expression
+    * shape each, then ROUND 6.
+    */
+  private[graft] def holtFrom(daily: DataFrame): DataFrame = {
+    val holtSt =
+      """aggregate(
+           slice(ys, 2, size(ys) - 1),
+           named_struct('l', ys[0], 'b', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE)),
+           (acc, y) -> named_struct(
+             'l', 0.5 * y + 0.5 * (acc.l + acc.b),
+             'b', 0.5 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+             'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))"""
+    daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(day, c))), x -> CAST(x.c AS DOUBLE))")
+          .as("ys"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), expr(holtSt).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l") / 10000.0, 6).as("level"),
+        round(col("st.b") / 10000.0, 6).as("trend"),
+        round((col("st.l") + col("st.b")) / 10000.0, 6).as("forecast_next"),
+        round(sqrt(col("st.sse") / (col("n_days") - 1)) / 10000.0, 6).as("rmse_1step"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type trend-aware smoothing of the daily value series — Holt's
+    * linear method, the member of the exponential-smoothing family the
+    * catalog was missing: [[ScaleCatalog.eventsEwma]] tracks the LEVEL of
+    * the last 16 events, [[seasonalDecompose]] removes a day-of-week
+    * shape, this one carries (level, trend) state so a steadily growing
+    * metric forecasts ahead instead of lagging behind, and its one-step
+    * RMSE prices how predictable each series is.
+    *
+    * 100 TB shape: the corpus collapses to the (type, day) cents lattice
+    * in ONE map-combined aggregate (the [[dailyCents]] device, linear and
+    * mergeable — the same frame streams as live keyed state); the
+    * recursion then runs per type over a ≤ #days array — series-sized,
+    * corpus-independent, embarrassingly parallel across types. The fold
+    * is inherently sequential IN t — that is the algorithm, not a plan
+    * defect; what matters at scale is that the sequential part never
+    * touches the corpus (cf. the same argument for [[theilSen]]'s
+    * pair stage).
+    */
+  val holtTrend: CatalogEntry = CatalogEntry(
+    "events_holt_trend",
+    (s, d) => holtFrom(dailyCents(Tables.events(s, d))),
+    // Oracle note — the fold is a RECURSIVE CTE, not list_reduce: DuckDB
+    // 1.0's list_reduce with a STRUCT accumulator is not a pure fold
+    // (measured: fields rebind mid-step — {'a': acc.a+1, 'b': acc.a}
+    // over two steps from {0, 99} yields b = 2, the sequential value,
+    // and other shapes match neither pure nor sequential). A recursive
+    // CTE carries l/b/sse as separate columns with standard simultaneous
+    // UPDATE semantics — bit-identical to Spark's (pure) aggregate fold.
+    Some(
+      raw"""WITH RECURSIVE daily AS (SELECT event_type,
+                                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+            ser AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                           list(CAST(c AS DOUBLE) ORDER BY day) AS ys
+                    FROM daily GROUP BY 1),
+            rec AS (
+              SELECT event_type, n_days, ys, 1 AS t, ys[1] AS l,
+                     CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sse
+              FROM ser WHERE n_days >= 2
+              UNION ALL
+              SELECT event_type, n_days, ys, t + 1,
+                     0.5 * ys[t + 1] + 0.5 * (l + b),
+                     0.5 * ((0.5 * ys[t + 1] + 0.5 * (l + b)) - l) + 0.5 * b,
+                     sse + (ys[t + 1] - (l + b)) * (ys[t + 1] - (l + b))
+              FROM rec WHERE t < n_days)
+            SELECT event_type, n_days,
+                   ROUND(l / 10000.0, 6) AS level,
+                   ROUND(b / 10000.0, 6) AS trend,
+                   ROUND((l + b) / 10000.0, 6) AS forecast_next,
+                   ROUND(sqrt(sse / (n_days - 1)) / 10000.0, 6) AS rmse_1step
+            FROM rec WHERE t = n_days ORDER BY event_type"""))
+
   /** BM25 relevance top-20 for a fixed three-term query — the retrieval
     * primitive of a RAG/search layer, with the one substitution the
     * engine's no-libm rule forces: the idf factor is the RAW Robertson
@@ -2879,7 +3125,7 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
-      tokenCount, langId, fingerprint, userSessions, cleanCorpus, trainPrep,
+      tokenCount, langId, fingerprint, boilerplateNgrams, userSessions, sessionGapSweep, cleanCorpus, trainPrep,
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsValueDeciles,
       eventsResample,
       eventsProfile, eventsJsonKv,
@@ -2889,5 +3135,5 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample, seriesCorrelation, benfordProfile, kAnonymity)
+      dsirResample, seriesCorrelation, holtTrend, benfordProfile, kAnonymity)
 }

@@ -524,6 +524,120 @@ object TrainPrepCatalog {
                      FROM documents))
              WHERE rn <= $SampleK"""))
 
+  /** Replica count for [[bootstrapCi]]. */
+  private val BootR = 200
+
+  /** Poisson(1) inverse-CDF thresholds on the 32-bit uniform lattice:
+    * T_k = ⌊CDF(k) · 2³²⌋ for k = 0..9 (weight 10 beyond — mass 1e-8,
+    * unreachable on a 2³² lattice in practice). FIXED integer literals,
+    * committed once: the weight decision is an integer compare in both
+    * engines, so no libm exp() and no float threshold can drift a
+    * replica weight between Spark and the oracle.
+    */
+  private val BootPoissonT: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L, 4294966817L)
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — the resampling scheme that works when
+    * you cannot hold n in one place): a 95% confidence interval for the
+    * corpus mean tokens-per-document from [[BootR]] replicas, each doc
+    * entering replica r with an independent Poisson(1) weight derived
+    * from its deterministic md5 uniform ("boot|r|doc_id" salt,
+    * [[BootPoissonT]] integer thresholds). The point estimate every
+    * dataset card reports ([[datasetCard]]) gets its missing error bar:
+    * whether 412.3 mean tokens is 412.3 ± 2 or ± 40 decides if a drift
+    * alarm ([[ksDrift]]) is signal or sampling noise.
+    *
+    * CI convention: the symmetric (k, R+1−k) order-statistic interval
+    * with k = ⌈0.025·R⌉ = 5 — the 5th smallest and 5th largest replica
+    * means, both found by bounded heaps ([[graft.combine.TopNAgg]]),
+    * never a global sort. Replicas with zero total weight (possible
+    * only on near-empty corpora — P ≈ e^(−n)) are dropped rather than
+    * dividing by zero; on a corpus that small the interval row is
+    * empty, which is the honest answer.
+    *
+    * Determinism: weights and token counts are exact integers; each
+    * replica mean is ONE division of exact BIGINTs; selection ties
+    * break by replica id (TopNAgg (value, id) order ↔ the oracle's
+    * row_number).
+    *
+    * 100 TB shape: the explode multiplies rows by R=[[BootR]] but
+    * feeds STRAIGHT into a map-combined groupBy(r) — partial
+    * aggregation collapses each partition to ≤ R rows before the
+    * shuffle, so network volume is partitions × R regardless of corpus
+    * size, and no replica ever materializes. Everything after the
+    * replica frame is R-sized. This is the standard distributed
+    * bootstrap: n draws with replacement needs global coordination,
+    * n independent Poisson(1) weights needs none.
+    */
+  val bootstrapCi: CatalogEntry = CatalogEntry(
+    "doc_bootstrap_ci",
+    (s, d) => {
+      val wCase = BootPoissonT.zipWithIndex
+        .map { case (t, k) => s"WHEN u < ${t}L THEN ${k}L" }
+        .mkString("CASE ", " ", s" ELSE ${BootPoissonT.size}L END")
+      val base = documents(s, d)
+        .select(col("doc_id"),
+          size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+      // The replica frame is <= R rows after the map-combined groupBy —
+      // eager-checkpoint it so the corpus explode runs ONCE and both
+      // order-statistic heaps read the truncated 200-row frame (keeps
+      // the entry's plan honest for PlanSpec, no cache bookkeeping).
+      val reps = base
+        .withColumn("r", explode(sequence(lit(0L), lit(BootR - 1L))))
+        .withColumn("u", conv(substring(md5(concat(
+          lit("boot|"), col("r").cast("string"), lit("|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("w", expr(wCase))
+        .groupBy("r")
+        .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+        .filter(col("sw") > 0L)
+        .select(col("r"), (col("swx").cast("double") / col("sw")).as("m"))
+        .localCheckpoint(eager = true)
+      val k = 5 // ceil(0.025 * BootR)
+      val loHeap = udaf(new graft.combine.TopNAgg(k))
+      // size guard: on a near-empty corpus with < k surviving replicas
+      // the interval is undefined — emit NO row (the oracle's rk = 5
+      // row is equally absent), never an ANSI out-of-bounds element_at.
+      val lo = reps.agg(loHeap(-col("m"), col("r")).as("t"))
+        .filter(size(col("t.entries")) >= k)
+        .select((-element_at(col("t.entries"), k).getField("value")).as("lo"))
+      val hi = reps.agg(loHeap(col("m"), col("r")).as("t"))
+        .filter(size(col("t.entries")) >= k)
+        .select(element_at(col("t.entries"), k).getField("value").as("hi"))
+      val pt = base.agg(count(lit(1)).as("n_docs"),
+        (sum("x").cast("double") / count(lit(1))).as("pm"))
+      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_docs"), lit(BootR.toLong).as("n_replicas"),
+          round(col("pm"), 6).as("mean_tokens"),
+          round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+    },
+    Some {
+      val wCaseSql = BootPoissonT.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${BootPoissonT.size} END")
+      s"""WITH base AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS x
+                        FROM documents),
+            reps AS (SELECT CAST(r AS BIGINT) AS r FROM range(0, $BootR) t(r)),
+            u AS (SELECT r, x,
+                         ${hexPrefixIntSql(s"md5('boot|' || CAST(r AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))", 8)} AS u
+                  FROM base CROSS JOIN reps),
+            w AS (SELECT r, x, $wCaseSql AS w FROM u),
+            m AS (SELECT r, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+                  FROM w GROUP BY r HAVING SUM(w) > 0),
+            lo AS (SELECT m FROM (SELECT m, row_number() OVER (ORDER BY m ASC, r) AS rk
+                                  FROM m) WHERE rk = 5),
+            hi AS (SELECT m FROM (SELECT m, row_number() OVER (ORDER BY m DESC, r) AS rk
+                                  FROM m) WHERE rk = 5),
+            pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(x) AS DOUBLE) / COUNT(*) AS pm FROM base)
+          SELECT n_docs, CAST($BootR AS BIGINT) AS n_replicas,
+                 ROUND(pm, 6) AS mean_tokens,
+                 ROUND(lo.m, 6) AS ci_lo, ROUND(hi.m, 6) AS ci_hi
+          FROM pt CROSS JOIN lo CROSS JOIN hi"""
+    })
+
   /** Distribution drift between the train and val splits: total-variation
     * distance between their unigram distributions, plus vocabulary sizes
     * and overlap — the check that a hash split didn't skew token
@@ -1402,5 +1516,6 @@ object TrainPrepCatalog {
     tokenPostings, chunk, shuffleOrder, lengthHistogram, sourceLangMix, mixSample,
     samplePerSource, weightedSample, splitDivergence, sourceDivergence,
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
-    phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget)
+    phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget,
+    bootstrapCi)
 }

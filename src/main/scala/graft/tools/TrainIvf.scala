@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
 object TrainIvf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val ks = args.drop(1).headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(16))
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -22,15 +24,17 @@ object TrainIvf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val model = graft.operators.KMeans.fit(emb, "embedding", "vec_id", k = 16, iters = 5, dim = 64)
-    println(s"// KMeans.fit(sf0.01 embeddings, k=16, iters=5) inertia=${model.inertia}")
-    println("Seq(")
-    model.centroids.foreach { case (cid, c) =>
-      val vals = c.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        .mkString(", ")
-      println(s"  $cid -> Array($vals),")
+    ks.foreach { k =>
+      val model = graft.operators.KMeans.fit(emb, "embedding", "vec_id", k = k, iters = 5, dim = 64)
+      println(s"// KMeans.fit(sf0.01 embeddings, k=$k, iters=5) inertia=${model.inertia}")
+      println("Seq(")
+      model.centroids.foreach { case (cid, c) =>
+        val vals = c.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .mkString(", ")
+        println(s"  $cid -> Array($vals),")
+      }
+      println(")")
     }
-    println(")")
     spark.stop()
   }
 }

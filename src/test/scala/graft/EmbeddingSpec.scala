@@ -569,4 +569,83 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(got.agg(max("n_k")).as[Long].head() > 5, "vacuous: no hub in the fixture")
     got.unpersist()
   }
+
+  test("emb_kmeans_elbow: inertia falls with k, and a driver recount pins the k=2 row") {
+    import spark.implicits._
+    val got = run("emb_kmeans_elbow")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    val n = Tables.embeddings(spark, sf0001).count()
+    got.foreach { case (k, nv, cells, maxCell, inertia, meanD2) =>
+      assert(nv == n, s"k=$k: row count $nv != corpus $n")
+      assert(cells >= 1 && cells <= k, s"k=$k: $cells cells")
+      assert(maxCell <= nv && inertia >= 0, s"k=$k: $maxCell/$inertia")
+      assert(math.abs(meanD2 - inertia.toDouble / (nv * 1e6)) < 1e-6)
+    }
+    // The elbow must actually bend: more cells, less inertia.
+    val inertias = got.map(_._5)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia not non-increasing in k: ${inertias.toSeq}")
+    assert(inertias.last < inertias.head, "vacuous: k=16 no better than k=2")
+    // Driver recount of the k=2 row: same |v|^2 - 2 v.c + |c|^2 with
+    // left-fold dots, ROUND 6, x1e6 lattice.
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s = s + a(i) * b(i); i += 1 }
+      s
+    }
+    val cents = graft.queries.IvfCentroids.kmeans2
+    val rows = Tables.embeddings(spark, sf0001).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val want = rows.map { v =>
+      cents.map { case (cid, c) =>
+        (dot(v, v) - 2.0 * dot(v, c) + c.map(x => x * x).sum, cid)
+      }.min._1
+    }.map(d => (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      * 1000000).toLongExact).sum
+    assert(got.head._5 == want, s"k=2 inertia ${got.head._5} != recount $want")
+  }
+
+  test("emb_ood_mahalanobis: driver-side moments + fold replay the top-5 per label exactly") {
+    import spark.implicits._
+    val got = run("emb_ood_mahalanobis")
+      .as[(Int, Long, Long, Double)].collect()
+      .map { case (label, rnk, id, md2) => (label, rnk) -> (id, md2) }.toMap
+    assert(got.nonEmpty, "vacuous: no OOD rows at sf0.001")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    rows.groupBy(_._2).foreach { case (label, vs) =>
+      val byId = vs.sortBy(_._1)
+      val n = byId.length
+      val dim = byId.head._3.length
+      // Ordered folds per dim, exactly like the in-plan aggregate.
+      val mu = new Array[Double](dim); val va = new Array[Double](dim)
+      (0 until dim).foreach { i =>
+        var s = 0.0; var sq = 0.0
+        byId.foreach { case (_, _, e) =>
+          val x = e(i).toDouble; s = s + x; sq = sq + x * x
+        }
+        mu(i) = s / n
+        va(i) = sq / n - (s / n) * (s / n)
+      }
+      val scored = byId.map { case (id, _, e) =>
+        var acc = 0.0
+        (0 until dim).foreach { i =>
+          acc = acc + (e(i).toDouble - mu(i)) * (e(i).toDouble - mu(i)) / (va(i) + 0.000001)
+        }
+        (id, r6(acc))
+      }.sortBy { case (id, m) => (-m, id) }
+      scored.take(5).zipWithIndex.foreach { case ((id, m), k) =>
+        assert(got((label, k + 1L)) == ((id, m)),
+          s"label $label rank ${k + 1}: got ${got((label, k + 1L))}, want ($id, $m)")
+      }
+      // The flagged set must separate from the bulk: rank-1 md2 above
+      // the label median (otherwise the audit flags nothing unusual).
+      val med = scored.map(_._2).sorted.apply(scored.length / 2)
+      assert(scored.head._2 > med, s"label $label: no separation above the median")
+    }
+  }
 }

@@ -35,16 +35,25 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("frozen IvfCentroids.kmeans16 matches a fresh sf0.01 fit to its 4-decimal rounding") {
+    assertFrozenMatchesFresh(16, graft.queries.IvfCentroids.kmeans16)
+  }
+
+  test("frozen elbow models (k = 2, 4, 8) each match a fresh sf0.01 fit") {
+    assertFrozenMatchesFresh(2, graft.queries.IvfCentroids.kmeans2)
+    assertFrozenMatchesFresh(4, graft.queries.IvfCentroids.kmeans4)
+    assertFrozenMatchesFresh(8, graft.queries.IvfCentroids.kmeans8)
+  }
+
+  private def assertFrozenMatchesFresh(k: Int, frozen: Seq[(Int, Array[Double])]): Unit = {
     val fresh = KMeans.fit(Tables.embeddings(spark, "/root/testdata/sf0.01"),
-      "embedding", "vec_id", k = 16, iters = 5, dim = 64)
-    val frozen = graft.queries.IvfCentroids.kmeans16
+      "embedding", "vec_id", k = k, iters = 5, dim = 64)
     assert(fresh.centroids.size == frozen.size)
     fresh.centroids.zip(frozen).foreach { case ((i1, c1), (i2, c2)) =>
       assert(i1 == i2)
       c1.zip(c2).foreach { case (a, b) =>
         // frozen values are round(a, 4); allow for the rounding plus
         // float-sum jitter across partition merge orders.
-        assert(math.abs(a - b) <= 5.1e-5, s"cid $i1: $a vs frozen $b")
+        assert(math.abs(a - b) <= 5.1e-5, s"k=$k cid $i1: $a vs frozen $b")
       }
     }
   }

@@ -1057,4 +1057,84 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"events_benford_profile: grid-sized join sort-merged\n$p")
   }
+
+  test("round-16b: user_session_gap_sweep shares one lag pass across all sweep points") {
+    // One corpus scan; the per-user lag window runs ONCE (the sweep
+    // explodes AFTER the delta column exists), so exactly two keyed
+    // window exchanges (user, then (gap, user)) plus the 4-row rollup
+    // — and nothing joins.
+    val p = plan("user_session_gap_sweep")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"user_session_gap_sweep: expected exactly one corpus scan\n$p")
+    assert(!p.contains("Join"), s"user_session_gap_sweep: unexpected join\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 3,
+      s"user_session_gap_sweep: more than the two window + rollup shuffles\n$p")
+  }
+
+  test("round-16b: events_holt_trend is the dailyCents aggregate plus a series-sized fold") {
+    // The corpus collapses to (type, day) in one map-combined aggregate
+    // (partial aggregation visible); the Holt fold runs inside the
+    // types-sized collect aggregate — no join, no window, no extra scan.
+    val p = plan("events_holt_trend")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"events_holt_trend: expected exactly one corpus scan\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"events_holt_trend: join/window crept into a fold-only entry\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"events_holt_trend: series collect no longer an object hash aggregate\n$p")
+  }
+
+  test("round-16b: emb_ood_mahalanobis broadcasts the checkpointed moment grid") {
+    // Summary + rescan: the (mu, va) grid is checkpoint-truncated and
+    // broadcast into the scoring scan; the top-K is a bounded heap —
+    // no rank window, no corpus sort-merge.
+    val p = plan("emb_ood_mahalanobis")
+    assert(p.contains("Scan ExistingRDD") && p.contains("BroadcastHashJoin"),
+      s"emb_ood_mahalanobis: moment grid not checkpointed+broadcast\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"emb_ood_mahalanobis: rank window / corpus sort-merge crept in\n$p")
+  }
+
+  test("round-16b: doc_bootstrap_ci never sorts and only broadcast-joins scalar frames") {
+    // The replica explode feeds a map-combined groupBy(r) (partial
+    // aggregation collapses each partition to <= R rows); the order
+    // statistics ride bounded heaps, so no Sort/Window may appear, and
+    // the only join strategy is the 1-row broadcast nested loop pair.
+    val p = plan("doc_bootstrap_ci")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"doc_bootstrap_ci: rank window / sort replaced the bounded heaps\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"doc_bootstrap_ci: undeclared cartesian\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"doc_bootstrap_ci: bounded-heap aggregate gone\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"doc_bootstrap_ci: replica frame no longer checkpoint-truncated\n$p")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"doc_bootstrap_ci: only the point-estimate pass may rescan the corpus\n$p")
+  }
+
+  test("round-16b: emb_kmeans_elbow prices four models in ONE corpus scan, no joins") {
+    // All four assignments are argmins over centroid LITERALS computed
+    // in the same projection; the explode feeds a map-combined (k, cell)
+    // aggregate — one scan, zero joins, two keyed shuffles at most.
+    val p = plan("emb_kmeans_elbow")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"emb_kmeans_elbow: the four-model sweep must cost one scan\n$p")
+    assert(!p.contains("Join"), s"emb_kmeans_elbow: a centroid join crept in\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"emb_kmeans_elbow: more than the (k,cell) + k shuffles\n$p")
+  }
+
+  test("round-16b: doc_boilerplate_ngrams has no pair join — one DF aggregate, one broadcast") {
+    // Document-frequency profile: the (source, shingle) aggregate is
+    // map-combined off ONE corpus explode; the per-source doc counts
+    // broadcast; nothing self-joins, nothing sorts corpus-wide.
+    val p = plan("doc_boilerplate_ngrams")
+    assert(p.contains("BroadcastHashJoin"),
+      s"doc_boilerplate_ngrams: per-source docs frame no longer broadcast\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"doc_boilerplate_ngrams: corpus-sized join strategy crept in\n$p")
+    assert(countOf(p, "FileScan parquet") <= 2,
+      s"doc_boilerplate_ngrams: more than the DF + docs scans\n$p")
+  }
 }

@@ -1562,6 +1562,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed daily-cents state replays the batch Holt trend table bit-for-bit") {
+    // events_holt_trend's only corpus-touching stage is the same
+    // (type, day) exact-BIGINT cents aggregate events_series_correlation
+    // streams (linear, mergeable — complete-mode keyed state); the Holt
+    // recursion (holtFrom) is series-sized, so the live form drains the
+    // state and must replay the batch entry bit-for-bit.
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    val want = SparkEntry.queries("events_holt_trend")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no Holt rows at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[Ev](spark)
+    val qn = s"holt_${System.nanoTime()}"
+    val q = PipelineCatalog.dailyCents(input.toDF().toDF(eventCols: _*))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val daily = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("event_type", "day", "c")
+      val got = PipelineCatalog.holtFrom(daily)
+        .collect().map(_.toSeq.toList).toSet
+      assert(got == want, "streamed Holt trend diverges from the batch entry")
+    } finally q.stop()
+  }
+
   test("DSIR resampling streams: the selection reservoir replays the batch entry") {
     // doc_dsir_resample's selection stage is a global bounded-heap A-ES
     // reservoir; stream the (doc_id, k) keyed frame through the SAME

@@ -70,4 +70,24 @@ class TextSpec extends AnyFunSuite {
     assert(one[String](Text.redactPii(col("text")), clean) == clean)
     assert(one[Int](Text.piiCount(col("text")), clean) == 0)
   }
+
+  test("doc_boilerplate_ngrams: an injected template is flagged, unique salad is not") {
+    // srcA: 10 docs share an 8-token banner prefix (6 trigrams recur in
+    // all 10, the per-doc tail is unique); srcB: every trigram unique.
+    val a = (1 to 10).map(i =>
+      (i.toLong, s"subscribe to our free newsletter today unique body $i alpha beta", "srcA"))
+    val b = (11 to 20).map(i =>
+      (i.toLong, s"one two$i three$i four$i five$i", "srcB"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val got = graft.queries.PipelineCatalog.boilerplateFrom(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sa = got("srcA")
+    assert(sa.getLong(1) == 10 && sa.getLong(2) == 36, s"srcA frame counts: $sa")
+    assert(sa.getLong(3) == 6, s"srcA: expected the 6 banner trigrams flagged, got $sa")
+    assert(sa.getLong(4) == 10 && sa.getLong(5) == 60, s"srcA df/hits: $sa")
+    assert(sa.getDouble(6) == 0.166667, s"srcA share: $sa")
+    val sb = got("srcB")
+    assert(sb.getLong(3) == 0 && sb.isNullAt(4) && sb.getLong(5) == 0,
+      s"srcB must have no boilerplate: $sb")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Time-series smoothing / sessionization entries: driver-side replays of
+  * the in-plan recursions, beyond the DuckDB oracle's value pin.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("events_holt_trend: a plain-Scala Holt fold replays every output bit-for-bit") {
+    // The entry's recursion lives in a Catalyst `aggregate` fold; this
+    // replays the identical IEEE sequence in driver-side Scala from the
+    // same daily-cents lattice, so a refactor that reorders one addition
+    // (and silently diverges from the oracle's list_reduce) fails HERE
+    // with the offending series named, not as an opaque hash mismatch.
+    val daily = graft.queries.PipelineCatalog
+      .dailyCents(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).collect { case (tpe, rows) if rows.length >= 2 =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys.head; var b = 0.0; var sse = 0.0
+      ys.tail.foreach { y =>
+        val lNew = 0.5 * y + 0.5 * (l + b)
+        val bNew = 0.5 * ((0.5 * y + 0.5 * (l + b)) - l) + 0.5 * b
+        sse = sse + (y - (l + b)) * (y - (l + b))
+        l = lNew; b = bNew
+      }
+      (tpe, ys.length.toLong, r6(l / 10000.0), r6(b / 10000.0),
+        r6((l + b) / 10000.0), r6(math.sqrt(sse / (ys.length - 1)) / 10000.0))
+    }.toSet
+    assert(want.nonEmpty, "vacuous: no series at sf0.001")
+    val got = SparkEntry.queries("events_holt_trend")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want, s"Holt fold diverged\n got=$got\nwant=$want")
+  }
+
+  test("events_holt_trend: on a constant series level is the value, trend and rmse are zero") {
+    import spark.implicits._
+    val daily = Seq(("a", 1L, 70000L), ("a", 2L, 70000L), ("a", 3L, 70000L),
+      ("a", 4L, 70000L)).toDF("event_type", "day", "c")
+    val row = graft.queries.PipelineCatalog.holtFrom(daily).collect()
+    assert(row.length == 1)
+    assert(row.head.getDouble(2) == 7.0 && row.head.getDouble(3) == 0.0 &&
+      row.head.getDouble(4) == 7.0 && row.head.getDouble(5) == 0.0,
+      s"constant series should be fully predictable: ${row.head}")
+  }
+
+  test("user_session_gap_sweep: driver-side sessionizer replays every sweep row; monotone in gap") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = graft.queries.PipelineCatalog.SessionGapsS.map { g =>
+      val per = events.groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val lens = scala.collection.mutable.ArrayBuffer[Long]()
+        var prev = Option.empty[Long]
+        sorted.foreach { r =>
+          if (prev.isEmpty || r._3 - prev.get > g) lens += 1L
+          else lens(lens.size - 1) += 1L
+          prev = Some(r._3)
+        }
+        lens
+      }.toSeq
+      (g, per.size.toLong, per.max, r6(per.sum.toDouble / per.size))
+    }.toSet
+    val got = SparkEntry.queries("user_session_gap_sweep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == want,
+      s"sweep rows diverged\n got=${got.toSet}\nwant=$want")
+    // Wider gap can only merge sessions: n_sessions non-increasing in gap.
+    val byGap = got.sortBy(_._1).map(_._2)
+    assert(byGap.zip(byGap.tail).forall { case (a, b) => b <= a },
+      s"n_sessions must be non-increasing in gap: ${got.sortBy(_._1).toSeq}")
+  }
+}

@@ -462,4 +462,44 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
     assert(got.last._6 <= 1.0 + 1e-9)
   }
+
+  test("doc_bootstrap_ci: driver-side Poisson replay reproduces the interval bit-for-bit") {
+    import spark.implicits._
+    val got = run("doc_bootstrap_ci")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1, "one summary row expected")
+    val (nDocs, nReps, mean, lo, hi) = got.head
+    assert(nReps == 200L)
+    assert(lo <= mean && mean <= hi, s"point estimate outside its own CI: $lo $mean $hi")
+    // Replay: same salt, same 32-bit uniform, same integer thresholds,
+    // same order-statistic convention (5th smallest / 5th largest of the
+    // replica means, ties by replica id).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(r: Long, id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"boot|$r|$id".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8), 16)
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L, 4294962463L, 4294966817L)
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS x")
+      .as[(Long, Long)].collect()
+    assert(nDocs == docs.length)
+    val means = (0L until 200L).flatMap { r =>
+      var swx = 0L; var sw = 0L
+      docs.foreach { case (id, x) =>
+        val u = u32(r, id)
+        val w = thresholds.count(_ <= u).toLong
+        swx += w * x; sw += w
+      }
+      if (sw > 0) Some((swx.toDouble / sw, r)) else None
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val asc = means.sortBy(identity)
+    assert(lo == r6(asc(4)._1), s"ci_lo $lo != replay ${r6(asc(4)._1)}")
+    val desc = means.sortBy { case (m, r) => (-m, r) }
+    assert(hi == r6(desc(4)._1), s"ci_hi $hi != replay ${r6(desc(4)._1)}")
+    assert(mean == r6(docs.map(_._2).sum.toDouble / docs.length))
+    // The interval must be non-degenerate on a real corpus.
+    assert(hi > lo, "bootstrap interval collapsed")
+  }
 }
