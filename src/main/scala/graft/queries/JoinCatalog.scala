@@ -357,45 +357,117 @@ object JoinCatalog {
     * dimension fits and degrades to a uniform hash join when it
     * doesn't.
     */
+  /** The shared basket-pair statistics stage — (part_a, part_b, c_ab,
+    * ca, cb, n_orders) with support floor 3, plus the cached baskets
+    * frame the caller unpersists after materializing its projection.
+    * ONE definition feeds [[basketPairs]] (symmetric lift) and
+    * [[assocRules]] (directional confidence) so the counting semantics
+    * cannot drift between the two reports.
+    */
+  /** The oracle mirror of [[basketPairStats]] — shared CTE text for the
+    * two basket reports (li / pairs / pc / n).
+    */
+  private val basketStatsCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+                 pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                                  CAST(COUNT(*) AS BIGINT) AS c_ab
+                           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+                 pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+                 n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li)"""
+
+  private def basketPairStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val baskets = t("lineitem")(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
+      .cacheOnce()
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(pks,
+             (x, i) -> transform(slice(pks, i + 2, size(pks)),
+                         y -> struct(x AS pa, y AS pb))))""")).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val pc = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val stats = pairs
+      .join(pc.select(col("pk").as("part_a"), col("c").as("ca")), Seq("part_a"))
+      .join(pc.select(col("pk").as("part_b"), col("c").as("cb")), Seq("part_b"))
+      .crossJoin(broadcast(n))
+    (baskets, stats)
+  }
+
   val basketPairs: CatalogEntry = CatalogEntry(
     "lineitem_basket_pairs",
     (s, d) => {
-      val baskets = t("lineitem")(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
-        .cacheOnce()
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(pks,
-               (x, i) -> transform(slice(pks, i + 2, size(pks)),
-                           y -> struct(x AS pa, y AS pb))))""")).as("p"))
-        .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
-        .agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 3)
-      val pc = baskets.select(explode(col("pks")).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("c"))
-      val n = baskets.agg(count(lit(1)).as("n_orders"))
-      val out = pairs
-        .join(pc.select(col("pk").as("part_a"), col("c").as("ca")), Seq("part_a"))
-        .join(pc.select(col("pk").as("part_b"), col("c").as("cb")), Seq("part_b"))
-        .crossJoin(broadcast(n))
+      val (baskets, stats) = basketPairStats(s, d)
+      val out = stats
         .select(col("part_a"), col("part_b"), col("c_ab"),
           round((col("c_ab") * col("n_orders")) / (col("ca") * col("cb")), 6).as("lift"))
         .localCheckpoint()
       baskets.unpersist(blocking = false)
       out
     },
-    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-                 pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
-                                  CAST(COUNT(*) AS BIGINT) AS c_ab
-                           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-                           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-                 pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
-                 n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+    Some(s"""WITH $basketStatsCtes
             SELECT part_a, part_b, c_ab,
                    ROUND(CAST(c_ab * n_orders AS DOUBLE) / (ca.c * cb.c), 6) AS lift
             FROM pairs JOIN pc ca ON ca.pk = part_a
                  JOIN pc cb ON cb.pk = part_b CROSS JOIN n"""))
+
+  /** Directional association rules from the basket-pair statistics
+    * (Agrawal & Srikant 1994's support/confidence frame over single-item
+    * antecedents): every co-purchase pair in BOTH directions, kept when
+    * confidence(ante → cons) = c_ab / c_ante clears the 10% floor —
+    * evaluated as the INTEGER compare 10·c_ab ≥ c_ante, so the policy
+    * threshold never touches a float (the [[boilerplateNgrams]] /
+    * dsir-weights device). [[basketPairs]] prices the symmetric
+    * affinity; this entry emits the actionable "customers who bought A
+    * also bought B" form, where direction matters exactly when the part
+    * frequencies are asymmetric (conf(a→b) = conf(b→a) · c_b/c_a). The
+    * 10% floor fits this corpus's co-purchase density (25% empties the
+    * rule set at sf0.01 — repeat pair purchases thin out against part
+    * popularity, the [[partLinkPrediction]] measurement); production
+    * raises it as baskets densify.
+    *
+    * Scale shape: both directions project from the ONE shared
+    * [[basketPairStats]] frame — the corpus cost is [[basketPairs]]'
+    * basket explode verbatim, the direction union is pairs-sized, and
+    * confidence/lift are one closing derive each from exact BIGINTs.
+    */
+  val assocRules: CatalogEntry = CatalogEntry(
+    "lineitem_assoc_rules",
+    (s, d) => {
+      val (baskets, stats) = basketPairStats(s, d)
+      def dir(ante: String, cons: String, cAnte: String, cCons: String) =
+        stats.select(col(ante).as("ante"), col(cons).as("cons"), col("c_ab"),
+          col(cAnte).as("c_ante"), col(cCons).as("c_cons"), col("n_orders"))
+      val out = dir("part_a", "part_b", "ca", "cb")
+        .unionByName(dir("part_b", "part_a", "cb", "ca"))
+        .filter(col("c_ab") * 10L >= col("c_ante"))
+        .select(col("ante"), col("cons"), col("c_ab").as("support"),
+          round(col("c_ab").cast("double") / col("c_ante"), 6).as("confidence"),
+          round((col("c_ab") * col("n_orders")) / (col("c_ante") * col("c_cons")), 6)
+            .as("lift"))
+        .localCheckpoint()
+      baskets.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH $basketStatsCtes,
+                 dirs AS (
+                   SELECT part_a AS ante, part_b AS cons, c_ab,
+                          ca.c AS c_ante, cb.c AS c_cons, n_orders
+                   FROM pairs JOIN pc ca ON ca.pk = part_a
+                        JOIN pc cb ON cb.pk = part_b CROSS JOIN n
+                   UNION ALL
+                   SELECT part_b, part_a, c_ab, cb.c, ca.c, n_orders
+                   FROM pairs JOIN pc ca ON ca.pk = part_a
+                        JOIN pc cb ON cb.pk = part_b CROSS JOIN n)
+            SELECT ante, cons, c_ab AS support,
+                   ROUND(CAST(c_ab AS DOUBLE) / c_ante, 6) AS confidence,
+                   ROUND(CAST(c_ab * n_orders AS DOUBLE) / (c_ante * c_cons), 6) AS lift
+            FROM dirs WHERE c_ab * 10 >= c_ante"""))
 
   /** Link prediction on the co-purchase graph — "parts that SHOULD sell
     * together but have not yet": nodes are parts, edges are pairs that
@@ -573,6 +645,6 @@ object JoinCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ18, segmentOrders, riAudit,
-      customerFuzzyMatch, lineitemBloomSemi, basketPairs, partLinkPrediction,
+      customerFuzzyMatch, lineitemBloomSemi, basketPairs, assocRules, partLinkPrediction,
       saltedJoin, customerGoldenRecord)
 }

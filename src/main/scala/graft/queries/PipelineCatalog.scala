@@ -2466,6 +2466,83 @@ object PipelineCatalog {
                    ROUND(sqrt(sse / (n_days - 1)) / 10000.0, 6) AS rmse_1step
             FROM rec WHERE t = n_days ORDER BY event_type"""))
 
+  /** Prominent-day detection over a (type, day, cents) daily frame —
+    * the [[eventsDailyPeaks]] body, seamed for the spec's driver replay.
+    * A day is a peak when it strictly exceeds BOTH neighbors (series
+    * endpoints never qualify — their missing neighbor makes the
+    * comparison NULL, false in both engines) and clears the series
+    * lower median by ≥ 20%, as the integer compare 5·c ≥ 6·med.
+    */
+  private[graft] def peaksFrom(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy("event_type").orderBy("c", "day")
+    val med = daily
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("pc", lag("c", 1).over(wd))
+      .withColumn("nc", lead("c", 1).over(wd))
+      .join(broadcast(med), "event_type")
+      .filter(col("c") > col("pc") && col("c") > col("nc") &&
+        col("c") * 5L >= col("med") * 6L)
+      .select(col("event_type"), col("day"), col("c").as("cents"),
+        round(col("c").cast("double") / col("med"), 6).as("vs_median"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-type prominent days — the spike review queue next to the
+    * smoothers: [[ScaleCatalog.eventsEwma]] tracks the level,
+    * [[holtTrend]] the trend, [[cusumBreach]] persistent SHIFTS; this
+    * flags the single loud days (release-day traffic, an incident's
+    * error burst) that none of those isolate. Raw local maxima are
+    * mostly noise on a zipf-ish daily series (9-10 of 30 days qualify
+    * at sf0.01); the ≥ 1.2×-lower-median prominence floor — an INTEGER
+    * compare, no float policy — cuts that to the 3-6 genuinely loud
+    * days per type.
+    *
+    * Determinism: cents cells are exact BIGINTs; the lower median is a
+    * rank-selected CELL VALUE (row_number over (c, day) — never an
+    * interpolated average, so it stays integer); neighbors compare as
+    * integers; the one double division (vs_median) divides exact
+    * BIGINTs, then ROUND 6.
+    *
+    * 100 TB shape: the corpus collapses to the (type, day) lattice in
+    * ONE map-combined aggregate (the shared [[dailyCents]] frame — the
+    * same state the streaming siblings maintain live); the median
+    * ranking, neighbor lags, and prominence filter are all windows over
+    * that ≤ types×days frame — series-sized, corpus-independent.
+    */
+  val eventsDailyPeaks: CatalogEntry = CatalogEntry(
+    "events_daily_peaks",
+    (s, d) => {
+      val daily = dailyCents(Tables.events(s, d)).cacheOnce()
+      val out = peaksFrom(daily).localCheckpoint()
+      daily.unpersist(blocking = false)
+      out
+    },
+    Some(
+      raw"""WITH daily AS (SELECT event_type,
+                                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+            med AS (SELECT event_type, c AS med FROM (
+                      SELECT event_type, c,
+                             row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+                             COUNT(*) OVER (PARTITION BY event_type) AS n
+                      FROM daily) WHERE rn = (n + 1) // 2),
+            x AS (SELECT d.event_type, day, c,
+                         lag(c) OVER (PARTITION BY d.event_type ORDER BY day) AS pc,
+                         lead(c) OVER (PARTITION BY d.event_type ORDER BY day) AS nc,
+                         med
+                  FROM daily d JOIN med m ON m.event_type = d.event_type)
+            SELECT event_type, day, c AS cents,
+                   ROUND(CAST(c AS DOUBLE) / med, 6) AS vs_median
+            FROM x WHERE c > pc AND c > nc AND c * 5 >= med * 6
+            ORDER BY event_type, day"""))
+
   /** BM25 relevance top-20 for a fixed three-term query — the retrieval
     * primitive of a RAG/search layer, with the one substitution the
     * engine's no-libm rule forces: the idf factor is the RAW Robertson
@@ -3135,5 +3212,6 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample, seriesCorrelation, holtTrend, benfordProfile, kAnonymity)
+      dsirResample, seriesCorrelation, holtTrend, eventsDailyPeaks, benfordProfile,
+      kAnonymity)
 }

@@ -1125,6 +1125,26 @@ class PlanSpec extends AnyFunSuite {
       s"emb_kmeans_elbow: more than the (k,cell) + k shuffles\n$p")
   }
 
+  test("round-16b: events_daily_peaks windows only the checkpointed series frame") {
+    // The corpus collapses to cached dailyCents at build time; the
+    // median rank, neighbor lags, and prominence filter all ride the
+    // types×days frame — the entry's visible plan must be the
+    // checkpoint scan, never a corpus re-read.
+    val p = plan("events_daily_peaks")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"events_daily_peaks: corpus re-scanned past the series frame\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"events_daily_peaks: series output no longer checkpoint-truncated\n$p")
+  }
+
+  test("round-16b: lineitem_assoc_rules reuses the basket-pair stage (checkpoint-truncated)") {
+    val p = plan("lineitem_assoc_rules")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"lineitem_assoc_rules: corpus re-scanned past the rule frame\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"lineitem_assoc_rules: rule output no longer checkpoint-truncated\n$p")
+  }
+
   test("round-16b: doc_boilerplate_ngrams has no pair join — one DF aggregate, one broadcast") {
     // Document-frequency profile: the (source, shingle) aggregate is
     // map-combined off ONE corpus explode; the per-source doc counts

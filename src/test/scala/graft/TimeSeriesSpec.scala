@@ -78,4 +78,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(byGap.zip(byGap.tail).forall { case (a, b) => b <= a },
       s"n_sessions must be non-increasing in gap: ${got.sortBy(_._1).toSeq}")
   }
+
+  test("events_daily_peaks: a driver-side replay reproduces the peak set; endpoints never peak") {
+    val daily = graft.queries.PipelineCatalog
+      .dailyCents(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val s = rows.sortBy(_._2)
+      val cs = s.map(_._3).sorted
+      val med = cs((cs.length + 1) / 2 - 1) // lower median, 1-based rank (n+1)/2
+      s.indices.collect {
+        case i if i > 0 && i < s.length - 1 &&
+          s(i)._3 > s(i - 1)._3 && s(i)._3 > s(i + 1)._3 &&
+          s(i)._3 * 5 >= med * 6 =>
+          (tpe, s(i)._2, s(i)._3, r6(s(i)._3.toDouble / med))
+      }
+    }.toSet
+    assert(want.nonEmpty, "vacuous: no peaks at sf0.001")
+    val got = SparkEntry.queries("events_daily_peaks")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"peak set diverged\n got=$got\nwant=$want")
+    // Endpoint days (first/last of each series) must be absent.
+    val ends = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val ds = rows.map(_._2); Seq((t, ds.min), (t, ds.max))
+    }.toSet
+    assert(got.forall { case (t, day, _, _) => !ends.contains((t, day)) },
+      "an endpoint day leaked into the peak set")
+  }
 }
