@@ -1068,11 +1068,68 @@ object OlapCatalog {
             JOIN customer c ON c.c_custkey = r.c_custkey
             ORDER BY r.c_custkey"""))
 
+  /** Return-rate ranking with uncertainty — per part brand, the share of
+    * lineitems returned (l_returnflag = 'R') with its Wilson 95% score
+    * interval (Wilson 1927; the "sort by lower bound" ranking device
+    * popularized for rating lists): a brand with 3 returns out of 5
+    * rows must NOT outrank one with 300 of 1000, and the raw rate says
+    * it does — the lower bound is the defensible QA shortlist order.
+    * The [[eventsAbTest]] z STATISTIC answers "are two arms different";
+    * this answers "how bad is each cell, at worst, given its n".
+    *
+    * Determinism: n and r are exact counts; the Wilson expression is
+    * ONE fixed IEEE sequence per row over r/n with the z constants as
+    * identical decimal literals in both engines (1.96, and its square
+    * 3.8416 / half 1.9208 / quarter 0.9604 WRITTEN OUT — a computed
+    * 1.96*1.96 need not equal the parsed 3.8416, the MmrLambda rule);
+    * sqrt is correctly rounded by IEEE spec; ROUND 6 closes.
+    *
+    * 100 TB shape: part is a broadcast dimension; ONE (brand)-keyed
+    * count aggregate (map-combined) collapses the fact table; the
+    * interval math is brands-sized. Ranking rides the derived lower
+    * bound — a brands-sized sort, not a corpus one.
+    */
+  val partReturnRateCi: CatalogEntry = CatalogEntry(
+    "part_return_rate_ci",
+    (s, d) => {
+      val counts = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"))
+        .join(broadcast(Tables.load(s, d, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val ph = col("r").cast("double") / col("n")
+      val denom = lit(1.0) + lit(3.8416) / col("n")
+      val center = ph + lit(1.9208) / col("n")
+      val rad = lit(1.96) * sqrt((ph * (lit(1.0) - ph) + lit(0.9604) / col("n")) / col("n"))
+      counts
+        .select(col("p_brand"), col("n"), col("r"),
+          round(ph, 6).as("return_rate"),
+          round((center - rad) / denom, 6).as("wilson_lo"),
+          round((center + rad) / denom, 6).as("wilson_hi"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH counts AS (
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              GROUP BY p_brand)
+            SELECT p_brand, n, r,
+                   ROUND(CAST(r AS DOUBLE) / n, 6) AS return_rate,
+                   ROUND((CAST(r AS DOUBLE) / n + 1.9208 / n
+                          - 1.96 * sqrt((CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n) + 0.9604 / n) / n))
+                         / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+                   ROUND((CAST(r AS DOUBLE) / n + 1.9208 / n
+                          + 1.96 * sqrt((CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n) + 0.9604 / n) / n))
+                         / (1.0 + 3.8416 / n), 6) AS wilson_hi
+            FROM counts ORDER BY p_brand"""))
+
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
       eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
       ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality,
-      eventsCompleteDays, customerFeatureStore)
+      eventsCompleteDays, customerFeatureStore, partReturnRateCi)
 }

@@ -638,6 +638,157 @@ object TrainPrepCatalog {
           FROM pt CROSS JOIN lo CROSS JOIN hi"""
     })
 
+  /** Kneser–Ney smoothed bigram probabilities (Kneser & Ney 1995; Chen &
+    * Goodman 1998 §2.7) — the LM-standard absolute-discount smoothing
+    * next to [[graft.queries.PipelineCatalog]]'s unsmoothed MLE
+    * `doc_bigram_fluency`: what makes KN special is the CONTINUATION
+    * back-off (a word's unigram weight is how many distinct contexts it
+    * follows, not how often it appears — "Francisco" is frequent but
+    * only ever follows "San", so it gets almost no back-off mass). Top
+    * 20 bigrams by smoothed p(y|x), discount D = 0.75.
+    *
+    * Exactness device: D = 3/4 is DYADIC, so the entire formula clears
+    * to one exact-integer ratio —
+    *   p·(4·c_a·N) = max(4·c_ab − 3, 0)·N + 3·N1+(x·)·N1+(·y)
+    * with N the distinct-bigram count; both engines compute num/den in
+    * BIGINT and perform ONE double division (bit-identical), rank on
+    * that double (ties by (x, y)), and ROUND 6 for the report. At
+    * fleet-scale counts the num product outgrows the double's 53-bit
+    * exactness — the documented widening is the same DECIMAL(38,0)
+    * move as `dsirWeightsWide`.
+    *
+    * 100 TB shape: ONE bigram explode feeds the (x, y) count
+    * (map-combined — the frame every stat derives from); context and
+    * continuation tables are vocab-sized broadcasts; the top-20 is a
+    * TakeOrdered, never a global sort.
+    */
+  val kneserNey: CatalogEntry = CatalogEntry(
+    "token_kneser_ney",
+    (s, d) => {
+      val bg = documents(s, d)
+        .select(graft.functions.Text.normTokens(col("text")).as("tl"))
+        .filter(size(col("tl")) >= 2)
+        .select(explode(graft.functions.Text.wordNgrams(col("tl"), 2)).as("bgs"))
+        .select(split(col("bgs"), " ").getItem(0).as("x"),
+          split(col("bgs"), " ").getItem(1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(eager = true)
+      val ca = bg.groupBy("x").agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1a"))
+      val cb = bg.groupBy("y").agg(count(lit(1)).as("n1b"))
+      val nn = bg.agg(count(lit(1)).as("ndd"))
+      bg.join(broadcast(ca), Seq("x")).join(broadcast(cb), Seq("y"))
+        .crossJoin(broadcast(nn))
+        .select(col("x"), col("y"), col("c_ab"),
+          ((greatest(col("c_ab") * 4L - 3L, lit(0L)) * col("ndd")
+            + lit(3L) * col("n1a") * col("n1b")).cast("double")
+            / (lit(4L) * col("c_a") * col("ndd"))).as("p"))
+        .orderBy(desc("p"), asc("x"), asc("y")).limit(20)
+        .select(col("x"), col("y"), col("c_ab"), round(col("p"), 6).as("p_kn"))
+    },
+    Some(
+      raw"""WITH t AS (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tl
+                       FROM documents),
+            bg AS (SELECT tl[i] AS x, tl[i + 1] AS y
+                   FROM t, LATERAL unnest(range(1, len(tl))) u(i)
+                   WHERE len(tl) >= 2),
+            cab AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+            ca AS (SELECT x, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+                          CAST(COUNT(*) AS BIGINT) AS n1a FROM cab GROUP BY 1),
+            cb AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n1b FROM cab GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM cab),
+            scored AS (SELECT x, y, c_ab,
+                              CAST(GREATEST(c_ab * 4 - 3, 0) * ndd + 3 * n1a * n1b AS DOUBLE)
+                              / (4 * c_a * ndd) AS p
+                       FROM cab JOIN ca USING (x) JOIN cb USING (y) CROSS JOIN nn)
+            SELECT x, y, c_ab, ROUND(p, 6) AS p_kn
+            FROM scored ORDER BY p DESC, x, y LIMIT 20"""))
+
+  /** Audit sample budget allocated by [[neymanAllocation]]. */
+  private val NeymanBudget = 1000L
+
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    * [[NeymanBudget]]-doc QA/audit budget across sources proportional
+    * to N_h·S_h — stratum size × token-count standard deviation — the
+    * allocation that minimizes the variance of the corpus-wide
+    * estimate. The design step that belongs in front of
+    * [[samplePerSource]]'s flat k-per-source draw: a big noisy crawl
+    * source earns more audit rows than a small homogeneous curated one,
+    * and proportional-to-size alone over-samples uniform strata.
+    *
+    * Determinism: per-source moments are DECIMAL-exact sums; mean /
+    * variance / sd derive through ONE fixed IEEE expression shape
+    * (sample variance (sx2 − sx·sx/n)/(n−1), floored at 0 against
+    * cancellation, sqrt correctly rounded); the weight TOTAL is a
+    * source-ordered fold (the [[graft.queries.EmbeddingCatalog]]
+    * ordered-fold device — a frame-summed double would be partition-
+    * order dependent); shares and the rounded allocations are one
+    * derive each. Single-doc sources carry zero weight (sd undefined →
+    * documented as 0), so they fall to the flat floor a production
+    * design adds, not to a NaN.
+    *
+    * 100 TB shape: ONE corpus pass computes the (source, n, Σx, Σx²)
+    * moment grid (map-combined); everything after — fold, shares,
+    * rounding — is sources-sized. The rounded allocations may drift
+    * from the budget by ±#sources/2 (largest-remainder repair is a
+    * sources-sized follow-up a deployment adds; reported drift keeps
+    * the law checkable).
+    */
+  val neymanAllocation: CatalogEntry = CatalogEntry(
+    "source_neyman_allocation",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+      val m = documents(s, d)
+        .select(col("source"),
+          size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum((col("x") * col("x")).cast(dec)).as("sx2"))
+        .select(col("source"), col("n"),
+          (col("sx").cast("double") / col("n")).as("mean_tokens"),
+          when(col("n") >= 2L,
+            sqrt(greatest(
+              (col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+                / (col("n") - 1L), lit(0.0))))
+            .otherwise(lit(0.0)).as("sd"))
+        .withColumn("w", col("n") * col("sd"))
+        .localCheckpoint(eager = true)
+      val tot = m
+        .groupBy()
+        .agg(expr("""aggregate(array_sort(collect_list(struct(source, w))),
+                               CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.w)""").as("wtot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          round(col("mean_tokens"), 6).as("mean_tokens"),
+          round(col("sd"), 6).as("sd_tokens"),
+          round(col("w") / col("wtot"), 6).as("share"),
+          round(lit(NeymanBudget) * (col("w") / col("wtot")), 0).cast("long").as("n_alloc"))
+        .orderBy("source")
+    },
+    Some(s"""WITH m AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(len($toksSql) AS DECIMAL(28,4))) AS sx,
+                      SUM(CAST(len($toksSql) * len($toksSql) AS DECIMAL(28,4))) AS sx2
+               FROM documents GROUP BY source),
+             der AS (
+               SELECT source, n,
+                      ${Exact.sqlToDouble("sx")} / n AS mean_tokens,
+                      CASE WHEN n >= 2
+                           THEN sqrt(GREATEST((${Exact.sqlToDouble("sx2")}
+                                               - ${Exact.sqlToDouble("sx")} * ${Exact.sqlToDouble("sx")} / n)
+                                              / (n - 1), 0.0))
+                           ELSE 0.0 END AS sd
+               FROM m),
+             w AS (SELECT source, n, mean_tokens, sd, n * sd AS w FROM der),
+             tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list(w ORDER BY source)), (acc, v) -> acc + v) AS wtot
+                     FROM w)
+             SELECT source, n AS n_docs,
+                    ROUND(mean_tokens, 6) AS mean_tokens,
+                    ROUND(sd, 6) AS sd_tokens,
+                    ROUND(w / wtot, 6) AS share,
+                    CAST(ROUND($NeymanBudget * (w / wtot), 0) AS BIGINT) AS n_alloc
+             FROM w CROSS JOIN tot ORDER BY source"""))
+
   /** Distribution drift between the train and val splits: total-variation
     * distance between their unigram distributions, plus vocabulary sizes
     * and overlap — the check that a hash split didn't skew token
@@ -1517,5 +1668,5 @@ object TrainPrepCatalog {
     samplePerSource, weightedSample, splitDivergence, sourceDivergence,
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
     phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget,
-    bootstrapCi)
+    bootstrapCi, kneserNey, neymanAllocation)
 }

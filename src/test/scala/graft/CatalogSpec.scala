@@ -913,4 +913,33 @@ class CatalogSpec extends AnyFunSuite {
     val byPair = rules.groupBy { case (a, c, _, _, _) => if (a < c) (a, c) else (c, a) }
     assert(byPair.nonEmpty)
   }
+
+  test("part_return_rate_ci: interval replay, containment, and count recount per brand") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .collect().map(row => row.getString(0) -> (row.getLong(1), row.getLong(2))).toMap
+    val got = run("part_return_rate_ci").collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { row =>
+      val (brand, n, r) = (row.getString(0), row.getLong(1), row.getLong(2))
+      val (rate, lo, hi) = (row.getDouble(3), row.getDouble(4), row.getDouble(5))
+      assert(want(brand) == ((n, r)), s"$brand counts")
+      // Same fixed IEEE sequence as the entry.
+      val ph = r.toDouble / n
+      val denom = 1.0 + 3.8416 / n
+      val center = ph + 1.9208 / n
+      val rad = 1.96 * math.sqrt((ph * (1.0 - ph) + 0.9604 / n) / n)
+      assert(rate == r6(ph) && lo == r6((center - rad) / denom) && hi == r6((center + rad) / denom),
+        s"$brand interval replay")
+      // Wilson containment: the interval brackets the point rate and
+      // stays inside [0, 1] — the property the raw +-z*se interval lacks.
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9 && lo <= rate + 1e-9 && rate <= hi + 1e-9,
+        s"$brand containment: $lo $rate $hi")
+    }
+  }
 }

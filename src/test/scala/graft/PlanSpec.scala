@@ -1145,6 +1145,44 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem_assoc_rules: rule output no longer checkpoint-truncated\n$p")
   }
 
+  test("round-16b: token_kneser_ney stats are checkpoint-sized, top-20 is a TakeOrdered") {
+    // The bigram count frame is eager-checkpointed at build time, so
+    // every stat table (contexts, continuations, the distinct total)
+    // reads the truncated frame — no parquet re-read; vocab-sized
+    // tables broadcast; the top-20 must be TakeOrdered, never a global
+    // sort materialization.
+    val p = plan("token_kneser_ney")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"token_kneser_ney: corpus re-scanned past the bigram frame\n$p")
+    assert(p.contains("Scan ExistingRDD") && p.contains("BroadcastHashJoin"),
+      s"token_kneser_ney: bigram frame not checkpointed / stats not broadcast\n$p")
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("SortMergeJoin"),
+      s"token_kneser_ney: top-20 no longer a bounded TakeOrdered\n$p")
+  }
+
+  test("round-16b: part_return_rate_ci broadcasts the dimension, one fact aggregate") {
+    val p = plan("part_return_rate_ci")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"part_return_rate_ci: part dimension no longer broadcast\n$p")
+    assert(!p.contains("Window"),
+      s"part_return_rate_ci: a window crept into a pure aggregate entry\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"part_return_rate_ci: more than the one brand shuffle\n$p")
+  }
+
+  test("round-16b: source_neyman_allocation is moment-grid + scalar broadcast only") {
+    // The (source, n, sx, sx2) grid is checkpoint-truncated; the weight
+    // total folds source-ordered on the grid and broadcasts back — no
+    // corpus re-read, no window, only the 1-row nested-loop broadcast.
+    val p = plan("source_neyman_allocation")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"source_neyman_allocation: corpus re-scanned past the moment grid\n$p")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Window"),
+      s"source_neyman_allocation: grid not checkpointed / window crept in\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"source_neyman_allocation: undeclared cartesian\n$p")
+  }
+
   test("round-16b: doc_boilerplate_ngrams has no pair join — one DF aggregate, one broadcast") {
     // Document-frequency profile: the (source, shingle) aggregate is
     // map-combined off ONE corpus explode; the per-source doc counts

@@ -502,4 +502,73 @@ class TrainPrepSpec extends AnyFunSuite {
     // The interval must be non-degenerate on a real corpus.
     assert(hi > lo, "bootstrap interval collapsed")
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("token_kneser_ney: exact-integer replay reproduces the top-20; discount law holds") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf0001).select("text").as[String].collect()
+    val bigrams = texts.flatMap { t =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 2) Nil else toks.zip(toks.tail)
+    }
+    val cab = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (x, m) => x -> (m.values.sum, m.size.toLong) }
+    val cb = cab.groupBy(_._1._2).map { case (y, m) => y -> m.size.toLong }
+    val ndd = cab.size.toLong
+    val scored = cab.toSeq.map { case ((x, y), c) =>
+      val (cA, n1a) = ca(x)
+      val num = math.max(4 * c - 3, 0L) * ndd + 3L * n1a * cb(y)
+      val den = 4L * cA * ndd
+      (x, y, c, num.toDouble / den)
+    }.sortBy { case (x, y, _, p) => (-p, x, y) }.take(20)
+    val got = run("token_kneser_ney").as[(String, String, Long, Double)].collect()
+    assert(got.length == scored.length)
+    got.zip(scored).foreach { case ((gx, gy, gc, gp), (x, y, c, p)) =>
+      assert(gx == x && gy == y && gc == c && gp == r6(p),
+        s"row mismatch: got ($gx,$gy,$gc,$gp) want ($x,$y,$c,${r6(p)})")
+    }
+    // Discount law: p_kn − MLE = D·(n1a·n1b/N − 1)/c_a, so the smoothed
+    // probability sits below the MLE exactly when n1a·n1b < N (the
+    // continuation bonus is smaller than the discount taken) and above
+    // it when n1a·n1b > N — that SIGN is the KN redistribution at work.
+    got.foreach { case (x, y, c, p) =>
+      val (cA, n1a) = ca(x)
+      val mle = c.toDouble / cA
+      val sign = n1a * cb(y) - ndd
+      assert(p > 0, s"($x,$y): p must be positive")
+      if (sign < 0) assert(p <= r6(mle) + 1e-9, s"($x,$y): p $p should sit below MLE $mle")
+      if (sign > 0) assert(p >= r6(mle) - 1e-9, s"($x,$y): p $p should sit above MLE $mle")
+    }
+  }
+
+  test("source_neyman_allocation: driver moments replay shares; allocation tracks the budget") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("source", "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS x")
+      .as[(String, Long)].collect()
+    val m = docs.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum.toDouble
+      val sx2 = rows.map(r => r._2 * r._2).sum.toDouble
+      val sd = if (n >= 2) math.sqrt(math.max((sx2 - sx * sx / n) / (n - 1), 0.0)) else 0.0
+      src -> (n, sx / n, sd, n * sd)
+    }
+    val wtot = m.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (_, _, _, w))) => acc + w }
+    val got = run("source_neyman_allocation")
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, mean, sd, share, alloc) =>
+      val (wn, wmean, wsd, ww) = m(src)
+      assert(n == wn && mean == r6(wmean) && sd == r6(wsd), s"$src moments")
+      assert(share == r6(ww / wtot), s"$src share")
+      assert(alloc == math.round(1000L * (ww / wtot)), s"$src alloc")
+    }
+    // Budget conservation up to rounding drift of half a source each.
+    val total = got.map(_._6).sum
+    assert(math.abs(total - 1000L) <= got.length / 2 + 1, s"allocation total $total")
+    // Shares are a distribution.
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-3)
+  }
 }

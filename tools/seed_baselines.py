@@ -52,6 +52,22 @@ import subprocess
 import sys
 
 NOTES = {
+    "windowed_count":
+        "r16 builder-run x2.54 flag REPRODUCED isolated twice (0.647s @ "
+        "cal 0.583 = x2.74; 0.458s @ cal 0.502 = x2.25, probe_flags "
+        "min-of-5) with the entry's code untouched and the catalog total "
+        "1.0x in-band -- adjudicated HOST-REGIME SHIFT, not code: the "
+        "0.168s record came from an anomalously fast window (seed cals "
+        "0.425-0.467 vs 0.48-0.58 now), absolute 0.46s for a 600k-row "
+        "windowed aggregate is healthy, and cal normalization is "
+        "sub-linear for sub-second entries (fixed scheduler overheads). "
+        "Record re-seeded r16 under the current regime",
+    "emb_knn_brute":
+        "r15 canonical-run 1.68x flag cleared (two isolated probes, "
+        "second 0.403s @ cal 0.461 = 1.15x; known flutterer, spread_norm "
+        "2.0). r16 builder-run x1.78 flag reproduced isolated (1.072s @ "
+        "cal 0.509 = x3.23) -- same host-regime adjudication as "
+        "windowed_count; re-seeded r16",
     "doc_bigram_fluency":
         "r15 driver-run x2.37 flag cleared (adjudicated r16 via "
         "tools/probe_flags.py): isolated min-of-5 1.114s @ cal 0.43 = "
@@ -89,10 +105,6 @@ NOTES = {
     "source_kmv_overlap":
         "r15 canonical-run 1.63x flag cleared: isolated min-of-5 3.158s "
         "@ cal 0.483 = 1.23x of median_norm, in-band; host noise",
-    "emb_knn_brute":
-        "r15 canonical-run 1.68x flag cleared: two isolated probes, "
-        "second 0.403s @ cal 0.461 = 1.15x of median_norm; sub-0.6s "
-        "entry fluttering with the host window",
     "doc_sample_per_source":
         "r15 canonical-run 1.60x flag cleared: two isolated probes, "
         "second 0.266s @ cal 0.461 = 1.19x of median_norm; sub-0.35s "
