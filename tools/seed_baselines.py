@@ -52,6 +52,15 @@ import subprocess
 import sys
 
 NOTES = {
+    "emb_kmeans_elbow":
+        "r16 canonical-run x1.74 flag reproduced isolated (0.520s @ cal "
+        "0.468 = x1.85) minutes after the seed runs measured 0.206s on "
+        "the same code -- the sub-second flutter class with an extra "
+        "amplifier: the entry's four argmin projections are ~30 sqDist "
+        "codegen expansions, so plan-compile (Janino) state dominates "
+        "its sub-second runtime and varies with what compiled before "
+        "it. Constant per-query overhead, vanishes at scale; total "
+        "in-band",
     "windowed_count":
         "r16 builder-run x2.54 flag REPRODUCED isolated twice (0.647s @ "
         "cal 0.583 = x2.74; 0.458s @ cal 0.502 = x2.25, probe_flags "
