@@ -1046,12 +1046,26 @@ object PipelineCatalog {
     * corpus with KNOWN boilerplate (the driver corpus is word salad;
     * real templates are what the operator exists for).
     */
-  private[graft] def boilerplateFrom(docs: DataFrame): DataFrame = {
-    val perSrc = docs.groupBy("source").agg(count(lit(1)).as("docs"))
-    val df = docs
-      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh"))
-      .groupBy("source", "sh")
-      .agg(count(lit(1)).as("df"))
+  /** The (source, shingle) document-frequency counts — the ONE
+    * corpus-touching stage of [[boilerplateNgrams]]. Linear, mergeable
+    * keyed state (each doc contributes ≤ 1 per shingle via the per-row
+    * array_distinct), so it also maintains live as a complete-mode
+    * streaming aggregate; StreamingSpec drains it together with
+    * [[boilerplateSrcDocs]] and replays the profile bit-for-bit.
+    */
+  private[graft] def boilerplateCounts(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh"))
+    .groupBy("source", "sh")
+    .agg(count(lit(1)).as("df"))
+
+  /** Docs-per-source companion state of [[boilerplateCounts]]. */
+  private[graft] def boilerplateSrcDocs(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("docs"))
+
+  /** The corpus-independent profile stage over drained/materialized
+    * (source, sh, df) + (source, docs) frames.
+    */
+  private[graft] def boilerplateProfile(df: DataFrame, perSrc: DataFrame): DataFrame =
     df.join(broadcast(perSrc), "source")
       .withColumn("boiler", col("df") >= 3L && col("df") * 20L >= col("docs"))
       .groupBy("source", "docs")
@@ -1063,7 +1077,12 @@ object PipelineCatalog {
         col("max_boiler_df"), col("boiler_hits"),
         round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_share"))
       .orderBy("source")
-  }
+
+  /** Full batch composition (counts + docs → profile) over an arbitrary
+    * documents frame — the entry body, seamed for the synthetic spec.
+    */
+  private[graft] def boilerplateFrom(docs: DataFrame): DataFrame =
+    boilerplateProfile(boilerplateCounts(docs), boilerplateSrcDocs(docs))
 
   /** Cross-document boilerplate detection per source — the C4/CCNet
     * cleaning step this catalog's WITHIN-doc [[repetition]] and

@@ -1596,6 +1596,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed boilerplate DF counts replay the batch profile bit-for-bit") {
+    // doc_boilerplate_ngrams' only corpus-touching stage is the
+    // (source, shingle) document-frequency count — per-doc distinct
+    // shingles make it a plain mergeable keyed count, so it maintains
+    // live in complete mode (with the docs-per-source companion state);
+    // the threshold/rollup profile is counts-sized and must replay the
+    // batch entry bit-for-bit from the drained frames.
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    val want = SparkEntry.queries("doc_boilerplate_ngrams")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no sources at sf0.001")
+    val rows: Seq[(Long, String, String)] = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val docsDF = input.toDF().toDF("doc_id", "source", "text")
+    val qn1 = s"boiler_df_${System.nanoTime()}"
+    val qn2 = s"boiler_docs_${System.nanoTime()}"
+    val q1 = PipelineCatalog.boilerplateCounts(docsDF)
+      .writeStream.queryName(qn1).outputMode("complete").format("memory").start()
+    val q2 = PipelineCatalog.boilerplateSrcDocs(docsDF)
+      .writeStream.queryName(qn2).outputMode("complete").format("memory").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      input.addData(b1: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(b2: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val df = spark.table(qn1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.toDF("source", "sh", "df")
+      val perSrc = spark.table(qn2).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.toDF("source", "docs")
+      val got = PipelineCatalog.boilerplateProfile(df, perSrc)
+        .collect().map(_.toSeq.toList).toSet
+      assert(got == want, "streamed boilerplate profile diverges from the batch entry")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("DSIR resampling streams: the selection reservoir replays the batch entry") {
     // doc_dsir_resample's selection stage is a global bounded-heap A-ES
     // reservoir; stream the (doc_id, k) keyed frame through the SAME
