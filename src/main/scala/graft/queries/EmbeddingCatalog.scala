@@ -1364,7 +1364,11 @@ object EmbeddingCatalog {
     * Σ|cell|² work, the SAME in-cell bound the IVF search itself
     * accepts, never the n² exact graph (which is unbuildable at fleet
     * scale; production hubness estimates always run on the served ANN
-    * graph — what this measures). The bounded-heap TopNAgg ships ≤ K
+    * graph — what this measures). The bound is no longer a prose claim:
+    * [[kmeansElbow]]'s `scan_frac` column measures Σ|cell|²/n² per
+    * quantizer size k off one scan, so "production widens k with the
+    * corpus to keep the pair stage bounded" is audited against an
+    * in-catalog number. The bounded-heap TopNAgg ships ≤ K
     * candidates per query out of the map side; k-occurrence is then ONE
     * keyed count. The corpus-touching assignment stage is the shared
     * [[ivfCoarseAssign]] — its streaming form (streamingIvfCells,
@@ -1453,8 +1457,10 @@ object EmbeddingCatalog {
     * μ is ONE division of those, rounded; percentiles ride the
     * value_percentiles-proven interpolation pair and round to the
     * lattice. 100 TB shape: the pair stage is the hubness in-cell
-    * equi-join bound; top-2 per point ships via the bounded heap; the
-    * report is #labels rows.
+    * equi-join bound — measured per quantizer size by
+    * [[kmeansElbow]]'s `scan_frac` column, so the "k widens with the
+    * corpus" premise is an in-catalog number, not prose; top-2 per
+    * point ships via the bounded heap; the report is #labels rows.
     */
   val intrinsicDim: CatalogEntry = CatalogEntry(
     "emb_intrinsic_dim",
@@ -2363,7 +2369,12 @@ object EmbeddingCatalog {
     * loses both (one fat cell re-creates brute force for its residents).
     * One row per committed model k ∈ {2,4,8,16}: total inertia (the
     * Lloyd's objective, exact on the ×10⁶ lattice), mean d², cells
-    * actually used, and the largest cell's population.
+    * actually used, the largest cell's population, and `scan_frac` =
+    * Σ|cell|²/n² — the expected per-item corpus fraction any in-cell
+    * pair stage touches ([[hubness]]/[[intrinsicDim]]'s served-graph
+    * joins, one-probe IVF under a uniform query mix), the in-catalog
+    * number behind the "k grows with the corpus so Σ|cell|² stays
+    * bounded" production claim (r16 verdict item).
     *
     * Determinism: per-row min-distance² is KMeans.sqDist's fixed
     * |v|²−2v·c+|c|² expression (left-fold dots, centroid literals —
@@ -2396,12 +2407,26 @@ object EmbeddingCatalog {
         .groupBy("k", "cell")
         .agg(count(lit(1)).as("n"), sum("d2s").as("ds"))
         .groupBy("k")
+        // Σ|cell|² in DECIMAL(38,0): per-cell n² crosses 2⁶³ once a cell
+        // holds > 3·10⁹ vectors — routine at fleet scale (and exactly
+        // the fat-cell regime this diagnostic exists to catch).
         .agg(sum("n").as("n_vectors"), count(lit(1)).as("cells_used"),
-          max("n").as("max_cell_n"), sum("ds").as("inertia_scaled"))
+          max("n").as("max_cell_n"), sum("ds").as("inertia_scaled"),
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("sum_n2"))
         .select(col("k"), col("n_vectors"), col("cells_used"), col("max_cell_n"),
           col("inertia_scaled"),
           round(col("inertia_scaled").cast("double")
-            / (col("n_vectors") * lit(1000000.0)), 6).as("mean_d2"))
+            / (col("n_vectors") * lit(1000000.0)), 6).as("mean_d2"),
+          // The quadratic-bound instrument: Σ|cell|²/n² is the expected
+          // fraction of the corpus an in-cell pair stage (emb_hubness /
+          // emb_intrinsic_dim's served-graph topology, or one-probe IVF
+          // under a uniform query mix) touches per item — the number
+          // the "k grows with corpus so Σ|cell|² stays bounded"
+          // production claim is audited against, measured per k off the
+          // same single scan.
+          round(col("sum_n2").cast("double")
+            / (col("n_vectors").cast("decimal(38,0)") * col("n_vectors"))
+              .cast("double"), 6).as("scan_frac"))
         .orderBy("k")
     },
     Some {
@@ -2429,7 +2454,8 @@ object EmbeddingCatalog {
           SELECT CAST(k AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_vectors,
                  COUNT(*) AS cells_used, CAST(MAX(n) AS BIGINT) AS max_cell_n,
                  CAST(SUM(ds) AS BIGINT) AS inertia_scaled,
-                 ROUND(CAST(SUM(ds) AS DOUBLE) / (CAST(SUM(n) AS BIGINT) * 1000000.0), 6) AS mean_d2
+                 ROUND(CAST(SUM(ds) AS DOUBLE) / (CAST(SUM(n) AS BIGINT) * 1000000.0), 6) AS mean_d2,
+                 ROUND(CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE), 6) AS scan_frac
           FROM bycell GROUP BY k ORDER BY k"""
     })
 
@@ -2479,6 +2505,85 @@ object EmbeddingCatalog {
                                       ORDER BY rrf_scaled DESC, vec_id) AS rn
             FROM f) WHERE rn <= $K
           ORDER BY query_id, rn"""))
+
+  /** Kendall rank agreement between the two fused retrievers (Kendall
+    * 1938; τ-a over the tie-free shortlist ranks) — the diagnostic that
+    * belongs NEXT TO [[rankFusion]]: RRF helps exactly when its members
+    * disagree (uncorrelated failure modes), and this entry measures
+    * that premise per query instead of assuming it. For each query, the
+    * items BOTH shortlists retrieved, with concordant/discordant pair
+    * counts between the two rank orders and τ = (C − D)/(m(m−1)/2);
+    * queries whose shortlists share < 2 items report a NULL τ (no pair
+    * evidence) in both engines — never a fabricated 0.
+    *
+    * Determinism: ranks are exact BIGINTs from the member entries'
+    * already-pinned tie-breaks; pair orientation is the integer sign of
+    * (ra_i − ra_j)·(rb_i − rb_j) (shortlist ranks ≤ K, no overflow);
+    * m(m−1) div 2 has positive operands (Spark div = DuckDB //); τ is
+    * ONE double division, ROUND 6.
+    *
+    * Scale shape: the two member shortlists are K rows per query; the
+    * overlap join keys on (query, item); the pair stage is a per-query
+    * self-join of ≤ K common rows — ≤ K(K−1)/2 = 45 pairs per query,
+    * query-bounded, no corpus pass of its own (the members' corpus
+    * stages are the family's, already streamed — streamingIvfCells).
+    */
+  val rankAgreement: CatalogEntry = CatalogEntry(
+    "emb_rank_agreement",
+    (s, d) => {
+      val a = knnLsh.build(s, d)
+        .select(col("query_id"), col("vec_id"), col("rn").as("ra"))
+      val b = knnIvfKmeans.build(s, d)
+        .select(col("query_id"), col("vec_id"), col("rn").as("rb"))
+      // K rows per query after the overlap join — checkpoint so the two
+      // member pipelines run once, not once per downstream branch.
+      val common = a.join(b, Seq("query_id", "vec_id"))
+        .localCheckpoint(eager = true)
+      val pairs = common.as("x")
+        .join(common.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.query_id").as("query_id"),
+          ((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))).as("prod"))
+        .groupBy("query_id")
+        .agg(sum(when(col("prod") > 0L, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("prod") < 0L, 1L).otherwise(0L)).as("discordant"))
+      common.groupBy("query_id").agg(count(lit(1)).as("n_common"))
+        .join(pairs, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_common"),
+          coalesce(col("concordant"), lit(0L)).as("concordant"),
+          coalesce(col("discordant"), lit(0L)).as("discordant"),
+          when(col("n_common") >= 2L,
+            round((coalesce(col("concordant"), lit(0L))
+              - coalesce(col("discordant"), lit(0L))).cast("double")
+              / expr("(n_common * (n_common - 1)) div 2"), 6)).as("tau"))
+        .orderBy("query_id")
+    },
+    Some(
+      s"""WITH lsh AS (SELECT query_id, vec_id, rn AS ra FROM ($lshOracleSql) t1),
+            ivfk AS (SELECT query_id, vec_id, rn AS rb FROM (${knnIvfKmeans.oracle.get}) t2),
+            common AS (SELECT lsh.query_id, lsh.vec_id, ra, rb
+                       FROM lsh JOIN ivfk ON ivfk.query_id = lsh.query_id
+                            AND ivfk.vec_id = lsh.vec_id),
+            prs AS (SELECT x.query_id,
+                           CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                           CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+                    FROM common x JOIN common y ON y.query_id = x.query_id
+                         AND x.vec_id < y.vec_id
+                    GROUP BY x.query_id),
+            nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+                   FROM common GROUP BY query_id)
+          SELECT nc.query_id, n_common,
+                 COALESCE(concordant, 0) AS concordant,
+                 COALESCE(discordant, 0) AS discordant,
+                 CASE WHEN n_common >= 2
+                      THEN ROUND(CAST(COALESCE(concordant, 0) - COALESCE(discordant, 0) AS DOUBLE)
+                                 / ((n_common * (n_common - 1)) // 2), 6)
+                 END AS tau
+          FROM nc LEFT JOIN prs ON prs.query_id = nc.query_id
+          ORDER BY nc.query_id"""))
 
   /** Power-iteration fixed point: [[PcaIters]] matvec steps on the
     * [[gramMatrix]] lattice (integers end-to-end), direction re-scaled to
@@ -2922,5 +3027,5 @@ object EmbeddingCatalog {
       knnIvfPq, knnBq, knnRecall, ivfProbeSweep, pqShortlistSweep, pqDistortion, opqPermute, kmeansElbow, knnFiltered, ivfCells, hubness, intrinsicDim, nearDupCosine, nearDupBanded,
       labelCentroids, centroidOutliers, oodMahalanobis, mmrRerank, semDedup, gramMatrix, knnMrl, knnMrlIvf, pcaProject,
       abttResidual, hardNegatives, hardNegativesShortlist, hardNegativesRecall,
-      contrastivePairs, labelNoisePairs, rankFusion)
+      contrastivePairs, labelNoisePairs, rankFusion, rankAgreement)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -376,11 +376,22 @@ object JoinCatalog {
                  pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
                  n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li)"""
 
-  private def basketPairStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val baskets = t("lineitem")(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
-      .cacheOnce()
+  /** Corpus-touching stage of the basket family — per-order sorted part
+    * sets from ONE collect_set aggregate (set union: linear, mergeable),
+    * factored out so structured streaming maintains the identical
+    * baskets live (graft.streaming.StreamingQueries
+    * .streamingOrderBaskets — the streamingBenfordCounts delegation
+    * pattern); the drained frame replays both basket reports via
+    * [[basketStatsFrom]] bit-for-bit. State is one row per order with a
+    * basket-sized set — order-bounded, never corpus-quadratic. */
+  private[graft] def orderBaskets(lineitem: DataFrame): DataFrame = lineitem
+    .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    .groupBy("ok").agg(sort_array(collect_set("pk")).as("pks"))
+
+  /** The pair/marginal statistics over a drained (ok, pks) baskets
+    * frame — everything of the basket family downstream of the corpus;
+    * batch entries and the streaming replay share it verbatim. */
+  private[graft] def basketStatsFrom(baskets: DataFrame): DataFrame = {
     val pairs = baskets
       .select(explode(expr(
         """flatten(transform(pks,
@@ -392,11 +403,29 @@ object JoinCatalog {
     val pc = baskets.select(explode(col("pks")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("c"))
     val n = baskets.agg(count(lit(1)).as("n_orders"))
-    val stats = pairs
+    pairs
       .join(pc.select(col("pk").as("part_a"), col("c").as("ca")), Seq("part_a"))
       .join(pc.select(col("pk").as("part_b"), col("c").as("cb")), Seq("part_b"))
       .crossJoin(broadcast(n))
-    (baskets, stats)
+  }
+
+  private def basketPairStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val baskets = orderBaskets(t("lineitem")(s, d)).cacheOnce()
+    (baskets, basketStatsFrom(baskets))
+  }
+
+  /** lift = c_ab·N / (c_a·c_b) with both products in DECIMAL(38,0) —
+    * exact for ANY long counts (each ≤ (2⁶³)² < 10³⁸), then ONE double
+    * division (r16 envelope audit: the long form would silently wrap
+    * past 2⁶³ in Spark while DuckDB raises — at fleet scale
+    * c_ab·n_orders crosses 2⁶³ long before any individual count does).
+    * Bit-identical to the long form wherever the products fit 2⁵³,
+    * i.e. every sf the oracle runs. */
+  private def liftCol(cab: Column, nOrders: Column, ca: Column,
+      cb: Column): Column = {
+    val dec38 = "decimal(38,0)"
+    round((cab.cast(dec38) * nOrders.cast(dec38)).cast("double")
+      / (ca.cast(dec38) * cb.cast(dec38)).cast("double"), 6)
   }
 
   val basketPairs: CatalogEntry = CatalogEntry(
@@ -405,7 +434,7 @@ object JoinCatalog {
       val (baskets, stats) = basketPairStats(s, d)
       val out = stats
         .select(col("part_a"), col("part_b"), col("c_ab"),
-          round((col("c_ab") * col("n_orders")) / (col("ca") * col("cb")), 6).as("lift"))
+          liftCol(col("c_ab"), col("n_orders"), col("ca"), col("cb")).as("lift"))
         .localCheckpoint()
       baskets.unpersist(blocking = false)
       out
@@ -436,21 +465,30 @@ object JoinCatalog {
     * basket explode verbatim, the direction union is pairs-sized, and
     * confidence/lift are one closing derive each from exact BIGINTs.
     */
+  /** The directional-rule projection over a basket-stats frame —
+    * pairs-sized, shared by the batch entry and the streaming replay.
+    * The confidence floor stays the long compare 10·c_ab ≥ c_ante
+    * (wrap-free while c_ab ≤ 2⁶³/10 ≈ 9·10¹⁷ repeat co-purchases of ONE
+    * pair — beyond any basket corpus; lift rides [[liftCol]]'s
+    * DECIMAL(38,0) products, which do cross 2⁶³ at fleet scale). */
+  private[graft] def assocRulesFrom(stats: DataFrame): DataFrame = {
+    def dir(ante: String, cons: String, cAnte: String, cCons: String) =
+      stats.select(col(ante).as("ante"), col(cons).as("cons"), col("c_ab"),
+        col(cAnte).as("c_ante"), col(cCons).as("c_cons"), col("n_orders"))
+    dir("part_a", "part_b", "ca", "cb")
+      .unionByName(dir("part_b", "part_a", "cb", "ca"))
+      .filter(col("c_ab") * 10L >= col("c_ante"))
+      .select(col("ante"), col("cons"), col("c_ab").as("support"),
+        round(col("c_ab").cast("double") / col("c_ante"), 6).as("confidence"),
+        liftCol(col("c_ab"), col("n_orders"), col("c_ante"), col("c_cons"))
+          .as("lift"))
+  }
+
   val assocRules: CatalogEntry = CatalogEntry(
     "lineitem_assoc_rules",
     (s, d) => {
       val (baskets, stats) = basketPairStats(s, d)
-      def dir(ante: String, cons: String, cAnte: String, cCons: String) =
-        stats.select(col(ante).as("ante"), col(cons).as("cons"), col("c_ab"),
-          col(cAnte).as("c_ante"), col(cCons).as("c_cons"), col("n_orders"))
-      val out = dir("part_a", "part_b", "ca", "cb")
-        .unionByName(dir("part_b", "part_a", "cb", "ca"))
-        .filter(col("c_ab") * 10L >= col("c_ante"))
-        .select(col("ante"), col("cons"), col("c_ab").as("support"),
-          round(col("c_ab").cast("double") / col("c_ante"), 6).as("confidence"),
-          round((col("c_ab") * col("n_orders")) / (col("c_ante") * col("c_cons")), 6)
-            .as("lift"))
-        .localCheckpoint()
+      val out = assocRulesFrom(stats).localCheckpoint()
       baskets.unpersist(blocking = false)
       out
     },

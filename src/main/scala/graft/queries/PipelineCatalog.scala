@@ -227,9 +227,16 @@ object PipelineCatalog {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // tf·N in DECIMAL(38,0) (r16 envelope audit): the long product
+      // would silently wrap past 2⁶³ in Spark while DuckDB raises — and
+      // at fleet scale tf·n_docs crosses 2⁶³ while both factors are
+      // ordinary longs. Exact decimal product → one double division;
+      // bit-identical to the long form wherever the product fits 2⁵³
+      // (every sf the oracle runs).
       val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
-          round((col("tf") * col("n_docs")) / col("df"), 6).as("score"))
+          round((col("tf").cast("decimal(38,0)") * col("n_docs")).cast("double")
+            / col("df"), 6).as("score"))
       scored.groupBy("doc_id")
         .agg(slice(array_sort(collect_list(
           struct((-col("score")).as("ns"), col("term").as("t")))), 1, 3).as("top"))
@@ -253,10 +260,12 @@ object PipelineCatalog {
 
   /** Adjacent-token collocation mining: the 20 strongest bigram
     * associations by c(ab)² / (c(a)·c(b)) — the log-free monotone PMI
-    * surrogate (integer-exact numerator/denominator, one double
-    * division, identical bits in both engines; ln() would differ in the
-    * last ulp and can flip ranking ties). Support floor c(ab) ≥ 5 kills
-    * hapax noise. Windowed at w = 1 deliberately: cost stays LINEAR in
+    * surrogate (counts CAST TO DOUBLE before multiplying, identically
+    * in both engines, so there is no Int64 wrap anywhere — r16 envelope
+    * audit: unlike the long-product forms this one degrades past 2⁵³
+    * SYMMETRICALLY, both engines rounding the same product to the same
+    * double; ln() would differ in the last ulp and can flip ranking
+    * ties). Support floor c(ab) ≥ 5 kills hapax noise. Windowed at w = 1 deliberately: cost stays LINEAR in
     * corpus tokens (a document-level co-occurrence matrix is quadratic
     * in document length — not a 100 TB shape). Two token-keyed
     * aggregations + a global top-k (TakeOrdered, never a full sort).
@@ -333,7 +342,13 @@ object PipelineCatalog {
       val cx = cxy.groupBy("x").agg(sum("c_xy").as("c_x"))
       bg.join(cxy, Seq("x", "y"))
         .join(cx, Seq("x"))
-        .select(col("doc_id"), expr(s"(c_xy * $FluencyScale) DIV c_x").as("sc"))
+        // 10⁶·c_xy in DECIMAL(38,0) (r16 envelope audit): the long form
+        // wraps past c_xy > 2⁶³/10⁶ ≈ 9·10¹² — a count a COMMON bigram
+        // reaches on a 100 TB corpus — silently in Spark, loudly in
+        // DuckDB. Exact decimal product, integral div (long result),
+        // value-identical wherever the long form didn't wrap.
+        .select(col("doc_id"),
+          expr(s"(CAST(c_xy AS DECIMAL(38,0)) * $FluencyScale) DIV c_x").as("sc"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("sc").as("ssum"))
         .select(col("doc_id"), col("n_bigrams"),
@@ -2485,6 +2500,96 @@ object PipelineCatalog {
                    ROUND(sqrt(sse / (n_days - 1)) / 10000.0, 6) AS rmse_1step
             FROM rec WHERE t = n_days ORDER BY event_type"""))
 
+  /** The Page–Hinkley fold over a (type, day, cents) daily frame — the
+    * [[holtFrom]] device applied to drift detection, seamed for the
+    * spec's drained-state replay. State per step: running sum s (for
+    * the mean), the PH statistic u_t = Σᵢ(xᵢ − x̄ᵢ), its running min,
+    * and the maximal excursion u_t − min — all four updated from the
+    * PREVIOUS state simultaneously (the recursive-CTE semantics both
+    * engines share; the u-update expression is repeated VERBATIM in the
+    * min/exc fields so every IEEE op sequence is identical). */
+  private[graft] def pageHinkleyFrom(daily: DataFrame): DataFrame = {
+    val phSt =
+      """aggregate(
+           slice(ys, 2, size(ys) - 1),
+           named_struct('t', CAST(1 AS BIGINT), 's', ys[0],
+                        'u', CAST(0.0 AS DOUBLE), 'minu', CAST(0.0 AS DOUBLE),
+                        'exc', CAST(0.0 AS DOUBLE)),
+           (acc, y) -> named_struct(
+             't', acc.t + 1,
+             's', acc.s + y,
+             'u', acc.u + (y - (acc.s + y) / (acc.t + 1)),
+             'minu', LEAST(acc.minu, acc.u + (y - (acc.s + y) / (acc.t + 1))),
+             'exc', GREATEST(acc.exc,
+               acc.u + (y - (acc.s + y) / (acc.t + 1)) - acc.minu)))"""
+    daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(day, c))), x -> CAST(x.c AS DOUBLE))")
+          .as("ys"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), expr(phSt).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.u") / 10000.0, 6).as("ph_final"),
+        round(col("st.minu") / 10000.0, 6).as("ph_min"),
+        round(col("st.exc") / 10000.0, 6).as("ph_excursion"))
+      .orderBy("event_type")
+  }
+
+  /** Page–Hinkley change detection per event type (Page 1954; Hinkley
+    * 1971; the sequential form surveyed in Gama et al. 2014 §3.1) — the
+    * drift-detector family member the catalog was missing:
+    * [[ScaleCatalog.eventsEwma]] smooths the level, [[cusumBreach]]
+    * accumulates deviations from a FIXED reference, PH accumulates
+    * deviations from the RUNNING mean — u_t = Σ(xᵢ − x̄ᵢ) — so a regime
+    * shift shows up as u_t rising away from its historical minimum with
+    * NO baseline parameter to choose. Reported per series: the final
+    * statistic, its running minimum, and the maximal excursion
+    * max_t(u_t − min_{i<t} u_i) — the quantity a deployment thresholds
+    * (alarm when excursion > λ); the λ knob is left to the reader like
+    * the KN MLE step, keeping policy out of the cross-engine compare.
+    *
+    * Determinism: the fold runs in doubles over the exact cents lattice
+    * with ONE expression shape per field, mirrored VERBATIM by the
+    * oracle's recursive CTE (the [[holtTrend]] device — DuckDB
+    * list_reduce is not a pure fold, measured r16) — bit-identical
+    * sequences of IEEE ops in both engines.
+    *
+    * 100 TB shape: the corpus collapses to the (type, day) cents
+    * lattice in ONE map-combined aggregate (the shared [[dailyCents]]
+    * frame — the same live keyed state the streaming siblings
+    * maintain); the sequential fold never touches the corpus
+    * (series-sized, parallel across types — the [[holtTrend]]
+    * argument).
+    */
+  val pageHinkley: CatalogEntry = CatalogEntry(
+    "events_page_hinkley",
+    (s, d) => pageHinkleyFrom(dailyCents(Tables.events(s, d))),
+    Some(
+      raw"""WITH RECURSIVE daily AS (SELECT event_type,
+                                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+            ser AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                           list(CAST(c AS DOUBLE) ORDER BY day) AS ys
+                    FROM daily GROUP BY 1),
+            rec AS (
+              SELECT event_type, n_days, ys, 1 AS t, ys[1] AS s,
+                     CAST(0.0 AS DOUBLE) AS u, CAST(0.0 AS DOUBLE) AS minu,
+                     CAST(0.0 AS DOUBLE) AS exc
+              FROM ser WHERE n_days >= 2
+              UNION ALL
+              SELECT event_type, n_days, ys, t + 1, s + ys[t + 1],
+                     u + (ys[t + 1] - (s + ys[t + 1]) / (t + 1)),
+                     LEAST(minu, u + (ys[t + 1] - (s + ys[t + 1]) / (t + 1))),
+                     GREATEST(exc, u + (ys[t + 1] - (s + ys[t + 1]) / (t + 1)) - minu)
+              FROM rec WHERE t < n_days)
+            SELECT event_type, n_days,
+                   ROUND(u / 10000.0, 6) AS ph_final,
+                   ROUND(minu / 10000.0, 6) AS ph_min,
+                   ROUND(exc / 10000.0, 6) AS ph_excursion
+            FROM rec WHERE t = n_days ORDER BY event_type"""))
+
   /** Prominent-day detection over a (type, day, cents) daily frame —
     * the [[eventsDailyPeaks]] body, seamed for the spec's driver replay.
     * A day is a peak when it strictly exceeds BOTH neighbors (series
@@ -2507,8 +2612,13 @@ object PipelineCatalog {
       .join(broadcast(med), "event_type")
       .filter(col("c") > col("pc") && col("c") > col("nc") &&
         col("c") * 5L >= col("med") * 6L)
+      // med = 0 guard (r16 advice): a qualifying peak over a zero lower
+      // median would be Infinity in Spark but NULL in DuckDB (double
+      // division by zero) — emit NULL vs_median in both engines on that
+      // pathological value distribution.
       .select(col("event_type"), col("day"), col("c").as("cents"),
-        round(col("c").cast("double") / col("med"), 6).as("vs_median"))
+        when(col("med") =!= 0L,
+          round(col("c").cast("double") / col("med"), 6)).as("vs_median"))
       .orderBy("event_type", "day")
   }
 
@@ -2558,7 +2668,8 @@ object PipelineCatalog {
                          med
                   FROM daily d JOIN med m ON m.event_type = d.event_type)
             SELECT event_type, day, c AS cents,
-                   ROUND(CAST(c AS DOUBLE) / med, 6) AS vs_median
+                   CASE WHEN med <> 0
+                        THEN ROUND(CAST(c AS DOUBLE) / med, 6) END AS vs_median
             FROM x WHERE c > pc AND c > nc AND c * 5 >= med * 6
             ORDER BY event_type, day"""))
 
@@ -3231,6 +3342,6 @@ object PipelineCatalog {
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,
-      dsirResample, seriesCorrelation, holtTrend, eventsDailyPeaks, benfordProfile,
+      dsirResample, seriesCorrelation, holtTrend, pageHinkley, eventsDailyPeaks, benfordProfile,
       kAnonymity)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -525,7 +525,7 @@ object TrainPrepCatalog {
              WHERE rn <= $SampleK"""))
 
   /** Replica count for [[bootstrapCi]]. */
-  private val BootR = 200
+  private[graft] val BootR = 200
 
   /** Poisson(1) inverse-CDF thresholds on the 32-bit uniform lattice:
     * T_k = ⌊CDF(k) · 2³²⌋ for k = 0..9 (weight 10 beyond — mass 1e-8,
@@ -571,48 +571,70 @@ object TrainPrepCatalog {
     * bootstrap: n draws with replacement needs global coordination,
     * n independent Poisson(1) weights needs none.
     */
+  /** Corpus-touching stage of [[bootstrapCi]] — the per-replica weighted
+    * sums (r, Σw·x, Σw): plain keyed SUMs of exact integers (linear,
+    * mergeable), factored out so structured streaming maintains the
+    * identical aggregate live
+    * (graft.streaming.StreamingQueries.streamingBootReplicaSums — the
+    * streamingBenfordCounts delegation pattern). The point-estimate
+    * moments ride the SAME frame as the sentinel row r = −1 with w = 1
+    * (so swx = Σx, sw = n_docs), which also collapses the batch entry
+    * from two corpus scans (replicas + point estimate) to ONE. State is
+    * ≤ R+1 rows — replica-bounded, never corpus-bounded. */
+  private[graft] def bootReplicaSums(docs: DataFrame): DataFrame = {
+    val wCase = BootPoissonT.zipWithIndex
+      .map { case (t, k) => s"WHEN u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", s" ELSE ${BootPoissonT.size}L END")
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+      .withColumn("r", explode(sequence(lit(-1L), lit(BootR - 1L))))
+      .withColumn("u", conv(substring(md5(concat(
+        lit("boot|"), col("r").cast("string"), lit("|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("w", when(col("r") < 0L, lit(1L)).otherwise(expr(wCase)))
+      .groupBy("r")
+      .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+  }
+
+  /** The replica-sized interval stage of [[bootstrapCi]] over a drained
+    * (r, swx, sw) frame — everything downstream of the corpus; batch and
+    * streaming replay share it verbatim. */
+  private[graft] def bootCiFrom(sums: DataFrame): DataFrame = {
+    // The frame is <= R+1 rows after the map-combined groupBy —
+    // eager-checkpoint it so the corpus explode runs ONCE and both
+    // order-statistic heaps read the truncated frame (keeps the entry's
+    // plan honest for PlanSpec, no cache bookkeeping).
+    val all = sums.localCheckpoint(eager = true)
+    val reps = all
+      .filter(col("r") >= 0L && col("sw") > 0L)
+      .select(col("r"), (col("swx").cast("double") / col("sw")).as("m"))
+    val k = 5 // ceil(0.025 * BootR)
+    val loHeap = udaf(new graft.combine.TopNAgg(k))
+    // size guard: on a near-empty corpus with < k surviving replicas
+    // the interval is undefined — emit NO row (the oracle's rk = 5
+    // row is equally absent), never an ANSI out-of-bounds element_at.
+    val lo = reps.agg(loHeap(-col("m"), col("r")).as("t"))
+      .filter(size(col("t.entries")) >= k)
+      .select((-element_at(col("t.entries"), k).getField("value")).as("lo"))
+    val hi = reps.agg(loHeap(col("m"), col("r")).as("t"))
+      .filter(size(col("t.entries")) >= k)
+      .select(element_at(col("t.entries"), k).getField("value").as("hi"))
+    // Point estimate off the r = -1 sentinel row: sw = n_docs, swx = Σx,
+    // so pm = swx/sw is the same exact-int division the two-scan form
+    // computed as sum(x)/count(*).
+    val pt = all.filter(col("r") < 0L)
+      .select(col("sw").as("n_docs"),
+        (col("swx").cast("double") / col("sw")).as("pm"))
+    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_docs"), lit(BootR.toLong).as("n_replicas"),
+        round(col("pm"), 6).as("mean_tokens"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
   val bootstrapCi: CatalogEntry = CatalogEntry(
     "doc_bootstrap_ci",
-    (s, d) => {
-      val wCase = BootPoissonT.zipWithIndex
-        .map { case (t, k) => s"WHEN u < ${t}L THEN ${k}L" }
-        .mkString("CASE ", " ", s" ELSE ${BootPoissonT.size}L END")
-      val base = documents(s, d)
-        .select(col("doc_id"),
-          size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
-      // The replica frame is <= R rows after the map-combined groupBy —
-      // eager-checkpoint it so the corpus explode runs ONCE and both
-      // order-statistic heaps read the truncated 200-row frame (keeps
-      // the entry's plan honest for PlanSpec, no cache bookkeeping).
-      val reps = base
-        .withColumn("r", explode(sequence(lit(0L), lit(BootR - 1L))))
-        .withColumn("u", conv(substring(md5(concat(
-          lit("boot|"), col("r").cast("string"), lit("|"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
-        .withColumn("w", expr(wCase))
-        .groupBy("r")
-        .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
-        .filter(col("sw") > 0L)
-        .select(col("r"), (col("swx").cast("double") / col("sw")).as("m"))
-        .localCheckpoint(eager = true)
-      val k = 5 // ceil(0.025 * BootR)
-      val loHeap = udaf(new graft.combine.TopNAgg(k))
-      // size guard: on a near-empty corpus with < k surviving replicas
-      // the interval is undefined — emit NO row (the oracle's rk = 5
-      // row is equally absent), never an ANSI out-of-bounds element_at.
-      val lo = reps.agg(loHeap(-col("m"), col("r")).as("t"))
-        .filter(size(col("t.entries")) >= k)
-        .select((-element_at(col("t.entries"), k).getField("value")).as("lo"))
-      val hi = reps.agg(loHeap(col("m"), col("r")).as("t"))
-        .filter(size(col("t.entries")) >= k)
-        .select(element_at(col("t.entries"), k).getField("value").as("hi"))
-      val pt = base.agg(count(lit(1)).as("n_docs"),
-        (sum("x").cast("double") / count(lit(1))).as("pm"))
-      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
-        .select(col("n_docs"), lit(BootR.toLong).as("n_replicas"),
-          round(col("pm"), 6).as("mean_tokens"),
-          round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
-    },
+    (s, d) => bootCiFrom(bootReplicaSums(documents(s, d))),
     Some {
       val wCaseSql = BootPoissonT.zipWithIndex
         .map { case (t, k) => s"WHEN u < $t THEN $k" }
@@ -638,6 +660,90 @@ object TrainPrepCatalog {
           FROM pt CROSS JOIN lo CROSS JOIN hi"""
     })
 
+  /** Long-safe ceiling for [[knP]]'s FAST path, on the HALF-denominator
+    * h = c_a·ndd: with h ≤ 2⁶³/4 the full den = 4·h fits a signed long,
+    * and every numerator intermediate is bounded by den (4·c_ab ≤ 4·c_a
+    * since c_ab ≤ c_a; 3·n1a·n1b ≤ 3·c_a·ndd because n1a ≤ c_a and
+    * n1b ≤ ndd), so the whole long-path computation is wrap-free.
+    * Shared with KneserNeySpec's boundary property so code and test
+    * can't drift — the `dsirWeights` dispatch recipe
+    * ([[PipelineCatalog.DsirLongSafeDen]]). */
+  private[graft] val KnLongSafeHalf: Long = Long.MaxValue / 4L
+
+  /** Decimal-safe ceiling for [[knP]]'s WIDE path, again on h = c_a·ndd:
+    * h ≤ 10³⁷/4 keeps den = 4·h ≤ 10³⁷ and every DECIMAL(38,0)
+    * intermediate (each numerator addend is ≤ den; their sum ≤ 2·den)
+    * under 10³⁸ — exact for bigram tables up to h ≈ 2.5·10³⁶, i.e.
+    * c_a·ndd products far past any long. h itself is always exact:
+    * c_a, ndd are longs, so c_a·ndd ≤ (2⁶³)² ≈ 8.5·10³⁷ < 10³⁸.
+    * Shared with KneserNeySpec's wide-boundary fixture. */
+  private[graft] val KnDecSafeHalf: BigInt = BigInt(10).pow(37) / 4
+
+  /** The KN-smoothed probability p(y|x) from the five exact counts —
+    * ONE definition shared by [[kneserNey]] and KneserNeySpec's
+    * hand-built frames. Three-way dispatch on the exact half-denominator
+    * h = c_a·ndd (computed in DECIMAL(38,0), where it is exact for ANY
+    * long inputs), the [[PipelineCatalog.dsirWeights]] recipe:
+    * h ≤ 2⁶³/4 — long fast path, codegen-primitive, every test sf and
+    * any single-node corpus; h ≤ 10³⁷/4 — the same formula carried out
+    * in DECIMAL(38,0), exact to far-past-fleet-scale bigram tables
+    * (the operator DEGRADES to exact-decimal, not an error — and never
+    * silently wraps, the r16 advice hazard: Spark's non-ANSI Int64
+    * wraps while DuckDB raises, so the two engines would diverge
+    * differently); beyond — fail loudly INSIDE the result expression
+    * (a detached assert column would be pruned). Both wide-path
+    * operands reach the one closing double division as round-to-nearest
+    * casts of exact integers, so the division input is as good as any
+    * double representation of the true ratio.
+    */
+  private[graft] def knP(cab: Column, ca: Column, n1a: Column, n1b: Column,
+      ndd: Column): Column = {
+    val dec38 = "decimal(38,0)"
+    val h = (ca.cast(dec38) * ndd.cast(dec38)).as("h")
+    val longP = (greatest(cab * 4L - 3L, lit(0L)) * ndd
+      + lit(3L) * n1a * n1b).cast("double") / (lit(4L) * ca * ndd)
+    val wideP = (greatest(cab.cast(dec38) * lit(4L).cast(dec38) - lit(3L).cast(dec38),
+        lit(0L).cast(dec38)) * ndd.cast(dec38)
+      + lit(3L).cast(dec38) * n1a.cast(dec38) * n1b.cast(dec38)).cast("double") /
+      (h * lit(4L).cast(dec38)).cast("double")
+    when(h <= lit(KnLongSafeHalf).cast(dec38), longP)
+      .when(h <= lit(new java.math.BigDecimal(KnDecSafeHalf.bigInteger)), wideP)
+      .otherwise(raise_error(concat(
+        lit(s"knP: c_a*ndd exceeds the decimal-safe boundary $KnDecSafeHalf " +
+          "(a DECIMAL(38,0) intermediate would overflow); c_a*ndd="),
+        h.cast("string"))).cast("double"))
+  }
+
+  /** Corpus-touching stage of [[kneserNey]] — the (x, y) bigram count, a
+    * plain keyed COUNT (linear, mergeable), factored out so structured
+    * streaming maintains the identical aggregate live
+    * (graft.streaming.StreamingQueries.streamingKnBigramCounts — the
+    * streamingBenfordCounts delegation pattern) and the drained frame
+    * replays the full smoothed report via [[knFrom]] bit-for-bit. */
+  private[graft] def knBigramCounts(docs: DataFrame): DataFrame = docs
+    .select(graft.functions.Text.normTokens(col("text")).as("tl"))
+    .filter(size(col("tl")) >= 2)
+    .select(explode(graft.functions.Text.wordNgrams(col("tl"), 2)).as("bgs"))
+    .select(split(col("bgs"), " ").getItem(0).as("x"),
+      split(col("bgs"), " ").getItem(1).as("y"))
+    .groupBy("x", "y").agg(count(lit(1)).as("c_ab"))
+
+  /** The vocab-sized smoothing + ranking stage of [[kneserNey]] over a
+    * drained (x, y, c_ab) count frame — everything downstream of the
+    * corpus; batch and streaming replay share it verbatim. */
+  private[graft] def knFrom(bgRaw: DataFrame): DataFrame = {
+    val bg = bgRaw.localCheckpoint(eager = true)
+    val ca = bg.groupBy("x").agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1a"))
+    val cb = bg.groupBy("y").agg(count(lit(1)).as("n1b"))
+    val nn = bg.agg(count(lit(1)).as("ndd"))
+    bg.join(broadcast(ca), Seq("x")).join(broadcast(cb), Seq("y"))
+      .crossJoin(broadcast(nn))
+      .select(col("x"), col("y"), col("c_ab"),
+        knP(col("c_ab"), col("c_a"), col("n1a"), col("n1b"), col("ndd")).as("p"))
+      .orderBy(desc("p"), asc("x"), asc("y")).limit(20)
+      .select(col("x"), col("y"), col("c_ab"), round(col("p"), 6).as("p_kn"))
+  }
+
   /** Kneser–Ney smoothed bigram probabilities (Kneser & Ney 1995; Chen &
     * Goodman 1998 §2.7) — the LM-standard absolute-discount smoothing
     * next to [[graft.queries.PipelineCatalog]]'s unsmoothed MLE
@@ -650,41 +756,23 @@ object TrainPrepCatalog {
     * Exactness device: D = 3/4 is DYADIC, so the entire formula clears
     * to one exact-integer ratio —
     *   p·(4·c_a·N) = max(4·c_ab − 3, 0)·N + 3·N1+(x·)·N1+(·y)
-    * with N the distinct-bigram count; both engines compute num/den in
-    * BIGINT and perform ONE double division (bit-identical), rank on
-    * that double (ties by (x, y)), and ROUND 6 for the report. At
-    * fleet-scale counts the num product outgrows the double's 53-bit
-    * exactness — the documented widening is the same DECIMAL(38,0)
-    * move as `dsirWeightsWide`.
+    * with N the distinct-bigram count; both engines compute num/den
+    * exactly (the oracle in BIGINT — exact at any sf DuckDB runs;
+    * Spark via [[knP]]'s long/DECIMAL(38,0) dispatch, exact to
+    * c_a·ndd ≈ 2.5·10³⁶), perform ONE double division (bit-identical on
+    * the shared fast path), rank on that double (ties by (x, y)), and
+    * ROUND 6 for the report.
     *
     * 100 TB shape: ONE bigram explode feeds the (x, y) count
-    * (map-combined — the frame every stat derives from); context and
-    * continuation tables are vocab-sized broadcasts; the top-20 is a
-    * TakeOrdered, never a global sort.
+    * (map-combined — the frame every stat derives from; the same keyed
+    * state a streaming deployment maintains live — see
+    * [[knBigramCounts]]); context and continuation tables are
+    * vocab-sized broadcasts; the top-20 is a TakeOrdered, never a
+    * global sort.
     */
   val kneserNey: CatalogEntry = CatalogEntry(
     "token_kneser_ney",
-    (s, d) => {
-      val bg = documents(s, d)
-        .select(graft.functions.Text.normTokens(col("text")).as("tl"))
-        .filter(size(col("tl")) >= 2)
-        .select(explode(graft.functions.Text.wordNgrams(col("tl"), 2)).as("bgs"))
-        .select(split(col("bgs"), " ").getItem(0).as("x"),
-          split(col("bgs"), " ").getItem(1).as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("c_ab"))
-        .localCheckpoint(eager = true)
-      val ca = bg.groupBy("x").agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1a"))
-      val cb = bg.groupBy("y").agg(count(lit(1)).as("n1b"))
-      val nn = bg.agg(count(lit(1)).as("ndd"))
-      bg.join(broadcast(ca), Seq("x")).join(broadcast(cb), Seq("y"))
-        .crossJoin(broadcast(nn))
-        .select(col("x"), col("y"), col("c_ab"),
-          ((greatest(col("c_ab") * 4L - 3L, lit(0L)) * col("ndd")
-            + lit(3L) * col("n1a") * col("n1b")).cast("double")
-            / (lit(4L) * col("c_a") * col("ndd"))).as("p"))
-        .orderBy(desc("p"), asc("x"), asc("y")).limit(20)
-        .select(col("x"), col("y"), col("c_ab"), round(col("p"), 6).as("p_kn"))
-    },
+    (s, d) => knFrom(knBigramCounts(documents(s, d))),
     Some(
       raw"""WITH t AS (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tl
                        FROM documents),
@@ -756,12 +844,20 @@ object TrainPrepCatalog {
         .groupBy()
         .agg(expr("""aggregate(array_sort(collect_list(struct(source, w))),
                                CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.w)""").as("wtot"))
+      // Degenerate-corpus guard (r16 advice): when EVERY source carries
+      // zero weight (all single-doc or constant token length) wtot = 0
+      // and 0.0/0.0 is NaN in Spark but NULL in DuckDB (double division
+      // by zero) — emit NULL share/alloc in both engines instead. w ≥ 0
+      // always (w = n·sd), so wtot > 0 ⇔ some source has real spread.
       m.crossJoin(broadcast(tot))
         .select(col("source"), col("n").as("n_docs"),
           round(col("mean_tokens"), 6).as("mean_tokens"),
           round(col("sd"), 6).as("sd_tokens"),
-          round(col("w") / col("wtot"), 6).as("share"),
-          round(lit(NeymanBudget) * (col("w") / col("wtot")), 0).cast("long").as("n_alloc"))
+          when(col("wtot") > 0.0,
+            round(col("w") / col("wtot"), 6)).as("share"),
+          when(col("wtot") > 0.0,
+            round(lit(NeymanBudget) * (col("w") / col("wtot")), 0).cast("long"))
+            .as("n_alloc"))
         .orderBy("source")
     },
     Some(s"""WITH m AS (
@@ -785,9 +881,245 @@ object TrainPrepCatalog {
              SELECT source, n AS n_docs,
                     ROUND(mean_tokens, 6) AS mean_tokens,
                     ROUND(sd, 6) AS sd_tokens,
-                    ROUND(w / wtot, 6) AS share,
-                    CAST(ROUND($NeymanBudget * (w / wtot), 0) AS BIGINT) AS n_alloc
+                    CASE WHEN wtot > 0 THEN ROUND(w / wtot, 6) END AS share,
+                    CASE WHEN wtot > 0
+                         THEN CAST(ROUND($NeymanBudget * (w / wtot), 0) AS BIGINT)
+                    END AS n_alloc
              FROM w CROSS JOIN tot ORDER BY source"""))
+
+  /** Corpus-touching stage of [[goodTuring]] — the unigram count table,
+    * a plain keyed COUNT (linear, mergeable), factored out so structured
+    * streaming maintains it live (graft.streaming.StreamingQueries
+    * .streamingUnigramCounts — the knBigramCounts delegation pattern);
+    * the drained table replays the full frequency-of-frequencies report
+    * via [[goodTuringFrom]] bit-for-bit. State is vocab-bounded. */
+  private[graft] def unigramCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(Text.normTokens(col("text"))).as("token"))
+    .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** The count-of-counts report of [[goodTuring]] over a drained
+    * (token, c) table — everything downstream of the corpus. */
+  private[graft] def goodTuringFrom(countsRaw: DataFrame): DataFrame = {
+    // One vocab frame feeds the count-of-counts AND the total.
+    val counts = countsRaw.localCheckpoint(eager = true)
+    val cc = counts.groupBy("c").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(eager = true) // <= #distinct-count-values rows
+    val tot = counts.agg(sum("c").as("n_total"))
+    val next = cc.select((col("c") - 1L).as("c"), col("n_r").as("n_next"))
+    cc.join(broadcast(next), Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_r1"),
+        // (r+1)·N_{r+1} = total token mass of the (r+1)-count class
+        // <= N <= 2^63, and r·N_r <= N likewise — both products are
+        // wrap-free for ANY corpus a long can count, so no decimal
+        // widening is needed (unlike the cross-class products in knP).
+        when(col("n_next").isNotNull,
+          round(((col("c") + 1L) * col("n_next")).cast("double") / col("n_r"), 6))
+          .as("r_star"),
+        round((col("c") * col("n_r")).cast("double") / col("n_total"), 6)
+          .as("mass_frac"))
+      .orderBy("r").limit(20)
+  }
+
+  /** Good–Turing frequency-of-frequencies (Good 1953; the
+    * Gale & Sampson 1995 "simple Good–Turing" setup): for each observed
+    * count r, how many vocabulary types carry it (N_r), the Turing
+    * re-estimate r* = (r+1)·N_{r+1}/N_r, and the probability mass the
+    * class holds (r·N_r/N). The r = 1 row IS the missing-mass estimate
+    * (P₀ = N₁/N, its mass_frac) — the number that says how much of the
+    * next corpus shard will be unseen vocabulary, the companion
+    * smoothing evidence to [[kneserNey]]'s held-out discounting (KN's
+    * D = 0.75 approximates n₁/(n₁+2n₂) — readable off this table).
+    * Bottom-20 counts ascending: the sparse region where GT matters.
+    *
+    * Determinism: every statistic is a ratio of exact BIGINTs with ONE
+    * double division, then ROUND 6; r* is NULL when N_{r+1} = 0 (count
+    * gap) in both engines — never a smoothed fiction.
+    *
+    * 100 TB shape: ONE token-count shuffle (map-combined — the same
+    * vocab table [[tokenZipfCurve]] builds, streamed live as
+    * [[unigramCounts]]); count-of-counts collapses vocab to
+    * ≤ #distinct-count-values rows; the r+1 self-join and the total ride
+    * broadcasts of that tiny frame.
+    */
+  val goodTuring: CatalogEntry = CatalogEntry(
+    "token_good_turing",
+    (s, d) => goodTuringFrom(unigramCounts(documents(s, d))),
+    Some(s"""WITH counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                               SELECT unnest($normToksSql) AS token FROM documents)
+                             GROUP BY token),
+                  cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY c),
+                  tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts)
+             SELECT cc.c AS r, cc.n_r,
+                    COALESCE(n2.n_r, 0) AS n_r1,
+                    CASE WHEN n2.n_r IS NOT NULL
+                         THEN ROUND(CAST((cc.c + 1) * n2.n_r AS DOUBLE) / cc.n_r, 6)
+                    END AS r_star,
+                    ROUND(CAST(cc.c * cc.n_r AS DOUBLE) / n_total, 6) AS mass_frac
+             FROM cc LEFT JOIN cc n2 ON n2.c = cc.c + 1 CROSS JOIN tot
+             ORDER BY r LIMIT 20"""))
+
+  /** Corpus-touching stage of [[chao1Richness]] — the (source, token)
+    * count grid, a plain keyed COUNT (linear, mergeable), factored out
+    * so structured streaming maintains it live
+    * (graft.streaming.StreamingQueries.streamingSourceTokenCounts); the
+    * drained grid replays the per-source richness report via
+    * [[chao1From]] bit-for-bit. State is per-source-vocab-bounded. */
+  private[graft] def sourceTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(Text.normTokens(col("text"))).as("token"))
+    .groupBy("source", "token").agg(count(lit(1)).as("c"))
+
+  /** The source-sized richness report of [[chao1Richness]] over a
+    * drained (source, token, c) grid. */
+  private[graft] def chao1From(grid: DataFrame): DataFrame = grid
+    .groupBy("source")
+    .agg(sum("c").as("n_tokens"), count(lit(1)).as("v_obs"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    .select(col("source"), col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
+      // F1·(F1−1) in DECIMAL(38,0): hapax counts cross the 2^63 product
+      // envelope near F1 ≈ 3·10⁹ — routine for a crawl source at fleet
+      // scale (the same r16 envelope audit as doc_top_terms; exact
+      // product, one double division, bit-identical below 2^53).
+      round(col("v_obs") +
+        (col("f1").cast("decimal(38,0)") * (col("f1") - 1L)).cast("double")
+          / (lit(2L) * (col("f2") + 1L)), 6).as("chao1"),
+      // Good's sample-coverage estimate 1 − F1/n: every source in the
+      // grid has n_tokens >= 1 (empty-token docs never reach the
+      // explode), so the division is total.
+      round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+        .as("coverage"))
+    .orderBy("source")
+
+  /** Chao1 vocabulary-richness estimate per source (Chao 1984, the
+    * bias-corrected form; Good 1953 coverage): observed types V, hapax
+    * F₁ and doubleton F₂ counts, the nonparametric floor on TRUE
+    * vocabulary size chao1 = V + F₁(F₁−1)/(2(F₂+1)), and Good's
+    * coverage 1 − F₁/n — how much of the source's token mass its
+    * observed vocabulary already explains. The corpus-design readout:
+    * a source whose chao1 far exceeds V is under-sampled (more crawl
+    * budget surfaces genuinely new vocabulary); one whose coverage ≈ 1
+    * is exhausted — the quantitative form of the "diminishing returns
+    * per source" judgement [[neymanAllocation]] makes for VARIANCE and
+    * [[samplePerSource]] ignores entirely.
+    *
+    * Determinism: all five count columns are exact BIGINTs off ONE
+    * grid; the bias-corrected denominator 2(F₂+1) is never zero (why
+    * that form is chosen over the classic F₁²/2F₂); each estimate is
+    * one double division (+ one IEEE add) then ROUND 6.
+    *
+    * 100 TB shape: ONE (source, token) count shuffle (map-combined,
+    * streamed live as [[sourceTokenCounts]]), then a source-keyed
+    * rollup of that grid — nothing after the grid exceeds #sources
+    * rows.
+    */
+  val chao1Richness: CatalogEntry = CatalogEntry(
+    "source_chao1_richness",
+    (s, d) => chao1From(sourceTokenCounts(documents(s, d))),
+    Some(s"""WITH grid AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                             SELECT source, unnest($normToksSql) AS token FROM documents)
+                           GROUP BY source, token),
+                  agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                                 CAST(COUNT(*) AS BIGINT) AS v_obs,
+                                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+                          FROM grid GROUP BY source)
+             SELECT source, n_tokens, v_obs, f1, f2,
+                    ROUND(v_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 6) AS chao1,
+                    ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+             FROM agg ORDER BY source"""))
+
+  /** Corpus-touching stages of [[heapsCurve]] — the token
+    * first-occurrence frame (keyed MIN, linear and mergeable: min is
+    * the canonical streaming-safe order statistic) and, implicitly, the
+    * document-id set the rank stage orders (a keyed dedup — the
+    * exact-dedup state shape). Factored so structured streaming
+    * maintains the first-occurrence table live
+    * (graft.streaming.StreamingQueries.streamingFirstOccurrence) and
+    * the drained frame replays the curve via [[heapsFrom]]. */
+  private[graft] def firstOccurrence(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(Text.normTokens(col("text"))).as("token"))
+    .groupBy("token").agg(min("doc_id").as("first_doc"))
+
+  /** The grid stage of [[heapsCurve]] over a drained (token, first_doc)
+    * frame plus the document-id frame that defines prefix order. */
+  private[graft] def heapsFrom(docIds: DataFrame, fo: DataFrame): DataFrame = {
+    // Global doc rank WITHOUT a single-partition window — the house
+    // GlobalRank (range shuffle + zipWithIndex), corpus-scalable.
+    val ranked = graft.operators.GlobalRank.withRank(
+      docIds.select(col("doc_id")), Seq(col("doc_id").asc), 8, "drank")
+    // n_docs off the doc-id projection directly (a pruned column scan),
+    // NOT off `ranked` — the rank RDD's lineage is lazy and would
+    // re-execute the whole range shuffle for this one count.
+    val nd = docIds.agg(count(lit(1)).as("n_docs"))
+    // kmin = ceil(log2(first_rank)) WITHOUT libm: length(bin(r−1)) =
+    // floor(log2(r−1))+1 = ceil(log2(r)) for r ≥ 2 — pure integer/string
+    // ops, identical in both engines (the log-free device family).
+    val km = fo.join(ranked, col("first_doc") === ranked("doc_id"))
+      .select(when(col("drank") <= 1L, 0L)
+        .otherwise(length(expr("bin(drank - 1)")).cast("long")).as("kmin"))
+      .groupBy("kmin").agg(count(lit(1)).as("new_vocab"))
+      .localCheckpoint(eager = true) // <= 64 rows forever
+    val grid = km.agg(max("kmin").as("km"))
+      .select(explode(sequence(lit(0L), col("km"))).as("k"))
+    grid.join(broadcast(km), col("kmin") <= col("k"))
+      .groupBy("k").agg(sum("new_vocab").as("vocab"))
+      .crossJoin(broadcast(nd))
+      .select(col("k"),
+        least(expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"), col("n_docs"))
+          .as("n_docs_prefix"),
+        col("vocab"))
+      .orderBy("k")
+  }
+
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; Herdan 1960):
+    * distinct-vocabulary size after the first 2ᵏ documents (doc_id
+    * order), one row per power-of-two prefix — the dual of
+    * [[tokenZipfCurve]]'s rank-frequency points (the two laws are two
+    * views of one distribution) and the measurement behind every
+    * "vocabulary will grow like n^β" capacity claim a tokenizer or
+    * embedding-table budget rests on. A curve that flattens early says
+    * the corpus is template-flooded; one still steep at the last point
+    * says vocabulary (and [[chao1Richness]]'s unseen mass) keeps
+    * coming.
+    *
+    * Exactness device: a token counts toward prefix k iff its
+    * first-occurrence RANK ≤ 2ᵏ, i.e. iff ceil(log2(rank)) ≤ k — and
+    * ceil(log2(r)) = length(bin(r−1)) in pure integer/string ops (no
+    * libm), so the whole curve is exact-integer grid arithmetic: each
+    * token lands in one kmin bucket, the curve is the cumulative sum
+    * over ≤ 64 buckets.
+    *
+    * 100 TB shape: ONE (token → min doc_id) aggregate (map-combined
+    * keyed MIN — streams live as [[firstOccurrence]]); one GlobalRank
+    * range-shuffle over doc ids (never a global window); one vocab-sized
+    * equi-join of the two; everything after is ≤ 64 rows. */
+  val heapsCurve: CatalogEntry = CatalogEntry(
+    "token_heaps_curve",
+    (s, d) => {
+      val docs = documents(s, d)
+      heapsFrom(docs.select("doc_id"), firstOccurrence(docs))
+    },
+    Some(s"""WITH ranked AS (SELECT doc_id,
+                                    row_number() OVER (ORDER BY doc_id) AS drank
+                             FROM documents),
+                  fo AS (SELECT token, MIN(doc_id) AS first_doc FROM (
+                           SELECT doc_id, unnest($normToksSql) AS token FROM documents)
+                         GROUP BY token),
+                  km AS (SELECT CASE WHEN drank <= 1 THEN 0
+                                     ELSE length(bin(drank - 1)) END AS kmin,
+                                CAST(COUNT(*) AS BIGINT) AS new_vocab
+                         FROM fo JOIN ranked ON ranked.doc_id = fo.first_doc
+                         GROUP BY 1),
+                  nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+                  grid AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, 64) t(k)
+                           WHERE k <= (SELECT MAX(kmin) FROM km))
+             SELECT k,
+                    LEAST(CAST(1 AS BIGINT) << k, n_docs) AS n_docs_prefix,
+                    CAST(SUM(new_vocab) AS BIGINT) AS vocab
+             FROM grid JOIN km ON km.kmin <= grid.k CROSS JOIN nd
+             GROUP BY k, n_docs ORDER BY k"""))
 
   /** Distribution drift between the train and val splits: total-variation
     * distance between their unigram distributions, plus vocabulary sizes
@@ -1668,5 +2000,6 @@ object TrainPrepCatalog {
     samplePerSource, weightedSample, splitDivergence, sourceDivergence,
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
     phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget,
-    bootstrapCi, kneserNey, neymanAllocation)
+    bootstrapCi, kneserNey, neymanAllocation, goodTuring, chao1Richness,
+    heapsCurve)
 }

@@ -666,6 +666,88 @@ object StreamingQueries {
   def streamingKAnonCounts(events: DataFrame): DataFrame =
     graft.queries.PipelineCatalog.kAnonCounts(events)
 
+  /** Streaming sibling of `token_kneser_ney`'s corpus-touching stage —
+    * the (x, y) bigram COUNT (keyed, linear, mergeable) maintained live
+    * in update mode: the LM count table as a continuously-updated
+    * monitor. ONE definition shared with the batch entry
+    * (TrainPrepCatalog.knBigramCounts — the [[streamingBenfordCounts]]
+    * delegation pattern); the drained counts replay the full KN-smoothed
+    * top-20 report (TrainPrepCatalog.knFrom — a vocab-sized batch step)
+    * bit-for-bit after any arrival order/split (StreamingSpec pins it).
+    * State is one row per distinct bigram — vocab²-bounded, the same
+    * table the batch entry materializes.
+    */
+  def streamingKnBigramCounts(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.knBigramCounts(docs)
+
+  /** Streaming sibling of `doc_bootstrap_ci`'s corpus-touching stage —
+    * the per-replica (r, Σw·x, Σw) weighted SUMs of exact integers
+    * (keyed, linear, mergeable; the point-estimate moments ride the
+    * same frame as the r = −1 sentinel row), maintained live in update
+    * mode: the distributed Poisson bootstrap as a continuously-updated
+    * uncertainty monitor. ONE definition shared with the batch entry
+    * (TrainPrepCatalog.bootReplicaSums — the delegation pattern of
+    * [[streamingBenfordCounts]]); the drained ≤ R+1 rows replay the
+    * order-statistic interval report (TrainPrepCatalog.bootCiFrom)
+    * bit-for-bit after any arrival order/split (StreamingSpec pins it).
+    * State is ≤ R+1 rows — replica-bounded, never corpus-bounded.
+    */
+  def streamingBootReplicaSums(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.bootReplicaSums(docs)
+
+  /** Streaming sibling of the basket family's corpus-touching stage —
+    * per-order sorted part sets via a keyed collect_set (set union:
+    * linear, mergeable, arrival-order-free after the closing
+    * sort_array), maintained live in update mode: the market-basket
+    * model as a continuously-updated state. ONE definition shared with
+    * the batch entries (JoinCatalog.orderBaskets — the delegation
+    * pattern of [[streamingBenfordCounts]]); the drained (ok, pks)
+    * frame replays the pair statistics and the directional rule report
+    * (JoinCatalog.basketStatsFrom / assocRulesFrom) bit-for-bit after
+    * any arrival order/split (StreamingSpec pins it). State is one
+    * basket-sized set per order — order-bounded, never
+    * corpus-quadratic.
+    */
+  def streamingOrderBaskets(lineitem: DataFrame): DataFrame =
+    graft.queries.JoinCatalog.orderBaskets(lineitem)
+
+  /** Streaming sibling of `token_good_turing`'s corpus-touching stage —
+    * the unigram count table (keyed COUNT: linear, mergeable),
+    * maintained live in update mode: the vocabulary model as
+    * continuously-updated state. ONE definition shared with the batch
+    * entry (TrainPrepCatalog.unigramCounts — the
+    * [[streamingKnBigramCounts]] delegation pattern); the drained table
+    * replays the count-of-counts report (TrainPrepCatalog.goodTuringFrom)
+    * bit-for-bit after any arrival order/split (StreamingSpec pins it).
+    * State is vocab-bounded.
+    */
+  def streamingUnigramCounts(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.unigramCounts(docs)
+
+  /** Streaming sibling of `source_chao1_richness`'s corpus-touching
+    * stage — the (source, token) count grid (keyed COUNT: linear,
+    * mergeable), maintained live in update mode: per-source vocabulary
+    * saturation as a live crawl-budget monitor. ONE definition shared
+    * with the batch entry (TrainPrepCatalog.sourceTokenCounts); the
+    * drained grid replays the richness report
+    * (TrainPrepCatalog.chao1From) bit-for-bit (StreamingSpec pins it).
+    * State is per-source-vocab-bounded.
+    */
+  def streamingSourceTokenCounts(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.sourceTokenCounts(docs)
+
+  /** Streaming sibling of `token_heaps_curve`'s corpus-touching stage —
+    * the token first-occurrence frame (keyed MIN: linear, mergeable,
+    * the canonical streaming-safe order statistic), maintained live in
+    * update mode. ONE definition shared with the batch entry
+    * (TrainPrepCatalog.firstOccurrence); the drained frame plus the
+    * stream's document-id set replay the full vocabulary-growth curve
+    * (TrainPrepCatalog.heapsFrom — GlobalRank + grid, corpus-free)
+    * bit-for-bit (StreamingSpec pins it). State is vocab-bounded.
+    */
+  def streamingFirstOccurrence(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.firstOccurrence(docs)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

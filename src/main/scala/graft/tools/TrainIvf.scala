@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   * constants still match a fresh fit to 1e-4.
   */
 object TrainIvf {
+  /** The 4-decimal HALF_UP freeze applied to every committed centroid
+    * literal — ONE definition shared with KMeansSpec's drift test, so a
+    * future regeneration through this trainer provably lands on the
+    * same lattice the committed literals (and the oracles built against
+    * them) live on. */
+  def freeze(c: Array[Double]): Array[Double] =
+    c.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val ks = args.drop(1).headOption.map(_.split(",").map(_.trim.toInt).toSeq)
@@ -29,9 +37,7 @@ object TrainIvf {
       println(s"// KMeans.fit(sf0.01 embeddings, k=$k, iters=5) inertia=${model.inertia}")
       println("Seq(")
       model.centroids.foreach { case (cid, c) =>
-        val vals = c.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          .mkString(", ")
-        println(s"  $cid -> Array($vals),")
+        println(s"  $cid -> Array(${freeze(c).mkString(", ")}),")
       }
       println(")")
     }

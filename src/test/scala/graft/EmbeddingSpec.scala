@@ -573,15 +573,26 @@ class EmbeddingSpec extends AnyFunSuite {
   test("emb_kmeans_elbow: inertia falls with k, and a driver recount pins the k=2 row") {
     import spark.implicits._
     val got = run("emb_kmeans_elbow")
-      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
     val n = Tables.embeddings(spark, sf0001).count()
-    got.foreach { case (k, nv, cells, maxCell, inertia, meanD2) =>
+    got.foreach { case (k, nv, cells, maxCell, inertia, meanD2, scanFrac) =>
       assert(nv == n, s"k=$k: row count $nv != corpus $n")
       assert(cells >= 1 && cells <= k, s"k=$k: $cells cells")
       assert(maxCell <= nv && inertia >= 0, s"k=$k: $maxCell/$inertia")
       assert(math.abs(meanD2 - inertia.toDouble / (nv * 1e6)) < 1e-6)
+      // Σ|cell|²/n² bounds: at least 1/k (perfect balance), at most 1
+      // (one fat cell), and never below the max cell's own share².
+      assert(scanFrac >= 1.0 / k - 1e-6 && scanFrac <= 1.0 + 1e-9,
+        s"k=$k: scan_frac $scanFrac out of bounds")
+      assert(scanFrac >= math.pow(maxCell.toDouble / nv, 2) - 1e-6,
+        s"k=$k: scan_frac $scanFrac below the max cell's share^2")
     }
+    // More cells must shrink the in-cell pair bound (the production
+    // claim the column exists to audit): scan_frac non-increasing in k.
+    val fracs = got.map(_._7)
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"scan_frac not non-increasing in k: ${fracs.toSeq}")
     // The elbow must actually bend: more cells, less inertia.
     val inertias = got.map(_._5)
     assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
@@ -647,5 +658,39 @@ class EmbeddingSpec extends AnyFunSuite {
       val med = scored.map(_._2).sorted.apply(scored.length / 2)
       assert(scored.head._2 > med, s"label $label: no separation above the median")
     }
+  }
+
+  test("emb_rank_agreement: a driver-side Kendall recount replays every query; tau in [-1, 1]") {
+    def shortlist(name: String): Map[Long, Map[Long, Long]] =
+      run(name).select("query_id", "vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rows) =>
+          q -> rows.map(r => r._2 -> r._3).toMap
+        }
+    val a = shortlist("emb_knn_lsh")
+    val b = shortlist("emb_knn_ivf_kmeans")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = a.keySet.intersect(b.keySet).toSeq.sorted.flatMap { q =>
+      val common = a(q).keySet.intersect(b(q).keySet).toSeq.sorted
+      if (common.isEmpty) None else {
+        val pairs = for {
+          i <- common.indices; j <- (i + 1) until common.length
+        } yield (a(q)(common(i)) - a(q)(common(j))) * (b(q)(common(i)) - b(q)(common(j)))
+        val (c, d) = (pairs.count(_ > 0).toLong, pairs.count(_ < 0).toLong)
+        val m = common.length.toLong
+        Some((q, m, c, d,
+          if (m >= 2) Some(r6((c - d).toDouble / (m * (m - 1) / 2))) else None))
+      }
+    }
+    assert(want.nonEmpty, "vacuous: the two retrievers share no candidates")
+    val got = run("emb_rank_agreement").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"Kendall recount diverged\n got=$got\nwant=$want")
+    got.flatMap(_._5).foreach(t => assert(t >= -1.0 && t <= 1.0, s"tau $t out of range"))
+    // The fused-index premise: agreement must not be total everywhere
+    // (if both indexes always rank identically, fusing them adds nothing).
+    assert(got.flatMap(_._5).exists(_ < 1.0) || got.exists(_._2 <= 1),
+      "retrievers agree perfectly everywhere — fusion premise violated")
   }
 }

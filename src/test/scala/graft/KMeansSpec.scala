@@ -57,4 +57,44 @@ class KMeansSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("every frozen model reproduces through TrainIvf's committed freeze (drift test)") {
+    // r16 verdict #6: four frozen quantizers now exist as literals; a
+    // future regeneration must not silently diverge from the lattice the
+    // oracles were built against. Two checks per model, via the ONE
+    // freeze definition the trainer itself prints literals through
+    // (TrainIvf.freeze — shared, so a rounding-convention change in the
+    // trainer trips here):
+    // (1) idempotence — every committed literal is already ON the
+    //     4-decimal freeze lattice (freeze(frozen) == frozen exactly);
+    //     a regenerated file produced under a different scale or
+    //     rounding mode cannot silently satisfy this;
+    // (2) regeneration — freeze(fresh fit) lands on the committed value
+    //     or its immediate lattice neighbour at every element (fresh
+    //     coordinates carry up to ~1e-4 of rounding + partition-merge
+    //     jitter, which spans at most one 1e-4 lattice step — a real
+    //     trainer/seed/corpus drift moves coordinates by much more).
+    import graft.tools.TrainIvf.freeze
+    val models = Seq(
+      2 -> graft.queries.IvfCentroids.kmeans2,
+      4 -> graft.queries.IvfCentroids.kmeans4,
+      8 -> graft.queries.IvfCentroids.kmeans8,
+      16 -> graft.queries.IvfCentroids.kmeans16)
+    for ((k, frozen) <- models) {
+      frozen.foreach { case (cid, c) =>
+        assert(freeze(c).sameElements(c),
+          s"k=$k cid $cid: committed literal is off the freeze lattice")
+      }
+      val fresh = KMeans.fit(Tables.embeddings(spark, "/root/testdata/sf0.01"),
+        "embedding", "vec_id", k = k, iters = 5, dim = 64)
+      fresh.centroids.zip(frozen).foreach { case ((i1, a), (i2, b)) =>
+        assert(i1 == i2)
+        freeze(a).zip(b).foreach { case (fa, fb) =>
+          assert(math.abs(fa - fb) <= 1.0000001e-4,
+            s"k=$k cid $i1: regenerated literal $fa is not the committed " +
+              s"$fb or its lattice neighbour")
+        }
+      }
+    }
+  }
 }

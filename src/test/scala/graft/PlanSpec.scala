@@ -1109,8 +1109,13 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bootstrap_ci: bounded-heap aggregate gone\n$p")
     assert(p.contains("Scan ExistingRDD"),
       s"doc_bootstrap_ci: replica frame no longer checkpoint-truncated\n$p")
-    assert(countOf(p, "FileScan parquet") == 1,
-      s"doc_bootstrap_ci: only the point-estimate pass may rescan the corpus\n$p")
+    // r17: the point estimate rides the sentinel r = -1 row of the SAME
+    // replica frame (bootReplicaSums), so the executed plan reads the
+    // corpus ZERO times — the one real scan happened inside the eager
+    // checkpoint; a parquet scan reappearing here means the entry
+    // regressed to a second corpus pass.
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"doc_bootstrap_ci: a corpus rescan crept back in\n$p")
   }
 
   test("round-16b: emb_kmeans_elbow prices four models in ONE corpus scan, no joins") {
@@ -1194,5 +1199,68 @@ class PlanSpec extends AnyFunSuite {
       s"doc_boilerplate_ngrams: corpus-sized join strategy crept in\n$p")
     assert(countOf(p, "FileScan parquet") <= 2,
       s"doc_boilerplate_ngrams: more than the DF + docs scans\n$p")
+  }
+
+  test("round-17: token_good_turing runs entirely off the checkpointed vocab table") {
+    // The one corpus pass happened inside the eager checkpoint of the
+    // unigram counts; count-of-counts, the r+1 self-join, and the total
+    // are all tiny-frame broadcasts — no parquet rescan, no corpus sort
+    // (the bottom-20 is a TakeOrdered).
+    val p = plan("token_good_turing")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"token_good_turing: a corpus rescan crept in\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"token_good_turing: bottom-20 no longer a bounded TakeOrdered\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"token_good_turing: undeclared cartesian\n$p")
+  }
+
+  test("round-17: source_chao1_richness is one corpus scan and two keyed shuffles") {
+    // (source, token) grid map-combined off one explode, then a
+    // source-keyed rollup of the grid — no joins anywhere.
+    val p = plan("source_chao1_richness")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"source_chao1_richness: more than one corpus scan\n$p")
+    assert(!p.contains("Join"), s"source_chao1_richness: a join crept in\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"source_chao1_richness: more than the grid + source shuffles\n$p")
+  }
+
+  test("round-17: token_heaps_curve never global-windows and rescans only the doc-id projection") {
+    // Doc ranks ride GlobalRank (range shuffle + zipWithIndex -> RDD
+    // scan), the kmin histogram is checkpoint-truncated (<= 64 rows),
+    // and n_docs is a pruned doc_id column count — so the executed plan
+    // holds exactly ONE parquet scan and no Window at all.
+    val p = plan("token_heaps_curve")
+    assert(!p.contains("Window"),
+      s"token_heaps_curve: a window replaced GlobalRank\n$p")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"token_heaps_curve: expected only the n_docs count scan\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"token_heaps_curve: kmin histogram no longer checkpoint-truncated\n$p")
+  }
+
+  test("round-17: events_page_hinkley is the dailyCents aggregate plus a series-sized fold") {
+    // Same shape pin as events_holt_trend: one corpus scan into the
+    // map-combined (type, day) lattice; the sequential fold is a
+    // projection over the per-type array — no joins, no windows.
+    val p = plan("events_page_hinkley")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"events_page_hinkley: more than one corpus scan\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"events_page_hinkley: join/window crept into the fold\n$p")
+  }
+
+  test("round-17: emb_rank_agreement runs entirely off the checkpointed overlap frame") {
+    // Both member shortlists executed inside the eager checkpoint; the
+    // pair stage self-joins the <= K-per-query common frame on the
+    // query key — no parquet rescan, no cartesian.
+    val p = plan("emb_rank_agreement")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"emb_rank_agreement: a corpus rescan crept in\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"emb_rank_agreement: pair stage degenerated to a cartesian\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"emb_rank_agreement: overlap frame no longer checkpoint-truncated\n$p")
   }
 }

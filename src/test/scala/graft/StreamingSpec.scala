@@ -1700,4 +1700,245 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want, "streamed weighted sample diverges from the batch entry")
     } finally q.stop()
   }
+
+  test("streamed KN bigram counts replay the smoothed top-20 bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // token_kneser_ney's ONLY corpus-touching stage is the (x, y)
+    // bigram count — a plain keyed COUNT maintained live in update
+    // mode. Stream the corpus in two bursts, drain the count table,
+    // replay the vocab-sized smoothing + ranking stage (knFrom) on the
+    // drained frame: equal to the batch entry, ties and ROUND 6
+    // included.
+    val want = SparkEntry.queries("token_kneser_ney")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(want.nonEmpty, "vacuous: no KN rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"kn-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (x, y)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingKnBigramCounts(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cnt = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("x", "y", "c_ab")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.knFrom(cnt)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(got == want, "streamed KN report diverges from the batch entry")
+  }
+
+  test("streamed bootstrap replica sums replay the interval bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // doc_bootstrap_ci's ONLY corpus-touching stage is the per-replica
+    // (r, Σw·x, Σw) weighted-sum frame (point estimate riding the
+    // r = -1 sentinel row) — plain keyed SUMs of exact integers
+    // maintained live in update mode. Stream the corpus in two bursts,
+    // drain the ≤ R+1 rows, replay the order-statistic interval
+    // (bootCiFrom) on the drained frame: equal to the batch entry.
+    val want = SparkEntry.queries("doc_bootstrap_ci")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no bootstrap row at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"boot-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = r
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingBootReplicaSums(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sums = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("r", "swx", "sw")
+    Sinks.clear(sinkId)
+    assert(sums.count() == graft.queries.TrainPrepCatalog.BootR + 1,
+      "drained replica frame must hold R replicas plus the sentinel row")
+    val got = graft.queries.TrainPrepCatalog.bootCiFrom(sums)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed bootstrap CI diverges from the batch entry")
+  }
+
+  test("streamed order baskets replay the association rules bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // The basket family's ONLY corpus-touching stage is the per-order
+    // collect_set (set union: linear, mergeable; sort_array makes the
+    // drained value arrival-order-free). Stream the lineitems in two
+    // bursts split MID-ORDER, drain the baskets, replay the pair
+    // statistics + directional rules on the drained frame: equal to
+    // the batch lineitem_assoc_rules entry.
+    val want = SparkEntry.queries("lineitem_assoc_rules")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no association rules at sf0.001")
+    val rows = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().sortBy(identity).toSeq
+    // Split at an odd offset so at least one order's basket is built
+    // across the two bursts (the merge path, not just the insert path).
+    val (b1, b2) = rows.splitAt(rows.size / 2 + 1)
+    val sinkId = s"bask-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = ok
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = StreamingQueries.streamingOrderBaskets(
+        input.toDF().toDF("l_orderkey", "l_partkey"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val baskets = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toDF("ok", "pks")
+    Sinks.clear(sinkId)
+    val got = graft.queries.JoinCatalog.assocRulesFrom(
+        graft.queries.JoinCatalog.basketStatsFrom(baskets))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed basket rules diverge from the batch entry")
+  }
+
+  test("streamed unigram counts replay the Good-Turing table bit-for-bit") {
+    // token_good_turing's ONLY corpus-touching stage is the unigram
+    // count table — a plain keyed COUNT maintained live in update mode;
+    // the count-of-counts report (goodTuringFrom) is tiny batch work
+    // over the drained state.
+    val want = SparkEntry.queries("token_good_turing")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(want.nonEmpty, "vacuous: no Good-Turing rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"gt-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = token
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingUnigramCounts(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cnt = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1))).toDF("token", "c")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.goodTuringFrom(cnt)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(got == want, "streamed Good-Turing table diverges from the batch entry")
+  }
+
+  test("streamed (source, token) grid replays the Chao1 richness report bit-for-bit") {
+    val want = SparkEntry.queries("source_chao1_richness")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no Chao1 rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").as[(String, String)].collect().sortBy(_._2).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"ch-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (source, token)
+    val input = MemoryStream[(String, String)](spark)
+    val q = StreamingQueries.streamingSourceTokenCounts(
+        input.toDF().toDF("source", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val grid = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("source", "token", "c")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.chao1From(grid)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed Chao1 report diverges from the batch entry")
+  }
+
+  test("streamed first-occurrence state replays the Heaps curve bit-for-bit") {
+    // token_heaps_curve has TWO corpus-touching aggregates, both
+    // streaming-safe keyed state: the (token -> min doc_id)
+    // first-occurrence frame (keyed MIN) and the document-id set the
+    // rank stage orders (keyed dedup). Stream both over the same bursts
+    // (split MID-DOCUMENT set so min-merge across batches is exercised),
+    // then replay the GlobalRank + grid stage on the drained frames.
+    val want = SparkEntry.queries("token_heaps_curve")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(want.nonEmpty, "vacuous: no Heaps points at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      // Reverse doc order across bursts: high doc_ids arrive FIRST, so
+      // the keyed MIN state must be overwritten by later burst arrivals
+      // (the merge path, not just inserts).
+      .sortBy(-_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"hp-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = token
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingFirstOccurrence(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fo = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1))).toDF("token", "first_doc")
+    Sinks.clear(sinkId)
+    val docIds = rows.map(_._1).toDF("doc_id")
+    val got = graft.queries.TrainPrepCatalog.heapsFrom(docIds, fo)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(got == want, "streamed Heaps curve diverges from the batch entry")
+  }
+
+  test("streamed daily-cents state replays the Page-Hinkley fold bit-for-bit") {
+    // events_page_hinkley's only corpus-touching stage is the SAME
+    // (type, day) cents lattice the Holt/peaks/correlation siblings
+    // stream; the PH fold (pageHinkleyFrom) is series-sized batch work
+    // over the drained state.
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineCatalog
+    val want = SparkEntry.queries("events_page_hinkley")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no Page-Hinkley rows at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[Ev](spark)
+    val qn = s"ph_${System.nanoTime()}"
+    val q = PipelineCatalog.dailyCents(input.toDF().toDF(eventCols: _*))
+      .writeStream.queryName(qn).outputMode("complete").format("memory").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val daily = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("event_type", "day", "c")
+      val got = PipelineCatalog.pageHinkleyFrom(daily)
+        .collect().map(_.toSeq.toList).toSet
+      assert(got == want, "streamed Page-Hinkley diverges from the batch entry")
+    } finally q.stop()
+  }
 }

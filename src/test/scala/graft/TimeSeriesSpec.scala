@@ -51,6 +51,52 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"constant series should be fully predictable: ${row.head}")
   }
 
+  test("events_page_hinkley: a plain-Scala PH fold replays every output bit-for-bit") {
+    // Same device as the Holt replay: the identical IEEE op sequence in
+    // driver-side Scala, with the u-update expression repeated verbatim
+    // in the min/excursion updates exactly as the in-plan fold and the
+    // oracle's recursive CTE repeat it.
+    val daily = graft.queries.PipelineCatalog
+      .dailyCents(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).collect { case (tpe, rows) if rows.length >= 2 =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var t = 1L; var s = ys.head; var u = 0.0; var minu = 0.0; var exc = 0.0
+      ys.tail.foreach { y =>
+        val uNew = u + (y - (s + y) / (t + 1))
+        val minuNew = math.min(minu, u + (y - (s + y) / (t + 1)))
+        val excNew = math.max(exc, u + (y - (s + y) / (t + 1)) - minu)
+        t += 1; s += y; u = uNew; minu = minuNew; exc = excNew
+      }
+      (tpe, ys.length.toLong, r6(u / 10000.0), r6(minu / 10000.0),
+        r6(exc / 10000.0))
+    }.toSet
+    assert(want.nonEmpty, "vacuous: no series at sf0.001")
+    val got = SparkEntry.queries("events_page_hinkley")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want, s"PH fold diverged\n got=$got\nwant=$want")
+  }
+
+  test("events_page_hinkley: constant series sits at zero; a level shift raises the excursion") {
+    import spark.implicits._
+    val flat = Seq(("a", 1L, 50000L), ("a", 2L, 50000L), ("a", 3L, 50000L),
+      ("a", 4L, 50000L)).toDF("event_type", "day", "c")
+    val f = graft.queries.PipelineCatalog.pageHinkleyFrom(flat).collect().head
+    assert(f.getDouble(2) == 0.0 && f.getDouble(3) == 0.0 && f.getDouble(4) == 0.0,
+      s"constant series must carry zero PH statistic: $f")
+    // Regime shift: flat at 1.0 then flat at 9.0 — u climbs away from
+    // its minimum through the second regime, so the excursion is
+    // strictly positive and the final statistic sits above the minimum.
+    val shift = ((1L to 6L).map(d => ("a", d, 10000L)) ++
+      (7L to 12L).map(d => ("a", d, 90000L))).toDF("event_type", "day", "c")
+    val g = graft.queries.PipelineCatalog.pageHinkleyFrom(shift).collect().head
+    assert(g.getDouble(4) > 1.0,
+      s"level shift must produce a material excursion: $g")
+    assert(g.getDouble(2) > g.getDouble(3),
+      s"post-shift statistic must sit above its running minimum: $g")
+  }
+
   test("user_session_gap_sweep: driver-side sessionizer replays every sweep row; monotone in gap") {
     val events = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))

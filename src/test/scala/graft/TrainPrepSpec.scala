@@ -571,4 +571,83 @@ class TrainPrepSpec extends AnyFunSuite {
     // Shares are a distribution.
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-3)
   }
+
+  test("token_good_turing: a plain-Scala count-of-counts replays the table; mass law holds") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf0001).select("text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+    val counts = toks.groupBy(identity).map { case (_, v) => v.size.toLong }.toSeq
+    val cc = counts.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    val n = counts.sum
+    // Conservation: Σ_r r·N_r recovers the token total exactly.
+    assert(cc.map { case (r, nr) => r * nr }.sum == n)
+    val want = cc.toSeq.sortBy(_._1).take(20).map { case (r, nr) =>
+      val nr1 = cc.getOrElse(r + 1, 0L)
+      (r, nr, nr1,
+        if (cc.contains(r + 1)) Some(r6(((r + 1) * nr1).toDouble / nr)) else None,
+        r6((r * nr).toDouble / n))
+    }
+    val got = run("token_good_turing").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).toSeq
+    assert(got == want, s"Good-Turing replay diverged\n got=$got\nwant=$want")
+    // The r = 1 row's mass_frac IS the missing-mass estimate N1/N.
+    got.find(_._1 == 1L).foreach { row =>
+      assert(row._5 == r6(cc(1L).toDouble / n), "P0 row inconsistent")
+    }
+  }
+
+  test("source_chao1_richness: one-source recount matches; estimator laws hold corpus-wide") {
+    import spark.implicits._
+    val got = run("source_chao1_richness").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, v, f1, f2, chao1, cov) =>
+      assert(chao1 >= v - 1e-9, s"$src: chao1 $chao1 below observed $v")
+      assert(f1 + f2 <= v && f1 + 2 * f2 <= n, s"$src: class masses inconsistent")
+      assert(cov >= -1e-9 && cov <= 1.0 + 1e-9, s"$src: coverage $cov out of range")
+    }
+    val src = got.head._1
+    val counts = Tables.documents(spark, sf0001)
+      .filter(col("source") === src).select("text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (_, v) => v.size.toLong }.toSeq
+    val (n, v) = (counts.sum, counts.size.toLong)
+    val f1 = counts.count(_ == 1L).toLong
+    val f2 = counts.count(_ == 2L).toLong
+    val want = (src, n, v, f1, f2,
+      r6(v + (f1 * (f1 - 1)).toDouble / (2 * (f2 + 1))),
+      r6(1.0 - f1.toDouble / n))
+    assert(got.head == want, s"Chao1 recount diverged: ${got.head} vs $want")
+  }
+
+  test("token_heaps_curve: a driver-side prefix sweep recounts every grid point") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val n = docs.length.toLong
+    // First-occurrence rank per token, then the kmin histogram — the
+    // entry's own integer device, recomputed independently.
+    val firstRank = scala.collection.mutable.Map.empty[String, Long]
+    docs.zipWithIndex.foreach { case ((_, text), i) =>
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        if (!firstRank.contains(t)) firstRank(t) = i + 1L
+      }
+    }
+    def kmin(r: Long): Long =
+      if (r <= 1L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(r - 1L)
+    val km = firstRank.values.groupBy(kmin).map { case (k, v) => k -> v.size.toLong }
+    val want = (0L to km.keys.max).map { k =>
+      (k, math.min(1L << k, n),
+        km.filter(_._1 <= k).values.sum)
+    }.toSeq
+    val got = run("token_heaps_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"Heaps sweep diverged\n got=$got\nwant=$want")
+    // Vocabulary growth is monotone and ends at the full vocab size.
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._3 == firstRank.size.toLong)
+  }
 }
