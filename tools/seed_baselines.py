@@ -52,6 +52,28 @@ import subprocess
 import sys
 
 NOTES = {
+    "topn_per_key":
+        "r16 driver-run x2.36 flag: probe_flags isolated min-of-5 "
+        "REPRODUCED x2.27 (0.627s @ cal 0.616) and a second isolated "
+        "probe read 0.68s -- but adjudicated HOST MEMORY-BANDWIDTH "
+        "WINDOW, not code (r17): a 5-entry run minutes earlier (cal_mem "
+        "0.07, the record regime) read 0.294s = x1.21 IN BAND, and the "
+        "decisive control is a 2-entry run during the slow window "
+        "(cal_mem 0.148, 2.4x the record era's ~0.06) where the "
+        "untouched no-flag-history sibling taxi_ride_count co-inflated "
+        "x2.8 alongside -- the r12 class where co-tenant pressure lands "
+        "on DRAM bandwidth, scan-bound micro-entries inflate 2-3x, and "
+        "ALU-bound cal_32t under-corrects. Entry code untouched since "
+        "r15; record re-seeded r17 under the current regime",
+    "taxi_ride_count":
+        "read x2.8 in the same r17 bandwidth-contended control window "
+        "that adjudicated topn_per_key (cal_mem 0.148); in-band in every "
+        "normal-regime run of the same session",
+    "emb_intrinsic_dim":
+        "r16 driver-run x1.51 flag cleared (r17, tools/probe_flags.py): "
+        "isolated min-of-5 1.237s @ cal 0.574 = x0.50 of median_norm, "
+        "deep in-band; the 3-run r16 record was seeded from one host "
+        "window and reads conservative if anything; host noise",
     "emb_kmeans_elbow":
         "r16 canonical-run x1.74 flag reproduced isolated (0.520s @ cal "
         "0.468 = x1.85) minutes after the seed runs measured 0.206s on "
