@@ -1270,6 +1270,81 @@ object PipelineCatalog {
                     ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_session_events
              FROM per GROUP BY gap_s ORDER BY gap_s"""))
 
+  /** Discrete hazard curve of inter-event gaps (Kaplan–Meier's
+    * complement in bucketed form; Kleinbaum & Klein 2012 ch. 2):
+    * per power-of-two-seconds bucket b, the probability a user who has
+    * been idle INTO the bucket returns within it —
+    * h(b) = n_b / Σ_{j≥b} n_j. The curve is what prices the
+    * sessionizer's gap knob ([[sessionGapSweep]] prices its OUTPUT;
+    * this prices the assumption underneath): the session boundary
+    * belongs where the hazard has flattened — past the cliff, waiting
+    * longer barely changes the return probability. The companion to
+    * `user_survival_km`'s per-user view, aggregated corpus-wide.
+    *
+    * Exactness device: buckets are ceil-log2 WITHOUT libm —
+    * bucket(δ) = length(bin(δ)) for δ ≥ 1 (δ = 0 → bucket 0), the
+    * token_heaps_curve integer/string device — so the whole curve is
+    * exact-integer until one ROUND 6 division per bucket; bucket
+    * bounds are exact shifts.
+    *
+    * 100 TB shape: gaps come from ONE user-partitioned lag window (the
+    * [[sessionGapSweep]] pass — never a global window); buckets
+    * map-combine to ≤ ~40 rows; the at-risk tail sum is a triangular
+    * join on that checkpoint-truncated frame. The live form of the
+    * underlying boundary decision is the session_window family
+    * (graft.streaming.StreamingQueries.sessionsByUser); the hazard
+    * curve itself is the offline instrument that sets that knob.
+    */
+  private[graft] def gapBuckets(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+      .withColumn("delta", col("tss") - lag("tss", 1).over(wl))
+      .filter(col("delta").isNotNull)
+      .select(when(col("delta") <= 0L, 0L)
+        .otherwise(length(expr("bin(delta)")).cast("long")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_gaps"))
+  }
+
+  /** The ≤ ~40-row hazard report over a drained (b, n_gaps) frame. */
+  private[graft] def hazardFrom(bucketsRaw: DataFrame): DataFrame = {
+    val b = bucketsRaw.localCheckpoint(eager = true)
+    b.as("a").join(broadcast(b.as("c")), col("c.b") >= col("a.b"))
+      .groupBy(col("a.b").as("b"), col("a.n_gaps").as("n_gaps"))
+      .agg(sum(col("c.n_gaps")).as("at_risk"))
+      .select(col("b"),
+        when(col("b") === 0L, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(b - 1 AS INT))"))
+          .as("gap_lo_s"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))") - 1L).as("gap_hi_s"),
+        col("n_gaps"), col("at_risk"),
+        round(col("n_gaps").cast("double") / col("at_risk"), 6).as("hazard"))
+      .orderBy("b")
+  }
+
+  val gapHazard: CatalogEntry = CatalogEntry(
+    "user_gap_hazard",
+    (s, d) => hazardFrom(gapBuckets(Tables.events(s, d))),
+    Some(raw"""WITH base AS (SELECT user_id, event_id,
+                                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss
+                             FROM events),
+                    del AS (SELECT tss - lag(tss) OVER (PARTITION BY user_id
+                                     ORDER BY tss, event_id) AS delta
+                            FROM base),
+                    bk AS (SELECT CASE WHEN delta <= 0 THEN 0
+                                       ELSE length(bin(delta)) END AS b,
+                                  CAST(COUNT(*) AS BIGINT) AS n_gaps
+                           FROM del WHERE delta IS NOT NULL GROUP BY 1)
+               SELECT CAST(a.b AS BIGINT) AS b,
+                      CAST(CASE WHEN a.b = 0 THEN 0
+                                ELSE CAST(1 AS BIGINT) << (a.b - 1) END AS BIGINT) AS gap_lo_s,
+                      (CAST(1 AS BIGINT) << a.b) - 1 AS gap_hi_s,
+                      a.n_gaps, CAST(SUM(c.n_gaps) AS BIGINT) AS at_risk,
+                      ROUND(CAST(a.n_gaps AS DOUBLE) / SUM(c.n_gaps), 6) AS hazard
+               FROM bk a JOIN bk c ON c.b >= a.b
+               GROUP BY a.b, a.n_gaps ORDER BY a.b"""))
+
   /** The composite cleaning pipeline — the engine's pieces chained the
     * way a training-data pipeline actually runs them:
     *
@@ -3332,7 +3407,7 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
-      tokenCount, langId, fingerprint, boilerplateNgrams, userSessions, sessionGapSweep, cleanCorpus, trainPrep,
+      tokenCount, langId, fingerprint, boilerplateNgrams, userSessions, sessionGapSweep, gapHazard, cleanCorpus, trainPrep,
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsValueDeciles,
       eventsResample,
       eventsProfile, eventsJsonKv,

@@ -1121,6 +1121,122 @@ object TrainPrepCatalog {
              FROM grid JOIN km ON km.kmin <= grid.k CROSS JOIN nd
              GROUP BY k, n_docs ORDER BY k"""))
 
+  /** Corpus-touching stage of [[tokenBurstiness]] — the (doc, token)
+    * count grid, a plain keyed COUNT (linear, mergeable), factored out
+    * so structured streaming maintains it live
+    * (graft.streaming.StreamingQueries.streamingDocTokenCounts); the
+    * drained grid replays the adaptation report via [[burstinessFrom]]
+    * bit-for-bit. State is one row per occupied (doc, token) cell. */
+  private[graft] def docTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(Text.normTokens(col("text"))).as("token"))
+    .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+
+  /** The vocab-sized adaptation report of [[tokenBurstiness]] over a
+    * drained (doc_id, token, c) grid. */
+  private[graft] def burstinessFrom(grid: DataFrame): DataFrame = grid
+    .groupBy("token")
+    .agg(sum("c").as("tf"), count(lit(1)).as("df1"),
+      sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("df2"))
+    .filter(col("df1") >= 5L)
+    .select(col("token"), col("tf"), col("df1"), col("df2"),
+      round(col("df2").cast("double") / col("df1"), 6).as("adapt"))
+    .orderBy(desc("adapt"), asc("token")).limit(20)
+
+  /** Word burstiness via Church & Gale's adaptation statistic (Church
+    * 2000, "Empirical Estimates of Adaptation: The chance of Two
+    * Noriegas is closer to p/2 than p²"): per token, the probability a
+    * document that mentions it once mentions it AGAIN —
+    * adapt = df₂/df₁ (docs with ≥ 2 occurrences over docs with ≥ 1).
+    * Content words adapt (a doc about Noriega repeats "noriega");
+    * function words don't — so the top-20 by adaptation is a
+    * STOPWORD-FREE topical-term extractor with zero frequency cutoffs,
+    * and a token whose adapt is near 1 across a whole SOURCE marks
+    * boilerplate repetition ([[graft.queries.PipelineCatalog]]'s
+    * `doc_repetition` measures the same pathology within one doc).
+    * Support floor df₁ ≥ 5 kills hapax noise.
+    *
+    * Determinism: all three stats are exact BIGINTs off ONE grid; adapt
+    * is one double division, ROUND 6; ties break on the token.
+    *
+    * 100 TB shape: ONE (doc, token) count shuffle (map-combined,
+    * streamed live as [[docTokenCounts]] — the same grid
+    * `doc_top_terms`' tf stage builds), then a token-keyed rollup;
+    * the top-20 is a TakeOrdered.
+    */
+  val tokenBurstiness: CatalogEntry = CatalogEntry(
+    "token_burstiness",
+    (s, d) => burstinessFrom(docTokenCounts(documents(s, d))),
+    Some(s"""WITH grid AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                             SELECT doc_id, unnest($normToksSql) AS token FROM documents)
+                           GROUP BY 1, 2),
+                  t AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tf,
+                               CAST(COUNT(*) AS BIGINT) AS df1,
+                               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                        FROM grid GROUP BY token)
+             SELECT token, tf, df1, df2,
+                    ROUND(CAST(df2 AS DOUBLE) / df1, 6) AS adapt
+             FROM t WHERE df1 >= 5
+             ORDER BY adapt DESC, token LIMIT 20"""))
+
+  /** Per-source Gini concentration of document token counts (Gini 1912,
+    * rank form; Dorfman 1979) — length inequality as a data-quality
+    * signal: a template-flooded source has NEAR-UNIFORM lengths (Gini
+    * → 0) while an organic crawl mixes tweets and treatises (high
+    * Gini), so the coefficient flags both pathologies the mean hides.
+    * G = (2·Σ r·xᵣ)/(n·Σx) − (n+1)/n over docs ranked by (length,
+    * doc_id) WITHIN their source.
+    *
+    * Determinism: ranks are a source-partitioned window (never global);
+    * rank ties share equal x so Σ r·x is tie-order invariant; Σ r·x
+    * rides DECIMAL(38,0) (r·x crosses 2⁶³ once a source holds ~3·10⁹
+    * docs — the fleet envelope again); the Gini is ONE fixed IEEE
+    * expression of exact integers, ROUND 6. Null-length docs (null
+    * text) are excluded before ranking in BOTH engines — Spark orders
+    * nulls first, DuckDB last, so leaving them in would shift every
+    * rank. All-empty sources (Σx = 0) emit no row (0/0 is NaN in Spark
+    * but NULL in DuckDB).
+    *
+    * 100 TB shape: one pruned projection, one source-partitioned window
+    * (the skew ceiling is the largest source — the standard shape), one
+    * source-keyed rollup.
+    */
+  val sourceGini: CatalogEntry = CatalogEntry(
+    "source_gini_length",
+    (s, d) => {
+      val dec38 = "decimal(38,0)"
+      val lens = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+        .filter(col("x").isNotNull)
+      val w = Window.partitionBy("source").orderBy(col("x"), col("doc_id"))
+      lens.withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("x").as("total_tokens"),
+          sum(col("r").cast(dec38) * col("x")).as("srx"))
+        .filter(col("total_tokens") > 0L)
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(lit(2.0) * col("srx").cast("double")
+            / (col("n_docs").cast(dec38) * col("total_tokens")).cast("double")
+            - (col("n_docs") + 1L).cast("double") / col("n_docs"), 6).as("gini"))
+        .orderBy("source")
+    },
+    Some(s"""WITH lens AS (SELECT source, doc_id,
+                                  CAST(len($toksSql) AS BIGINT) AS x
+                           FROM documents
+                           WHERE len($toksSql) IS NOT NULL),
+                  ranked AS (SELECT source, x,
+                                    row_number() OVER (PARTITION BY source
+                                      ORDER BY x, doc_id) AS r
+                             FROM lens),
+                  agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                                 CAST(SUM(x) AS BIGINT) AS total_tokens,
+                                 SUM(r * x) AS srx
+                          FROM ranked GROUP BY source)
+             SELECT source, n_docs, total_tokens,
+                    ROUND(2.0 * CAST(srx AS DOUBLE) / CAST(n_docs * total_tokens AS DOUBLE)
+                          - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) AS gini
+             FROM agg WHERE total_tokens > 0 ORDER BY source"""))
+
   /** Distribution drift between the train and val splits: total-variation
     * distance between their unigram distributions, plus vocabulary sizes
     * and overlap — the check that a hash split didn't skew token
@@ -2001,5 +2117,5 @@ object TrainPrepCatalog {
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
     phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget,
     bootstrapCi, kneserNey, neymanAllocation, goodTuring, chao1Richness,
-    heapsCurve)
+    heapsCurve, tokenBurstiness, sourceGini)
 }

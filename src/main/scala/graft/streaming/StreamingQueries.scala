@@ -748,6 +748,17 @@ object StreamingQueries {
   def streamingFirstOccurrence(docs: DataFrame): DataFrame =
     graft.queries.TrainPrepCatalog.firstOccurrence(docs)
 
+  /** Streaming sibling of `token_burstiness`'s corpus-touching stage —
+    * the (doc, token) count grid (keyed COUNT: linear, mergeable),
+    * maintained live in update mode. ONE definition shared with the
+    * batch entry (TrainPrepCatalog.docTokenCounts); the drained grid
+    * replays the Church-adaptation report
+    * (TrainPrepCatalog.burstinessFrom) bit-for-bit (StreamingSpec pins
+    * it). State is one row per occupied (doc, token) cell.
+    */
+  def streamingDocTokenCounts(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.docTokenCounts(docs)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

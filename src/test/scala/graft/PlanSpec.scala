@@ -1251,6 +1251,38 @@ class PlanSpec extends AnyFunSuite {
       s"events_page_hinkley: join/window crept into the fold\n$p")
   }
 
+  test("round-17b: token_burstiness is one corpus scan, two keyed shuffles, a TakeOrdered") {
+    val p = plan("token_burstiness")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"token_burstiness: more than one corpus scan\n$p")
+    assert(!p.contains("Join"), s"token_burstiness: a join crept in\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"token_burstiness: more than the grid + token shuffles\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"token_burstiness: top-20 no longer a bounded TakeOrdered\n$p")
+  }
+
+  test("round-17b: source_gini_length windows per source, never globally") {
+    val p = plan("source_gini_length")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"source_gini_length: more than one corpus scan\n$p")
+    assert(!p.contains("Join"), s"source_gini_length: a join crept in\n$p")
+    // The rank window must be keyed on source: its exchange hashes the
+    // source key; a global (empty-key) window would single-partition.
+    assert(p.contains("Window") && p.contains("hashpartitioning(source"),
+      s"source_gini_length: rank window not source-partitioned\n$p")
+  }
+
+  test("round-17b: user_gap_hazard pays one lag window; the tail sum is checkpoint-sized") {
+    val p = plan("user_gap_hazard")
+    assert(countOf(p, "FileScan parquet") == 0,
+      s"user_gap_hazard: the bucket frame must be checkpoint-truncated\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"user_gap_hazard: bucket frame no longer checkpointed\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"user_gap_hazard: triangular tail-sum degenerated to a cartesian\n$p")
+  }
+
   test("round-17: emb_rank_agreement runs entirely off the checkpointed overlap frame") {
     // Both member shortlists executed inside the eager checkpoint; the
     // pair stage self-joins the <= K-per-query common frame on the

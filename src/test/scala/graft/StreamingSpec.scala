@@ -1909,6 +1909,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed Heaps curve diverges from the batch entry")
   }
 
+  test("streamed (doc, token) grid replays the burstiness report bit-for-bit") {
+    val want = SparkEntry.queries("token_burstiness")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(want.nonEmpty, "vacuous: no burstiness rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"bu-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (doc_id, token)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingQueries.streamingDocTokenCounts(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val grid = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toDF("doc_id", "token", "c")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.burstinessFrom(grid)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(got == want, "streamed burstiness report diverges from the batch entry")
+  }
+
   test("streamed daily-cents state replays the Page-Hinkley fold bit-for-bit") {
     // events_page_hinkley's only corpus-touching stage is the SAME
     // (type, day) cents lattice the Holt/peaks/correlation siblings

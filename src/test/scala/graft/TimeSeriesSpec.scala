@@ -97,6 +97,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"post-shift statistic must sit above its running minimum: $g")
   }
 
+  test("user_gap_hazard: a driver-side bucket sweep recounts the curve; at-risk telescopes") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = events.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      s.zip(s.tail).map { case (a, b) => b - a }
+    }.toSeq
+    def bucket(d: Long): Long =
+      if (d <= 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(d)
+    val nb = gaps.groupBy(bucket).map { case (b, v) => b -> v.size.toLong }
+    val want = nb.toSeq.sortBy(_._1).map { case (b, n) =>
+      val atRisk = nb.filter(_._1 >= b).values.sum
+      (b, if (b == 0L) 0L else 1L << (b - 1), (1L << b) - 1L, n, atRisk,
+        r6(n.toDouble / atRisk))
+    }
+    assert(want.nonEmpty, "vacuous: no gaps at sf0.001")
+    val got = SparkEntry.queries("user_gap_hazard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want, s"hazard recount diverged\n got=$got\nwant=$want")
+    // The at-risk column telescopes: at_risk(b) - n(b) = at_risk(next).
+    got.sliding(2).foreach {
+      case Seq((_, _, _, n1, ar1, _), (_, _, _, _, ar2, _)) =>
+        assert(ar1 - n1 == ar2, "at-risk column does not telescope")
+      case _ => ()
+    }
+    // Hazards are probabilities; the last bucket's hazard is exactly 1.
+    got.foreach { case (_, _, _, _, _, h) => assert(h > 0.0 && h <= 1.0) }
+    assert(got.last._6 == 1.0, "the final bucket must exhaust its risk set")
+  }
+
   test("user_session_gap_sweep: driver-side sessionizer replays every sweep row; monotone in gap") {
     val events = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))

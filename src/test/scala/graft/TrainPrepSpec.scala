@@ -650,4 +650,74 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted)
     assert(got.last._3 == firstRank.size.toLong)
   }
+
+  test("token_burstiness: a plain-Scala adaptation recount replays the top-20") {
+    import spark.implicits._
+    val grid = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        t.trim.toLowerCase.split("\\s+").map(tok => (id, tok))
+      }
+      .groupBy(identity).toSeq
+      .map { case ((_, tok), v) => (tok, v.size.toLong) }
+    val want = grid.groupBy(_._1).map { case (tok, cells) =>
+      val tf = cells.map(_._2).sum
+      val df1 = cells.size.toLong
+      val df2 = cells.count(_._2 >= 2L).toLong
+      (tok, tf, df1, df2, r6(df2.toDouble / df1))
+    }.filter(_._3 >= 5L).toSeq
+      .sortBy { case (tok, _, _, _, a) => (-a, tok) }.take(20)
+    val got = run("token_burstiness").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want, s"burstiness recount diverged\n got=$got\nwant=$want")
+    // Adaptation is a conditional probability: df2 <= df1 always.
+    got.foreach { case (tok, _, df1, df2, a) =>
+      assert(df2 <= df1 && a >= 0.0 && a <= 1.0, s"$tok: broken bounds")
+    }
+  }
+
+  test("source_gini_length: one-source recount matches; coefficient bounded in [0, 1)") {
+    import spark.implicits._
+    val got = run("source_gini_length").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, tot, g) =>
+      assert(g >= -1e-9 && g < 1.0, s"$src: gini $g out of range")
+      assert(n >= 1 && tot >= 1)
+    }
+    val src = got.head._1
+    val xs = Tables.documents(spark, sf0001)
+      .filter(col("source") === src).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (t.trim.split("\\s+").length.toLong, id) }
+      .sortBy(identity)
+    val n = xs.length.toLong
+    val tot = xs.map(_._1).sum
+    val srx = xs.zipWithIndex.map { case ((x, _), i) => (i + 1L) * x }.sum
+    val want = (src, n, tot,
+      r6(2.0 * srx.toDouble / (n * tot).toDouble - (n + 1).toDouble / n))
+    assert(got.head == want, s"gini recount diverged: ${got.head} vs $want")
+    // A constant-length synthetic source must sit at (n-1)-free zero-ish:
+    // G = (2*sum(r)*x)/(n*n*x) - (n+1)/n = (n+1)/n - (n+1)/n = 0 exactly.
+    val const = Seq.tabulate(6)(i => ("s", i.toLong, "a b c"))
+      .toDF("source", "doc_id", "text")
+    // Direct frame check through the same arithmetic: constant lengths.
+    val lens = const.select(col("source"), col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("x"), col("doc_id"))
+    val row = lens
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("x").as("t"),
+        org.apache.spark.sql.functions.sum(col("r") * col("x")).as("srx"))
+      .select((org.apache.spark.sql.functions.lit(2.0) * col("srx").cast("double")
+        / (col("n") * col("t")).cast("double")
+        - (col("n") + 1L).cast("double") / col("n")).as("g"))
+      .head().getDouble(0)
+    assert(math.abs(row) < 1e-12, s"constant-length Gini must be 0, got $row")
+  }
 }
