@@ -51,7 +51,33 @@ import statistics
 import subprocess
 import sys
 
+# r17 cross-window finding shared by the sub-second embedding entries:
+# with byte-identical emb code, these float-array-scan entries read
+# 0.26-0.67s across the three shuffled seed runs (one host window, cal
+# 0.58-0.74, cal_mem 0.062) and 0.54-0.92s in EVERY run of a later
+# window (the stable-order full run at cal 0.447 AND an isolated
+# min-of-3 probe at cal 0.577) -- a host component neither cal_32t
+# (ALU) nor cal_mem (sequential bandwidth) captures moves them x2
+# between windows. The record is therefore seeded from all FOUR full
+# runs spanning both windows, so spread_norm carries the measured
+# cross-window dispersion instead of re-litigating it as flags.
+EMB_CROSS_WINDOW = (
+    "r17: reads x1.5-2.7 vs a single-window record whenever the host "
+    "window shifts, with code byte-identical (adjudicated via a "
+    "stable-order full run + an isolated min-of-3 probe, both slow, "
+    "vs three seed runs, all fast); record seeded from four runs "
+    "spanning both windows so the dispersion lives in spread_norm")
+
 NOTES = {
+    "emb_semdedup": EMB_CROSS_WINDOW,
+    "emb_pq_distortion": EMB_CROSS_WINDOW,
+    "emb_gram_matrix": EMB_CROSS_WINDOW,
+    "emb_ivf_cells": EMB_CROSS_WINDOW,
+    "emb_label_centroids": EMB_CROSS_WINDOW,
+    "emb_hard_negatives_shortlist": EMB_CROSS_WINDOW,
+    "emb_hard_negatives_recall": EMB_CROSS_WINDOW,
+    "emb_hubness": EMB_CROSS_WINDOW,
+    "emb_knn_mrl": EMB_CROSS_WINDOW,
     "topn_per_key":
         "r16 driver-run x2.36 flag: probe_flags isolated min-of-5 "
         "REPRODUCED x2.27 (0.627s @ cal 0.616) and a second isolated "
@@ -202,9 +228,11 @@ def main() -> int:
                    "MAX/MEDIAN dispersion (spread_norm, widens the flag "
                    "threshold) over %d "
                    "isolated full-catalog Bench runs (local[32], warmup "
-                   "sf0.01, no co-tenant load), each run's entry order "
-                   "shuffled by SPARK_GRAFT_ORDER_SEED to decorrelate "
-                   "records from cache/AQE adjacency; compare via "
+                   "sf0.01, no co-tenant load), order-shuffled by "
+                   "SPARK_GRAFT_ORDER_SEED where a seed is stamped (null "
+                   "= the stable-order canonical run, included so the "
+                   "record spans more than one host window — the r17 "
+                   "emb cross-window lesson); compare via "
                    "tools/baseline_check.py, which normalizes the run by "
                    "its cal_32t and flags against median_norm"
                    % len(arts)),
