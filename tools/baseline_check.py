@@ -36,6 +36,28 @@ spread_norm (legacy) use --flag-ratio as before.
 ratio > threshold       -> FLAG    (re-measure isolated before believing;
                                     a cleared flag means host noise, an
                                     uncleared one is a real regression)
+                                    BANDWIDTH-REGIME GATE (r18, closes
+                                    three consecutive rounds of hand
+                                    adjudication): cal_32t is ALU-bound
+                                    and under-corrects when the host
+                                    window is memory-bandwidth-degraded
+                                    (r17 driver ran at cal_mem 0.196 vs
+                                    the record's 0.027 — 7x — and all
+                                    three >2x flags landed on
+                                    shuffle/sort-heavy entries in files
+                                    untouched that round). When the
+                                    run's cal_mem exceeds the entry
+                                    record's by --mem-regime-ratio, a
+                                    flag is re-checked against a SECOND
+                                    normalization, seconds / cal_mem on
+                                    both sides; if that reads in-band
+                                    the flag is demoted to FLAG-BW
+                                    ("bandwidth window — probe before
+                                    treating as real") and does NOT
+                                    trip --fail-on-flag. A flag that
+                                    survives BOTH normalizations is a
+                                    compute regression signal even in a
+                                    degraded window.
                                     Entries where BOTH sides sit under
                                     --min-seconds are never flagged: tiny
                                     entries flutter x1.5 on scheduler
@@ -90,6 +112,11 @@ def main() -> int:
                          "dispersion (spread_norm); the effective flag "
                          "threshold is max(flag-ratio, spread_norm * "
                          "spread-margin)")
+    ap.add_argument("--mem-regime-ratio", type=float, default=2.0,
+                    help="run cal_mem / record cal_mem above this marks "
+                         "the run bandwidth-degraded vs that entry's "
+                         "record; flags that read in-band under "
+                         "cal_mem normalization demote to FLAG-BW")
     ap.add_argument("--fail-on-flag", action="store_true")
     args = ap.parse_args()
 
@@ -98,8 +125,9 @@ def main() -> int:
         base = json.load(f)
     entries = base["entries"]
     run_cal = float(art["cal_32t"])
+    run_mem = float(art["cal_mem"]) if "cal_mem" in art else None
 
-    flagged, improved, unrecorded, checked = [], [], [], 0
+    flagged, bw_flagged, improved, unrecorded, checked = [], [], [], [], 0
     for name, sec in sorted(art["queries"].items()):
         rec = entries.get(name)
         if rec is None:
@@ -112,33 +140,62 @@ def main() -> int:
         ratio = norm_run / norm_rec if norm_rec > 0 else float("inf")
         thresh = max(args.flag_ratio,
                      float(rec.get("spread_norm", 1.0)) * args.spread_margin)
-        row = (name, float(sec), float(rec["seconds"]), ratio, rec.get("note"),
-               thresh)
         small = (norm_run < args.min_seconds and norm_rec < args.min_seconds)
         if ratio > thresh and not small:
-            flagged.append(row)
+            # Bandwidth-regime gate: re-check the flag under cal_mem
+            # normalization before treating it as a compute regression.
+            # Uses the record's min-seconds run (the only one whose
+            # cal_mem the record carries) — coarser than median_norm,
+            # which is fine for triage: the question is "does the excess
+            # vanish when normalized by bandwidth instead of ALU?".
+            bw = None
+            rec_mem = rec.get("cal_mem")
+            if (run_mem is not None and rec_mem and float(rec_mem) > 0
+                    and run_mem / float(rec_mem) > args.mem_regime_ratio):
+                ratio_mem = ((float(sec) / run_mem)
+                             / (float(rec["seconds"]) / float(rec_mem)))
+                bw = (run_mem / float(rec_mem), ratio_mem)
+            row = (name, float(sec), float(rec["seconds"]), ratio,
+                   rec.get("note"), thresh, bw)
+            if bw is not None and bw[1] <= thresh:
+                bw_flagged.append(row)
+            else:
+                flagged.append(row)
         elif ratio < args.improve_ratio and not small:
-            improved.append(row)
+            improved.append((name, float(sec), float(rec["seconds"]), ratio,
+                             rec.get("note"), thresh, None))
 
     print(f"artifact: {args.artifact}  cal_32t={run_cal}  "
+          f"cal_mem={run_mem}  "
           f"entries={len(art['queries'])}  checked={checked}  "
           f"no-record={len(unrecorded)}")
     print(f"record:   {args.baselines}  commit={base.get('commit')}  "
           f"method={base.get('method')}")
-    for tag, rows in (("FLAG", flagged), ("IMPROVED", improved)):
-        for name, sec, rsec, ratio, note, thresh in sorted(rows, key=lambda r: -r[3]):
+    for tag, rows in (("FLAG", flagged), ("FLAG-BW", bw_flagged),
+                      ("IMPROVED", improved)):
+        for name, sec, rsec, ratio, note, thresh, bw in sorted(
+                rows, key=lambda r: -r[3]):
             line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record-min={rsec:7.3f}s  "
                     f"vs median_norm x{ratio:.2f}")
-            if tag == "FLAG" and thresh > args.flag_ratio:
+            if tag.startswith("FLAG") and thresh > args.flag_ratio:
                 line += f" (thresh x{thresh:.2f})"
+            if bw is not None:
+                regime, ratio_mem = bw
+                line += (f" [mem regime x{regime:.1f} degraded; "
+                         f"mem-normalized x{ratio_mem:.2f}"
+                         + (" in-band -> bandwidth window, probe before "
+                            "treating as real" if tag == "FLAG-BW"
+                            else " STILL OVER -> compute signal") + "]")
             if note:
                 line += f"  [{note}]"
             print(line)
     if unrecorded:
         print("no-record (new entries; seed after an isolated min-of-3): "
               + ", ".join(sorted(unrecorded)))
-    print(f"summary: {len(flagged)} flagged, {len(improved)} improved, "
-          f"{checked - len(flagged) - len(improved)} in-band")
+    print(f"summary: {len(flagged)} flagged, {len(bw_flagged)} "
+          f"bandwidth-suspect, {len(improved)} improved, "
+          f"{checked - len(flagged) - len(bw_flagged) - len(improved)} "
+          f"in-band")
     return 1 if (args.fail_on_flag and flagged) else 0
 
 

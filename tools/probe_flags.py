@@ -58,7 +58,11 @@ def record_norm(rec):
 
 def bench_once(entry: str, repeat: int, sf_dir: str, warmup_dir: str,
                cpus: int, repo: str):
-    """One isolated Bench run; returns (seconds, cal_32t) or raises."""
+    """One isolated Bench run; returns (seconds, cal_32t, cal_mem) or
+    raises. cal_mem rides along because bandwidth-window adjudications
+    (r16 topn_per_key, r17 doc_sorted_neighborhood) hinge on it: a probe
+    that reproduces a flag at cal_mem 3-7x the record's is measuring the
+    window, not the code, and the NOTES line must say which."""
     env = dict(os.environ,
                SPARK_GRAFT_ONLY=entry,
                SPARK_GRAFT_REPEAT=str(repeat),
@@ -80,7 +84,8 @@ def bench_once(entry: str, repeat: int, sf_dir: str, warmup_dir: str,
         raise RuntimeError(f"probe for {entry} failed: {d.get('errors')}")
     if entry not in d.get("queries", {}):
         raise RuntimeError(f"probe line for {entry} lacks its timing: {line}")
-    return float(d["queries"][entry]), float(d["cal_32t"])
+    return (float(d["queries"][entry]), float(d["cal_32t"]),
+            float(d.get("cal_mem", float("nan"))))
 
 
 def main() -> int:
@@ -138,25 +143,29 @@ def main() -> int:
         if rec is None:
             print(f"SKIP      {name}: no baseline record")
             continue
-        sec, cal = bench_once(name, args.repeat, args.sf_dir,
-                              args.warmup_dir, args.cpus, repo)
+        sec, cal, mem = bench_once(name, args.repeat, args.sf_dir,
+                                   args.warmup_dir, args.cpus, repo)
         ratio = (sec / cal) / record_norm(rec)
+        rec_mem = float(rec.get("cal_mem", float("nan")))
+        mem_note = (f"; probe cal_mem {mem} vs record {rec_mem}"
+                    if mem == mem else "")
         if ratio <= args.clear_ratio:
             verdict = "CLEARED"
             note = (f"{args.round_tag} driver-run x{orig_ratio:.2f} flag "
                     f"cleared: isolated min-of-{args.repeat} {sec:.3f}s @ "
                     f"cal {cal} = x{ratio:.2f} of median_norm, in-band; "
-                    f"host noise")
+                    f"host noise{mem_note}")
             notes.append((name, note))
         else:
             verdict = "REPRODUCED"
             reproduced.append(name)
             note = (f"{args.round_tag} flag REPRODUCED isolated: "
                     f"min-of-{args.repeat} {sec:.3f}s @ cal {cal} = "
-                    f"x{ratio:.2f} of median_norm — real; investigate and "
-                    f"re-seed with the fix")
+                    f"x{ratio:.2f} of median_norm{mem_note} — real unless "
+                    f"the cal_mem gap says bandwidth window; investigate "
+                    f"and re-seed with the fix")
         print(f"{verdict:10s} {name:34s} driver=x{orig_ratio:.2f}  "
-              f"isolated={sec:.3f}s @ cal {cal} = x{ratio:.2f}")
+              f"isolated={sec:.3f}s @ cal {cal} cal_mem {mem} = x{ratio:.2f}")
     if notes:
         print("\nready-to-paste NOTES entries (tools/seed_baselines.py):")
         for name, note in notes:
