@@ -49,4 +49,88 @@ object GlobalRank {
       .map { case (row, idx) => Row.fromSeq(row.toSeq :+ (idx + 1L)) }
     df.sparkSession.createDataFrame(ranked, schema)
   }
+
+  /** Per-key ranking — `ROW_NUMBER() OVER (PARTITION BY keys ORDER BY …)`
+    * without a keyed WindowExec's one-task-per-key sort: a window
+    * partitioned by a column puts EVERY row of a key in one sort task,
+    * so a single dominating key (one crawl source with >50 % of a
+    * 100 TB corpus — the common case) serializes the whole job. Here
+    * the range shuffle partitions on (keys ++ order), so a fat key
+    * SPANS partitions and the skew ceiling stays the largest range
+    * bucket, exactly as in [[withRank]].
+    *
+    * Shape: the same materialized range shuffle read twice. Pass 1
+    * collects per-partition RUN-LENGTH key counts — keys are contiguous
+    * within a sorted partition, so this is O(partitions + distinct
+    * keys) rows of driver traffic, NOT O(rows) (a key contributes one
+    * run per partition it touches, and it touches a contiguous
+    * partition range). The driver prefix-sums them into per-(partition,
+    * key) starting offsets; pass 2 re-reads the shuffle files and emits
+    * ranks as offset + within-partition position. Driver memory is
+    * O(partitions + keys) — model-sized, never corpus-sized.
+    *
+    * Use this when the per-key order column is high-cardinality (near
+    * one rank per row). When the ordered values collapse to few
+    * distinct levels, a (key, value) COUNT grid + tie-group arithmetic
+    * is cheaper still — rank sums over a tie group of c rows starting
+    * after C predecessors are c·C + c(c+1)/2 without ranking any row.
+    *
+    * Same total-order contract as [[withRank]]: `order` must be a total
+    * order WITHIN each key (include a unique tiebreak) or tied ranks
+    * depend on physical placement.
+    */
+  def withRankPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      numPartitions: Int,
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fullOrder = keys.map(col) ++ order
+    val sorted = df
+      .repartitionByRange(numPartitions, fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
+    val keyIdx = keys.map(sorted.schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    // Pass 1: per-partition run-length key counts (re-reads the
+    // materialized shuffle files, the zipWithIndex count-job shape).
+    val runs = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Long)]
+      var cur: List[Any] = null
+      var c = 0L
+      it.foreach { row =>
+        val k = keyIdx.map(row.get(_): Any).toList
+        if (cur == null || k != cur) {
+          if (cur != null) buf += ((cur, c))
+          cur = k; c = 0L
+        }
+        c += 1
+      }
+      if (cur != null) buf += ((cur, c))
+      Iterator((pid, buf.toArray))
+    }.collect()
+    // Driver: starting offset of key k in partition p = k's total count
+    // across partitions < p. Runs arrive per partition in sorted key
+    // order; iterate partitions in index order and prefix-sum per key.
+    val offsets = new scala.collection.mutable.HashMap[Int, Map[List[Any], Long]]
+    val running = new scala.collection.mutable.HashMap[List[Any], Long]
+    runs.sortBy(_._1).foreach { case (pid, rs) =>
+      offsets(pid) = rs.map { case (k, _) => k -> running.getOrElse(k, 0L) }.toMap
+      rs.foreach { case (k, c) => running(k) = running.getOrElse(k, 0L) + c }
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value.getOrElse(pid, Map.empty[List[Any], Long])
+      var cur: List[Any] = null
+      var r = 0L
+      it.map { row =>
+        val k = keyIdx.map(row.get(_): Any).toList
+        if (cur == null || k != cur) { cur = k; r = base.getOrElse(k, 0L) }
+        r += 1
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
 }

@@ -2455,7 +2455,13 @@ object EmbeddingCatalog {
                  COUNT(*) AS cells_used, CAST(MAX(n) AS BIGINT) AS max_cell_n,
                  CAST(SUM(ds) AS BIGINT) AS inertia_scaled,
                  ROUND(CAST(SUM(ds) AS DOUBLE) / (CAST(SUM(n) AS BIGINT) * 1000000.0), 6) AS mean_d2,
-                 ROUND(CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE), 6) AS scan_frac
+                 -- HUGEINT products mirror the Spark side's DECIMAL(38,0):
+                 -- per-cell n^2 (and n_vectors^2 in the denominator) cross
+                 -- 2^63 in exactly the fat-cell regime this column exists
+                 -- to diagnose, and a BIGINT product would make DuckDB
+                 -- raise where Spark still answers (r17 advice).
+                 ROUND(CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+                       / CAST(CAST(SUM(n) AS HUGEINT) * SUM(n) AS DOUBLE), 6) AS scan_frac
           FROM bycell GROUP BY k ORDER BY k"""
     })
 

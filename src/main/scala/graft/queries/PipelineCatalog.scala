@@ -1290,22 +1290,44 @@ object PipelineCatalog {
     * 100 TB shape: gaps come from ONE user-partitioned lag window (the
     * [[sessionGapSweep]] pass — never a global window); buckets
     * map-combine to ≤ ~40 rows; the at-risk tail sum is a triangular
-    * join on that checkpoint-truncated frame. The live form of the
-    * underlying boundary decision is the session_window family
-    * (graft.streaming.StreamingQueries.sessionsByUser); the hazard
-    * curve itself is the offline instrument that sets that knob.
+    * join on that checkpoint-truncated frame. The lag stage streams
+    * live as graft.streaming.StreamingQueries.streamingGapDeltas
+    * (per-user last-timestamp state, the streamingTransitionPairs
+    * shape) feeding the same [[bucketsFromDeltas]] aggregate in the
+    * same query; the drained buckets replay [[hazardFrom]] bit-for-bit
+    * (StreamingSpec). session_window (sessionsByUser) remains the live
+    * form of the boundary DECISION this curve prices.
     */
-  private[graft] def gapBuckets(events: DataFrame): DataFrame = {
+  /** The corpus-touching lag stage shared by [[gapHazard]] and
+    * [[userBurstiness]]: per user, the inter-event gaps in seconds from
+    * ONE user-partitioned lag window ordered by (tss, event_id). The
+    * live form is graft.streaming.StreamingQueries.streamingGapDeltas —
+    * per-user keyed state holding the last timestamp (the
+    * streamingTransitionPairs shape), emitting each closed gap as it
+    * arrives; StreamingSpec pins the drained replay against the batch
+    * entries bit-for-bit.
+    */
+  private[graft] def gapDeltas(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wl = Window.partitionBy("user_id").orderBy("tss", "event_id")
     events
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tss"))
       .withColumn("delta", col("tss") - lag("tss", 1).over(wl))
       .filter(col("delta").isNotNull)
+      .select(col("user_id"), col("delta"))
+  }
+
+  /** The ceil-log2 bucket aggregate over a (user_id, delta) gap frame —
+    * batch and streaming share it verbatim (the gap stream feeds it in
+    * update mode: a keyed COUNT is linear and mergeable). */
+  private[graft] def bucketsFromDeltas(deltas: DataFrame): DataFrame =
+    deltas
       .select(when(col("delta") <= 0L, 0L)
         .otherwise(length(expr("bin(delta)")).cast("long")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n_gaps"))
-  }
+
+  private[graft] def gapBuckets(events: DataFrame): DataFrame =
+    bucketsFromDeltas(gapDeltas(events))
 
   /** The ≤ ~40-row hazard report over a drained (b, n_gaps) frame. */
   private[graft] def hazardFrom(bucketsRaw: DataFrame): DataFrame = {
@@ -1344,6 +1366,76 @@ object PipelineCatalog {
                       ROUND(CAST(a.n_gaps AS DOUBLE) / SUM(c.n_gaps), 6) AS hazard
                FROM bk a JOIN bk c ON c.b >= a.b
                GROUP BY a.b, a.n_gaps ORDER BY a.b"""))
+
+  /** Goh–Barabási burstiness coefficient per user (Goh & Barabási 2008):
+    * B = (σ − μ)/(σ + μ) over the user's inter-event gaps — the scale-free
+    * signature that separates bursty humans (B → 1), Poisson arrivals
+    * (B ≈ 0), and metronomic bots (B → −1). The per-user companion to
+    * [[gapHazard]]'s corpus-wide curve: the hazard prices the session
+    * gap knob, this flags WHICH users violate its premise (a scripted
+    * account's regular cadence distorts any inter-event statistic, so
+    * bot screening reads this column before trusting the rest).
+    *
+    * Exactness device: gaps ride the shared [[gapDeltas]] lag stage;
+    * per user the entry keeps only (n, Σδ, Σδ²) — exact integers, Σδ²
+    * and the discriminant M = n·Σδ² − (Σδ)² in DECIMAL(38,0) (δ² alone
+    * crosses 2⁶³ for multi-decade gaps and n·Σδ² crosses it at fleet
+    * event volumes — the chao1 at-birth envelope discipline; the oracle
+    * mirrors with HUGEINT). Multiplying B's numerator and denominator
+    * by n removes both divisions: B = (√M − Σδ)/(√M + Σδ). M ≥ 0
+    * exactly (Cauchy–Schwarz on integers), √ is IEEE correctly rounded
+    * in both engines, and the one closing division is guarded: Σδ = 0
+    * (all gaps zero — and then M = 0 too, so the denominator is 0)
+    * yields NULL in both engines, never an ANSI ÷0 or a fabricated
+    * value. All-equal gaps give M = 0 → B = −1, the documented limit.
+    *
+    * 100 TB shape: the lag window is the family's one corpus stage
+    * (user-partitioned, streams live via streamingGapDeltas feeding a
+    * user-keyed SUM — linear, mergeable); the report is one map-combined
+    * user-keyed aggregate, output sized by the user population.
+    */
+  /** The burstiness report over a (user_id, delta) gap frame — ONE
+    * definition shared by the batch entry and StreamingSpec's drained
+    * replay, so the two cannot drift. */
+  private[graft] def burstinessFromDeltas(deltas: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val m = (col("n_gaps").cast(dec38) * col("sum_s2")
+      - col("sum_s").cast(dec38) * col("sum_s")).cast("double")
+    deltas
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("delta").as("sum_s"),
+        sum(col("delta").cast(dec38) * col("delta")).as("sum_s2"))
+      .select(col("user_id"), col("n_gaps"), col("sum_s").as("total_gap_s"),
+        when(col("sum_s") > 0L,
+          round((sqrt(m) - col("sum_s").cast("double"))
+            / (sqrt(m) + col("sum_s").cast("double")), 6)).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  val userBurstiness: CatalogEntry = CatalogEntry(
+    "user_burstiness",
+    (s, d) => burstinessFromDeltas(gapDeltas(Tables.events(s, d))),
+    Some(raw"""WITH base AS (SELECT user_id, event_id,
+                                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS tss
+                             FROM events),
+                    del AS (SELECT user_id,
+                                   tss - lag(tss) OVER (PARTITION BY user_id
+                                     ORDER BY tss, event_id) AS delta
+                            FROM base),
+                    agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                                   CAST(SUM(delta) AS BIGINT) AS sum_s,
+                                   SUM(CAST(delta AS HUGEINT) * delta) AS sum_s2
+                            FROM del WHERE delta IS NOT NULL GROUP BY user_id)
+               SELECT user_id, n_gaps, sum_s AS total_gap_s,
+                      CASE WHEN sum_s > 0 THEN ROUND(
+                        (sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                                   - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE))
+                         - CAST(sum_s AS DOUBLE))
+                        / (sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_s2
+                                     - CAST(sum_s AS HUGEINT) * sum_s AS DOUBLE))
+                           + CAST(sum_s AS DOUBLE)), 6)
+                      END AS burstiness
+               FROM agg ORDER BY user_id"""))
 
   /** The composite cleaning pipeline — the engine's pieces chained the
     * way a training-data pipeline actually runs them:
@@ -3407,7 +3499,7 @@ object PipelineCatalog {
   val all: Seq[CatalogEntry] =
     Seq(exactDedup, incrementalDedup, decontaminate, qualityFilter, topTerms, textStats,
       qualityTiers,
-      tokenCount, langId, fingerprint, boilerplateNgrams, userSessions, sessionGapSweep, gapHazard, cleanCorpus, trainPrep,
+      tokenCount, langId, fingerprint, boilerplateNgrams, userSessions, sessionGapSweep, gapHazard, userBurstiness, cleanCorpus, trainPrep,
       tokenCooccurrence, eventsLatestState, eventsKeySkew, eventsValueDeciles,
       eventsResample,
       eventsProfile, eventsJsonKv,

@@ -589,9 +589,15 @@ object TrainPrepCatalog {
       .select(col("doc_id"),
         size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
       .withColumn("r", explode(sequence(lit(-1L), lit(BootR - 1L))))
-      .withColumn("u", conv(substring(md5(concat(
+      // The r = -1 sentinel row's weight is unconditionally 1, so its
+      // hash is never read — guard u with the same r < 0 branch
+      // (CaseWhen evaluates lazily in codegen) so the sentinel skips
+      // one md5 per document per batch (r17 advice). wCase's
+      // `u < t` reads NULL for the sentinel, but the outer when()
+      // never consults it there.
+      .withColumn("u", when(col("r") >= 0L, conv(substring(md5(concat(
         lit("boot|"), col("r").cast("string"), lit("|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")))
       .withColumn("w", when(col("r") < 0L, lit(1L)).otherwise(expr(wCase)))
       .groupBy("r")
       .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
@@ -687,10 +693,11 @@ object TrainPrepCatalog {
     * h ≤ 2⁶³/4 — long fast path, codegen-primitive, every test sf and
     * any single-node corpus; h ≤ 10³⁷/4 — the same formula carried out
     * in DECIMAL(38,0), exact to far-past-fleet-scale bigram tables
-    * (the operator DEGRADES to exact-decimal, not an error — and never
-    * silently wraps, the r16 advice hazard: Spark's non-ANSI Int64
-    * wraps while DuckDB raises, so the two engines would diverge
-    * differently); beyond — fail loudly INSIDE the result expression
+    * (the operator DEGRADES to exact-decimal, not an error — under this
+    * build's Spark 4.1.2 ANSI-on default the long form would RAISE at
+    * the 2⁶³ boundary, and with ANSI disabled it would silently wrap
+    * while DuckDB raises; the decimal path avoids both failure modes);
+    * beyond — fail loudly INSIDE the result expression
     * (a detached assert column would be pruned). Both wide-path
     * operands reach the one closing double division as round-to-nearest
     * casts of exact integers, so the division input is as good as any
@@ -1186,19 +1193,26 @@ object TrainPrepCatalog {
     * G = (2·Σ r·xᵣ)/(n·Σx) − (n+1)/n over docs ranked by (length,
     * doc_id) WITHIN their source.
     *
-    * Determinism: ranks are a source-partitioned window (never global);
-    * rank ties share equal x so Σ r·x is tie-order invariant; Σ r·x
-    * rides DECIMAL(38,0) (r·x crosses 2⁶³ once a source holds ~3·10⁹
-    * docs — the fleet envelope again); the Gini is ONE fixed IEEE
-    * expression of exact integers, ROUND 6. Null-length docs (null
-    * text) are excluded before ranking in BOTH engines — Spark orders
-    * nulls first, DuckDB last, so leaving them in would shift every
-    * rank. All-empty sources (Σx = 0) emit no row (0/0 is NaN in Spark
-    * but NULL in DuckDB).
+    * Determinism: ranks come from [[graft.operators.GlobalRank
+    * .withRankPerKey]] — a range shuffle on (source, x, doc_id) plus
+    * driver-summed per-partition offsets, bit-identical to
+    * `row_number() OVER (PARTITION BY source ORDER BY x, doc_id)` (the
+    * oracle's form, GlobalRankSpec-pinned) but never holding a whole
+    * source in one sort task: the r17 verdict's fat-source hazard —
+    * one crawl source owning >50 % of a 100 TB corpus serializes a
+    * keyed window — is gone, the skew ceiling is a range bucket. Rank
+    * ties share equal x so Σ r·x is tie-order invariant; Σ r·x rides
+    * DECIMAL(38,0) (r·x crosses 2⁶³ once a source holds ~3·10⁹ docs —
+    * the fleet envelope again); the Gini is ONE fixed IEEE expression
+    * of exact integers, ROUND 6. Null-length docs (null text) are
+    * excluded before ranking in BOTH engines — Spark orders nulls
+    * first, DuckDB last, so leaving them in would shift every rank.
+    * All-empty sources (Σx = 0) emit no row (0/0 is NaN in Spark but
+    * NULL in DuckDB).
     *
-    * 100 TB shape: one pruned projection, one source-partitioned window
-    * (the skew ceiling is the largest source — the standard shape), one
-    * source-keyed rollup.
+    * 100 TB shape: one pruned projection, ONE range shuffle read twice
+    * (run-length counts, then ranked emit — O(partitions + sources)
+    * driver traffic), one source-keyed rollup.
     */
   val sourceGini: CatalogEntry = CatalogEntry(
     "source_gini_length",
@@ -1208,8 +1222,9 @@ object TrainPrepCatalog {
         .select(col("source"), col("doc_id"),
           size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
         .filter(col("x").isNotNull)
-      val w = Window.partitionBy("source").orderBy(col("x"), col("doc_id"))
-      lens.withColumn("r", row_number().over(w).cast("long"))
+      graft.operators.GlobalRank.withRankPerKey(
+          lens, Seq("source"), Seq(col("x"), col("doc_id")),
+          numPartitions = 32, rankCol = "r")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("x").as("total_tokens"),
           sum(col("r").cast(dec38) * col("x")).as("srx"))

@@ -979,6 +979,61 @@ object StreamingQueries {
       }
   }
 
+  /** Streaming inter-event gap extraction — the live side of the lag
+    * stage shared by `user_gap_hazard` and `user_burstiness`
+    * (graft.queries.PipelineCatalog.gapDeltas). Per-user keyed state is
+    * ONE long (the last event's epoch second — the
+    * [[streamingTransitionPairs]] shape); an arriving event closes the
+    * gap against it and emits (user_id, delta). Micro-batch groups sort
+    * by (epoch second, event_id) — the batch window's exact order;
+    * cross-batch ordering rides the per-key in-order delivery contract
+    * shared by every rolling-state query here. Downstream the emitted
+    * gaps feed the SAME aggregates the batch entries run
+    * ([[streamingGapBuckets]] / a user-keyed SUM) in the same query
+    * (Append-mode state op → streaming agg, the supported composition);
+    * drained, they replay `hazardFrom` / the burstiness report
+    * bit-for-bit (StreamingSpec pins both).
+    */
+  def streamingGapDeltas(
+      events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[Long]) =>
+          // Epoch SECONDS (floorDiv, matching unix_timestamp), ordered
+          // exactly as the batch lag: (tss, event_id).
+          val sorted = rows.map(r => (Math.floorDiv(r._2.getTime, 1000L), r._3))
+            .toSeq.sortBy(identity)
+          var prev = state.getOption
+          val out = sorted.map { case (tss, _) =>
+            val d = prev.map(p => (user, tss - p))
+            prev = Some(tss)
+            d
+          }.flatten
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming sibling of `user_gap_hazard`'s bucket aggregate: the
+    * ceil-log2 gap histogram maintained live in update mode — the gap
+    * stream from [[streamingGapDeltas]] feeding the batch entry's own
+    * bucket aggregate (PipelineCatalog.bucketsFromDeltas, a keyed COUNT:
+    * linear, mergeable). State is ≤ ~40 bucket rows plus one long per
+    * user. The drained buckets replay the hazard report
+    * (PipelineCatalog.hazardFrom) bit-for-bit (StreamingSpec).
+    */
+  def streamingGapBuckets(events: DataFrame): DataFrame =
+    graft.queries.PipelineCatalog.bucketsFromDeltas(
+      streamingGapDeltas(events).toDF("user_id", "delta"))
+
   /** Streaming first-seen n-gram novelty — the live side of
     * `doc_novelty`. First-seen ownership is MONOTONE over arrival order
     * (the owner of a gram is the first document carrying it; later

@@ -53,4 +53,52 @@ class GlobalRankSpec extends AnyFunSuite {
     val b = GlobalRank.withRank(df, order, 13).select("id", "rank").as[(Long, Long)].collect().toMap
     assert(a == b, "rank depends on partition count")
   }
+
+  test("withRankPerKey equals the keyed window ROW_NUMBER") {
+    val df = frame(997)
+    val got = GlobalRank
+      .withRankPerKey(df, Seq("tag"), Seq(col("score").asc, col("id").asc), 8)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("tag").orderBy(col("score").asc, col("id").asc)).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withRankPerKey: a dominating key spans partitions instead of one task") {
+    // 90% of rows share one key — the fat-crawl-source shape the
+    // operator exists for. The fat key's rows must occupy >1 partition
+    // (a keyed window would put them all in one sort task), and its
+    // ranks must still be the contiguous 1..n sequence.
+    val df = (1 to 3000)
+      .map(i => (i.toLong, i.toLong, if (i % 10 == 0) s"small${i % 3}" else "fat"))
+      .toDF("id", "score", "tag")
+    val ranked = GlobalRank
+      .withRankPerKey(df, Seq("tag"), Seq(col("score").asc, col("id").asc), 16)
+    val fatParts = ranked.filter(col("tag") === "fat").rdd
+      .mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
+    assert(fatParts > 1, s"fat key collapsed to $fatParts partition(s)")
+    val fatRanks = ranked.filter(col("tag") === "fat")
+      .select("rank").as[Long].collect().sorted
+    assert(fatRanks.toSeq == (1L to fatRanks.length).toSeq,
+      "fat key's ranks are not the contiguous 1..n sequence")
+  }
+
+  test("withRankPerKey is partition-count invariant, including ties and null keys") {
+    val df = (1 to 400)
+      .map(i => (i.toLong, (i % 5).toDouble,
+        if (i % 7 == 0) null else s"k${i % 3}"))
+      .toDF("id", "v", "tag")
+    val order = Seq(col("v").asc, col("id").asc)
+    val a = GlobalRank.withRankPerKey(df, Seq("tag"), order, 6)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val b = GlobalRank.withRankPerKey(df, Seq("tag"), order, 17)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(a == b, "per-key rank depends on partition count")
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy("tag").orderBy(order: _*)).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(a == want, "per-key rank diverges from the keyed window under ties/nulls")
+  }
 }

