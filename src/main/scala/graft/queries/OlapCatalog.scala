@@ -131,17 +131,30 @@ object OlapCatalog {
     * #types²-key aggregate: output cardinality is the squared type
     * vocabulary, independent of event volume.
     */
+  /** The (from_type, to_type) transition-count matrix — the corpus stage
+    * shared by [[eventsTransitions]] and [[markovStationary]]: one
+    * user-partitioned lead window, then a #types²-key map-combined
+    * aggregate. The live form is
+    * graft.streaming.StreamingQueries.streamingTransitionPairs (per-user
+    * last-event keyed state; StreamingSpec pins the drained matrix
+    * against this exact window).
+    */
+  private[graft] def transitionCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val eventsTransitions: CatalogEntry = CatalogEntry(
     "events_type_transitions",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("next_type", lead("event_type", 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
+      transitionCounts(Tables.events(s, d))
         .withColumn("p",
           round(col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
     },
@@ -153,6 +166,121 @@ object OlapCatalog {
                   FROM events)
             WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type"""))
+
+  /** Power-iteration step count and lattice scale for
+    * [[markovStationary]] — shared with the oracle's unrolled CTEs and
+    * OlapMarkovSpec so the two iterations cannot drift. 12 steps on a
+    * ≤ |types| chain is far past mixing for any observed event mix, but
+    * the entry's CONTRACT is "the 12-step iterate", identical in both
+    * engines, not a convergence claim. */
+  private[graft] val MarkovIters = 12
+  private[graft] val MarkovScale = 1000000L
+
+  /** Long-run event-type mix: the stationary distribution of the
+    * empirical (from_type → to_type) Markov chain (Kemeny & Snell 1960
+    * ch. IV; the power iteration is the PageRank device, Page et al.
+    * 1999, on the observed chain) — what the traffic mix TRENDS TOWARD
+    * if today's transition behavior holds, read against the current
+    * type shares to see which event classes are still growing. The
+    * drift monitors (`events_page_hinkley`, `events_cusum_breach`)
+    * catch level shifts; this prices the equilibrium those shifts move
+    * toward.
+    *
+    * Exactness device: the chain lives on the [[MarkovScale]] integer
+    * lattice — v₀ = S for every type, step v' = normalize(v·P) carried
+    * out as w_j = Σ_i (v_i·n_ij) div r_i (row totals r_i; terms with
+    * r_i = 0 — absorbing types — contribute nothing, the substochastic
+    * mass the normalization re-inflates) then v'_j = (w_j·S) div Σw
+    * (kept at the previous iterate when Σw = 0). Every operation is a
+    * truncating integer division — Scala BigInt `/` on the driver and
+    * DuckDB `//`, identical on nonnegative operands — so the two
+    * engines walk bit-identical integer vectors (the `emb_pca_project`
+    * power-iteration recipe on a row-stochastic matrix). The closing π
+    * is ONE double division of exact integers, HALF_UP 6 (the
+    * streamingDowSeasonality rounding bridge).
+    *
+    * 100 TB shape: the corpus collapses to the ≤ |types|² transition
+    * matrix in [[transitionCounts]] (one lag window + map-combined
+    * aggregate, already streamed live via streamingTransitionPairs);
+    * the collect is model-sized — O(|types|²) rows, an operational
+    * constant like the KMeans centroids — and the iteration is driver
+    * arithmetic on that matrix. Nothing downstream touches the corpus.
+    */
+  val markovStationary: CatalogEntry = CatalogEntry(
+    "events_markov_stationary",
+    (s, d) => {
+      import s.implicits._
+      val cells = transitionCounts(Tables.events(s, d))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+      val idx = types.zipWithIndex.toMap
+      val k = types.length
+      val nMat = Array.ofDim[Long](k, k)
+      cells.foreach { case (a, b, n) => nMat(idx(a))(idx(b)) = n }
+      val rowTot = nMat.map(_.sum)
+      var v = Array.fill(k)(BigInt(MarkovScale))
+      (1 to MarkovIters).foreach { _ =>
+        val w = Array.tabulate(k) { j =>
+          (0 until k).map { i =>
+            if (rowTot(i) > 0) v(i) * nMat(i)(j) / rowTot(i) else BigInt(0)
+          }.sum
+        }
+        val tot = w.sum
+        if (tot > 0) v = w.map(x => x * MarkovScale / tot)
+      }
+      val tot = v.sum
+      val rows = types.zipWithIndex.map { case (t, i) =>
+        (t, rowTot(i), v(i).toLong,
+          new java.math.BigDecimal(v(i).toDouble / tot.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      }.toSeq
+      rows.toDF("event_type", "n_out", "v_scaled", "pi").orderBy("event_type")
+    },
+    Some {
+      val steps = (1 to MarkovIters).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        // Single-reference chain (the emb_pca_project CTE-inlining
+        // lesson: two references per step inline to 2^12 copies of the
+        // corpus CTE): the zero-weight self-edge every type gets in
+        // `es` carries the previous iterate's own value through the
+        // one join as pv = MAX over rows with f = t2.
+        s"""w$i AS (SELECT e.t2 AS t,
+                           MAX(CASE WHEN e.f = e.t2 THEN p.v END) AS pv,
+                           SUM((p.v * e.n) // e.r) AS w
+                    FROM es e JOIN $prev p ON p.t = e.f
+                    GROUP BY e.t2),
+             v$i AS (SELECT t, CASE WHEN SUM(w) OVER () > 0
+                                    THEN (w * $MarkovScale) // SUM(w) OVER ()
+                                    ELSE pv END AS v
+                     FROM w$i)"""
+      }.mkString(",\n             ")
+      s"""WITH tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM (SELECT event_type AS from_type,
+                                   lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS to_type
+                            FROM events)
+                      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             types AS (SELECT DISTINCT t
+                       FROM (SELECT from_type AS t FROM tr
+                             UNION ALL SELECT to_type FROM tr)),
+             rt AS (SELECT ty.t,
+                           COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM tr
+                                     WHERE from_type = ty.t), 0) AS r
+                    FROM types ty),
+             es AS (SELECT tr.from_type AS f, tr.to_type AS t2,
+                           CAST(tr.n AS HUGEINT) AS n, CAST(rt.r AS HUGEINT) AS r
+                    FROM tr JOIN rt ON rt.t = tr.from_type WHERE rt.r > 0
+                    UNION ALL
+                    SELECT t, t, CAST(0 AS HUGEINT), CAST(1 AS HUGEINT) FROM types),
+             v0 AS (SELECT t, CAST($MarkovScale AS HUGEINT) AS v FROM types),
+             $steps
+          SELECT f.t AS event_type, CAST(rt.r AS BIGINT) AS n_out,
+                 CAST(f.v AS BIGINT) AS v_scaled,
+                 ROUND(CAST(f.v AS DOUBLE)
+                       / CAST(SUM(f.v) OVER () AS DOUBLE), 6) AS pi
+          FROM v$MarkovIters f JOIN rt ON rt.t = f.t
+          ORDER BY event_type"""
+    })
 
   /** Explicit GROUPING SETS — the mixed lattice neither ROLLUP nor CUBE
     * expresses: the (type, day) detail plus BOTH one-dimensional
@@ -1127,7 +1255,7 @@ object OlapCatalog {
 
   val all: Seq[CatalogEntry] =
     Seq(ordersRollup, ordersCube, eventsPivot, eventsFunnel, eventsRetention,
-      eventsTransitions, eventsGroupingSets, ordersParetoFrontier,
+      eventsTransitions, markovStationary, eventsGroupingSets, ordersParetoFrontier,
       ordersRevenueGini, eventsActiveUsers, customerRfm, ordersCohortLtv,
       peakConcurrency, eventsSeqTrigrams, customerOrderGaps,
       ordersRollupIncremental, userSurvivalKm, eventsAbTest, eventsDowSeasonality,

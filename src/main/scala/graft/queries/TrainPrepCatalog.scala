@@ -1252,6 +1252,164 @@ object TrainPrepCatalog {
                           - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) AS gini
              FROM agg WHERE total_tokens > 0 ORDER BY source"""))
 
+  /** Corpus-touching stage of [[sourceReadability]] — the per-source
+    * (docs, words, sentence-marks, vowel-groups) sums: per-row integer
+    * regex counts folded into ONE source-keyed aggregate (linear,
+    * mergeable, map-combined; streams live as
+    * graft.streaming.StreamingQueries.streamingReadabilitySums — the
+    * streamingBenfordCounts delegation pattern, StreamingSpec pins the
+    * drained replay). Null texts contribute NULL counts (SUM skips them
+    * in both engines) but still count into n_docs (COUNT(*) semantics,
+    * matching the oracle).
+    */
+  private[graft] def readabilitySums(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(Text.wsTokens(col("text"))).cast("long").as("w"),
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long").as("st"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").cast("long").as("sy"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("st").as("n_sentences"), sum("sy").as("n_syllables"))
+
+  /** The Flesch report over a drained readability-sums frame — batch and
+    * streaming replay share it verbatim. */
+  private[graft] def readabilityFrom(sums: DataFrame): DataFrame =
+    sums.select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        when(col("n_sentences") > 0L && col("n_words") > 0L,
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+            - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 6))
+          .as("flesch"))
+      .orderBy("source")
+
+  /** Flesch reading ease per source (Flesch 1948; the standard
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)) with
+    * the classical vowel-group syllable heuristic — the
+    * readability-band profile a corpus designer reads next to
+    * `doc_quality_tiers` when balancing a training mix: a source whose
+    * score collapses is boilerplate or OCR garbage (`doc_repetition`
+    * tells which), one that spikes is fragment soup.
+    *
+    * Exactness device: all three inputs are INTEGER run counts
+    * (whitespace tokens; '[.!?]+' sentence-mark runs; '[aeiouy]+'
+    * vowel groups over the lowercased text — regex classes with
+    * identical Java/RE2 semantics), summed exactly per source; the
+    * score is ONE fixed IEEE expression of those exact integers (two
+    * divisions, left-associated exactly as the oracle writes it),
+    * ROUND 6. Sources with zero sentences or zero words report NULL —
+    * never an ANSI ÷0.
+    *
+    * 100 TB shape: per-row projections into one map-combined
+    * source-keyed aggregate — output sized by the source vocabulary;
+    * the sums stream live ([[readabilitySums]]).
+    */
+  val sourceReadability: CatalogEntry = CatalogEntry(
+    "source_readability",
+    (s, d) => readabilityFrom(readabilitySums(documents(s, d))),
+    Some {
+      val sents = raw"len(regexp_extract_all(text, '[.!?]+'))"
+      val sylls = raw"len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len($toksSql)) AS BIGINT) AS n_words,
+                 CAST(SUM($sents) AS BIGINT) AS n_sentences,
+                 CAST(SUM($sylls) AS BIGINT) AS n_syllables,
+                 CASE WHEN SUM($sents) > 0 AND SUM(len($toksSql)) > 0
+                      THEN ROUND(206.835
+                             - 1.015 * CAST(SUM(len($toksSql)) AS DOUBLE)
+                               / SUM($sents)
+                             - 84.6 * CAST(SUM($sylls) AS DOUBLE)
+                               / SUM(len($toksSql)), 6)
+                 END AS flesch
+          FROM documents GROUP BY source ORDER BY source"""
+    })
+
+  /** Corpus-touching stage of [[sourceLengthQuartiles]] — the
+    * (source, length) COUNT grid: keyed COUNT, linear, mergeable,
+    * map-combined; streams live as
+    * graft.streaming.StreamingQueries.streamingSourceLengthCounts.
+    * Grid cardinality is bounded by #sources × distinct token lengths
+    * (≲ max document length) — an operational constant, NEVER corpus
+    * volume.
+    */
+  private[graft] def sourceLengthCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("source", "x").agg(count(lit(1)).as("c"))
+
+  /** The quartile report over a drained (source, x, c) length grid —
+    * batch entry and streaming replay share it verbatim. The value at
+    * ascending rank k is the smallest x whose cumulative count reaches
+    * k, so exact per-source quantiles need only a cumulative window
+    * over the GRID (distinct lengths per source — bounded rows, not
+    * documents; a dominating source cannot serialize it, unlike a
+    * per-document keyed window).
+    */
+  private[graft] def quartilesFromLengthGrid(grid: DataFrame): DataFrame = {
+    val cum = grid
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum("c").over(Window.partitionBy("source")))
+    cum.groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        min(when(col("cum") >= expr("(n_docs + 3) div 4"), col("x"))).as("p25"),
+        min(when(col("cum") >= expr("(n_docs + 1) div 2"), col("x"))).as("p50"),
+        min(when(col("cum") >= expr("(3 * n_docs + 3) div 4"), col("x"))).as("p75"),
+        min(when(col("cum") >= expr("(9 * n_docs + 9) div 10"), col("x"))).as("p90"))
+      .orderBy("source")
+  }
+
+  /** Exact per-source token-length quartiles (p25/p50/p75/p90, the
+    * lower-value ⌈q·n⌉ order statistic — exact, never interpolated or
+    * sketched): the length profile that decides per-source packing
+    * budgets ([[packSequences]]) and truncation losses
+    * ([[tokenBudget]]'s fill_ratio) — a mean-length table hides exactly
+    * the bimodality (tweets + treatises) these quantiles expose.
+    *
+    * Two exact devices exist for per-key order statistics and the suite
+    * pins their equality (TrainPrepSpec): the GENERAL form ranks every
+    * row via [[graft.operators.GlobalRank.withRankPerKey]] (needed when
+    * the order key is near-unique — scores, timestamps); token LENGTHS
+    * collapse to a bounded value domain, so this entry rides the
+    * cheaper grid form — count per (source, length), then quantiles
+    * from cumulative counts over grid rows. The per-source window here
+    * orders DISTINCT LENGTHS (≲ max doc length rows per source, an
+    * operational constant), not documents — a dominating source adds
+    * mass to grid cells, not rows to the window, so the fat-source
+    * hazard that moved `source_gini_length` off keyed windows does not
+    * arise.
+    *
+    * Exactness: counts, cumulative sums, and the ⌈q·n⌉ indexes
+    * ((n+3) div 4 etc.) are BIGINT end-to-end; the reported quantiles
+    * are input values, no arithmetic to diverge.
+    *
+    * 100 TB shape: ONE (source, length) grid shuffle (map-combined,
+    * streams live), a grid-sized window, a source-keyed rollup.
+    */
+  val sourceLengthQuartiles: CatalogEntry = CatalogEntry(
+    "source_length_quartiles",
+    (s, d) => quartilesFromLengthGrid(sourceLengthCounts(documents(s, d))),
+    Some(s"""WITH lens AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS x
+                           FROM documents
+                           WHERE len($toksSql) IS NOT NULL),
+                  grid AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c
+                           FROM lens GROUP BY source, x),
+                  cums AS (SELECT source, x,
+                                  SUM(c) OVER (PARTITION BY source ORDER BY x
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                                  SUM(c) OVER (PARTITION BY source) AS n
+                           FROM grid)
+             SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                    MIN(CASE WHEN cum >= (n + 3) // 4 THEN x END) AS p25,
+                    MIN(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS p50,
+                    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN x END) AS p75,
+                    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN x END) AS p90
+             FROM cums GROUP BY source ORDER BY source"""))
+
   /** Distribution drift between the train and val splits: total-variation
     * distance between their unigram distributions, plus vocabulary sizes
     * and overlap — the check that a hash split didn't skew token
@@ -2132,5 +2290,6 @@ object TrainPrepCatalog {
     tokenizerFertility, tokenDiversity, ksDrift, bpeMerges, bpeEncode, datasetCard,
     phraseSearch, trigramSearch, packSequences, tokenZipfCurve, tokenBudget,
     bootstrapCi, kneserNey, neymanAllocation, goodTuring, chao1Richness,
-    heapsCurve, tokenBurstiness, sourceGini)
+    heapsCurve, tokenBurstiness, sourceGini, sourceReadability,
+    sourceLengthQuartiles)
 }

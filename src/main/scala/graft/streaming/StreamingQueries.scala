@@ -759,6 +759,31 @@ object StreamingQueries {
   def streamingDocTokenCounts(docs: DataFrame): DataFrame =
     graft.queries.TrainPrepCatalog.docTokenCounts(docs)
 
+  /** Streaming sibling of `source_readability`'s corpus-touching stage —
+    * the per-source (docs, words, sentence-marks, vowel-groups) sums
+    * (keyed COUNT/SUMs of per-row integer regex counts: linear,
+    * mergeable), maintained live in update mode: the readability
+    * profile as a live ingest monitor. ONE definition shared with the
+    * batch entry (TrainPrepCatalog.readabilitySums — the
+    * streamingBenfordCounts delegation pattern); the drained sums
+    * replay the Flesch report (TrainPrepCatalog.readabilityFrom)
+    * bit-for-bit (StreamingSpec pins it). State is one row per source.
+    */
+  def streamingReadabilitySums(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.readabilitySums(docs)
+
+  /** Streaming sibling of `source_length_quartiles`' corpus-touching
+    * stage — the (source, length) COUNT grid (keyed COUNT: linear,
+    * mergeable), maintained live in update mode. ONE definition shared
+    * with the batch entry (TrainPrepCatalog.sourceLengthCounts); the
+    * drained grid replays the exact quartile report
+    * (TrainPrepCatalog.quartilesFromLengthGrid) bit-for-bit
+    * (StreamingSpec pins it). State is grid-bounded — #sources ×
+    * distinct lengths, never corpus volume.
+    */
+  def streamingSourceLengthCounts(docs: DataFrame): DataFrame =
+    graft.queries.TrainPrepCatalog.sourceLengthCounts(docs)
+
   /** Streaming sessionization via `session_window`: per-user sessions
     * that close after `gap` idle time (the streaming counterpart of the
     * batch gaps-and-islands `user_sessions` entry). Append mode emits a

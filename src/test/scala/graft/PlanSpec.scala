@@ -1276,6 +1276,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"source_gini_length: a join crept in\n$p")
   }
 
+  test("round-18: user_burstiness is one corpus scan into the user-keyed lag + rollup") {
+    val p = plan("user_burstiness")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"user_burstiness: more than one corpus scan\n$p")
+    assert(!p.contains("Join"), s"user_burstiness: a join crept in\n$p")
+    // The lag window must be keyed on user_id, never global.
+    assert(p.contains("Window") && p.contains("hashpartitioning(user_id"),
+      s"user_burstiness: lag window not user-partitioned\n$p")
+  }
+
+  test("round-18: events_markov_stationary's output is the driver-iterated local table") {
+    // The corpus collapses inside the gated transition-counts collect
+    // (O(|types|^2) rows — model traffic); the emitted frame is pure
+    // driver arithmetic, so its executed plan must be a local scan with
+    // no corpus operator at all.
+    val p = plan("events_markov_stationary")
+    assert(p.contains("LocalTableScan"),
+      s"events_markov_stationary: expected the driver-computed local table\n$p")
+    assert(countOf(p, "FileScan parquet") == 0 && !p.contains("Join")
+      && !p.contains("Window"),
+      s"events_markov_stationary: corpus work leaked into the output plan\n$p")
+  }
+
+  test("round-18: source_readability is one corpus scan and one source shuffle") {
+    val p = plan("source_readability")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"source_readability: more than one corpus scan\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"source_readability: join/window crept in\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"source_readability: more than the source rollup shuffle\n$p")
+  }
+
+  test("round-18: source_length_quartiles windows the GRID, never per-document rows") {
+    // The cumulative window must consume the (source, x) COUNT grid —
+    // bounded by distinct lengths — so the plan shows the grid
+    // hash-aggregate BELOW the window and at most the grid + window
+    // exchanges. A per-document window would have no aggregate under it.
+    val p = plan("source_length_quartiles")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"source_length_quartiles: more than one corpus scan\n$p")
+    assert(!p.contains("Join"), s"source_length_quartiles: a join crept in\n$p")
+    assert(p.contains("Window") && p.contains("hashpartitioning(source"),
+      s"source_length_quartiles: window not source-keyed\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"source_length_quartiles: more than the grid + window shuffles\n$p")
+    assert(p.indexOf("HashAggregate") >= 0,
+      s"source_length_quartiles: the grid aggregate vanished\n$p")
+  }
+
   test("round-17b: user_gap_hazard pays one lag window; the tail sum is checkpoint-sized") {
     val p = plan("user_gap_hazard")
     assert(countOf(p, "FileScan parquet") == 0,

@@ -1938,6 +1938,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed Chao1 report diverges from the batch entry")
   }
 
+  test("streamed readability sums replay the Flesch report bit-for-bit") {
+    val want = SparkEntry.queries("source_readability")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no readability rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").as[(String, String)].collect().sortBy(_._2).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"read-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 1) // key = source
+    val input = MemoryStream[(String, String)](spark)
+    val q = StreamingQueries.streamingReadabilitySums(
+        input.toDF().toDF("source", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sums = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toDF("source", "n_docs", "n_words", "n_sentences", "n_syllables")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.readabilityFrom(sums)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed Flesch report diverges from the batch entry")
+  }
+
+  test("streamed (source, length) grid replays the quartile report bit-for-bit") {
+    val want = SparkEntry.queries("source_length_quartiles")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty, "vacuous: no quartile rows at sf0.001")
+    val rows = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").as[(String, String)].collect().sortBy(_._2).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val sinkId = s"slq-${System.nanoTime()}"
+    val sink = new UpsertSink(sinkId, 2) // key = (source, x)
+    val input = MemoryStream[(String, String)](spark)
+    val q = StreamingQueries.streamingSourceLengthCounts(
+        input.toDF().toDF("source", "text"))
+      .writeStream.outputMode("update").foreach(sink).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val grid = Sinks.registry(sinkId).asScala.values.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("source", "x", "c")
+    Sinks.clear(sinkId)
+    val got = graft.queries.TrainPrepCatalog.quartilesFromLengthGrid(grid)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "streamed quartile report diverges from the batch entry")
+  }
+
   test("streamed first-occurrence state replays the Heaps curve bit-for-bit") {
     // token_heaps_curve has TWO corpus-touching aggregates, both
     // streaming-safe keyed state: the (token -> min doc_id)

@@ -720,4 +720,33 @@ class TrainPrepSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(row) < 1e-12, s"constant-length Gini must be 0, got $row")
   }
+
+  test("length quartiles: the grid cumulative form equals the per-key rank form") {
+    import spark.implicits._
+    // Two exact devices for per-key order statistics (the entry's
+    // scaladoc contract): the grid form the entry ships (cheap when the
+    // value domain collapses) and the general withRankPerKey form
+    // (needed for near-unique order keys). The ⌈q·n⌉ order statistic
+    // must be IDENTICAL through both.
+    val want = SparkEntry.queries("source_length_quartiles")(spark, sf0001)
+      .collect().map(_.toSeq.toList).toSet
+    assert(want.nonEmpty)
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.Text.wsTokens(col("text"))).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val ranked = graft.operators.GlobalRank.withRankPerKey(
+      lens, Seq("source"), Seq(col("x"), col("doc_id")), numPartitions = 8, rankCol = "r")
+    val totals = lens.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val got = ranked
+      .join(org.apache.spark.sql.functions.broadcast(totals), Seq("source"))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        max(when(col("r") === expr("(n_docs + 3) div 4"), col("x"))).as("p25"),
+        max(when(col("r") === expr("(n_docs + 1) div 2"), col("x"))).as("p50"),
+        max(when(col("r") === expr("(3 * n_docs + 3) div 4"), col("x"))).as("p75"),
+        max(when(col("r") === expr("(9 * n_docs + 9) div 10"), col("x"))).as("p90"))
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "rank-form quartiles diverge from the entry's grid form")
+  }
 }
