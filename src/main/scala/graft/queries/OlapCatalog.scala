@@ -210,7 +210,13 @@ object OlapCatalog {
     "events_markov_stationary",
     (s, d) => {
       import s.implicits._
+      // Null-typed events may sit between neighbors in the lag, but
+      // transitions with a NULL endpoint are excluded from the chain in
+      // BOTH engines (the null-exclusion convention: NULL cannot ride
+      // the oracle's equi-join CTE chain, and a null "state" is ingest
+      // noise, not a behavior class).
       val cells = transitionCounts(Tables.events(s, d))
+        .filter(col("from_type").isNotNull && col("to_type").isNotNull)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
       val idx = types.zipWithIndex.toMap
@@ -259,7 +265,8 @@ object OlapCatalog {
                                    lead(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS to_type
                             FROM events)
-                      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+                      WHERE to_type IS NOT NULL AND from_type IS NOT NULL
+                      GROUP BY 1, 2),
              types AS (SELECT DISTINCT t
                        FROM (SELECT from_type AS t FROM tr
                              UNION ALL SELECT to_type FROM tr)),

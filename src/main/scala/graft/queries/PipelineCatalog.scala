@@ -2136,6 +2136,62 @@ object PipelineCatalog {
             FROM dev d JOIN mad USING (event_type)
             GROUP BY d.event_type"""))
 
+  /** Two-sided 5 % trimmed mean per event type (the classical robust
+    * location estimate; Tukey & McLaughlin 1963) — drop each type's
+    * k = ⌊n/20⌋ smallest and largest values by EXACT rank, average the
+    * rest. Completes the robust-statistics family: `events_zscore_*`
+    * assumes normality, `events_mad_outliers` flags points, the trimmed
+    * mean is the level estimate that survives the heavy tails both
+    * detect (a mean the top 5 % can't drag is what a revenue dashboard
+    * should chart).
+    *
+    * Exactness: ranks are bit-identical to the oracle's keyed
+    * row_number (total order (value, event_id); null values excluded in
+    * BOTH engines — Spark sorts nulls first, DuckDB last); the trim
+    * boundary n div 20 is integer in both; the kept-set mean rides the
+    * [[Exact]] decimal-sum device, ROUND 6.
+    *
+    * Scale device: ranks come from [[graft.operators.GlobalRank
+    * .withRankPerKey]] — THE near-unique-order-key case ((value,
+    * event_id): one rank per row, no grid collapse exists) where a
+    * keyed window would sort the WHOLE corpus in #types tasks (5 here —
+    * the fat-key pathology at its worst), while the range shuffle keeps
+    * the skew ceiling at a range bucket. Per-type counts ride a
+    * broadcast back; the keep-filter and decimal sums map-combine.
+    */
+  val trimmedMean: CatalogEntry = CatalogEntry(
+    "events_trimmed_mean",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+      val ranked = graft.operators.GlobalRank.withRankPerKey(
+        ev, Seq("event_type"), Seq(col("value"), col("event_id")),
+        numPartitions = 32, rankCol = "r")
+      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(totals), Seq("event_type"))
+        .filter(col("r") > expr("n div 20") &&
+          col("r") <= col("n") - expr("n div 20"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          expr("max(n div 20)").as("k_trimmed_each_side"),
+          count(lit(1)).as("n_kept"),
+          round(Exact.davg(col("value")), 6).as("trimmed_mean"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH ranked AS (SELECT event_type, value,
+                                    row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS r,
+                                    COUNT(*) OVER (PARTITION BY event_type) AS n
+                             FROM events WHERE value IS NOT NULL),
+                  kept AS (SELECT event_type, value, n FROM ranked
+                           WHERE r > n // 20 AND r <= n - (n // 20))
+             SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                    CAST(MAX(n // 20) AS BIGINT) AS k_trimmed_each_side,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    ROUND(${Exact.sqlAvg("value")}, 6) AS trimmed_mean
+             FROM kept GROUP BY event_type ORDER BY event_type"""))
+
   /** Event-time disorder profile: per type, how out-of-order the stream
     * actually arrives — disorder of an event = running-max(event time in
     * ARRIVAL order, per user) − its own event time. This is the
@@ -3505,7 +3561,7 @@ object PipelineCatalog {
       eventsProfile, eventsJsonKv,
       userRunningTotal, eventsWindowFamily, stratifiedSample, saltedUserAgg, zscoreOutliers,
       eventsAsofJoin, eventsAsofNext, eventsRangeJoin, packBins, pipelineCurriculum,
-      piiRedact, madOutliers, disorderProfile, scd2Intervals, timeWeightedValue,
+      piiRedact, madOutliers, trimmedMean, disorderProfile, scd2Intervals, timeWeightedValue,
       eventsValueTrend, theilSen, bm25TopK, cusumBreach, qualityReport, autocorrLag1,
       blockDedup, cdcChunks, bigramFluency, langIdConfusion, qualityVsDup,
       featureHash, docManifest, docNovelty, seasonalDecompose, dsirWeightsEntry,

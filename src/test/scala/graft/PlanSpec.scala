@@ -1326,6 +1326,20 @@ class PlanSpec extends AnyFunSuite {
       s"source_length_quartiles: the grid aggregate vanished\n$p")
   }
 
+  test("round-18: events_trimmed_mean ranks via range shuffle and broadcasts the counts") {
+    // The near-unique-key withRankPerKey consumer: a keyed window would
+    // sort the whole corpus in #types tasks; the plan must show the RDD
+    // rank scan, NO WindowExec, and the per-type counts joining back as
+    // a broadcast (the corpus side never reshuffles for the join).
+    val p = plan("events_trimmed_mean")
+    assert(!p.contains("Window"),
+      s"events_trimmed_mean: a keyed window replaced withRankPerKey\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"events_trimmed_mean: ranks no longer ride the RDD range-rank\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"events_trimmed_mean: per-type counts not broadcast\n$p")
+  }
+
   test("round-17b: user_gap_hazard pays one lag window; the tail sum is checkpoint-sized") {
     val p = plan("user_gap_hazard")
     assert(countOf(p, "FileScan parquet") == 0,
