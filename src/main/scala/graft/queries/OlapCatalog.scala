@@ -206,6 +206,30 @@ object OlapCatalog {
     * constant like the KMeans centroids — and the iteration is driver
     * arithmetic on that matrix. Nothing downstream touches the corpus.
     */
+  /** The [[MarkovIters]]-step integer-lattice power iteration over a
+    * transition-count matrix — ONE definition shared by
+    * [[markovStationary]] and MarkovSpec's generative property (random
+    * chains vs a converged double iteration), so the entry and its test
+    * cannot drift. Truncating BigInt division throughout (= DuckDB `//`
+    * on nonnegative operands); rows with zero outgoing mass contribute
+    * nothing (substochastic — the normalization re-inflates).
+    */
+  private[graft] def stationaryLattice(nMat: Array[Array[Long]]): Array[BigInt] = {
+    val k = nMat.length
+    val rowTot = nMat.map(_.sum)
+    var v = Array.fill(k)(BigInt(MarkovScale))
+    (1 to MarkovIters).foreach { _ =>
+      val w = Array.tabulate(k) { j =>
+        (0 until k).map { i =>
+          if (rowTot(i) > 0) v(i) * nMat(i)(j) / rowTot(i) else BigInt(0)
+        }.sum
+      }
+      val tot = w.sum
+      if (tot > 0) v = w.map(x => x * MarkovScale / tot)
+    }
+    v
+  }
+
   val markovStationary: CatalogEntry = CatalogEntry(
     "events_markov_stationary",
     (s, d) => {
@@ -224,16 +248,7 @@ object OlapCatalog {
       val nMat = Array.ofDim[Long](k, k)
       cells.foreach { case (a, b, n) => nMat(idx(a))(idx(b)) = n }
       val rowTot = nMat.map(_.sum)
-      var v = Array.fill(k)(BigInt(MarkovScale))
-      (1 to MarkovIters).foreach { _ =>
-        val w = Array.tabulate(k) { j =>
-          (0 until k).map { i =>
-            if (rowTot(i) > 0) v(i) * nMat(i)(j) / rowTot(i) else BigInt(0)
-          }.sum
-        }
-        val tot = w.sum
-        if (tot > 0) v = w.map(x => x * MarkovScale / tot)
-      }
+      val v = stationaryLattice(nMat)
       val tot = v.sum
       val rows = types.zipWithIndex.map { case (t, i) =>
         (t, rowTot(i), v(i).toLong,

@@ -85,6 +85,34 @@ class GlobalRankSpec extends AnyFunSuite {
       "fat key's ranks are not the contiguous 1..n sequence")
   }
 
+  test("withRankPerKey equals the keyed window on seeded-random frames") {
+    // Generative equivalence over shapes a fixed fixture misses: random
+    // key cardinality (1..40, so some runs have one giant key and some
+    // have key-per-row), random tie density, null keys AND null order
+    // values, random partition counts.
+    val rnd = new scala.util.Random(424242L)
+    (1 to 5).foreach { trial =>
+      val n = 200 + rnd.nextInt(800)
+      val nKeys = 1 + rnd.nextInt(40)
+      val tieMod = 1 + rnd.nextInt(20)
+      val rows = (1 to n).map { i =>
+        val k = if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(nKeys)}"
+        val v: java.lang.Long =
+          if (rnd.nextInt(15) == 0) null else Long.box(rnd.nextInt(tieMod).toLong)
+        (i.toLong, v, k)
+      }
+      val df = rows.toDF("id", "v", "tag")
+      val order = Seq(col("v").asc, col("id").asc)
+      val parts = 2 + rnd.nextInt(15)
+      val got = GlobalRank.withRankPerKey(df, Seq("tag"), order, parts)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rank", row_number().over(
+          Window.partitionBy("tag").orderBy(order: _*)).cast("long"))
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial (n=$n keys=$nKeys parts=$parts) diverged")
+    }
+  }
+
   test("withRankPerKey is partition-count invariant, including ties and null keys") {
     val df = (1 to 400)
       .map(i => (i.toLong, (i % 5).toDouble,

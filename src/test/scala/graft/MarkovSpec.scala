@@ -52,4 +52,38 @@ class MarkovSpec extends AnyFunSuite {
         s"$t: lattice pi $pi vs converged ${v(idx(t))}")
     }
   }
+
+  test("generative: the lattice trajectory tracks the double trajectory on random chains") {
+    // Property of the SHARED stationaryLattice (no mixing assumption):
+    // at the SAME step count, lattice truncation is the only error
+    // source — bounded by ~k/MarkovScale per step, so the normalized
+    // vectors agree to ~1e-4 for ANY matrix, including zero rows
+    // (substochastic states) and disconnected blocks.
+    val rnd = new scala.util.Random(181818L)
+    (1 to 25).foreach { trial =>
+      val k = 2 + rnd.nextInt(5)
+      val nMat = Array.fill(k, k)(
+        if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(1000).toLong)
+      if (rnd.nextBoolean()) nMat(rnd.nextInt(k)) = Array.fill(k)(0L) // a dead row
+      val v = graft.queries.OlapCatalog.stationaryLattice(nMat)
+      val vTot = v.map(BigDecimal(_)).sum
+      assert(vTot > 0, s"trial $trial: lattice collapsed to zero")
+      val rowTot = nMat.map(_.sum)
+      var d = Array.fill(k)(1.0)
+      (1 to graft.queries.OlapCatalog.MarkovIters).foreach { _ =>
+        val w = Array.tabulate(k)(j =>
+          (0 until k).map(i =>
+            if (rowTot(i) > 0) d(i) * nMat(i)(j) / rowTot(i) else 0.0).sum)
+        val tot = w.sum
+        if (tot > 0) d = w.map(_ / tot)
+      }
+      val dTot = d.sum
+      (0 until k).foreach { i =>
+        val lat = (BigDecimal(v(i)) / vTot).toDouble
+        val dbl = if (dTot > 0) d(i) / dTot else 1.0 / k
+        assert(math.abs(lat - dbl) < 1e-4,
+          s"trial $trial dim $i: lattice $lat vs double $dbl (k=$k)")
+      }
+    }
+  }
 }
