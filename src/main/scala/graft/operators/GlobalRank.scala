@@ -84,7 +84,59 @@ object GlobalRank {
       keys: Seq[String],
       order: Seq[Column],
       numPartitions: Int,
-      rankCol: String = "rank"): DataFrame = {
+      rankCol: String = "rank"): DataFrame =
+    scanPerKey(df, keys, order, numPartitions, rankCol,
+      inclusive = true)(_ => 1L)
+
+  /** Per-key running SUM — `SUM(sumCol) OVER (PARTITION BY keys ORDER BY
+    * … ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING])` with the same
+    * fat-key escape as [[withRankPerKey]] (a rank IS the prefix sum of
+    * ones): range shuffle on (keys ++ order), per-partition per-key run
+    * TOTALS to the driver (O(partitions + keys)), prefix-summed offsets
+    * broadcast back, running sums emitted per partition. This is the
+    * "two-pass prefix offsets" device the packing entries' scaladocs
+    * promise for a source too large for one window sort task — prefix
+    * addition is associative, so partition offsets compose exactly.
+    *
+    * `inclusive = true` ≙ ROWS UNBOUNDED PRECEDING AND CURRENT ROW;
+    * `false` ≙ … AND 1 PRECEDING with a 0 (not NULL) empty-frame value —
+    * callers of the window form pair it with coalesce(…, 0), which this
+    * matches. NULL values in `sumCol` contribute 0 to the running sum
+    * (the window form's null-skip); the emitted column is never null.
+    *
+    * Measured trade (r18, sf0.1, balanced 20-source corpus): the
+    * two-pass RDD form costs ~3× the keyed window on these sub-second
+    * entries — fixed Row-codec + double shuffle-read + one driver job
+    * of overhead. That constant buys the removal of the fat-key
+    * ceiling: the window's cost on a DOMINATING key is the whole key
+    * in one sort task (unbounded at 100 TB), this operator's is one
+    * range bucket. Prefer the window only where key balance is
+    * guaranteed by construction.
+    */
+  def withPrefixSumPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      sumCol: String,
+      numPartitions: Int,
+      cumCol: String = "cum",
+      inclusive: Boolean = true): DataFrame = {
+    val i = df.schema.fieldIndex(sumCol)
+    scanPerKey(df, keys, order, numPartitions, cumCol, inclusive)(
+      row => if (row.isNullAt(i)) 0L else row.getLong(i))
+  }
+
+  /** Shared two-pass per-key scan core: emits, per row in (keys ++
+    * order) order, the running total of `valueOf` within its key —
+    * inclusive or exclusive of the current row.
+    */
+  private def scanPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      numPartitions: Int,
+      outCol: String,
+      inclusive: Boolean)(valueOf: Row => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val fullOrder = keys.map(col) ++ order
     val sorted = df
@@ -92,7 +144,7 @@ object GlobalRank {
       .sortWithinPartitions(fullOrder: _*)
     val keyIdx = keys.map(sorted.schema.fieldIndex).toArray
     val rdd = sorted.rdd
-    // Pass 1: per-partition run-length key counts (re-reads the
+    // Pass 1: per-partition run-length key totals (re-reads the
     // materialized shuffle files, the zipWithIndex count-job shape).
     val runs = rdd.mapPartitionsWithIndex { (pid, it) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Long)]
@@ -104,12 +156,12 @@ object GlobalRank {
           if (cur != null) buf += ((cur, c))
           cur = k; c = 0L
         }
-        c += 1
+        c += valueOf(row)
       }
       if (cur != null) buf += ((cur, c))
       Iterator((pid, buf.toArray))
     }.collect()
-    // Driver: starting offset of key k in partition p = k's total count
+    // Driver: starting offset of key k in partition p = k's total
     // across partitions < p. Runs arrive per partition in sorted key
     // order; iterate partitions in index order and prefix-sum per key.
     val offsets = new scala.collection.mutable.HashMap[Int, Map[List[Any], Long]]
@@ -119,18 +171,20 @@ object GlobalRank {
       rs.foreach { case (k, c) => running(k) = running.getOrElse(k, 0L) + c }
     }
     val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val scanned = rdd.mapPartitionsWithIndex { (pid, it) =>
       val base = bc.value.getOrElse(pid, Map.empty[List[Any], Long])
       var cur: List[Any] = null
-      var r = 0L
+      var acc = 0L
       it.map { row =>
         val k = keyIdx.map(row.get(_): Any).toList
-        if (cur == null || k != cur) { cur = k; r = base.getOrElse(k, 0L) }
-        r += 1
-        Row.fromSeq(row.toSeq :+ r)
+        if (cur == null || k != cur) { cur = k; acc = base.getOrElse(k, 0L) }
+        val x = valueOf(row)
+        val out = if (inclusive) acc + x else acc
+        acc += x
+        Row.fromSeq(row.toSeq :+ out)
       }
     }
-    df.sparkSession.createDataFrame(ranked, schema)
+    df.sparkSession.createDataFrame(scanned, schema)
   }
 }

@@ -1529,24 +1529,30 @@ object PipelineCatalog {
     * the bin it STARTS in and its token offset inside that bin (the
     * concat-then-chunk packing every LLM pretraining loader performs;
     * docs may straddle a boundary, exactly as the loader's chunker does).
-    * One shuffle on `source` + a per-partition running sum in exact
-    * BIGINT: no global sort, no driver state, deterministic across
-    * cluster sizes. At 100 TB the per-source partitions are the
-    * parallelism unit — the window never crosses sources, so skew is
-    * bounded by the biggest source, the same unit the loader shards by.
+    * One RANGE shuffle on (source, doc_id) read twice (the
+    * withPrefixSumPerKey two-pass prefix-offset device, r18) + exact
+    * BIGINT running sums: no global sort, O(partitions + sources)
+    * driver traffic, deterministic across cluster sizes. At 100 TB the
+    * skew ceiling is a range bucket — the biggest source spans buckets
+    * instead of bounding the job as one keyed-window sort task.
     */
   private val BinBudget = 512L
 
   val packBins: CatalogEntry = CatalogEntry(
     "doc_pack_bins",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
-        .select(col("doc_id"), col("source"),
+      // Exclusive per-source prefix sum via withPrefixSumPerKey (range
+      // shuffle + driver offsets, r18): bit-identical to the former
+      // coalesce(SUM OVER (… AND 1 PRECEDING), 0) keyed window — the
+      // operator's 0-start empty frame and null-skip ARE that window's
+      // semantics — but a dominating source now spans range buckets
+      // instead of serializing one window sort task.
+      val base = documents(s, d)
+        .select(col("source"), col("doc_id"),
           size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.GlobalRank.withPrefixSumPerKey(
+          base, Seq("source"), Seq(col("doc_id")), "n_tokens",
+          numPartitions = 32, cumCol = "cum_before", inclusive = false)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"cum_before div $BinBudget").as("bin_id"),
           (col("cum_before") % BinBudget).as("bin_offset"))

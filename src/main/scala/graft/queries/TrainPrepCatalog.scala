@@ -143,11 +143,12 @@ object TrainPrepCatalog {
     * Under-budget sources (fill 1.0 with docs to spare vs exhausted
     * early) are the up/down-sampling signal read next to `mix_weight`.
     *
-    * 100 TB shape: one per-row projection, ONE source-partitioned
-    * window (the cum sum — per-source sorted, never global; production
-    * splits the quota across the shuffle law's 256 shards, budget_s/256
-    * per (source, shard), making even the hottest source
-    * shard-parallel), a #sources rollup, and a 1-row broadcast total.
+    * 100 TB shape: one per-row projection, ONE range shuffle read twice
+    * (the cum sum rides withPrefixSumPerKey's two-pass prefix offsets,
+    * r18 — a dominating source spans range buckets; production can
+    * still split the quota across the shuffle law's 256 shards,
+    * budget_s/256 per (source, shard), for quota-local accounting), a
+    * #sources rollup, and a 1-row broadcast total.
     * Exactness: tokens and budgets are BIGINT end-to-end (integer div
     * on both engines); fill_ratio is the one rounded division.
     */
@@ -155,16 +156,26 @@ object TrainPrepCatalog {
     "pipeline_token_budget",
     (s, d) => {
       val h = md5(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      // Null-text docs count as 0-token docs EXPLICITLY (both engines):
+      // they are "available" and takeable at zero cost. (Under the old
+      // window form a leading all-null frame produced a NULL cum by
+      // accident of SUM's null-skip; the coalesce pins the semantics.)
       val docs = documents(s, d)
         .select(col("source"), col("doc_id"),
-          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+          coalesce(size(Text.wsTokens(col("text"))).cast("long"), lit(0L))
+            .as("n_tokens"), h.as("h"))
       val tot = docs.agg(sum("n_tokens").as("total"),
           countDistinct("source").as("n_src"))
         .select(when(col("n_src") > 0, expr("total div (2 * n_src)"))
           .otherwise(lit(0L)).as("budget_tokens"))
-      val cum = docs.withColumn("cum", sum("n_tokens").over(
-        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Inclusive per-source prefix sum in shuffle order via
+      // withPrefixSumPerKey (range shuffle + driver offsets, r18) — the
+      // production sharding note below still applies, but even the
+      // UNSHARDED form no longer serializes a dominating source into
+      // one keyed-window sort task.
+      val cum = graft.operators.GlobalRank.withPrefixSumPerKey(
+        docs, Seq("source"), Seq(col("h"), col("doc_id")), "n_tokens",
+        numPartitions = 32, cumCol = "cum", inclusive = true)
       cum.crossJoin(broadcast(tot))
         .groupBy("source")
         .agg(count(lit(1)).as("docs_available"),
@@ -178,7 +189,7 @@ object TrainPrepCatalog {
           round(col("tokens_taken").cast("double") / col("budget_tokens"), 6))
     },
     Some(s"""WITH d AS (SELECT source, doc_id,
-                               CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                               COALESCE(CAST(len($toksSql) AS BIGINT), 0) AS n_tokens,
                                md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h
                         FROM documents),
                   b AS (SELECT CASE WHEN COUNT(DISTINCT source) > 0
@@ -2161,23 +2172,30 @@ object TrainPrepCatalog {
     * (they occupy no interval; counting them as "packed" would inflate
     * docs/sequence).
     *
-    * 100 TB shape: ONE source-keyed window (running sum — shuffle-keyed,
-    * never a global window) + one source-keyed aggregate. A source so
-    * large its cumulative sum serializes re-keys by (source, chunk) with
-    * two-pass prefix offsets — the `events_ewma_salted` device; the
-    * window is associative addition, so chunk offsets compose exactly.
+    * 100 TB shape: ONE range shuffle read twice (the
+    * [[graft.operators.GlobalRank.withPrefixSumPerKey]] two-pass
+    * prefix-offset device — prefix addition is associative, so
+    * partition offsets compose exactly) + one source-keyed aggregate.
+    * A dominating source spans range buckets instead of serializing
+    * one keyed-window sort task (r18; previously documented as a
+    * re-key escape hatch, now the operator itself).
     */
   val packSequences: CatalogEntry = CatalogEntry(
     "doc_pack_sequences",
     (s, d) => {
       val B = PackBudget
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      documents(s, d)
-        .select(col("doc_id"), col("source"),
+      val toks = documents(s, d)
+        .select(col("source"), col("doc_id"),
           size(Text.normTokens(col("text"))).cast("long").as("n"))
         .filter(col("n") > 0)
-        .select(col("source"), col("n"),
-          sum("n").over(w).as("cum"))
+      // The running sum rides withPrefixSumPerKey (range shuffle +
+      // driver offsets), not a keyed window: the scaladoc's fat-source
+      // re-key is now the operator itself — a source holding most of a
+      // 100 TB corpus spans range buckets instead of serializing one
+      // window sort task (the r18 source_gini_length device, sum form).
+      graft.operators.GlobalRank.withPrefixSumPerKey(
+          toks, Seq("source"), Seq(col("doc_id")), "n",
+          numPartitions = 32, cumCol = "cum", inclusive = true)
         .select(col("source"), col("n"), col("cum"),
           expr(s"(cum - n) div $B").as("first_seq"),
           expr(s"(cum - 1) div $B").as("last_seq"))

@@ -113,6 +113,54 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withPrefixSumPerKey equals the keyed running-sum window, both frames") {
+    val df = frame(800).withColumn("w", (col("id") % 13).cast("long"))
+    val order = Seq(col("score").asc, col("id").asc)
+    val wIncl = Window.partitionBy("tag").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.partitionBy("tag").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gotIncl = GlobalRank
+      .withPrefixSumPerKey(df, Seq("tag"), order, "w", 8, "cum", inclusive = true)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val wantIncl = df.withColumn("cum", sum("w").over(wIncl))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotIncl == wantIncl, "inclusive prefix sum diverges from the window")
+    val gotExcl = GlobalRank
+      .withPrefixSumPerKey(df, Seq("tag"), order, "w", 8, "cum", inclusive = false)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val wantExcl = df.withColumn("cum", coalesce(sum("w").over(wExcl), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotExcl == wantExcl, "exclusive prefix sum diverges from coalesce(window, 0)")
+  }
+
+  test("withPrefixSumPerKey on seeded-random frames: nulls contribute 0, keys span partitions") {
+    val rnd = new scala.util.Random(515151L)
+    (1 to 4).foreach { trial =>
+      val n = 300 + rnd.nextInt(500)
+      val rows = (1 to n).map { i =>
+        val k = if (rnd.nextInt(12) == 0) null else s"k${rnd.nextInt(1 + rnd.nextInt(20))}"
+        val w: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(50).toLong)
+        (i.toLong, w, k)
+      }
+      val df = rows.toDF("id", "w", "tag")
+      val order = Seq(col("id").asc)
+      val parts = 3 + rnd.nextInt(12)
+      val got = GlobalRank
+        .withPrefixSumPerKey(df, Seq("tag"), order, "w", parts, "cum", inclusive = true)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      // Null w skips (contributes 0); cum itself is never null — the
+      // window mirror needs the null-skip coalesce only on the empty
+      // leading frame.
+      val w = Window.partitionBy("tag").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", coalesce(sum("w").over(w), lit(0L)))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial (n=$n parts=$parts) diverged")
+    }
+  }
+
   test("withRankPerKey is partition-count invariant, including ties and null keys") {
     val df = (1 to 400)
       .map(i => (i.toLong, (i % 5).toDouble,

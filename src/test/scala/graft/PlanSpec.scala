@@ -984,18 +984,35 @@ class PlanSpec extends AnyFunSuite {
       s"doc_bbit_minhash: corpus-sized cross join crept in\n$p")
   }
 
-  test("round-16: pipeline_token_budget is one scan, one source-partitioned window, a scalar broadcast") {
-    // The cum sum must ride a SOURCE-partitioned window (never global),
-    // the 1-row budget frame broadcasts (the only nested-loop join),
-    // and the corpus is scanned once for the window side (the total
-    // side reads the same parquet a second time — two scans max).
+  test("round-18: pipeline_token_budget prefix-sums via range shuffle, a scalar broadcast") {
+    // r18: the per-source cum sum rides withPrefixSumPerKey (range
+    // shuffle + driver offsets), so the plan must show the RDD scan and
+    // NO WindowExec — a keyed window would put a dominating source in
+    // one sort task. The 1-row budget frame broadcasts (the only
+    // nested-loop join); two parquet scans max (cum side + total side).
     val p = plan("pipeline_token_budget")
-    assert(p.contains("Window") && p.contains("partitionBy") || p.contains("Window ["),
-      s"pipeline_token_budget: window gone\n$p")
+    assert(!p.contains("Window"),
+      s"pipeline_token_budget: a keyed window replaced withPrefixSumPerKey\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"pipeline_token_budget: cum no longer rides the RDD prefix scan\n$p")
     assert(!p.contains("CartesianProduct"),
       s"pipeline_token_budget: undeclared cartesian\n$p")
     assert(countOf(p, "FileScan parquet") <= 2,
-      s"pipeline_token_budget: more than the window + total scans\n$p")
+      s"pipeline_token_budget: more than the prefix + total scans\n$p")
+  }
+
+  test("round-18: both packing entries prefix-sum via range shuffle, never a keyed window") {
+    for (name <- Seq("doc_pack_sequences", "doc_pack_bins")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name: a keyed window replaced withPrefixSumPerKey\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: cum no longer rides the RDD prefix scan\n$p")
+      // The one corpus scan lives INSIDE the RDD lineage; the visible
+      // plan must not rescan parquet on top of it.
+      assert(countOf(p, "FileScan parquet") == 0,
+        s"$name: a parquet rescan on top of the RDD prefix scan\n$p")
+    }
   }
 
   test("round-16: events_k_anonymity is one keyed count then a types-sized rollup") {
