@@ -220,6 +220,57 @@ object Bench {
           best(name) = math.min(best(name), timeEntry(name, fn))
       }
     }
+    // SELF-ADJUDICATION (r19, r18 verdict #2): four consecutive rounds
+    // burned their adjudication budget on mid-run host-window noise —
+    // start-of-run calibrations cannot see a co-tenant burst that lands
+    // mid-catalog, and 27-35 entries then read >=2x of the record until
+    // someone probes them by hand. So the run probes ITSELF: after the
+    // timed loop, re-measure every entry whose in-run reading exceeds
+    // ~2x of BASELINES.json median_norm with an isolated min-of-3 under
+    // a FRESH calibration, and stamp both readings into the artifact
+    // ("probes" + "cal_probe"). tools/baseline_check.py then demotes
+    // flags whose probe reads in-band (FLAG-PROBED-CLEAR) and keeps
+    // only probe-confirmed regressions. The in-run `queries` map is
+    // UNCHANGED — probes ride alongside, never replace the timing.
+    // Skipped for subset runs (SPARK_GRAFT_ONLY — already isolated) and
+    // when no record exists; SPARK_GRAFT_SELFPROBE=0 disables.
+    val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var calProbe = 0.0
+    val selfProbe = only.isEmpty && errors.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_SELFPROBE", "1") != "0"
+    if (selfProbe) {
+      val medianNorm: Map[String, Double] = try {
+        val f = new java.io.File("BASELINES.json")
+        if (!f.exists()) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val es = root.get("entries")
+          val it = es.fieldNames()
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) {
+            val n = it.next()
+            val e = es.get(n)
+            val norm =
+              if (e.has("median_norm")) e.get("median_norm").asDouble()
+              else e.get("seconds").asDouble() / e.get("cal_32t").asDouble()
+            if (norm > 0) m(n) = norm
+          }
+          m.toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (medianNorm.nonEmpty) {
+        calProbe = math.rint(calibrate(cpus.toInt) * 1000) / 1000
+        val calsSeen = (cal32tRuns :+ calProbe).sorted
+        val calRun = calsSeen(calsSeen.size / 2)
+        val suspects = best.toSeq.flatMap { case (name, sec) =>
+          medianNorm.get(name).map(n => (name, (sec / calRun) / n))
+        }.filter { case (_, r) => r > 2.0 }.sortBy(-_._2).take(12)
+        suspects.foreach { case (name, _) =>
+          val f = ordered.collectFirst { case (n, f0) if n == name => f0 }.get
+          probes(name) = (1 to 3).map(_ => timeEntry(name, f)).min
+        }
+      }
+    }
     cal32tRuns += calibrate(cpus.toInt) // end-of-run reading
     val cal32t = math.rint(cal32tRuns.sorted.apply(cal32tRuns.size / 2) * 1000) / 1000
     val cal32tRunsJson = cal32tRuns
@@ -244,8 +295,15 @@ object Bench {
     // printed line carries the total plus the slowest entries — the ones
     // that dominate the total — trimmed to fit the tail window.
     val seedField = orderSeed.map(s => s""""order_seed":$s,""").getOrElse("")
+    val probesField =
+      if (probes.isEmpty) ""
+      else {
+        val ps = probes.map { case (k, v) =>
+          s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }.mkString("{", ",", "}")
+        s""""cal_probe":$calProbe,"probes":$ps,"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$seedField"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_32t_runs":$cal32tRunsJson,"cal_mem":$calMem,"queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$seedField$probesField"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_32t_runs":$cal32tRunsJson,"cal_mem":$calMem,"queries":$qs,"sf":${jstr(sfDir)},"errors":$errs,"ok":${errors.isEmpty}}"""
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — never let them
     // clobber the committed full-catalog artifact. Seeded-order runs are
     // baseline-seeding inputs, not the canonical artifact: they land in
@@ -279,8 +337,12 @@ object Bench {
       .mkString("{", ",", "}")
     // Budget the line at 1800 chars: fits the tail window together with
     // sbt's trailing "[success] ..." line.
+    // The printed line carries only the probe COUNT (details live in
+    // BENCH_FULL.json's probes map — the line budget belongs to the
+    // slowest-queries map the driver reads).
+    val probesN = if (probes.isEmpty) "" else s""""probes_n":${probes.size},"""
     val fixed =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_32t_runs":$cal32tRunsJson,"cal_mem":$calMem,"full":${jstr(artifactPath)},"sf":${jstr(sfDir)},"errors":$errsCompact,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.size},"cal_1t":$cal1t,"cal_32t":$cal32t,"cal_32t_runs":$cal32tRunsJson,"cal_mem":$calMem,$probesN"full":${jstr(artifactPath)},"sf":${jstr(sfDir)},"errors":$errsCompact,"ok":${errors.isEmpty},"queries_omitted":OMIT,"queries":{}}"""
     val room = 1800 - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

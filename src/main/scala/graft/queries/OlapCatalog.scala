@@ -530,7 +530,8 @@ object OlapCatalog {
         ("fr", Seq(col("n_orders").desc, col("c_custkey").asc)),
         ("mr", Seq(col("monetary").desc, col("c_custkey").asc)))
         .foldLeft(base) { case (df, (rc, ord)) =>
-          graft.operators.GlobalRank.withRank(df, ord, numPartitions = 32, rc)
+          graft.operators.GlobalRank.withRank(df, ord,
+            numPartitions = graft.operators.GlobalRank.sessionPartitions(df), rc)
         }
       val scored = ranked
         .crossJoin(broadcast(base.agg(count(lit(1)).as("nn"))))

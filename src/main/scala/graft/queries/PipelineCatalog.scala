@@ -433,7 +433,12 @@ object PipelineCatalog {
             col("stop_cnt") / col("n_tokens") * 0.3 +
             (lit(1.0) - col("punct_cnt") / col("n_chars_m")) * 0.2, 6).as("quality_score"))
       val ranked = graft.operators.GlobalRank.withRank(
-        scored, Seq(col("quality_score").desc, col("doc_id").asc), numPartitions = 32)
+        scored, Seq(col("quality_score").desc, col("doc_id").asc),
+        numPartitions = graft.operators.GlobalRank.sessionPartitions(scored))
+      // The total branch deliberately re-references `scored`, NOT a
+      // cache: Catalyst prunes count(1) down to a zero-column parquet
+      // scan (ReadSchema: struct<> — row-group metadata only), so the
+      // regex scoring runs exactly once (r19 plan audit).
       ranked
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("total"))))
         .select(col("doc_id"), col("quality_score"), col("rank"),
@@ -1552,7 +1557,8 @@ object PipelineCatalog {
           size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
       graft.operators.GlobalRank.withPrefixSumPerKey(
           base, Seq("source"), Seq(col("doc_id")), "n_tokens",
-          numPartitions = 32, cumCol = "cum_before", inclusive = false)
+          numPartitions = graft.operators.GlobalRank.sessionPartitions(base),
+          cumCol = "cum_before", inclusive = false)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"cum_before div $BinBudget").as("bin_id"),
           (col("cum_before") % BinBudget).as("bin_offset"))
@@ -1593,8 +1599,13 @@ object PipelineCatalog {
             least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.5 +
             col("stop_cnt") / col("n_tokens") * 0.3 +
             (lit(1.0) - col("punct_cnt") / col("n_chars_m")) * 0.2, 6).as("quality_score"))
+      // The count branch re-references `scored` un-cached on purpose:
+      // Catalyst prunes it to a zero-column metadata scan (r19 plan
+      // audit, plans/r19/before/pipeline_curriculum.txt ReadSchema:
+      // struct<>) — the regex scoring runs once, inside the rank pass.
       val ranked = graft.operators.GlobalRank.withRank(
-        scored, Seq(col("quality_score").desc, col("doc_id").asc), numPartitions = 32)
+        scored, Seq(col("quality_score").desc, col("doc_id").asc),
+        numPartitions = graft.operators.GlobalRank.sessionPartitions(scored))
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("total"))))
         .select(col("doc_id"), col("n_tokens"),
           expr("((rank - 1) * 10) div total").as("tier"),
@@ -1651,7 +1662,8 @@ object PipelineCatalog {
     (s, d) => {
       val v = Tables.events(s, d).select(col("event_id"), col("value"))
       val ranked = graft.operators.GlobalRank.withRank(
-        v, Seq(col("value").asc, col("event_id").asc), numPartitions = 32)
+        v, Seq(col("value").asc, col("event_id").asc),
+        numPartitions = graft.operators.GlobalRank.sessionPartitions(v))
       ranked
         .crossJoin(broadcast(v.agg(count(lit(1)).as("total"))))
         .select(col("value"), expr("((rank - 1) * 10) div total").as("decile"))
@@ -2168,12 +2180,22 @@ object PipelineCatalog {
   val trimmedMean: CatalogEntry = CatalogEntry(
     "events_trimmed_mean",
     (s, d) => {
+      // event_type IS NOT NULL in BOTH engines (the markovStationary
+      // convention, r18 ADVICE): a NULL group would otherwise be
+      // silently dropped by the null-unsafe equi-join below while the
+      // oracle's GROUP BY keeps it. Latent on this testdata (no NULL
+      // types) — pinned so the contract cannot flutter if data changes.
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("event_id"), col("value"))
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
       val ranked = graft.operators.GlobalRank.withRankPerKey(
         ev, Seq("event_type"), Seq(col("value"), col("event_id")),
-        numPartitions = 32, rankCol = "r")
+        numPartitions = graft.operators.GlobalRank.sessionPartitions(ev),
+        rankCol = "r")
+      // `totals` re-reads the pruned (event_type, value) columns rather
+      // than caching `ev`: a two-column map-combined re-scan is the
+      // documented "scan twice, shuffle never" shape (zscore family) —
+      // cheaper than pinning a corpus-sized cache at scale.
       val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
       ranked.join(broadcast(totals), Seq("event_type"))
         .filter(col("r") > expr("n div 20") &&
@@ -2189,7 +2211,8 @@ object PipelineCatalog {
                                     row_number() OVER (PARTITION BY event_type
                                       ORDER BY value, event_id) AS r,
                                     COUNT(*) OVER (PARTITION BY event_type) AS n
-                             FROM events WHERE value IS NOT NULL),
+                             FROM events
+                             WHERE value IS NOT NULL AND event_type IS NOT NULL),
                   kept AS (SELECT event_type, value, n FROM ranked
                            WHERE r > n // 20 AND r <= n - (n // 20))
              SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
@@ -2511,7 +2534,13 @@ object PipelineCatalog {
 
   val theilSen: CatalogEntry = CatalogEntry(
     "events_theil_sen",
-    (s, d) => theilSenFrom(dailyMeans(Tables.events(s, d))),
+    // cacheOnce (r19): `daily` feeds FOUR plan branches (both pair
+    // legs, n_pairs, n_days) — uncached, the corpus-linear (type, day)
+    // aggregate re-scanned events FIVE times (r19 plan audit: 5×
+    // `Scan parquet` of events with non-empty schema). The cached frame
+    // is #types × #days rows — model-sized forever; harness teardown
+    // drops it per entry.
+    (s, d) => theilSenFrom(dailyMeans(Tables.events(s, d)).cacheOnce()),
     Some(s"""WITH daily AS (SELECT event_type,
                                    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                                    ${Exact.sqlSum("value", 18, 4)} / COUNT(*) AS v

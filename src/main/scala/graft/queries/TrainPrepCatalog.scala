@@ -160,10 +160,19 @@ object TrainPrepCatalog {
       // they are "available" and takeable at zero cost. (Under the old
       // window form a leading all-null frame produced a NULL cum by
       // accident of SUM's null-skip; the coalesce pins the semantics.)
+      // cacheOnce (r19, guide §2.3/§5): `docs` feeds BOTH the budget
+      // total and the prefix-sum pass, and — unlike the count-only
+      // branches Catalyst prunes to a metadata scan elsewhere — the
+      // total here needs sum(n_tokens), so without the cache the WHOLE
+      // corpus was read and TOKENIZED twice (the r18 plan's second
+      // `Scan parquet ReadSchema: struct<text,source>`). The cached
+      // frame is the narrow (source, doc_id, n_tokens, h) proxy —
+      // bytes-per-row metadata, not text — the guide §8 "decide with
+      // small rows" shape; harness teardown drops it per entry.
       val docs = documents(s, d)
         .select(col("source"), col("doc_id"),
           coalesce(size(Text.wsTokens(col("text"))).cast("long"), lit(0L))
-            .as("n_tokens"), h.as("h"))
+            .as("n_tokens"), h.as("h")).cacheOnce()
       val tot = docs.agg(sum("n_tokens").as("total"),
           countDistinct("source").as("n_src"))
         .select(when(col("n_src") > 0, expr("total div (2 * n_src)"))
@@ -175,7 +184,8 @@ object TrainPrepCatalog {
       // one keyed-window sort task.
       val cum = graft.operators.GlobalRank.withPrefixSumPerKey(
         docs, Seq("source"), Seq(col("h"), col("doc_id")), "n_tokens",
-        numPartitions = 32, cumCol = "cum", inclusive = true)
+        numPartitions = graft.operators.GlobalRank.sessionPartitions(docs),
+        cumCol = "cum", inclusive = true)
       cum.crossJoin(broadcast(tot))
         .groupBy("source")
         .agg(count(lit(1)).as("docs_available"),
@@ -1066,7 +1076,8 @@ object TrainPrepCatalog {
     // Global doc rank WITHOUT a single-partition window — the house
     // GlobalRank (range shuffle + zipWithIndex), corpus-scalable.
     val ranked = graft.operators.GlobalRank.withRank(
-      docIds.select(col("doc_id")), Seq(col("doc_id").asc), 8, "drank")
+      docIds.select(col("doc_id")), Seq(col("doc_id").asc),
+      graft.operators.GlobalRank.sessionPartitions(docIds), "drank")
     // n_docs off the doc-id projection directly (a pruned column scan),
     // NOT off `ranked` — the rank RDD's lineage is lazy and would
     // re-execute the whole range shuffle for this one count.
@@ -1235,7 +1246,8 @@ object TrainPrepCatalog {
         .filter(col("x").isNotNull)
       graft.operators.GlobalRank.withRankPerKey(
           lens, Seq("source"), Seq(col("x"), col("doc_id")),
-          numPartitions = 32, rankCol = "r")
+          numPartitions = graft.operators.GlobalRank.sessionPartitions(lens),
+          rankCol = "r")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("x").as("total_tokens"),
           sum(col("r").cast(dec38) * col("x")).as("srx"))
@@ -2195,7 +2207,8 @@ object TrainPrepCatalog {
       // window sort task (the r18 source_gini_length device, sum form).
       graft.operators.GlobalRank.withPrefixSumPerKey(
           toks, Seq("source"), Seq(col("doc_id")), "n",
-          numPartitions = 32, cumCol = "cum", inclusive = true)
+          numPartitions = graft.operators.GlobalRank.sessionPartitions(toks),
+          cumCol = "cum", inclusive = true)
         .select(col("source"), col("n"), col("cum"),
           expr(s"(cum - n) div $B").as("first_seq"),
           expr(s"(cum - 1) div $B").as("last_seq"))

@@ -161,6 +161,17 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withPrefixSumPerKey rejects a non-Long sum column with a contract error") {
+    // r18 ADVICE: an int/decimal sumCol used to die at executor time
+    // with an opaque ClassCastException; the operator now names the
+    // contract at the driver before any job runs.
+    val df = (1 to 10).map(i => (i.toLong, i, s"k${i % 2}")).toDF("id", "w", "tag")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withPrefixSumPerKey(df, Seq("tag"), Seq(col("id")), "w", 4)
+    }
+    assert(e.getMessage.contains("must be LongType"), e.getMessage)
+  }
+
   test("withRankPerKey is partition-count invariant, including ties and null keys") {
     val df = (1 to 400)
       .map(i => (i.toLong, (i % 5).toDouble,

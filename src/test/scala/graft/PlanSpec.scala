@@ -1367,6 +1367,37 @@ class PlanSpec extends AnyFunSuite {
       s"user_gap_hazard: triangular tail-sum degenerated to a cartesian\n$p")
   }
 
+  test("round-19: single-scan guarantees of the optimization round hold") {
+    // pipeline_curriculum / doc_quality_tiers: the broadcast total's
+    // second reference to the scored frame must stay a PRUNED count —
+    // a zero-column parquet scan (row-group metadata), never a second
+    // scoring pass (the r18 verdict suspected a double corpus scan; the
+    // r19 plan audit showed Catalyst prunes it, pinned here so a
+    // refactor cannot un-prune it).
+    Seq("pipeline_curriculum", "doc_quality_tiers").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "FileScan parquet") == 1,
+        s"$q: expected exactly one visible parquet scan (the pruned count)\n$p")
+      assert(p.contains("ReadSchema: struct<>"),
+        s"$q: the count branch re-reads real columns — prune lost\n$p")
+    }
+    // pipeline_token_budget: the budget total CANNOT be pruned (it
+    // sums n_tokens), so the shared docs frame is cached — the total
+    // branch must read the cache, not re-tokenize the corpus.
+    val tb = plan("pipeline_token_budget")
+    assert(tb.contains("InMemoryTableScan"),
+      s"pipeline_token_budget: budget total re-reads the corpus instead of the cache\n$tb")
+    // events_theil_sen: the (type, day) daily aggregate feeds four
+    // branches and is model-sized — every branch must read the cache;
+    // at most the one in-cache corpus scan may touch parquet.
+    // (InMemoryTableScan's toString inlines the cached child plan, so a
+    // FileScan count over the tree would over-count; the pin is that
+    // EVERY consumer branch reads the cache — >= 4 cache scans.)
+    val ts = plan("events_theil_sen")
+    assert(countOf(ts, "InMemoryTableScan") >= 4,
+      s"events_theil_sen: a consumer branch bypasses the cached daily series\n$ts")
+  }
+
   test("round-17: emb_rank_agreement runs entirely off the checkpointed overlap frame") {
     // Both member shortlists executed inside the eager checkpoint; the
     // pair stage self-joins the <= K-per-query common frame on the

@@ -126,8 +126,18 @@ def main() -> int:
     entries = base["entries"]
     run_cal = float(art["cal_32t"])
     run_mem = float(art["cal_mem"]) if "cal_mem" in art else None
+    # Self-adjudication probes (r19): Bench re-probes every entry whose
+    # in-run reading exceeded ~2x of the record with an isolated
+    # min-of-3 at end of run and stamps both readings into the artifact
+    # ("probes" map + "cal_probe" scalar). A flag whose PROBE reads
+    # in-band was a mid-run host window, not a regression — demote it
+    # (FLAG-PROBED-CLEAR, does not trip --fail-on-flag); a flag whose
+    # probe also exceeds threshold is a pre-adjudicated real signal.
+    probes = art.get("probes", {}) or {}
+    cal_probe = float(art.get("cal_probe", 0) or 0)
 
-    flagged, bw_flagged, improved, unrecorded, checked = [], [], [], [], 0
+    flagged, probe_cleared, bw_flagged, improved, unrecorded, checked = \
+        [], [], [], [], [], 0
     for name, sec in sorted(art["queries"].items()):
         rec = entries.get(name)
         if rec is None:
@@ -144,20 +154,32 @@ def main() -> int:
         if ratio > thresh and not small:
             # Bandwidth-regime gate: re-check the flag under cal_mem
             # normalization before treating it as a compute regression.
-            # Uses the record's min-seconds run (the only one whose
-            # cal_mem the record carries) — coarser than median_norm,
-            # which is fine for triage: the question is "does the excess
-            # vanish when normalized by bandwidth instead of ALU?".
+            # Prefers the record's mem-normalized MEDIAN (seeded r19+,
+            # like-for-like with median_norm); legacy records fall back
+            # to the min-seconds run's cal_mem — coarser, which is fine
+            # for triage: the question is "does the excess vanish when
+            # normalized by bandwidth instead of ALU?".
             bw = None
             rec_mem = rec.get("cal_mem")
             if (run_mem is not None and rec_mem and float(rec_mem) > 0
                     and run_mem / float(rec_mem) > args.mem_regime_ratio):
-                ratio_mem = ((float(sec) / run_mem)
-                             / (float(rec["seconds"]) / float(rec_mem)))
+                rec_mem_norm = (float(rec["median_mem_norm"])
+                                if "median_mem_norm" in rec
+                                else float(rec["seconds"]) / float(rec_mem))
+                ratio_mem = (float(sec) / run_mem) / rec_mem_norm
                 bw = (run_mem / float(rec_mem), ratio_mem)
             row = (name, float(sec), float(rec["seconds"]), ratio,
                    rec.get("note"), thresh, bw)
-            if bw is not None and bw[1] <= thresh:
+            # In-run self-probe verdict (see header): the probe is an
+            # isolated end-of-run re-measurement with its own cal.
+            probe_ratio = None
+            if name in probes and cal_probe > 0 and norm_rec > 0:
+                probe_ratio = (float(probes[name]) / cal_probe) / norm_rec
+            if probe_ratio is not None and probe_ratio <= thresh:
+                probe_cleared.append(
+                    (name, float(sec), float(rec["seconds"]), ratio,
+                     f"self-probe x{probe_ratio:.2f} in-band", thresh, bw))
+            elif bw is not None and bw[1] <= thresh:
                 bw_flagged.append(row)
             else:
                 flagged.append(row)
@@ -171,8 +193,8 @@ def main() -> int:
           f"no-record={len(unrecorded)}")
     print(f"record:   {args.baselines}  commit={base.get('commit')}  "
           f"method={base.get('method')}")
-    for tag, rows in (("FLAG", flagged), ("FLAG-BW", bw_flagged),
-                      ("IMPROVED", improved)):
+    for tag, rows in (("FLAG", flagged), ("FLAG-PROBED-CLEAR", probe_cleared),
+                      ("FLAG-BW", bw_flagged), ("IMPROVED", improved)):
         for name, sec, rsec, ratio, note, thresh, bw in sorted(
                 rows, key=lambda r: -r[3]):
             line = (f"{tag:9s} {name:34s} run={sec:7.3f}s  record-min={rsec:7.3f}s  "
@@ -192,9 +214,10 @@ def main() -> int:
     if unrecorded:
         print("no-record (new entries; seed after an isolated min-of-3): "
               + ", ".join(sorted(unrecorded)))
-    print(f"summary: {len(flagged)} flagged, {len(bw_flagged)} "
+    print(f"summary: {len(flagged)} flagged, {len(probe_cleared)} "
+          f"probe-cleared, {len(bw_flagged)} "
           f"bandwidth-suspect, {len(improved)} improved, "
-          f"{checked - len(flagged) - len(bw_flagged) - len(improved)} "
+          f"{checked - len(flagged) - len(probe_cleared) - len(bw_flagged) - len(improved)} "
           f"in-band")
     return 1 if (args.fail_on_flag and flagged) else 0
 

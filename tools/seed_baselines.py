@@ -238,11 +238,13 @@ def main() -> int:
         names |= set(a["queries"])
     entries = {}
     for n in sorted(names):
-        best, norms = None, []
+        best, norms, mem_norms = None, [], []
         for a in arts:
             if n in a["queries"]:
                 sec = float(a["queries"][n])
                 norms.append(sec / float(a["cal_32t"]))
+                if float(a.get("cal_mem", 0)) > 0:
+                    mem_norms.append(sec / float(a["cal_mem"]))
                 if best is None or sec < best[0]:
                     best = (sec, a)
         sec, a = best
@@ -256,6 +258,13 @@ def main() -> int:
             "n_runs": len(norms),
             "commit": commit,
         }
+        # Mem-normalized median alongside the ALU-normalized one so
+        # baseline_check.py's bandwidth-regime gate compares like for
+        # like (r18 ADVICE: mixing the record's single min run with the
+        # run's median-based threshold classified near-threshold flags
+        # inconsistently).
+        if mem_norms:
+            rec["median_mem_norm"] = round(statistics.median(mem_norms), 3)
         if n in NOTES:
             rec["note"] = NOTES[n]
         entries[n] = rec
