@@ -149,15 +149,18 @@ object ScaleCatalog {
   val zorderLayout: CatalogEntry = CatalogEntry(
     "lineitem_zorder",
     (s, d) => {
-      // cacheOnce (r19): `li` feeds BOTH layout passes (natural +
-      // zorder), each exiting through GlobalRank's RDD boundary —
-      // uncached, the pruned 4-column lineitem scan + z interleave ran
-      // twice. The cached frame is the narrow key/z proxy (5 longs per
-      // row), never the full fact row; harness teardown drops it.
+      // Measured negative result (r19): caching the shared 5-long proxy
+      // for the two layout passes read a consistent ~20% SLOWER across
+      // four full-catalog runs (norm 4.7-6.4 vs the 4.82 record) — the
+      // MemoryStore materialization of the fact-sized proxy costs more
+      // than the pruned 4-column scan + z bit-interleave it saves, and
+      // at 100 TB a ~16 TB disk-backed cache would not beat re-reading
+      // compressed columnar either. Both passes therefore re-scan on
+      // purpose; the scans are column-pruned and embarrassingly parallel.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"))
-        .withColumn("z", expr(zSpark)).cacheOnce()
+        .withColumn("z", expr(zSpark))
       def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
         graft.operators.GlobalRank.withRank(li, order,
           numPartitions = graft.operators.GlobalRank.sessionPartitions(li), "rn")
