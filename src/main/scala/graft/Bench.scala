@@ -236,7 +236,12 @@ object Bench {
     // when no record exists; SPARK_GRAFT_SELFPROBE=0 disables.
     val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var calProbe = 0.0
-    val selfProbe = only.isEmpty && errors.isEmpty &&
+    // Guarded on the record's core basis: BASELINES.json is measured at
+    // local[32], so comparing a lower-core run against it would read
+    // uniformly >1 (raw seconds grow ~cores-fold while calibrate(cpus)
+    // does not oversubscribe) and mass-fire meaningless probes into the
+    // driver's core-scaling measurement.
+    val selfProbe = only.isEmpty && errors.isEmpty && cpus.toInt == 32 &&
       sys.env.getOrElse("SPARK_GRAFT_SELFPROBE", "1") != "0"
     if (selfProbe) {
       val medianNorm: Map[String, Double] = try {
