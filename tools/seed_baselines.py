@@ -69,6 +69,10 @@ EMB_CROSS_WINDOW = (
     "spanning both windows so the dispersion lives in spread_norm")
 
 NOTES = {
+    "sensor_topn":
+        "r19 final-run x1.53 flag cleared: isolated min-of-5 0.505s @ "
+        "cal 0.464 = x1.17 of median_norm, in-band; host noise; probe "
+        "cal_mem 0.022 vs record 0.143",
     "doc_pack_bins":
         "r19 driver-run x9.99 flag cleared (tools/probe_flags.py): "
         "isolated min-of-5 0.461s @ cal 0.516 = x1.06 of median_norm, "
@@ -119,7 +123,11 @@ NOTES = {
         "x2.8 alongside -- the r12 class where co-tenant pressure lands "
         "on DRAM bandwidth, scan-bound micro-entries inflate 2-3x, and "
         "ALU-bound cal_32t under-corrects. Entry code untouched since "
-        "r15; record re-seeded r17 under the current regime",
+        "r15; record re-seeded r17 under the current regime. r19 "
+        "final-run x2.50 was SELF-ADJUDICATED by the new in-run probe "
+        "(probes map x0.95 in-band; baseline_check demoted it "
+        "mechanically, FLAG-PROBED-CLEAR) — first live firing of the "
+        "r19 self-adjudication path",
     "taxi_ride_count":
         "read x2.8 in the same r17 bandwidth-contended control window "
         "that adjudicated topn_per_key (cal_mem 0.148); in-band in every "
